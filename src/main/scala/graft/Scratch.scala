@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only probe main; not part of the library surface. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession
+      .builder()
+      .master("local[8]")
+      .appName("scratch")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.printSchema()
+    ev.show(3, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,128 @@
+package graft.engine
+
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurrentState, Snapshot}
+import graft.policy.WatermarkPolicy
+import graft.policy.WatermarkPolicy.{Advance, Decision, PolicyConfig, Skip}
+import graft.sinks.AppendSink
+import graft.state.{StateStore, TableState}
+
+/**
+ * The CDC control loop — the reference's `-seed` / `-cdc` flows
+ * (`/root/reference/seed.go:10-62`, `cdc.go:16-145`) re-expressed over
+ * Spark, file-backed for the harness (a JDBC-backed source needs only a
+ * different `loadTable`).
+ *
+ * Per tick, per tracked table (`cdc.go:49-140`):
+ *   live row count → watermark policy (T1/T2/T7) → windowed snapshot
+ *   (S1/F1/P1/P3 + munging) → strict append to `<t>_cdc` (O1) → commit
+ *   watermark (T3, only after a successful append).
+ *
+ * Tables run under bounded parallelism (T5, `cdc.go:115-140`): Spark's
+ * scheduler multiplexes concurrent jobs across the cluster, so the cap
+ * controls driver-side job submission, not executor usage.
+ */
+final class CdcEngine(
+    spark: SparkSession,
+    sourceDir: String,
+    sinkDir: String,
+    stateDir: String,
+    dsn: Int = 1,
+    policy: PolicyConfig = PolicyConfig(),
+    munge: Option[Snapshot.MungeConfig] = None,
+    concurrency: Int = 4) {
+
+  val state = new StateStore(spark, stateDir)
+
+  private def loadTable(name: String): DataFrame =
+    graft.sources.Tables.load(spark, sourceDir, name)
+
+  /** `-seed` (`/root/reference/seed.go`): discover min-watermark, row count
+    * and schema per table, upsert into the state catalog.
+    *
+    * Divergence (documented): the reference seeds `nms = MIN(nmsCol)`
+    * (`postgres.go:193`) which, combined with the strictly-greater window
+    * bound (`postgres.go:52`), silently drops rows at exactly the minimum.
+    * We seed 1µs below the minimum so the first window captures them.
+    */
+  def seed(tables: Seq[(String, String, Option[String])]): Unit = {
+    val states = tables.map { case (name, nmsCol, pk) =>
+      val df = loadTable(name)
+      val row = df.agg(min(col(nmsCol)).as("mn"), count(lit(1)).as("cnt")).head()
+      val minTs = row.getTimestamp(0)
+      val seedNms = new Timestamp(minTs.getTime - 1) // 1ms below min; see above
+      TableState(
+        name = name, schemaName = "main", nmsColumn = nmsCol, pKeyColumn = pk,
+        schemaJson = Some(df.schema.json),
+        nms = seedNms, lastRowCount = 0L, dsn = dsn, lastShovedOn = None)
+    }
+    state.upsert(states)
+    state.exportJsonl(s"$stateDir/seed_state_json") // O8 backup
+  }
+
+  final case class TickResult(table: String, decision: Decision, rowsCaptured: Long)
+
+  /** One capture tick over all tracked tables (one `cdc()` pass). */
+  def tick(now: Instant = Instant.now()): Seq[TickResult] = {
+    val tracked = state.readForDsn(dsn).collect().toSeq
+    val pool = Executors.newFixedThreadPool(math.max(1, math.min(concurrency, tracked.size.max(1))))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = tracked.map { t => Future(captureOne(t, now)) }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  private def captureOne(t: TableState, now: Instant): TickResult = {
+    val df = loadTable(t.name)
+    val liveCount = df.count() // harness analog of the pg_class stats estimate (S6)
+    val decision = WatermarkPolicy.decide(
+      nms = t.nms.toInstant,
+      lastShovedOn = t.lastShovedOn.map(_.toInstant),
+      lastRowCount = t.lastRowCount,
+      liveRowCount = liveCount,
+      now = now,
+      conf = policy)
+    decision match {
+      case Skip(_) => TickResult(t.name, decision, 0L)
+      case Advance(w, _) =>
+        val lo = Timestamp.from(w.lo)
+        val hi = Timestamp.from(w.hi)
+        val snapTm = Timestamp.from(now)
+        val snap = Snapshot.snapshotWindow(df, t.nmsColumn, lo, hi, snapTm, munge)
+        val captured = snap.count()
+        AppendSink.appendSnapshot(snap, sinkDir, t.name)
+        // T3: commit only after the append succeeded.
+        state.synchronized {
+          state.commit(dsn, t.name, hi, liveCount, snapTm)
+        }
+        TickResult(t.name, decision, captured)
+    }
+  }
+
+  /** T6: `-runonce` vs continuous loop. */
+  def run(maxTicks: Int, now: () => Instant = () => Instant.now()): Seq[Seq[TickResult]] =
+    (1 to maxTicks).map(_ => tick(now()))
+
+  /** Read a table's append-only snapshot log. */
+  def cdcLog(table: String): DataFrame =
+    spark.read.parquet(s"$sinkDir/${AppendSink.cdcTableName(table)}")
+
+  /** W1 — the current-state view over the log. */
+  def currentState(table: String): DataFrame = {
+    val t = state.readForDsn(dsn).collect().find(_.name == table)
+      .getOrElse(sys.error(s"unknown table $table"))
+    val pk = t.pKeyColumn.getOrElse(sys.error(s"no pkey for $table; view requires one"))
+    CurrentState.latestByKeyAgg(
+      cdcLog(table).drop("snapshot_dt"), Seq(pk), "snapshot_tm", Seq(t.nmsColumn))
+  }
+}

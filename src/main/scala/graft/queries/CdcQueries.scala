@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurrentState, Snapshot}
+import graft.sources.Tables
+import graft.util.Util.utcTs
+
+/**
+ * Oracle-checked queries exercising the CDC operator surface (SURVEY §2.1,
+ * §2.3, §2.4, §2.5, §2.7) over the `events` table — `ts` plays the
+ * not-modified-since column, `event_id` the primary key (FIXTURES.md §1).
+ *
+ * All window bounds are fixed literals so results are deterministic and
+ * reproducible by the DuckDB oracle; `snapshot_tm` is a batch constant
+ * (never per-row `now()`), per SURVEY §7.4 / FIXTURES.md §3.
+ */
+object CdcQueries {
+
+  private val Lo = "2024-01-05 00:00:00"
+  private val Mid = "2024-01-10 00:00:00"
+  private val Hi = "2024-01-15 00:00:00"
+  private val SnapTm = "2024-02-01 00:00:00"
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/F1/P1/P3: windowed snapshot scan with half-open (lo, hi] bounds.
+    "cdc_snapshot_window" -> ((s, dir) =>
+      Snapshot.snapshotWindow(events(s, dir), "ts",
+        utcTs(Lo), utcTs(Hi), utcTs(SnapTm))),
+
+    // Window-partition property: two consecutive windows (lo,mid] + (mid,hi]
+    // must reproduce (lo,hi] exactly — no dup, no loss (SURVEY §5.2a).
+    "cdc_window_union" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Snapshot.snapshotWindow(ev, "ts", utcTs(Lo), utcTs(Mid), utcTs(SnapTm))
+        .union(Snapshot.snapshotWindow(ev, "ts", utcTs(Mid), utcTs(Hi), utcTs(SnapTm)))
+    }),
+
+    // W1: current-state — latest event per user, deterministic tiebreak.
+    "cdc_current_state" -> ((s, dir) =>
+      CurrentState.latestByKey(events(s, dir), Seq("user_id"), "ts", Seq("event_id"))),
+
+    // W1 via the aggregate (map-side combining) formulation; same result.
+    "cdc_current_state_agg" -> ((s, dir) =>
+      CurrentState.latestByKeyAgg(events(s, dir), Seq("user_id"), "ts", Seq("event_id"))),
+
+    // M1: invalid-timestamp → NULL munging.
+    "cdc_munge_null" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        Snapshot.mungeTimestamp(col("ts"),
+          Snapshot.MungeConfig(utcTs(Mid), toNull = true)).as("ts_munged"))),
+
+    // M2: invalid-timestamp → clamp-to-min munging.
+    "cdc_munge_clamp" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        Snapshot.mungeTimestamp(col("ts"),
+          Snapshot.MungeConfig(utcTs(Mid), toNull = false)).as("ts_munged"))),
+
+    // A1/S7: seed-watermark aggregate (min) + stats per event type.
+    "cdc_seed_watermark" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type")).agg(
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n"))),
+
+    // S6/A5: row-count estimation analog (exact count by group here).
+    "cdc_rowcount" -> ((s, dir) =>
+      events(s, dir).agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"))))
+
+  val oracles: Map[String, String] = Map(
+    "cdc_snapshot_window" ->
+      s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+         | TIMESTAMP '$SnapTm' AS snapshot_tm
+         | FROM events
+         | WHERE ts > TIMESTAMP '$Lo' AND ts <= TIMESTAMP '$Hi'""".stripMargin,
+    "cdc_window_union" ->
+      s"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+         | TIMESTAMP '$SnapTm' AS snapshot_tm
+         | FROM events
+         | WHERE ts > TIMESTAMP '$Lo' AND ts <= TIMESTAMP '$Hi'""".stripMargin,
+    "cdc_current_state" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        | FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM events) t
+        | WHERE rn = 1""".stripMargin,
+    "cdc_current_state_agg" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        | FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM events) t
+        | WHERE rn = 1""".stripMargin,
+    "cdc_munge_null" ->
+      s"""SELECT event_id,
+         | CASE WHEN ts < TIMESTAMP '$Mid' THEN NULL ELSE CAST(ts AS TIMESTAMP) END AS ts_munged
+         | FROM events""".stripMargin,
+    "cdc_munge_clamp" ->
+      s"""SELECT event_id,
+         | CASE WHEN ts < TIMESTAMP '$Mid' THEN TIMESTAMP '$Mid' ELSE CAST(ts AS TIMESTAMP) END AS ts_munged
+         | FROM events""".stripMargin,
+    "cdc_seed_watermark" ->
+      """SELECT event_type, CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        | CAST(max(ts) AS TIMESTAMP) AS last_ts, count(*) AS n
+        | FROM events GROUP BY event_type""".stripMargin,
+    "cdc_rowcount" ->
+      "SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids FROM events")
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/**
+ * Relational operator coverage over the TPC-H-ish star schema — the
+ * "what the reference can express by pushing SQL to PostgreSQL/BigQuery"
+ * surface (SURVEY §2.5, §2.6, §2.10 dispositions), all Spark built-ins.
+ *
+ * Determinism rules (FIXTURES.md §3): computed integer columns are cast to
+ * BIGINT on both sides (Spark `length`/`row_number` are INT, DuckDB's are
+ * BIGINT); orderings that feed LIMIT/rank carry explicit key tiebreaks;
+ * float columns are compared as stored values or simple per-row IEEE ops
+ * (deterministic), with order-dependent float reductions confined to the
+ * same aggregates the driver's own example uses.
+ */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2-style full aggregation (TPC-H Q1 shape): hash agg with map-side
+    // partial aggregation; one shuffle on the two low-cardinality keys.
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // J1 inner join + group: revenue per nation (broadcast the dims).
+    "q_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // J2 left outer join: customer count per nation, including empty nations.
+    "q_join_left" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"))),
+
+    // J3 left-semi join (EXISTS): customers holding at least one F-status order.
+    "q_join_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    "q_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // Sort + limit (top-k): ordering on stored doubles with key tiebreak.
+    "q_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(20)),
+
+    // W-style analytic window: top-2 orders per customer.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // Lag/lead analytic: previous order date per customer.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w).as("prev_orderdate"))
+    }),
+
+    // Set ops: INTERSECT / EXCEPT / UNION ALL.
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))),
+    "q_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))),
+    "q_union_all" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .union(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))),
+
+    // Grouping sets: ROLLUP and CUBE over nation x segment.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Distinct aggregates.
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))),
+
+    // Scalar string functions (P-category surface).
+    "q_string_fns" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_name"), 1, 10).as("name10"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))),
+
+    // Date functions: truncation + per-month stats (min/max are exact).
+    "q_date_trunc" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))),
+
+    // Math + CASE: per-row IEEE ops are engine-exact.
+    "q_case_math" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice") / lit(1000.0)).as("price_k_ceil"),
+        when(col("o_totalprice") > 150000.0, lit("big"))
+          .when(col("o_totalprice") > 50000.0, lit("mid"))
+          .otherwise(lit("small")).as("bucket"))),
+
+    // Theta-ish range predicate + between.
+    "q_range_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && col("l_discount") >= 0.05)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), max(col("l_extendedprice")).as("max_price"))))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | sum(l_extendedprice) AS sum_base_price,
+        | sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        | avg(l_quantity) AS avg_qty, avg(l_discount) AS avg_disc,
+        | count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue" ->
+      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        | count(*) AS n_items
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT n_name, count(c_custkey) AS n_customers
+        | FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        | GROUP BY n_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders
+        |               WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        | FROM orders) x WHERE rn <= 2""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderdate
+        | FROM orders""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        | EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
+    "q_union_all" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION ALL SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
+    "q_cube" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+    "q_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
+        | FROM orders""".stripMargin,
+    "q_string_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_up,
+        | substring(p_name, 1, 10) AS name10,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | p_brand || '#' || p_type AS brand_type
+        | FROM part""".stripMargin,
+    "q_date_trunc" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month, count(*) AS n,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        | FROM orders GROUP BY 1""".stripMargin,
+    "q_case_math" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        | CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+        | CASE WHEN o_totalprice > 150000.0 THEN 'big'
+        |      WHEN o_totalprice > 50000.0 THEN 'mid'
+        |      ELSE 'small' END AS bucket
+        | FROM orders""".stripMargin,
+    "q_range_filter" ->
+      """SELECT l_returnflag, count(*) AS n, max(l_extendedprice) AS max_price
+        | FROM lineitem
+        | WHERE l_quantity BETWEEN 10 AND 20 AND l_discount >= 0.05
+        | GROUP BY l_returnflag""".stripMargin)
+}

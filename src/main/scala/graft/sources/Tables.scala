@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Central loader for the harness parquet tables (and, by extension, any
+ * parquet-backed source table).
+ *
+ * The reference discovers source tables from the PostgreSQL catalog
+ * (`/root/reference/postgres.go:201-269`); in the file-backed harness the
+ * "catalog" is a directory of parquet files. This loader normalizes physical
+ * quirks so the rest of the engine sees clean Spark types:
+ *
+ *  - parquet `TIMESTAMP(NANOS)` columns (which Spark refuses by default,
+ *    PARQUET_TYPE_ILLEGAL) are read via
+ *    `spark.sql.legacy.parquet.nanosAsLong` and converted to microsecond
+ *    `TimestampType`, matching what every other engine (incl. the DuckDB
+ *    oracle) sees.
+ */
+object Tables {
+
+  /** All harness tables (TESTDATA.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columns stored as TIMESTAMP(NANOS) per table — read as long nanos,
+    * then converted to TimestampType (microseconds, UTC session tz). */
+  private val nanosColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    nanosColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      if (df.schema(c).dataType == LongType)
+        // integer `div`, not `/`: float division would round the sub-µs part
+        // up, where every other reader (incl. the oracle) truncates.
+        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      else df
+    }
+  }
+
+  /** Register every table as a temp view so `spark.sql` works against it. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
