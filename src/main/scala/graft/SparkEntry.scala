@@ -22,10 +22,10 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.defs ++ RelationalQueries.defs
+    CdcQueries.defs ++ RelationalQueries.defs ++ NorthStarQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CdcQueries.oracles ++ RelationalQueries.oracles
+    CdcQueries.oracles ++ RelationalQueries.oracles ++ NorthStarQueries.oracles
 }

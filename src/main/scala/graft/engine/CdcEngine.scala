@@ -34,7 +34,7 @@ import graft.state.{StateStore, TableState}
 final class CdcEngine(
     spark: SparkSession,
     sourceDir: String,
-    sinkDir: String,
+    val sinkDir: String,
     stateDir: String,
     dsn: Int = 1,
     policy: PolicyConfig = PolicyConfig(),

@@ -1,0 +1,128 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`ArrayType(FloatType)`) — north-star extension, SURVEY §2.11.
+ *
+ * Two paths:
+ *  - brute-force cosine top-k: exact baseline; the probe set is small and
+ *    broadcast, so the scan over N candidates is embarrassingly parallel
+ *    and shuffles only k rows per query (partial top-k under the window).
+ *  - sign-LSH (random hyperplanes): candidates share a bucket of
+ *    hyperplane signs; at 100 TB the bucket key is the shuffle key and
+ *    per-bucket work is bounded. This is the SimHash-for-vectors scheme;
+ *    multi-probe = more bands.
+ *
+ * Dot products use `zip_with` + `aggregate` (sequential per-row array
+ * fold: deterministic, codegen-friendly, no UDF).
+ */
+object Similarity {
+
+  /** Sequential fold dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: unit-ish value in
+    * [-1, 1) derived from (plane, dim) by splitmix64 — no RNG state, so
+    * every executor derives the same planes. */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val seed = lit(plane.toLong * 0x9E3779B97F4A7C15L)
+    (pmod(xxhash64(dim, seed), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>. */
+  def signBucket(v: Column, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /**
+   * Exact brute-force cosine top-k for a set of query vectors.
+   * `queries` must be small enough to broadcast (it is, by construction
+   * of "probe set"); ties broken by candidate id for determinism.
+   */
+  def bruteForceTopK(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * LSH-bucketed ANN top-k: only candidates sharing the query's sign
+   * bucket in at least one band are scored. Recall grows with `bands`;
+   * cost is bands x bucket-local joins instead of a full scan.
+   */
+  def lshTopK(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10,
+      planes: Int = 12, bands: Int = 4): DataFrame = {
+
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            // band b uses its own plane set: offset plane indices
+            signBucketBand(col(vecCol), planes, b).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+
+    val c = banded(candidates, "neighbor_id", "c_vec")
+    val q = broadcast(banded(queries, "query_id", "q_vec"))
+    val scored = c.join(q, Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  private def signBucketBand(v: Column, planes: Int, band: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = band * planes + p
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponentPublic(plane, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  private def planeComponentPublic(plane: Int, dim: Column): Column = {
+    val seed = lit(plane.toLong * 0x9E3779B97F4A7C15L)
+    (pmod(xxhash64(dim, seed), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+  }
+}

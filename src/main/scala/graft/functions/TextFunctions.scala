@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines
+ * (north-star extension, SURVEY §2.11): tokenization, language ID,
+ * quality scoring, token counting, fingerprinting.
+ *
+ * Everything here is composed from `org.apache.spark.sql.functions` —
+ * whole-stage-codegen'd, no UDFs — so at 100 TB these run as tight
+ * per-row loops inside the scan stage with no shuffle and no JVM
+ * boundary crossings.
+ */
+object TextFunctions {
+
+  /** Lowercased word tokens (runs of letters/digits). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Whitespace-delimited token count — the cheap estimator (counts
+    * whitespace RUNS, so multiple spaces don't inflate the count). */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast(LongType)
+
+  /** BPE-ish token count: letter runs, digit runs, and isolated
+    * punctuation each count as one token — a deterministic proxy for
+    * subword tokenizers when the real vocab isn't available. */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0)).cast(LongType)
+
+  // --- quality scoring ------------------------------------------------
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double")
+        / length(text))
+
+  /** Ratio of digit chars. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{N}]", "")).cast("double") / length(text))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** English-ish stopword hit ratio over tokens (C4/Gopher-style "has
+    * enough function words" signal). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "that", "this", "it", "as", "at", "by", "be")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val t = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, x => array_contains(sw, x))).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: length-band * (1 - punct noise) *
+    * stopword presence. Deterministic, tunable; mirrors the shape of
+    * published heuristic filters (length/punct/stopword ratios). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * punctScore * (lit(0.5) + swScore * 0.5), 6)
+  }
+
+  // --- language identification ---------------------------------------
+
+  /** Per-language marker profiles: high-frequency function words plus a
+    * few orthographic digraphs. A classic n-gram/stopword-profile
+    * classifier (Cavnar-Trenkle style), expressible entirely in
+    * builtins: score(lang) = |tokens ∩ profile(lang)| / |tokens|. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Best-scoring language tag, "und" when nothing matches. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    // build array<struct<score,lang>>, take max (struct ordering = by
+    // score, ties by lang tag descending for determinism), then gate.
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val profile = array(words.map(lit): _*)
+      struct(
+        size(filter(t, x => array_contains(profile, x))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // --- fingerprinting -------------------------------------------------
+
+  /** Normalized content fingerprint: md5 of lowercased text with all
+    * whitespace collapsed — stable under reflow, oracle-reproducible. */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** 64-bit rolling-hash-style fingerprint (xxhash64 over the same
+    * normalization) — cheaper join key than the md5 hex string. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Word k-shingles as strings ("a b c"), the unit for MinHash/Jaccard. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < k, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep green forest while the sun sets slowly behind tall mountains"
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("quick", "speedy")), // near dup of 1
+    (4L, "completely different content about spark query engines and columnar " +
+      "execution with shuffles joins aggregations and window functions at scale"),
+    (5L, "another unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per distinct text") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.filter(col("keep_id") === 1).select("n_dups").as[Long].head() == 2L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must be found")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near dup must be found")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+    // jaccard of identical docs is exactly 1
+    val j = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0, near dups within 6, unrelated far") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select(col("id_a"), col("id_b"), col("hamming")).as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: identical = 1.0, near dup high, bounded by threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard")).as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    val near = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(near.nonEmpty && near.get._3 > 0.5 && near.get._3 < 1.0)
+  }
+
+  test("embedding dup pairs find identical and near-identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)),            // identical
+      (3L, Array(0.99f, 0.01f, 0.5f, 0.2f)),          // near
+      (4L, Array(-1.0f, 0.3f, -0.5f, 0.9f))           // far
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, planes = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: self = 1, orthogonal = 0, opposite = -1") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f)))
+      .toDF("a", "b", "c", "d")
+    val row = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c")),
+      Similarity.cosine(col("a"), col("d"))).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(row.getDouble(1)) < 1e-9)
+    assert(math.abs(row.getDouble(2) + 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k returns the planted nearest neighbor first") {
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    // plant: query = vec 0; candidate set = all. Its top-1 neighbor must be
+    // the vector with the highest cosine, verified independently.
+    val q = e.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+    val rows = top.select("neighbor_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(rows.length == 5 && rows.head._2 == 1L)
+    // independent check of the argmax
+    val expect = e.filter(col("vec_id") =!= 0)
+      .crossJoin(q.select(col("embedding").as("qv")))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc)
+      .select("vec_id").as[Long].head()
+    assert(rows.head._1 == expect)
+  }
+
+  test("LSH finds planted near-duplicate neighbors (its design guarantee)") {
+    // Sign-LSH's contract is about ANGULARLY CLOSE vectors: a slightly
+    // perturbed copy collides in some band with high probability. (On
+    // uniformly random vectors, "top-5 neighbors" sit near 90 deg and the
+    // collision probability is intentionally tiny - that is the pruning.)
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val planted = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        atransform(col("embedding"), x => x * 1.01f + 0.001f).as("embedding"))
+    val withPlanted = e.select("vec_id", "embedding").union(planted)
+    val q = e.filter(col("vec_id") < 5)
+    val lsh = Similarity.lshTopK(withPlanted, q, "vec_id", "embedding", k = 3,
+      planes = 8, bands = 6)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // every query's rank-1 hit is its planted near-copy
+    (0L until 5L).foreach { id =>
+      assert(lsh.get(id).contains(id + 10000), s"query $id missed planted dup: $lsh")
+    }
+    // and recall vs brute force on random data is nonzero but pruned
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshAll = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5,
+      planes = 6, bands = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lshAll).size.toDouble / brute.size
+    assert(recall > 0.0, s"recall $recall")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens + counts") {
+    val df = Seq("The quick, brown fox!  Jumps 42 times.").toDF("t")
+    val row = df.select(
+      TextFunctions.tokens(col("t")),
+      TextFunctions.tokenCountWs(col("t")),
+      TextFunctions.tokenCountBpe(col("t"))).head()
+    assert(row.getSeq[String](0) == Seq("the", "quick", "brown", "fox", "jumps", "42", "times"))
+    assert(row.getLong(1) == 7L) // whitespace runs: double space counts once
+    assert(row.getLong(2) >= 9L) // bpe-ish counts punctuation too
+  }
+
+  test("fingerprint is whitespace/case invariant; distinct content differs") {
+    val df = Seq(
+      ("A  Quick   Fox", "a quick fox", "a quick wolf")).toDF("a", "b", "c")
+    val row = df.select(
+      TextFunctions.fingerprintMd5(col("a")) === TextFunctions.fingerprintMd5(col("b")),
+      TextFunctions.fingerprintMd5(col("b")) === TextFunctions.fingerprintMd5(col("c")),
+      TextFunctions.fingerprint64(col("a")) === TextFunctions.fingerprint64(col("b"))).head()
+    assert(row.getBoolean(0) && !row.getBoolean(1) && row.getBoolean(2))
+  }
+
+  test("langId picks the dominant profile") {
+    val df = Seq(
+      "the cat is on the mat and it was nice",
+      "der hund ist nicht mit der katze und das ist gut",
+      "le chat est dans la maison et les oiseaux",
+      "el perro es un animal que vive por la casa",
+      "xyzzy plugh qwerty").toDF("t")
+    val langs = df.select(TextFunctions.langId(col("t"))).as[String].collect().toSeq
+    assert(langs == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("quality metrics ranges and shingles") {
+    val df = Seq("good clean text with the usual words in it for scoring").toDF("t")
+    val row = df.select(
+      TextFunctions.punctRatio(col("t")),
+      TextFunctions.stopwordRatio(col("t")),
+      TextFunctions.qualityScore(col("t")),
+      TextFunctions.shingles(col("t"), 3)).head()
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 1.0)
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 1.0)
+    val sh = row.getSeq[String](3)
+    assert(sh.head == "good clean text" && sh.last == "it for scoring")
+  }
+
+  test("shingles of short text degrade to single whole-text shingle") {
+    val df = Seq("two words").toDF("t")
+    assert(df.select(TextFunctions.shingles(col("t"), 3)).head()
+      .getSeq[String](0) == Seq("two words"))
+  }
+}
