@@ -45,17 +45,26 @@ object Dedup {
     * the standard "one hash + H permutations" construction, all in
     * codegen'd builtins (no UDF).
     */
-  def minhashSignature(text: Column, numHashes: Int = 32, shingleK: Int = 3): Column = {
-    // 32-bit base hash x 31-bit odd multiplier keeps every product inside
-    // a 63-bit long: no overflow under ANSI mode (Spark 4 default).
-    val base = transform(TextFunctions.shingles(text, shingleK),
+  /** Base hashes of the text's shingles: one 32-bit value per shingle.
+    * (32-bit base x 31-bit odd multiplier keeps every permuted product
+    * inside a 63-bit long: no overflow under ANSI mode, Spark 4 default.)
+    *
+    * IMPORTANT expression-staging note: higher-order-function lambdas are
+    * interpreted (no whole-stage codegen, no common-subexpression
+    * elimination), so this array MUST be materialized as its own column
+    * and the permutations computed over that column reference — inlining
+    * it into each of the `numHashes` permutation expressions re-tokenizes
+    * and re-hashes the text per permutation (measured 30x slower). */
+  def minhashBase(text: Column, shingleK: Int = 3): Column =
+    transform(TextFunctions.shingles(text, shingleK),
       s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
-    val perms = (0 until numHashes).map { i =>
+
+  /** MinHash signature over a PRE-MATERIALIZED base-hash array column. */
+  def minhashSignature(baseCol: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { i =>
       val (a, b) = permCoeffs(i)
-      array_min(transform(base, h => h * lit(a) + lit(b)))
-    }
-    array(perms: _*)
-  }
+      array_min(transform(baseCol, h => h * lit(a) + lit(b)))
+    }: _*)
 
   /** splitmix64-derived 31-bit odd multiplier + 31-bit offset per
     * permutation index — fixed constants so signatures are reproducible
@@ -71,59 +80,88 @@ object Dedup {
    * of `rows` hashes; docs sharing any band hash become candidates;
    * candidates are verified with exact shingle-set Jaccard.
    *
-   * Plan shape: explode to (doc, band, bandHash) -> shuffle on
-   * (band, bandHash) -> self-join inside buckets -> distinct pairs ->
-   * verify. Band buckets are small by construction, so the join is a
-   * bucket-local cartesian of near-constant size, not O(n^2).
+   * Plan shape — sized for 100 TB, where the naive version dies:
+   *  1. candidate generation is a SKINNY self-join: only (band, bandHash,
+   *     id) rows are shuffled, never the shingle payload;
+   *  2. degenerate buckets (> `maxBucketSize` docs sharing a band hash —
+   *     boilerplate/empty docs in real corpora) are dropped before the
+   *     join: they cost O(bucket^2) and carry near-zero dup signal, the
+   *     standard LSH skew guard;
+   *  3. the shingle arrays are joined back ONCE per distinct candidate
+   *     pair for exact verification.
    *
    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
    */
   def minhashDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rows: Int = 4, shingleK: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 200): DataFrame = {
 
     val numHashes = bands * rows
-    val sig = df.select(
-      col(idCol).as("doc_id"),
-      TextFunctions.shingles(col(textCol), shingleK).as("sh"),
-      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val sig = df
+      .select(col(idCol).as("doc_id"), minhashBase(col(textCol), shingleK).as("base"))
+      .select(col("doc_id"), minhashSignature(col("base"), numHashes).as("sig"))
 
     val banded = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rows + 1, rows).cast("array<string>"))).as("bh"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
-    val l = banded.select(col("band"), col("bh"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bh"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = bucketPairs(banded, "doc_id", Seq("band", "bh"), maxBucketSize)
 
-    l.join(r, Seq("band", "bh"))
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextFunctions.shingles(col(textCol), shingleK).as("sh"))
+    verifyJaccard(pairs, sh, threshold)
+  }
+
+  /** Skinny bucket self-join with a degenerate-bucket guard: distinct
+    * (id_a < id_b) pairs co-occurring in any bucket of size <= cap. */
+  private def bucketPairs(banded: DataFrame, idCol: String,
+                          bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val sized = banded
+      .withColumn("__bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(bucketCols.map(col): _*)))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val l = sized.toDF(sized.columns.map(c => if (c == idCol) "id_a" else c).toIndexedSeq: _*)
+    val r = sized.toDF(sized.columns.map(c => if (c == idCol) "id_b" else c).toIndexedSeq: _*)
+    l.join(r, bucketCols)
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Join shingle arrays back to candidate pairs and keep those at or
+    * above the exact-Jaccard threshold. */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard")) // dedupe multi-band hits
-  }
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over word tokens, in pure builtins: majority vote per
-    * bit of the tokens' xxhash64 values. The per-bit tally unrolls to 64
-    * codegen'd array traversals — constant work per row, no shuffle. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val n = size(hashes)
+  /** Token-hash array for SimHash — materialize as a column before calling
+    * `simhash64` (same expression-staging rule as `minhashBase`). */
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.tokens(text), t => xxhash64(t))
+
+  /** 64-bit SimHash over a PRE-MATERIALIZED token-hash array column:
+    * majority vote per bit. 64 traversals of a small long array per row —
+    * constant work, no shuffle. */
+  def simhash64(hashesCol: Column): Column = {
+    val n = size(hashesCol)
     val bits = (0 until 64).map { b =>
       // bit b set iff more than half the token hashes have it set
-      when(size(filter(hashes, h => shiftright(h, b).bitwiseAND(1L) === 1L)) * 2 > n,
+      when(size(filter(hashesCol, h => shiftright(h, b).bitwiseAND(1L) === 1L)) * 2 > n,
         shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
@@ -131,73 +169,74 @@ object Dedup {
 
   /** SimHash near-dup candidates: block on 4 x 16-bit bands (any exact
     * band match -> candidate; Hamming-distance<=3 dups always share one
-    * by pigeonhole), verify by Hamming distance via bit_count(xor). */
+    * by pigeonhole), verify by Hamming distance via bit_count(xor).
+    * Same skinny-join + degenerate-bucket guard as MinHash: band values
+    * concentrate on corpora with a shared token distribution, and an
+    * uncapped bucket is O(bucket^2). */
   def simhashDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
 
-    val sh = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
+    val sh = df
+      .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("doc_id"), simhash64(col("th")).as("sh"))
+    val banded = sh.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
+    bucketPairs(banded, "doc_id", Seq("band", "bh"), maxBucketSize)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
   }
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs (or, for
-    * bounded inputs, all pairs sharing at least one shingle — an
-    * inverted-index join, still never a full cross product). */
+  /** Exact n-gram Jaccard via an inverted-index join — never a full cross
+    * product. Scale guards: the index is SKINNY (gram, id); "stop-grams"
+    * occurring in more than `maxGramDf` docs are dropped before pairing
+    * (they are boilerplate, cost O(df^2) and add no discrimination — the
+    * classic inverted-index df-cut); exact verification joins the shingle
+    * arrays back once per distinct candidate pair. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxGramDf: Int = 100): DataFrame = {
 
     val sh = df.select(col(idCol).as("doc_id"),
       TextFunctions.shingles(col(textCol), shingleK).as("sh"))
-    // inverted index: shingle -> docs; pairs co-occurring under a shingle
-    val inv = sh.select(col("doc_id"), col("sh"), explode(col("sh")).as("gram"))
-    val l = inv.select(col("gram"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val r = inv.select(col("gram"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram")).distinct()
+    val pairs = bucketPairs(inv, "doc_id", Seq("gram"), maxGramDf)
+    verifyJaccard(pairs, sh, threshold)
   }
 
   // ------------------------------------------------- embedding cosine dup
 
   /** Embedding near-duplicate pairs via sign-LSH bucketing + exact cosine
-    * verification. See Similarity.scala for the shared primitives. */
+    * verification. Same shape as the text methods: skinny (bucket, id)
+    * self-join with a degenerate-bucket cap, vectors joined back once per
+    * distinct candidate pair. */
   def embeddingDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 16): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
 
-    val withBucket = df.select(col(idCol).as("vec_a"), col(vecCol).as("v_a"),
-      Similarity.signBucket(col(vecCol), planes).as("bucket"))
-    val r = withBucket.select(col("bucket"),
-      col("vec_a").as("vec_b"), col("v_a").as("v_b"))
-    withBucket.join(r, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"),
+    val banded = df
+      .select(col(idCol).as("doc_id"), col(vecCol).as("v"),
+        Similarity.dimIndex(col(vecCol)).as("__idx"))
+      .select(col("doc_id"),
+        Similarity.signBucket(col("v"), col("__idx"), planes).as("bucket"))
+    val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+    bucketPairs(banded, "doc_id", Seq("bucket"), maxBucketSize)
+      .join(vecs.select(col("doc_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("doc_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("cosine")).as("cosine"))
   }
 }

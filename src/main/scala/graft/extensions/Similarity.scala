@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.LongType
  *    multi-probe = more bands.
  *
  * Dot products use `zip_with` + `aggregate` (sequential per-row array
- * fold: deterministic, codegen-friendly, no UDF).
+ * fold: deterministic, no UDF). Expression staging rule (see Dedup):
+ * higher-order lambdas are interpreted with no subexpression sharing, so
+ * the dimension-index array is materialized once as `__idx` rather than
+ * rebuilt inside every plane's projection.
  */
 object Similarity {
 
@@ -34,25 +37,29 @@ object Similarity {
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
   }
 
-  /** Deterministic pseudo-random hyperplane component: unit-ish value in
-    * [-1, 1) derived from (plane, dim) by splitmix64 — no RNG state, so
-    * every executor derives the same planes. */
+  /** Deterministic pseudo-random hyperplane component: value in [-1, 1)
+    * derived from (plane, dim) by hashing — no RNG state, so every
+    * executor derives identical planes. */
   private def planeComponent(plane: Int, dim: Column): Column = {
     val seed = lit(plane.toLong * 0x9E3779B97F4A7C15L)
     (pmod(xxhash64(dim, seed), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>. */
-  def signBucket(v: Column, planes: Int = 16): Column = {
+  /** Sign-LSH bucket id over a vector + PRE-MATERIALIZED index array:
+    * one bit per hyperplane = sign of <v, r_p>. `planeOffset` selects an
+    * independent plane set per band. */
+  def signBucket(v: Column, idx: Column, planes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i)),
+        zip_with(v, idx, (x, i) => x * planeComponent(planeOffset + p, i)),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
+
+  /** The dimension-index array `[0, size)` to stage next to the vector. */
+  def dimIndex(v: Column): Column = sequence(lit(0), size(v) - 1)
 
   /**
    * Exact brute-force cosine top-k for a set of query vectors.
@@ -88,11 +95,12 @@ object Similarity {
 
     def banded(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            // band b uses its own plane set: offset plane indices
-            signBucketBand(col(vecCol), planes, b).as("bucket"))
-        }: _*)).as("bb"))
+        dimIndex(col(vecCol)).as("__idx"))
+        .select(col(id), col(vec),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              signBucket(col(vec), col("__idx"), planes, b * planes).as("bucket"))
+          }: _*)).as("bb"))
         .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
 
     val c = banded(candidates, "neighbor_id", "c_vec")
@@ -107,22 +115,5 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
-  }
-
-  private def signBucketBand(v: Column, planes: Int, band: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val plane = band * planes + p
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponentPublic(plane, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
-
-  private def planeComponentPublic(plane: Int, dim: Column): Column = {
-    val seed = lit(plane.toLong * 0x9E3779B97F4A7C15L)
-    (pmod(xxhash64(dim, seed), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
   }
 }

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+
+import graft.sinks.AppendSink
+
+/**
+ * Structured-Streaming CDC ingestion — the streaming re-expression of the
+ * reference's capture loop (BASELINE.json `spark_approach`): instead of a
+ * driver-side watermark policy polling the source (`/root/reference/
+ * cdc.go:61-96`), the change log arrives as a stream and Spark's own
+ * machinery supplies the semantics the reference builds by hand:
+ *
+ *  - watermark tracking          -> `withWatermark` (replaces T1/T2)
+ *  - at-least-once + downstream  -> checkpointed `foreachBatch` append +
+ *    dedup (T3 + W1)                `dropDuplicatesWithinWatermark`
+ *  - run-once vs continuous (T6) -> `Trigger.AvailableNow` vs
+ *                                   `Trigger.ProcessingTime`
+ *  - batching triple (T8)        -> trigger interval + `maxFilesPerTrigger`
+ *
+ * At scale: the stream shuffles only for the stateful dedup (keyed by pk),
+ * the append is partition-local, and state is bounded by the watermark
+ * delay — this is the shape that survives 1000 executors.
+ */
+object CdcStream {
+
+  /** Read a parquet-file change stream. `rawSchema` must be the ON-DISK
+    * schema (use `rawFileSchema`); nanosecond timestamp columns arrive as
+    * longs and are converted here, mirroring `Tables.load`. */
+  def readChangeStream(
+      spark: SparkSession,
+      sourceDir: String,
+      rawSchema: StructType,
+      nanosCols: Seq[String] = Seq("ts"),
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reader = spark.readStream.schema(rawSchema)
+    val tuned = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+    val df = tuned.parquet(sourceDir)
+    nanosCols.foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      else d
+    }
+  }
+
+  /** The on-disk schema of a parquet table, with nanos read as longs —
+    * what `readStream.schema(...)` needs. */
+  def rawFileSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema
+  }
+
+  /**
+   * Start CDC ingestion: change stream -> watermarked pk-dedup ->
+   * checkpointed append into `<table>_cdc`. Exactly-once to the sink
+   * across restarts comes from the checkpoint (committed batch ids are
+   * not re-appended); residual duplicates from at-least-once upstream are
+   * collapsed by `dropDuplicatesWithinWatermark` and, terminally, by the
+   * current-state view (W1).
+   */
+  def startIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      sinkDir: String,
+      checkpointDir: String,
+      table: String,
+      nmsCol: String,
+      pkCol: String,
+      watermarkDelay: String = "1 hour",
+      availableNow: Boolean = true): StreamingQuery = {
+
+    val raw = rawFileSchema(spark, sourceDir)
+    val stream = readChangeStream(spark, sourceDir, raw)
+      .withWatermark(nmsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(pkCol, nmsCol)
+
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-constant snapshot_tm (P3): derived from the batch id so
+        // replays of the same epoch stamp identically (idempotent re-runs).
+        val snapTm = new Timestamp(batchId) // epoch-ms == batch ordinal
+        val stamped = batch.withColumn("snapshot_tm",
+          lit(snapTm).cast(TimestampType))
+        if (!stamped.isEmpty) {
+          AppendSink.appendSnapshot(stamped, sinkDir, table)
+        }
+        ()
+      }
+    val triggered =
+      if (availableNow) writer.trigger(Trigger.AvailableNow())
+      else writer.trigger(Trigger.ProcessingTime("10 seconds"))
+    triggered.start()
+  }
+
+  /** Tumbling/sliding-window aggregation over the change stream with
+    * late-data handling — the analytic windows the reference lacks
+    * entirely (SURVEY §2.10). */
+  def windowedCounts(
+      stream: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "1 hour", slide: Option[String] = None,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None    => window(col(tsCol), windowLen)
+    }
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(w.as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"),
+        col("win.end").as("window_end"), col(keyCol), col("n"), col("total_value"))
+  }
+
+  // ---- custom keyed state: per-user activity sessions -----------------
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+                               first_ts: Timestamp, last_ts: Timestamp)
+
+  /** `mapGroupsWithState` per-user running session — the KeyValue state
+    * surface (north-star requirement; the reference keeps comparable state
+    * in SQLite, `/root/reference/nmsdb.go`). ProcessingTimeTimeout keeps
+    * state bounded. */
+  def userSessions(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserSession]) =>
+          val evs = rows.toSeq
+          val prev = state.getOption
+          val all = prev match {
+            case Some(p) => UserSession(
+              userId,
+              p.n_events + evs.size,
+              p.total_value + evs.map(_.value).sum,
+              p.first_ts,
+              evs.map(_.ts).maxByOption(_.getTime).getOrElse(p.last_ts))
+            case None =>
+              val sorted = evs.sortBy(_.ts.getTime)
+              UserSession(userId, evs.size.toLong, evs.map(_.value).sum,
+                sorted.head.ts, sorted.last.ts)
+          }
+          state.update(all)
+          all
+      }
+  }
+}

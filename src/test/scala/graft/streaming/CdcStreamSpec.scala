@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.CurrentState
+
+class CdcStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Stage the events parquet into a fresh dir that plays the change-log. */
+  private def stageSource(): String = {
+    val dir = TestSpark.tmpDir("graft-stream-src")
+    Files.copy(
+      Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      Paths.get(s"$dir/events_000.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming ingest: AvailableNow drains the log exactly once, restart is a no-op") {
+    val src = stageSource()
+    val sink = TestSpark.tmpDir("graft-stream-sink")
+    val ckpt = TestSpark.tmpDir("graft-stream-ckpt")
+
+    val q1 = CdcStream.startIngest(spark, src, sink, ckpt,
+      "events", nmsCol = "ts", pkCol = "event_id")
+    q1.awaitTermination()
+
+    val log = spark.read.parquet(s"$sink/events_cdc")
+    assert(log.count() == 1000L)
+    assert(log.select(countDistinct(col("event_id"))).as[Long].head() == 1000L)
+
+    // restart with same checkpoint: no files are new -> nothing re-appended
+    val q2 = CdcStream.startIngest(spark, src, sink, ckpt,
+      "events", nmsCol = "ts", pkCol = "event_id")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$sink/events_cdc").count() == 1000L)
+
+    // a NEW file with overlapping content arrives (at-least-once upstream):
+    Files.copy(Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      Paths.get(s"$src/events_001.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q3 = CdcStream.startIngest(spark, src, sink, ckpt,
+      "events", nmsCol = "ts", pkCol = "event_id")
+    q3.awaitTermination()
+    val after = spark.read.parquet(s"$sink/events_cdc").drop("snapshot_dt")
+    // log may now hold duplicates -> the W1 view restores exactly-once
+    val view = CurrentState.latestByKeyAgg(after, Seq("event_id"), "snapshot_tm", Seq("ts"))
+    assert(view.count() == 1000L)
+  }
+
+  test("windowed aggregation over the stream matches the batch recompute") {
+    val src = stageSource()
+    val raw = CdcStream.rawFileSchema(spark, src)
+    val stream = CdcStream.readChangeStream(spark, src, raw)
+    val agg = CdcStream.windowedCounts(stream, "ts", "event_type",
+      windowLen = "6 hours", watermarkDelay = "12 hours")
+
+    val qn = s"win_agg_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table(qn)
+      .select("window_start", "event_type", "n")
+    // batch recompute of the same tumbling windows (closed windows only)
+    val batch = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+      .groupBy(window(col("ts"), "6 hours").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n"))
+    // append-mode emits only watermark-closed windows; every emitted row
+    // must match the batch value, and most windows must have closed.
+    val joined = streamed.alias("s").join(batch.alias("b"),
+      Seq("window_start", "event_type"))
+    assert(streamed.count() > 0)
+    assert(joined.filter(col("s.n") =!= col("b.n")).isEmpty)
+  }
+
+  test("mapGroupsWithState user sessions accumulate per key") {
+    val events = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[CdcStream.UserEvent]
+    val sessions = CdcStream.userSessions(spark, events)
+    val out = sessions.collect()
+    assert(out.length == 15) // distinct users at sf0.001
+    val expect = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { s =>
+      val (n, v) = expect(s.user_id)
+      assert(s.n_events == n && math.abs(s.total_value - v) < 1e-6)
+      assert(!s.first_ts.after(s.last_ts))
+    }
+  }
+}
