@@ -98,9 +98,14 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = 200): DataFrame = {
 
     val numHashes = bands * rows
+    // native one-pass Expressions (see HashExpressions): tokens -> hashed
+    // shingle set -> signature, with no per-shingle string building.
     val sig = df
-      .select(col(idCol).as("doc_id"), minhashBase(col(textCol), shingleK).as("base"))
-      .select(col("doc_id"), minhashSignature(col("base"), numHashes).as("sig"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.HashExpressions.hashed_shingles(
+          TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.minhash_signature(col("sh"), numHashes).as("sig"))
 
     val banded = sig.select(
       col("doc_id"),
@@ -112,11 +117,17 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
     val pairs = bucketPairs(banded, "doc_id", Seq("band", "bh"), maxBucketSize)
-
-    val sh = df.select(col(idCol).as("doc_id"),
-      TextFunctions.shingles(col(textCol), shingleK).as("sh"))
-    verifyJaccard(pairs, sh, threshold)
+    verifyJaccard(pairs, hashedShingleSets(df, idCol, textCol, shingleK), threshold)
   }
+
+  /** Distinct 64-bit-hashed shingle sets: Jaccard over these equals exact
+    * shingle-set Jaccard up to ~2^-64 collisions, and long-array set ops
+    * are far cheaper than string-array ones in the verify join. */
+  private def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+                                shingleK: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.HashExpressions.hashed_shingles(
+        TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
 
   /** Skinny bucket self-join with a degenerate-bucket guard: distinct
     * (id_a < id_b) pairs co-occurring in any bucket of size <= cap. */
@@ -177,9 +188,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 200): DataFrame = {
 
-    val sh = df
-      .select(col(idCol).as("doc_id"), tokenHashes(col(textCol)).as("th"))
-      .select(col("doc_id"), simhash64(col("th")).as("sh"))
+    val sh = df.select(col(idCol).as("doc_id"),
+      graft.functions.HashExpressions.simhash64(
+        TextFunctions.tokens(col(textCol))).as("sh"))
     val banded = sh.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -208,9 +219,8 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.5,
       maxGramDf: Int = 100): DataFrame = {
 
-    val sh = df.select(col(idCol).as("doc_id"),
-      TextFunctions.shingles(col(textCol), shingleK).as("sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram")).distinct()
+    val sh = hashedShingleSets(df, idCol, textCol, shingleK)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
     val pairs = bucketPairs(inv, "doc_id", Seq("gram"), maxGramDf)
     verifyJaccard(pairs, sh, threshold)
   }

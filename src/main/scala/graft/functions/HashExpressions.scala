@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the dedup hot loops.
+ *
+ * The builtin-composed forms (`Dedup.minhashSignature`, `simhash64`) work,
+ * but higher-order-function lambdas are interpreted per element per
+ * permutation: a 32-hash signature walks the shingle array 32 times
+ * through the expression interpreter. These expressions do the whole
+ * computation in ONE pass with a tight JVM loop — the (b) tier of the
+ * custom-operator preference order (compose builtins < custom Expression
+ * < custom physical operator).
+ *
+ * Hash function: the same xxhash64(seed=42) as Spark's `xxhash64` builtin
+ * (`XxHash64Function`), so results are interchangeable with the
+ * Column-composed variants.
+ */
+object HashExpressions {
+
+  /** splitmix64-derived (31-bit odd multiplier, 31-bit offset) pairs —
+    * identical constants to Dedup.permCoeffs so both impls agree. */
+  private[graft] def permCoeffs(i: Int): (Long, Long) = {
+    var z = (i.toLong + 0x9E3779B97F4A7C15L) * 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL; z ^= (z >>> 31)
+    ((z & 0x7FFFFFFFL) | 1L, (z >>> 33) & 0x7FFFFFFFL)
+  }
+
+  /**
+   * Hashed word k-shingles of an array<string> of tokens, in one pass and
+   * with NO string building: each token is hashed once, then each k-gram's
+   * hash is a splitmix-finalized polynomial combine of its token hashes.
+   * Output is the sorted DISTINCT shingle-hash set — the unit for both
+   * MinHash signatures and exact Jaccard verification.
+   */
+  case class HashedShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    // input contract: array<string> of tokens (AbstractDataType is
+    // private[sql], so no ExpectsInputTypes; the Column helpers enforce it)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hashed_shingles"
+
+    private def mix(z0: Long): Long = {
+      var z = z0 * 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL; z ^= (z >>> 31)
+      z
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val tok = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        tok(i) = if (arr.isNullAt(i)) 0L
+          else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        i += 1
+      }
+      val m = if (n <= k) 1 else n - k + 1
+      val out = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var h = 1125899906842597L
+        var j = i
+        val end = math.min(i + k, n)
+        while (j < end) { h = h * 31L + tok(j); j += 1 }
+        out(i) = mix(h)
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      // in-place dedup of the sorted hashes
+      var w = 0
+      i = 0
+      while (i < m) {
+        if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature in one pass over an array of shingles — either
+    * array<string> (hashed here) or array<long> (pre-hashed, e.g. from
+    * [[HashedShingles]]): update `numHashes` running minima per element. */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    private lazy val coeffA: Array[Long] =
+      (0 until numHashes).map(permCoeffs(_)._1).toArray
+    private lazy val coeffB: Array[Long] =
+      (0 until numHashes).map(permCoeffs(_)._2).toArray
+    private lazy val elementIsString: Boolean = child.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val raw =
+            if (elementIsString)
+              XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+            else arr.getLong(i)
+          val h = raw & 0xFFFFFFFFL // 32-bit base: products fit a long (ANSI-safe)
+          var j = 0
+          while (j < numHashes) {
+            val v = h * coeffA(j) + coeffB(j)
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of an array<string> of tokens in one pass: hash each
+    * token once, tally all 64 bit positions, majority-vote the result. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    // input contract: array<string> of tokens (see note on MinHashSignature)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var n = 0
+      var i = 0
+      val len = arr.numElements()
+      while (i < len) {
+        if (!arr.isNullAt(i)) {
+          val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1
+            b += 1
+          }
+          n += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) * 2 > n) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column + SQL surfaces ----------------------------------------
+
+  def hashed_shingles(tokens: Column, k: Int): Column =
+    ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), k))
+
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Register both as SQL functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+  }
+}

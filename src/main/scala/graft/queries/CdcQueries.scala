@@ -28,16 +28,22 @@ object CdcQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F1/P1/P3: windowed snapshot scan with half-open (lo, hi] bounds.
+    // loadWindowed pushes the window to the parquet scan (row-group
+    // pruning); snapshotWindow re-applies the exact boundary predicate.
     "cdc_snapshot_window" -> ((s, dir) =>
-      Snapshot.snapshotWindow(events(s, dir), "ts",
-        utcTs(Lo), utcTs(Hi), utcTs(SnapTm))),
+      Snapshot.snapshotWindow(
+        Tables.loadWindowed(s, dir, "events", "ts", utcTs(Lo), utcTs(Hi)),
+        "ts", utcTs(Lo), utcTs(Hi), utcTs(SnapTm))),
 
     // Window-partition property: two consecutive windows (lo,mid] + (mid,hi]
     // must reproduce (lo,hi] exactly — no dup, no loss (SURVEY §5.2a).
     "cdc_window_union" -> ((s, dir) => {
-      val ev = events(s, dir)
-      Snapshot.snapshotWindow(ev, "ts", utcTs(Lo), utcTs(Mid), utcTs(SnapTm))
-        .union(Snapshot.snapshotWindow(ev, "ts", utcTs(Mid), utcTs(Hi), utcTs(SnapTm)))
+      Snapshot.snapshotWindow(
+        Tables.loadWindowed(s, dir, "events", "ts", utcTs(Lo), utcTs(Mid)),
+        "ts", utcTs(Lo), utcTs(Mid), utcTs(SnapTm))
+        .union(Snapshot.snapshotWindow(
+          Tables.loadWindowed(s, dir, "events", "ts", utcTs(Mid), utcTs(Hi)),
+          "ts", utcTs(Mid), utcTs(Hi), utcTs(SnapTm)))
     }),
 
     // W1: current-state — latest event per user, deterministic tiebreak.

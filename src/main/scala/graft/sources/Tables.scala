@@ -46,4 +46,41 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` works against it. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /**
+   * Load with a half-open time window `(lo, hi]` on `tsCol` pushed down to
+   * the parquet scan.
+   *
+   * Needed because the plain `load` converts TIMESTAMP(NANOS) columns via
+   * `timestamp_micros(ts div 1000)`, and a filter on that DERIVED column
+   * cannot be pushed below the projection — `.explain` shows only
+   * `IsNotNull` reaching the scan, so at scale no row groups are pruned.
+   * Filtering the RAW nanosecond long first (the equivalent predicate
+   * `ts > lo*1000 && ts <= hi*1000`) restores min/max pruning — the same
+   * pushdown-by-construction the reference gets by inlining the window in
+   * generated source SQL (`/root/reference/postgres.go:52-53`).
+   */
+  def loadWindowed(spark: SparkSession, dir: String, name: String,
+                   tsCol: String, lo: java.sql.Timestamp,
+                   hi: java.sql.Timestamp): DataFrame = {
+    if (!nanosColumns.getOrElse(name, Nil).contains(tsCol)) {
+      val df = load(spark, dir, name)
+      df.filter(col(tsCol) > lit(lo) && col(tsCol) <= lit(hi))
+    } else {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      def ns(t: java.sql.Timestamp): Long =
+        t.getTime / 1000 * 1000000000L + t.getNanos.toLong
+      // Pushdown SUPERSET on the raw nanos (wider by the sub-µs remainder
+      // at each bound), then the exact µs-precision predicate again after
+      // conversion — prune at the scan, stay boundary-exact.
+      val pruned = raw.filter(col(tsCol) > lit(ns(lo)) && col(tsCol) <= lit(ns(hi) + 999L))
+      val converted = nanosColumns(name).foldLeft(pruned) { (df, c) =>
+        if (df.schema(c).dataType == LongType)
+          df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        else df
+      }
+      converted.filter(col(tsCol) > lit(lo) && col(tsCol) <= lit(hi))
+    }
+  }
 }
