@@ -164,7 +164,54 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .filter(col("l_quantity").between(10, 20) && col("l_discount") >= 0.05)
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), max(col("l_extendedprice")).as("max_price"))))
+        .agg(count(lit(1)).as("n"), max(col("l_extendedprice")).as("max_price"))),
+
+    // LIKE pattern predicate.
+    "q_like_filter" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_type").like("%BRASS%"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))),
+
+    // IN-list predicate.
+    "q_in_list" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderdate")).as("first_order"))),
+
+    // HAVING: post-aggregation filter.
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 10)),
+
+    // Filtered aggregates (FILTER clause / conditional count).
+    "q_filtered_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("value") > 100, 1)).as("n_big"),
+          count(when(col("user_id") % 2 === 0, 1)).as("n_even_user"),
+          count(lit(1)).as("n"))),
+
+    // Tumbling event-time windows in batch mode (the analytic window
+    // surface the reference lacks, SURVEY §2.10): epoch-aligned 6h buckets.
+    "q_time_bucket" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("window_start"), col("event_type"), col("n"))),
+
+    // Sketches: HLL++ distinct + approximate quantiles (rows-only check:
+    // sketch internals are engine-specific, invariants tested in ScalaTest).
+    "q_approx_sketch" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -249,5 +296,25 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS n, max(l_extendedprice) AS max_price
         | FROM lineitem
         | WHERE l_quantity BETWEEN 10 AND 20 AND l_discount >= 0.05
-        | GROUP BY l_returnflag""".stripMargin)
+        | GROUP BY l_returnflag""".stripMargin,
+    "q_like_filter" ->
+      """SELECT p_brand, count(*) AS n FROM part
+        | WHERE p_type LIKE '%BRASS%' GROUP BY p_brand""".stripMargin,
+    "q_in_list" ->
+      """SELECT o_orderstatus, count(*) AS n, min(o_orderdate) AS first_order
+        | FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        | GROUP BY o_orderstatus""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        | GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin,
+    "q_filtered_agg" ->
+      """SELECT event_type,
+        | count(*) FILTER (WHERE value > 100) AS n_big,
+        | count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+        | count(*) AS n
+        | FROM events GROUP BY event_type""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+        | event_type, count(*) AS n
+        | FROM events GROUP BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class HashExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hashed_shingles: distinct sorted k-gram hashes; short text degrades to one") {
+    val df = Seq("a b c d", "a b c d", "x y", "a b c d e").toDF("t")
+    val rows = df.select(HashExpressions.hashed_shingles(
+      TextFunctions.tokens(col("t")), 3)).as[Seq[Long]].collect()
+    assert(rows(0) == rows(1))                 // deterministic
+    assert(rows(0).length == 2)                // "a b c", "b c d"
+    assert(rows(0) == rows(0).sorted)          // sorted
+    assert(rows(2).length == 1)                // fewer tokens than k -> 1 shingle
+    assert(rows(3).toSet.intersect(rows(0).toSet).size == 2) // "a b c","b c d" shared
+  }
+
+  test("minhash_signature agrees between string and pre-hashed long inputs on set semantics") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+    val viaLongs = df.select(HashExpressions.minhash_signature(
+      HashExpressions.hashed_shingles(TextFunctions.tokens(col("t")), 3), 16))
+      .as[Seq[Long]].head()
+    assert(viaLongs.length == 16)
+    // identical text -> identical signature; different text -> different
+    val df2 = Seq(("the quick brown fox jumps over the lazy dog",
+      "a completely different sentence with other words entirely")).toDF("a", "b")
+    val pair = df2.select(
+      HashExpressions.minhash_signature(
+        HashExpressions.hashed_shingles(TextFunctions.tokens(col("a")), 3), 16),
+      HashExpressions.minhash_signature(
+        HashExpressions.hashed_shingles(TextFunctions.tokens(col("b")), 3), 16))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(pair._1 == viaLongs && pair._1 != pair._2)
+  }
+
+  test("simhash64: identical tokens identical hash; SQL registration works") {
+    HashExpressions.register(spark)
+    val df = Seq("alpha beta gamma delta", "alpha beta gamma delta", "zz yy xx ww")
+      .toDF("t")
+    df.createOrReplaceTempView("hx_t")
+    val viaSql = spark.sql(
+      "SELECT simhash64(filter(split(lower(t), '[^\\\\p{L}\\\\p{N}]+'), x -> length(x) > 0)) FROM hx_t")
+      .as[Long].collect()
+    assert(viaSql(0) == viaSql(1) && viaSql(0) != viaSql(2))
+    val viaCol = df.select(HashExpressions.simhash64(
+      TextFunctions.tokens(col("t")))).as[Long].collect()
+    assert(viaCol.toSeq == viaSql.toSeq)
+  }
+}
