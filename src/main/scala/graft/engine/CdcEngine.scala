@@ -113,9 +113,10 @@ final class CdcEngine(
   def run(maxTicks: Int, now: () => Instant = () => Instant.now()): Seq[Seq[TickResult]] =
     (1 to maxTicks).map(_ => tick(now()))
 
-  /** Read a table's append-only snapshot log. */
+  /** Read a table's append-only snapshot log (schemas reconciled across
+    * batches, so additive source evolution is transparent). */
   def cdcLog(table: String): DataFrame =
-    spark.read.parquet(s"$sinkDir/${AppendSink.cdcTableName(table)}")
+    AppendSink.readLog(spark, sinkDir, table)
 
   /** W1 — the current-state view over the log. */
   def currentState(table: String): DataFrame = {

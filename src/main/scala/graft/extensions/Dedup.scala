@@ -236,17 +236,16 @@ object Dedup {
       threshold: Double = 0.95, planes: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
 
-    val banded = df
-      .select(col(idCol).as("doc_id"), col(vecCol).as("v"),
-        Similarity.dimIndex(col(vecCol)).as("__idx"))
-      .select(col("doc_id"),
-        Similarity.signBucket(col("v"), col("__idx"), planes).as("bucket"))
+    val banded = df.select(col(idCol).as("doc_id"),
+      graft.functions.VectorExpressions
+        .sign_lsh_bucket(col(vecCol), planes).as("bucket"))
     val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
     bucketPairs(banded, "doc_id", Seq("bucket"), maxBucketSize)
       .join(vecs.select(col("doc_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("doc_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

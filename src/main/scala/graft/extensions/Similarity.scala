@@ -76,7 +76,8 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("q_vec"), col("c_vec")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -95,12 +96,11 @@ object Similarity {
 
     def banded(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        dimIndex(col(vecCol)).as("__idx"))
-        .select(col(id), col(vec),
-          explode(array((0 until bands).map { b =>
-            struct(lit(b).as("band"),
-              signBucket(col(vec), col("__idx"), planes, b * planes).as("bucket"))
-          }: _*)).as("bb"))
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            graft.functions.VectorExpressions
+              .sign_lsh_bucket(col(vecCol), planes, b * planes).as("bucket"))
+        }: _*)).as("bb"))
         .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
 
     val c = banded(candidates, "neighbor_id", "c_vec")
@@ -108,7 +108,69 @@ object Similarity {
     val scored = c.join(q, Seq("band", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("q_vec"), col("c_vec")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * IVF (inverted-file) ANN top-k — the other classic scale path next to
+   * sign-LSH: a KMeans coarse quantizer (`nlist` cells, fixed seed)
+   * partitions the corpus; each query probes its `nprobe` nearest cells
+   * and scores only those candidates.
+   *
+   * At 100 TB: cell assignment is one `transform` pass; the probe join
+   * shuffles on the cell id (bounded, ~N/nlist per cell); centroids are
+   * tiny and broadcast. Training fits on a sample — pass `trainFraction`
+   * < 1 for very large corpora.
+   */
+  def ivfTopK(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
+
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val cand = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("features", array_to_vector(col("c_vec")))
+    val trainSet =
+      if (trainFraction >= 1.0) cand else cand.sample(trainFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(trainSet)
+    val assigned = model.transform(cand)
+      .select(col("neighbor_id"), col("c_vec"), col("cell"))
+
+    // centroid table is tiny: ship it broadcast and rank each query's
+    // cells by Euclidean distance (KMeans' own metric).
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "center")
+    val qProbes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .crossJoin(broadcast(centers))
+        .select(col("query_id"), col("q_vec"), col("cell"),
+          aggregate(zip_with(col("q_vec"), col("center"),
+            (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x).as("d2"))
+        .withColumn("__pr", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)))
+        .filter(col("__pr") <= nprobe)
+        .select(col("query_id"), col("q_vec"), col("cell")))
+
+    val scored = assigned.join(qProbes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("q_vec"), col("c_vec")).as("cosine"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))

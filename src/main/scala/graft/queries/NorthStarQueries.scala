@@ -56,6 +56,12 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10, planes = 8, bands = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     "embeddings_stats" -> ((s, dir) =>
       embs(s, dir).groupBy(col("label")).agg(
         count(lit(1)).as("n"),

@@ -45,4 +45,21 @@ object AppendSink {
     df.write.mode(SaveMode.Append).json(path)
     path
   }
+
+  /**
+   * O6 — schema evolution (the reference left this as a stub,
+   * `/root/reference/bigquery.go:366-389`, "to do: add new fields"):
+   * additive evolution falls out of the parquet log — batches may append
+   * with added columns, and `readLog` reconciles per-file schemas,
+   * null-filling the columns a batch predates. Use `graft.schema
+   * .TypeMapper.drift` to detect (and reject non-additive) changes first.
+   */
+  def appendEvolved(df: DataFrame, basePath: String, table: String): String =
+    appendSnapshot(df, basePath, table, expected = None)
+
+  /** Read the snapshot log with per-file schema reconciliation. */
+  def readLog(spark: org.apache.spark.sql.SparkSession, basePath: String,
+              table: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$basePath/${cdcTableName(table)}")
 }

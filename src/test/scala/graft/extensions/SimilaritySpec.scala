@@ -67,4 +67,29 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (brute & lshAll).size.toDouble / brute.size
     assert(recall > 0.0, s"recall $recall")
   }
+
+  test("IVF top-k finds planted near-duplicates and beats LSH recall here") {
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val planted = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        atransform(col("embedding"), x => x * 1.01f + 0.001f).as("embedding"))
+    val withPlanted = e.select("vec_id", "embedding").union(planted)
+    val q = e.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(withPlanted, q, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(ivf.get(id).contains(id + 10000), s"query $id missed planted dup: $ivf")
+    }
+    // recall vs brute force on the raw corpus with generous probing
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nlist = 4, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivfAll).size.toDouble / brute.size
+    assert(recall >= 0.2, s"ivf recall $recall")
+  }
 }
