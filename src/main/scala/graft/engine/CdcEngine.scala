@@ -31,6 +31,16 @@ import graft.state.{StateStore, TableState}
  * scheduler multiplexes concurrent jobs across the cluster, so the cap
  * controls driver-side job submission, not executor usage.
  */
+object CdcEngine {
+  /** Build an engine from the reference-compatible env config. */
+  def fromConfig(spark: SparkSession, sourceDir: String, sinkDir: String,
+                 stateDir: String, conf: GraftConfig = GraftConfig.fromEnv(),
+                 dsn: Int = 1): CdcEngine =
+    new CdcEngine(spark, sourceDir, sinkDir, stateDir, dsn,
+      policy = conf.policy, munge = conf.munge,
+      concurrency = conf.concurrentStreams)
+}
+
 final class CdcEngine(
     spark: SparkSession,
     sourceDir: String,
@@ -117,6 +127,19 @@ final class CdcEngine(
     * batches, so additive source evolution is transparent). */
   def cdcLog(table: String): DataFrame =
     AppendSink.readLog(spark, sinkDir, table)
+
+  /** O5 — publish the current-state view of every tracked table with a
+    * known primary key as a temp view named after the bare table, so
+    * `spark.sql("SELECT ... FROM <table>")` sees latest state (the
+    * reference's view-per-table convention, `bigquery.go:101-110`). */
+  def registerCurrentStateViews(): Seq[String] =
+    state.readForDsn(dsn).collect().toSeq.flatMap { t =>
+      t.pKeyColumn.map { pk =>
+        graft.sinks.Ddl.createCurrentStateView(
+          spark, t.name, cdcLog(t.name).drop("snapshot_dt"), pk, Seq(t.nmsColumn))
+        t.name
+      }
+    }
 
   /** W1 — the current-state view over the log. */
   def currentState(table: String): DataFrame = {

@@ -76,4 +76,25 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(after.except(before).isEmpty && before.except(after).isEmpty)
     assert(after.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("DDL surface: database, external cdc table, current-state view via SQL") {
+    val eng = mkEngine()
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+    var clock = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    (1 to 30).foreach { _ => eng.tick(clock); clock = clock.plusSeconds(3600) }
+
+    graft.sinks.Ddl.ensureDatabase(spark, "graft_test")
+    graft.sinks.Ddl.registerCdcTable(spark, "graft_test", "events", eng.sinkDir)
+    assert(spark.sql("SELECT count(*) FROM graft_test.events_cdc")
+      .head().getLong(0) == 1000L)
+
+    val views = eng.registerCurrentStateViews()
+    assert(views == Seq("events"))
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) == 1000L)
+    assert(spark.sql(
+      "SELECT count(*) FROM (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1) d")
+      .head().getLong(0) == 0L)
+    spark.sql("DROP TABLE graft_test.events_cdc")
+    spark.catalog.dropTempView("events")
+  }
 }
