@@ -49,7 +49,12 @@ final class CdcEngine(
     dsn: Int = 1,
     policy: PolicyConfig = PolicyConfig(),
     munge: Option[Snapshot.MungeConfig] = None,
-    concurrency: Int = 4) {
+    concurrency: Int = 4,
+    /** Per-batch transform applied between capture and sink — the working
+      * version of the reference's Benthos processor hook, which existed in
+      * env (`BENTHOS_PROCESSOR_CONF_FILE`, `sample.env:26`) but was never
+      * wired into the stream (`benthos.go:75-108`). */
+    processor: DataFrame => DataFrame = identity) {
 
   val state = new StateStore(spark, stateDir)
 
@@ -108,7 +113,8 @@ final class CdcEngine(
         val lo = Timestamp.from(w.lo)
         val hi = Timestamp.from(w.hi)
         val snapTm = Timestamp.from(now)
-        val snap = Snapshot.snapshotWindow(df, t.nmsColumn, lo, hi, snapTm, munge)
+        val snap = processor(
+          Snapshot.snapshotWindow(df, t.nmsColumn, lo, hi, snapTm, munge))
         val captured = snap.count()
         AppendSink.appendSnapshot(snap, sinkDir, t.name)
         // T3: commit only after the append succeeded.

@@ -142,7 +142,11 @@ object Similarity {
       .withColumn("features", array_to_vector(col("c_vec")))
     val trainSet =
       if (trainFraction >= 1.0) cand else cand.sample(trainFraction, seed)
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    // coarse quantization needs rough cells, not convergence: few
+    // iterations + random init keep the index build cheap (recall comes
+    // from nprobe, and k-means|| init costs more than the training here).
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(trainSet)
     val assigned = model.transform(cand)

@@ -205,6 +205,13 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .select(col("win.start").as("window_start"), col("event_type"), col("n"))),
 
+    // Exact interpolated percentiles (both engines implement type-7).
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))),
+
     // Sketches: HLL++ distinct + approximate quantiles (rows-only check:
     // sketch internals are engine-specific, invariants tested in ScalaTest).
     "q_approx_sketch" -> ((s, dir) =>
@@ -316,5 +323,9 @@ object RelationalQueries {
     "q_time_bucket" ->
       """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
         | event_type, count(*) AS n
-        | FROM events GROUP BY 1, 2""".stripMargin)
+        | FROM events GROUP BY 1, 2""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price,
+        | quantile_cont(l_extendedprice, 0.9) AS p90_price
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }
