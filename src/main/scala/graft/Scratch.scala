@@ -4,33 +4,54 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only plan-inspection main: dumps explain(formatted) for selected
-  * queries so pushdown/broadcast/codegen can be reviewed offline. */
+/** Dev-only plan-inspection / stage-profiling main. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val out = if (args.length > 1) args(1) else "/tmp/plans.txt"
-    val names = if (args.length > 2) args(2).split(",").toSeq
-      else Seq("cdc_snapshot_window", "cdc_current_state_agg", "q1_agg",
-        "q_join_revenue", "q_join_semi", "q_topk_orders",
-        "dedup_minhash_pairs", "sim_topk_brute", "text_langid")
+    val mode = if (args.nonEmpty) args(0) else "plans"
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-plans")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .appName("graft-scratch")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sb = new StringBuilder
-    names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, dir)
-      sb.append(s"\n=================== $n ===================\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+
+    mode match {
+      case "plans" =>
+        val dir = args(1); val out = args(2)
+        val names = args(3).split(",").toSeq
+        val sb = new StringBuilder
+        names.foreach { n =>
+          val df = SparkEntry.queries(n)(spark, dir)
+          sb.append(s"\n=================== $n ===================\n")
+          sb.append(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+        Files.writeString(Paths.get(out), sb.toString)
+        println(s"wrote $out")
+
+      case "minhash-profile" =>
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val docs = sources.Tables.load(spark, dir, "documents")
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        time("warmup count")(docs.count())
+        val sh = docs.select(col("doc_id"),
+          functions.HashExpressions.hashed_shingles(
+            functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+        time("shingle-hash only")(sh.count())
+        val sig = sh.select(col("doc_id"),
+          functions.HashExpressions.minhash_signature(col("sh"), 32).as("sig"))
+        time("signature")(sig.agg(count(lit(1))).head())
+        val pairs = extensions.Dedup.minhashDupPairs(docs, "doc_id", "text",
+          threshold = 0.5)
+        time("full pipeline")(pairs.count())
+        time("full pipeline again")(pairs.count())
     }
-    Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote $out")
     spark.stop()
   }
 }
