@@ -18,6 +18,12 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
 
     mode match {
+      case "entry" =>
+        // the driver's smoke check: flagship query on sf0.001, rows > 0
+        val n = SparkEntry.entry(spark).count()
+        println(s"entry rows: $n")
+        require(n > 0, "entry must return rows")
+
       case "plans" =>
         val dir = args(1); val out = args(2)
         val names = args(3).split(",").toSeq

@@ -32,6 +32,9 @@ import graft.state.{StateStore, TableState}
  * controls driver-side job submission, not executor usage.
  */
 object CdcEngine {
+
+  final case class TickResult(table: String, decision: Decision, rowsCaptured: Long)
+
   /** Build an engine from the reference-compatible env config. */
   def fromConfig(spark: SparkSession, sourceDir: String, sinkDir: String,
                  stateDir: String, conf: GraftConfig = GraftConfig.fromEnv(),
@@ -84,7 +87,7 @@ final class CdcEngine(
     state.exportJsonl(s"$stateDir/seed_state_json") // O8 backup
   }
 
-  final case class TickResult(table: String, decision: Decision, rowsCaptured: Long)
+  import CdcEngine.TickResult
 
   /** One capture tick over all tracked tables (one `cdc()` pass). */
   def tick(now: Instant = Instant.now()): Seq[TickResult] = {
