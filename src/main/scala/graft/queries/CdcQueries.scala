@@ -78,7 +78,15 @@ object CdcQueries {
     // S6/A5: row-count estimation analog (exact count by group here).
     "cdc_rowcount" -> ((s, dir) =>
       events(s, dir).agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("event_id")).as("n_ids"))))
+        countDistinct(col("event_id")).as("n_ids"))),
+
+    // JSON scalar extraction — the `jsonb`-column surface (SURVEY §1.3):
+    // events.props is JSON text, exactly how the reference ships jsonb.
+    "cdc_json_extract" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k_typed"))))
 
   val oracles: Map[String, String] = Map(
     "cdc_snapshot_window" ->
@@ -114,5 +122,10 @@ object CdcQueries {
         | CAST(max(ts) AS TIMESTAMP) AS last_ts, count(*) AS n
         | FROM events GROUP BY event_type""".stripMargin,
     "cdc_rowcount" ->
-      "SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids FROM events")
+      "SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids FROM events",
+    "cdc_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+        | FROM events""".stripMargin)
 }

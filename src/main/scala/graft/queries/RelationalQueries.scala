@@ -205,6 +205,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .select(col("win.start").as("window_start"), col("event_type"), col("n"))),
 
+    // Regexp extraction (simple patterns: Java regex == RE2 semantics).
+    "q_regexp_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        regexp_extract(col("text"), "[a-z]+", 0).as("first_word"))),
+
+    // Cross join (cartesian of two small dims).
+    "q_cross_join" -> ((s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_pairs"))),
+
+    // UNION DISTINCT (vs the UNION ALL above).
+    "q_union_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .union(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))
+        .distinct()),
+
     // Exact interpolated percentiles (both engines implement type-7).
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -327,5 +348,16 @@ object RelationalQueries {
     "q_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price,
         | quantile_cont(l_extendedprice, 0.9) AS p90_price
-        | FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_regexp_extract" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        | regexp_extract(text, '[a-z]+', 0) AS first_word
+        | FROM documents""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r_name, count(*) AS n_pairs
+        | FROM region CROSS JOIN nation GROUP BY r_name""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)
 }
