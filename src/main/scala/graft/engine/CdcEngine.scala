@@ -76,7 +76,12 @@ final class CdcEngine(
     val states = tables.map { case (name, nmsCol, pk) =>
       val df = loadTable(name)
       val row = df.agg(min(col(nmsCol)).as("mn"), count(lit(1)).as("cnt")).head()
-      val minTs = row.getTimestamp(0)
+      val minTs = row.get(0) match {
+        case t: Timestamp => t
+        case ldt: java.time.LocalDateTime => // TimestampNTZ columns
+          Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+        case other => sys.error(s"unsupported NMS type: ${other.getClass}")
+      }
       val seedNms = new Timestamp(minTs.getTime - 1) // 1ms below min; see above
       TableState(
         name = name, schemaName = "main", nmsColumn = nmsCol, pKeyColumn = pk,

@@ -2,9 +2,11 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import java.time.ZoneOffset
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /**
  * The core capture operator: a windowed snapshot scan of one source table.
@@ -57,7 +59,14 @@ object Snapshot {
 
     // F1: half-open (lo, hi] — a row exactly at `lo` was captured by the
     // previous window; a row exactly at `hi` belongs to this one.
-    val windowed = df.filter(col(nmsCol) > lit(lo) && col(nmsCol) <= lit(hi))
+    // Bounds are typed to the NMS column: naive (NTZ) columns get naive
+    // literals (the UTC rendering of the instant, session tz being UTC).
+    def bound(t: Timestamp): Column = df.schema(nmsCol).dataType match {
+      case TimestampNTZType =>
+        lit(t.toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime)
+      case _ => lit(t)
+    }
+    val windowed = df.filter(col(nmsCol) > bound(lo) && col(nmsCol) <= bound(hi))
 
     // P1 + M1-M3: explicit projection of every column in schema order,
     // munging timestamp columns when configured. The NMS column itself is

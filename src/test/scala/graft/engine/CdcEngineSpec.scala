@@ -77,6 +77,33 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(after.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("multi-table tick captures tables in parallel; DSN ownership isolates state") {
+    val sink = TestSpark.tmpDir("graft-sink-multi")
+    val stateDir = TestSpark.tmpDir("graft-state-multi")
+    // batchCount 1000 puts both tables' first-tick growth in the
+    // default-jump band (bc <= rowDiff <= 8*bc or mid-range behind).
+    val eng = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir,
+      policy = graft.policy.WatermarkPolicy.PolicyConfig(
+        batchCount = 1000, replicationBufferSecs = 180),
+      concurrency = 2)
+    eng.seed(Seq(
+      ("events", "ts", Some("event_id")),
+      ("orders", "o_orderdate", Some("o_orderkey"))))
+
+    val res = eng.tick(java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    assert(res.map(_.table).toSet == Set("events", "orders"))
+    assert(eng.cdcLog("events").count() == 1000L)
+    assert(eng.cdcLog("orders").count() == 1500L)
+    assert(eng.currentState("orders").count() == 1500L)
+
+    // F4 — a second DSN sharing the state store owns none of these tables
+    val other = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir, dsn = 2)
+    assert(other.state.readForDsn(2).isEmpty)
+    assert(other.tick(java.time.Instant.parse("2024-02-01T00:00:00Z")).isEmpty)
+    // and dsn-1 state is untouched by dsn-2's (empty) tick
+    assert(eng.state.readForDsn(1).count() == 2)
+  }
+
   test("DDL surface: database, external cdc table, current-state view via SQL") {
     val eng = mkEngine()
     eng.seed(Seq(("events", "ts", Some("event_id"))))
