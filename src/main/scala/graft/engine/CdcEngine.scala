@@ -70,7 +70,7 @@ final class CdcEngine(
     * Divergence (documented): the reference seeds `nms = MIN(nmsCol)`
     * (`postgres.go:193`) which, combined with the strictly-greater window
     * bound (`postgres.go:52`), silently drops rows at exactly the minimum.
-    * We seed 1µs below the minimum so the first window captures them.
+    * We seed 1 ms below the minimum so the first window captures them.
     */
   def seed(tables: Seq[(String, String, Option[String])]): Unit = {
     val states = tables.map { case (name, nmsCol, pk) =>
@@ -82,7 +82,7 @@ final class CdcEngine(
           Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
         case other => sys.error(s"unsupported NMS type: ${other.getClass}")
       }
-      val seedNms = new Timestamp(minTs.getTime - 1) // 1ms below min; see above
+      val seedNms = new Timestamp(minTs.getTime - 1) // 1 ms below min; see above
       TableState(
         name = name, schemaName = "main", nmsColumn = nmsCol, pKeyColumn = pk,
         schemaJson = Some(df.schema.json),
@@ -106,8 +106,12 @@ final class CdcEngine(
   }
 
   private def captureOne(t: TableState, now: Instant): TickResult = {
-    val df = loadTable(t.name)
-    val liveCount = df.count() // harness analog of the pg_class stats estimate (S6)
+    // S6: exact live count from parquet footers — metadata-only, zero Spark
+    // jobs. The reference reads the O(1) catalog estimate
+    // (`postgres.go:144-149`); a `df.count()` here would re-scan every
+    // tracked table per tick before any capture begins.
+    val liveCount = graft.sources.ParquetMeta.rowCount(
+      spark, s"$sourceDir/${t.name}.parquet")
     val decision = WatermarkPolicy.decide(
       nms = t.nms.toInstant,
       lastShovedOn = t.lastShovedOn.map(_.toInstant),
@@ -121,10 +125,19 @@ final class CdcEngine(
         val lo = Timestamp.from(w.lo)
         val hi = Timestamp.from(w.hi)
         val snapTm = Timestamp.from(now)
+        // Windowed load so the bound predicate reaches the parquet scan even
+        // for nanos-encoded NMS columns (a filter on the derived µs column
+        // prunes nothing); snapshotWindow's own filter is then a no-op.
+        val windowed = graft.sources.Tables.loadWindowed(
+          spark, sourceDir, t.name, t.nmsColumn, lo, hi)
+        // Single pass: count the rows as a side-effect of the write
+        // (CollectMetrics), never as a second scan of the window.
+        val obs = org.apache.spark.sql.Observation()
         val snap = processor(
-          Snapshot.snapshotWindow(df, t.nmsColumn, lo, hi, snapTm, munge))
-        val captured = snap.count()
+          Snapshot.snapshotWindow(windowed, t.nmsColumn, lo, hi, snapTm, munge))
+          .observe(obs, count(lit(1)).as("rows"))
         AppendSink.appendSnapshot(snap, sinkDir, t.name)
+        val captured = obs.get("rows").asInstanceOf[Long]
         // T3: commit only after the append succeeded.
         state.synchronized {
           state.commit(dsn, t.name, hi, liveCount, snapTm)

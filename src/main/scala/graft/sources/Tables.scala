@@ -65,7 +65,14 @@ object Tables {
                    hi: java.sql.Timestamp): DataFrame = {
     if (!nanosColumns.getOrElse(name, Nil).contains(tsCol)) {
       val df = load(spark, dir, name)
-      df.filter(col(tsCol) > lit(lo) && col(tsCol) <= lit(hi))
+      // Type the bounds to the column: naive (NTZ) columns compare against
+      // naive literals (the UTC rendering of the instant; session tz is UTC).
+      def bound(t: java.sql.Timestamp) = df.schema(tsCol).dataType match {
+        case TimestampNTZType =>
+          lit(t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime)
+        case _ => lit(t)
+      }
+      df.filter(col(tsCol) > bound(lo) && col(tsCol) <= bound(hi))
     } else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")

@@ -104,6 +104,47 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(eng.state.readForDsn(1).count() == 2)
   }
 
+  test("tick is single-pass: no count() jobs; rows come from write-side metrics") {
+    val eng = mkEngine()
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val cs = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        sites.add(cs)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = eng.tick(Instant.parse("2024-02-01T00:00:00Z"))
+      assert(res.map(_.rowsCaptured).sum > 0, "tick captured rows")
+      Thread.sleep(1000) // listener bus is async; let job-start events drain
+      val jobs = sites.toArray(Array.empty[String]).toSeq
+      assert(jobs.nonEmpty, "the capture write ran as a Spark job")
+      assert(!jobs.exists(_.startsWith("count at")),
+        s"tick must not run count() actions; saw: $jobs")
+      // and the observed count matches what actually landed in the log
+      assert(eng.cdcLog("events").count() == res.map(_.rowsCaptured).sum)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("ParquetMeta.rowCount reads footers only and is exact") {
+    import graft.sources.ParquetMeta
+    for (t <- Seq("events", "orders", "lineitem")) {
+      val exact = graft.sources.Tables.load(spark, TestSpark.Sf0001, t).count()
+      assert(ParquetMeta.rowCount(spark, s"${TestSpark.Sf0001}/$t.parquet") == exact)
+    }
+    // partitioned-directory layout (the sink's shape) counts correctly too
+    val eng = mkEngine()
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+    var clock = Instant.parse("2024-02-01T00:00:00Z")
+    (1 to 5).foreach { _ => eng.tick(clock); clock = clock.plusSeconds(3600) }
+    val logPath = s"${eng.sinkDir}/events_cdc"
+    assert(ParquetMeta.rowCount(spark, logPath) == eng.cdcLog("events").count())
+  }
+
   test("DDL surface: database, external cdc table, current-state view via SQL") {
     val eng = mkEngine()
     eng.seed(Seq(("events", "ts", Some("event_id"))))
