@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -41,50 +41,21 @@ object HashExpressions {
    * MinHash signatures and exact Jaccard verification.
    */
   case class HashedShingles(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     // input contract: array<string> of tokens (AbstractDataType is
     // private[sql], so no ExpectsInputTypes; the Column helpers enforce it)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "hashed_shingles"
 
-    private def mix(z0: Long): Long = {
-      var z = z0 * 0xBF58476D1CE4E5B9L
-      z ^= (z >>> 27); z *= 0x94D049BB133111EBL; z ^= (z >>> 31)
-      z
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.hashedShingles(input.asInstanceOf[ArrayData], k)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val tok = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        tok(i) = if (arr.isNullAt(i)) 0L
-          else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        i += 1
-      }
-      val m = if (n <= k) 1 else n - k + 1
-      val out = new Array[Long](m)
-      i = 0
-      while (i < m) {
-        var h = 1125899906842597L
-        var j = i
-        val end = math.min(i + k, n)
-        while (j < end) { h = h * 31L + tok(j); j += 1 }
-        out(i) = mix(h)
-        i += 1
-      }
-      java.util.Arrays.sort(out)
-      // in-place dedup of the sorted hashes
-      var w = 0
-      i = 0
-      while (i < m) {
-        if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
-        i += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(out, w))
-    }
+    // Static-call codegen: keeps the stage inside WholeStageCodegen while
+    // the loop runs as one JIT-compiled kernel method.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashKernels.hashedShingles($c, $k)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -94,43 +65,23 @@ object HashExpressions {
     * array<string> (hashed here) or array<long> (pre-hashed, e.g. from
     * [[HashedShingles]]): update `numHashes` running minima per element. */
   case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
 
-    private lazy val coeffA: Array[Long] =
-      (0 until numHashes).map(permCoeffs(_)._1).toArray
-    private lazy val coeffB: Array[Long] =
-      (0 until numHashes).map(permCoeffs(_)._2).toArray
     private lazy val elementIsString: Boolean = child.dataType match {
       case ArrayType(StringType, _) => true
       case _ => false
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val raw =
-            if (elementIsString)
-              XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-            else arr.getLong(i)
-          val h = raw & 0xFFFFFFFFL // 32-bit base: products fit a long (ANSI-safe)
-          var j = 0
-          while (j < numHashes) {
-            val v = h * coeffA(j) + coeffB(j)
-            if (v < mins(j)) mins(j) = v
-            j += 1
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.minhashSignature(
+        input.asInstanceOf[ArrayData], numHashes, elementIsString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashKernels.minhashSignature($c, $numHashes, $elementIsString)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -139,38 +90,17 @@ object HashExpressions {
   /** 64-bit SimHash of an array<string> of tokens in one pass: hash each
     * token once, tally all 64 bit positions, majority-vote the result. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     // input contract: array<string> of tokens (see note on MinHashSignature)
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val counts = new Array[Int](64)
-      var n = 0
-      var i = 0
-      val len = arr.numElements()
-      while (i < len) {
-        if (!arr.isNullAt(i)) {
-          val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1
-            b += 1
-          }
-          n += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (counts(b) * 2 > n) out |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(HashKernels.simhash64(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64($c)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

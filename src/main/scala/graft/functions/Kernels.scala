@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+
+/**
+ * Static kernels for the custom expressions in [[HashExpressions]] /
+ * [[VectorExpressions]].
+ *
+ * Top-level Scala objects compile their methods to JVM static forwarders,
+ * so whole-stage-codegen'd Java can call them directly (the same pattern
+ * Spark's own generated code uses for `DateTimeUtils` etc.): the row
+ * pipeline stays inside WholeStageCodegen — no interpreted expression
+ * tree, no per-row boxing — and the loop body is one JIT-compiled method
+ * shared by the interpreted (`nullSafeEval`) and generated paths.
+ */
+object HashKernels {
+
+  private def mix(z0: Long): Long = {
+    var z = z0 * 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL; z ^= (z >>> 31)
+    z
+  }
+
+  /** See [[HashExpressions.HashedShingles]]: sorted distinct k-shingle
+    * hashes of a token array, one pass, no string building. */
+  def hashedShingles(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val tok = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      tok(i) = if (arr.isNullAt(i)) 0L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val m = if (n <= k) 1 else n - k + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 1125899906842597L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) { h = h * 31L + tok(j); j += 1 }
+      out(i) = mix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted hashes
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coeffs(numHashes: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(numHashes, { nh =>
+      ((0 until nh).map(HashExpressions.permCoeffs(_)._1).toArray,
+       (0 until nh).map(HashExpressions.permCoeffs(_)._2).toArray)
+    })
+
+  /** See [[HashExpressions.MinHashSignature]]: `numHashes` running minima
+    * in one pass over the (string or pre-hashed long) shingle array. */
+  def minhashSignature(arr: ArrayData, numHashes: Int, elementIsString: Boolean): ArrayData = {
+    val (coeffA, coeffB) = coeffs(numHashes)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val raw =
+          if (elementIsString)
+            XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+          else arr.getLong(i)
+        val h = raw & 0xFFFFFFFFL // 32-bit base: products fit a long (ANSI-safe)
+        var j = 0
+        while (j < numHashes) {
+          val v = h * coeffA(j) + coeffB(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** See [[HashExpressions.SimHash64]]: hash each token once, tally the 64
+    * bit positions, majority-vote. */
+  def simhash64(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var n = 0
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        n += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** Static kernels for [[VectorExpressions]] — same rationale as
+  * [[HashKernels]]. */
+object VectorKernels {
+
+  /** See [[VectorExpressions.CosineSimilarity]]: dot, |a|, |b| in one pass
+    * over float arrays; 0.0 when either norm is 0. */
+  def cosineSimilarity(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val d = math.sqrt(nx) * math.sqrt(ny)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** See [[VectorExpressions.SignLshBucket]]: `planes` hyperplane
+    * projections accumulated in one pass, one sign bit each. */
+  def signLshBucket(v: ArrayData, planes: Int, planeOffset: Int): Long = {
+    val n = v.numElements()
+    val proj = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      val xi = v.getFloat(i).toDouble
+      var p = 0
+      while (p < planes) {
+        proj(p) += xi * VectorExpressions.planeComponent(planeOffset + p, i)
+        p += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      if (proj(p) >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}

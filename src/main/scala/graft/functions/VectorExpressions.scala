@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -36,26 +36,20 @@ object VectorExpressions {
   /** Cosine similarity of two float arrays: dot, |a|, |b| in one pass.
     * Returns 0.0 when either norm is 0 (matching Similarity.cosine). */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_similarity"
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      var i = 0
-      while (i < n) {
-        val xi = x.getFloat(i).toDouble
-        val yi = y.getFloat(i).toDouble
-        dot += xi * yi; nx += xi * xi; ny += yi * yi
-        i += 1
-      }
-      val d = math.sqrt(nx) * math.sqrt(ny)
-      java.lang.Double.valueOf(if (d == 0.0) 0.0 else dot / d)
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Double.valueOf(VectorKernels.cosineSimilarity(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    // Static-call codegen: keeps the stage inside WholeStageCodegen while
+    // the loop runs as one JIT-compiled kernel method.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (x, y) =>
+        s"graft.functions.VectorKernels.cosineSimilarity($x, $y)")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -66,33 +60,18 @@ object VectorExpressions {
     * one sign bit each. `planeOffset` selects an independent plane set per
     * band. */
   case class SignLshBucket(child: Expression, planes: Int, planeOffset: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "sign_lsh_bucket"
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val n = v.numElements()
-      val proj = new Array[Double](planes)
-      var i = 0
-      while (i < n) {
-        val xi = v.getFloat(i).toDouble
-        var p = 0
-        while (p < planes) {
-          proj(p) += xi * planeComponent(planeOffset + p, i)
-          p += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var p = 0
-      while (p < planes) {
-        if (proj(p) >= 0) out |= (1L << p)
-        p += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(VectorKernels.signLshBucket(
+        input.asInstanceOf[ArrayData], planes, planeOffset))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorKernels.signLshBucket($c, $planes, $planeOffset)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

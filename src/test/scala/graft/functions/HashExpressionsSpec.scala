@@ -38,6 +38,39 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(pair._1 == viaLongs && pair._1 != pair._2)
   }
 
+  test("codegen path compiles and matches interpreted eval for all five expressions") {
+    import graft.functions.{VectorExpressions => VE}
+    val docs = Seq(
+      ("one two three four five six", Array(0.1f, -0.2f, 0.3f, 0.4f)),
+      ("alpha beta gamma delta epsilon", Array(-0.5f, 0.6f, -0.7f, 0.8f)),
+      ("one two three four five seven", Array(0.11f, -0.19f, 0.29f, 0.41f))
+    ).toDF("t", "v")
+    val probe = Seq(Array(1.0f, 0.0f, -1.0f, 0.5f)).toDF("p")
+
+    def results(mode: String): Seq[org.apache.spark.sql.Row] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.fallback", mode != "CODEGEN_ONLY")
+      try {
+        docs.crossJoin(probe).select(
+          HashExpressions.hashed_shingles(TextFunctions.tokens(col("t")), 3),
+          HashExpressions.minhash_signature(
+            HashExpressions.hashed_shingles(TextFunctions.tokens(col("t")), 3), 16),
+          HashExpressions.simhash64(TextFunctions.tokens(col("t"))),
+          VE.cosine_similarity(col("v"), col("p")),
+          VE.sign_lsh_bucket(col("v"), 16, 7)
+        ).collect().toSeq
+      } finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+    // CODEGEN_ONLY + fallback=false throws if any expression fails to
+    // compile — this is the "no silent CodegenFallback" regression gate.
+    val gen = results("CODEGEN_ONLY")
+    val interp = results("NO_CODEGEN")
+    assert(gen == interp)
+  }
+
   test("simhash64: identical tokens identical hash; SQL registration works") {
     HashExpressions.register(spark)
     val df = Seq("alpha beta gamma delta", "alpha beta gamma delta", "zz yy xx ww")
