@@ -50,12 +50,13 @@ object Multimodal {
   /**
    * STUB decode kernel — stands in for an image decoder (libjpeg etc.,
    * absent in this container). Deterministic: derives fake dimensions
-   * and a fake 8-dim feature vector from the payload bytes alone, so
+   * (pure functions of payload length, so the DuckDB oracle can reproduce
+   * them) and a fake 8-dim feature vector from the payload bytes, so
    * tests are stable. Swap this body for the real codec in production.
    */
   private[extensions] def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
-    val width = 16 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
+    val width = 16 + ((n.toLong * 31L) % 64L).toInt
     val height = 16 + (n % 64)
     val feats = new Array[Float](8)
     var i = 0

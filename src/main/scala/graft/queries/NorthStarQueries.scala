@@ -25,6 +25,18 @@ object NorthStarQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Embeddings plus deterministic planted near-copies of every 10th
+    * vector (id + 10M, first component nudged by +0.05): cosine(v, v') ≈
+    * 0.9988 on this fixture, giving the near-dup detectors real targets. */
+  private def plantedEmbeddings(e: DataFrame): DataFrame = {
+    val planted = e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      concat(array(col("embedding").getItem(0) + lit(0.05f)),
+        slice(col("embedding"), 2, 1000000)).as("embedding"),
+      col("label"))
+    e.select(col("vec_id"), col("embedding"), col("label")).union(planted)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup --------------------------------------------------------
     "dedup_exact_groups" -> ((s, dir) =>
@@ -36,12 +48,24 @@ object NorthStarQueries {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      // restrict to one source to bound the inverted-index fanout at test SFs
-      Dedup.ngramJaccardPairs(docs(s, dir).filter(col("source") === "src0"),
-        "doc_id", "text", threshold = 0.5)),
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)),
     "dedup_embedding_pairs" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.9, planes = 12)),
+      // the fixture has no true near-dups at cosine >= 0.9, so plant
+      // deterministic near-copies (first component nudged, new ids) —
+      // the LSH bucketing + verify join are exercised on real signal.
+      Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
+        "embedding", threshold = 0.9, planes = 12)),
+    "dedup_embedding_exact" -> ((s, dir) => {
+      // exact all-pairs baseline on the probe-scale slice: the correctness
+      // anchor for the LSH path, and DuckDB-reproducible (hash-checked).
+      val a = embs(s, dir).select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = embs(s, dir).select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.VectorExpressions
+            .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+    }),
 
     // ---- similarity search -------------------------------------------
     "sim_topk_brute" -> ((s, dir) => {
@@ -150,5 +174,74 @@ object NorthStarQueries {
         | CAST(f * 64 AS BIGINT) AS byte_offset
         | FROM (SELECT doc_id, strlen(text) AS n_bytes,
         |         unnest(generate_series(0, greatest((strlen(text) - 1) // 64, 0))) AS f
-        |       FROM documents) t""".stripMargin)
+        |       FROM documents) t""".stripMargin,
+    // exact n-gram Jaccard: DuckDB recomputes all-pairs over STRING
+    // 3-grams (Spark uses 64-bit hashed grams; set Jaccard is identical
+    // up to hash collisions). Same tokenization, same "fewer tokens than
+    // k -> one whole-text shingle" convention.
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
+        |  FROM toks),
+        |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM dg a JOIN dg b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "dedup_embedding_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "sim_topk_brute" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+        |  WHERE c.vec_id <> q.vec_id) t
+        |WHERE rank <= 10""".stripMargin,
+    // langId argmax: score ties resolve to the lexicographically greatest
+    // lang tag (Spark struct-max semantics) -> CASE in descending tag
+    // order. tokenCountBpe reformulated without lookarounds (RE2): count
+    // of alnum runs + count of single non-alnum-non-space chars.
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, toks,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des','dans','que'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','que','por'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不','人','这'], x))) AS s_zh,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','at','by','be'], x))) AS DOUBLE) / len(toks) END AS sw
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+        |       WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+        |       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+        |       WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+')) + len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tokens_bpe,
+        |  round(least(length(text) / 200.0, 1.0)
+        |        * greatest(0.0, 1.0 - punct * 4.0)
+        |        * (0.5 + least(sw * 5.0, 1.0) * 0.5), 6) AS quality
+        |FROM s""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS id, 'raw' AS format, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | CAST(16 + (strlen(text) * 31) % 64 AS BIGINT) AS width,
+        | CAST(16 + strlen(text) % 64 AS BIGINT) AS height
+        | FROM documents""".stripMargin)
 }
