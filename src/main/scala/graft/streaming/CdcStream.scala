@@ -84,9 +84,11 @@ object CdcStream {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch-constant snapshot_tm (P3): derived from the batch id so
-        // replays of the same epoch stamp identically (idempotent re-runs).
-        val snapTm = new Timestamp(batchId) // epoch-ms == batch ordinal
+        // batch-constant snapshot_tm (P3): a REAL capture timestamp,
+        // recorded once per batch id in the checkpoint dir so a replay of
+        // the same epoch stamps identically (idempotent re-runs) while
+        // `snapshot_dt` partitioning/retention stays meaningful.
+        val snapTm = getOrRecordBatchTime(spark, checkpointDir, batchId)
         val stamped = batch.withColumn("snapshot_tm",
           lit(snapTm).cast(TimestampType))
         if (!stamped.isEmpty) {
@@ -98,6 +100,33 @@ object CdcStream {
       if (availableNow) writer.trigger(Trigger.AvailableNow())
       else writer.trigger(Trigger.ProcessingTime("10 seconds"))
     triggered.start()
+  }
+
+  /**
+   * The wall-clock capture time of a batch, recorded ONCE per batch id as
+   * a side-file in the checkpoint dir: first execution stamps `now`, every
+   * replay of the same batch id reads the recorded value back — so
+   * `snapshot_tm` is both real (partition pruning and retention on
+   * `snapshot_dt` work) and replay-stable (re-runs are byte-identical).
+   * foreachBatch runs serially on the driver, so no write races.
+   */
+  private[streaming] def getOrRecordBatchTime(
+      spark: SparkSession, checkpointDir: String, batchId: Long,
+      now: () => Long = () => System.currentTimeMillis()): Timestamp = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/graft_snapshot_tm")
+    val fs = dir.getFileSystem(conf)
+    val f = new org.apache.hadoop.fs.Path(dir, batchId.toString)
+    if (fs.exists(f)) {
+      val in = new java.io.DataInputStream(fs.open(f))
+      try new Timestamp(in.readLong()) finally in.close()
+    } else {
+      val ms = now()
+      fs.mkdirs(dir)
+      val out = new java.io.DataOutputStream(fs.create(f, true))
+      try out.writeLong(ms) finally out.close()
+      new Timestamp(ms)
+    }
   }
 
   /** Tumbling/sliding-window aggregation over the change stream with

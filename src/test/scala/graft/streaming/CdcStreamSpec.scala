@@ -52,6 +52,27 @@ class CdcStreamSpec extends AnyFunSuite {
     // log may now hold duplicates -> the W1 view restores exactly-once
     val view = CurrentState.latestByKeyAgg(after, Seq("event_id"), "snapshot_tm", Seq("ts"))
     assert(view.count() == 1000L)
+
+    // snapshot_dt partitions carry REAL capture dates, not 1970-01-01
+    // (the batch-id-as-epoch-millis degenerate partitioning bug)
+    val dts = spark.read.parquet(s"$sink/events_cdc")
+      .select("snapshot_dt").distinct().as[java.sql.Date].collect()
+    assert(dts.nonEmpty && dts.forall(_.after(java.sql.Date.valueOf("2020-01-01"))))
+  }
+
+  test("per-batch capture time is recorded once and stable across replays") {
+    val ckpt = TestSpark.tmpDir("graft-stamp-ckpt")
+    var clock = 1700000000000L // arbitrary real epoch millis
+    def now() = { clock += 12345; clock }
+    val first = CdcStream.getOrRecordBatchTime(spark, ckpt, 0L, now _)
+    // replay of batch 0 returns the recorded stamp even as the clock moves
+    val replay = CdcStream.getOrRecordBatchTime(spark, ckpt, 0L, now _)
+    assert(replay == first)
+    // a NEW batch id gets a fresh (later) stamp
+    val second = CdcStream.getOrRecordBatchTime(spark, ckpt, 1L, now _)
+    assert(second.after(first))
+    // and its replay is stable too
+    assert(CdcStream.getOrRecordBatchTime(spark, ckpt, 1L, now _) == second)
   }
 
   test("windowed aggregation over the stream matches the batch recompute") {
