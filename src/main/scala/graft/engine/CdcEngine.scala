@@ -57,12 +57,18 @@ final class CdcEngine(
       * version of the reference's Benthos processor hook, which existed in
       * env (`BENTHOS_PROCESSOR_CONF_FILE`, `sample.env:26`) but was never
       * wired into the stream (`benthos.go:75-108`). */
-    processor: DataFrame => DataFrame = identity) {
+    processor: DataFrame => DataFrame = identity,
+    /** Capture source; defaults to the parquet harness layout. Pass a
+      * [[graft.sources.JdbcSource]] for the reference's production mode
+      * (live database over the wire). */
+    source: Option[graft.sources.SnapshotSource] = None) {
 
   val state = new StateStore(spark, stateDir)
 
-  private def loadTable(name: String): DataFrame =
-    graft.sources.Tables.load(spark, sourceDir, name)
+  private val src: graft.sources.SnapshotSource =
+    source.getOrElse(new graft.sources.ParquetSource(spark, sourceDir))
+
+  private def loadTable(name: String): DataFrame = src.load(name)
 
   /** `-seed` (`/root/reference/seed.go`): discover min-watermark, row count
     * and schema per table, upsert into the state catalog.
@@ -106,12 +112,11 @@ final class CdcEngine(
   }
 
   private def captureOne(t: TableState, now: Instant): TickResult = {
-    // S6: exact live count from parquet footers — metadata-only, zero Spark
-    // jobs. The reference reads the O(1) catalog estimate
+    // S6: cheap live count — parquet footers / database stats, never a
+    // Spark-side scan. The reference reads the O(1) catalog estimate
     // (`postgres.go:144-149`); a `df.count()` here would re-scan every
     // tracked table per tick before any capture begins.
-    val liveCount = graft.sources.ParquetMeta.rowCount(
-      spark, s"$sourceDir/${t.name}.parquet")
+    val liveCount = src.liveRowCount(t.name)
     val decision = WatermarkPolicy.decide(
       nms = t.nms.toInstant,
       lastShovedOn = t.lastShovedOn.map(_.toInstant),
@@ -125,11 +130,10 @@ final class CdcEngine(
         val lo = Timestamp.from(w.lo)
         val hi = Timestamp.from(w.hi)
         val snapTm = Timestamp.from(now)
-        // Windowed load so the bound predicate reaches the parquet scan even
-        // for nanos-encoded NMS columns (a filter on the derived µs column
-        // prunes nothing); snapshotWindow's own filter is then a no-op.
-        val windowed = graft.sources.Tables.loadWindowed(
-          spark, sourceDir, t.name, t.nmsColumn, lo, hi)
+        // Windowed load so the bound predicate reaches the source (parquet
+        // row-group pruning / database WHERE) even for nanos-encoded NMS
+        // columns; snapshotWindow's own filter is then a no-op.
+        val windowed = src.loadWindowed(t.name, t.nmsColumn, lo, hi)
         // Single pass: count the rows as a side-effect of the write
         // (CollectMetrics), never as a second scan of the window.
         val obs = org.apache.spark.sql.Observation()

@@ -27,8 +27,10 @@ object SqlGen {
 
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
+  // JDBC timestamp escape: translated to the dialect's literal by every
+  // JDBC driver (ANSI `TIMESTAMP '...'` is rejected by e.g. Derby).
   private def tsLit(t: Timestamp): String =
-    s"TIMESTAMP '${t.toLocalDateTime.format(TsFmt)}'"
+    s"{ts '${t.toLocalDateTime.format(TsFmt)}'}"
 
   final case class MungeSql(minBound: Timestamp, toNull: Boolean)
 
@@ -53,7 +55,12 @@ object SqlGen {
   }
 
   /** The full windowed snapshot SELECT (S1): explicit projection in ordinal
-    * order + `now() AS snapshot_tm` + half-open NMS window. */
+    * order + `now() AS snapshot_tm` + half-open NMS window.
+    *
+    * `nowExpr` varies by dialect (`now()` on PostgreSQL — the reference's
+    * form, `postgres.go:50` — `CURRENT_TIMESTAMP` on Derby/ANSI);
+    * `withSnapshotTm = false` omits the column entirely for engines that
+    * stamp a batch-constant `snapshot_tm` Spark-side (P3 determinism). */
   def snapshotQuery(
       schemaName: String,
       table: String,
@@ -62,10 +69,13 @@ object SqlGen {
       lo: Timestamp,
       hi: Timestamp,
       munge: Option[MungeSql] = None,
-      jsonArrays: Boolean = false): String = {
+      jsonArrays: Boolean = false,
+      withSnapshotTm: Boolean = true,
+      nowExpr: String = "now()"): String = {
     val proj = cols.sortBy(_.ordinalPosition)
       .map(projectColumn(_, munge, jsonArrays)).mkString(", ")
-    s"SELECT $proj, now() AS snapshot_tm FROM ${q(schemaName)}.${q(table)} " +
+    val snapTm = if (withSnapshotTm) s", $nowExpr AS snapshot_tm" else ""
+    s"SELECT $proj$snapTm FROM ${q(schemaName)}.${q(table)} " +
       s"WHERE ${q(nmsColumn)} > ${tsLit(lo)} AND ${q(nmsColumn)} <= ${tsLit(hi)}"
   }
 

@@ -18,8 +18,8 @@ class SqlGenSpec extends AnyFunSuite {
       utcTs("2024-01-05 00:00:00"), utcTs("2024-01-15 00:00:00"))
     assert(sql.startsWith("""SELECT "id", "name", "updated", "tags", now() AS snapshot_tm"""))
     assert(sql.contains("""FROM "public"."accounts""""))
-    assert(sql.contains("\"updated\" > TIMESTAMP '2024-01-05 00:00:00.000000'"))
-    assert(sql.contains("\"updated\" <= TIMESTAMP '2024-01-15 00:00:00.000000'"))
+    assert(sql.contains("\"updated\" > {ts '2024-01-05 00:00:00.000000'}"))
+    assert(sql.contains("\"updated\" <= {ts '2024-01-15 00:00:00.000000'}"))
   }
 
   test("compat mode: arrays as array_to_json; munging CASE on timestamps") {
@@ -28,7 +28,7 @@ class SqlGenSpec extends AnyFunSuite {
       munge = Some(SqlGen.MungeSql(utcTs("1970-01-01 00:00:00"), toNull = true)),
       jsonArrays = true)
     assert(sql.contains("""array_to_json("tags") AS "tags""""))
-    assert(sql.contains("""CASE WHEN "updated" < TIMESTAMP '1970-01-01 00:00:00.000000' THEN NULL"""))
+    assert(sql.contains("""CASE WHEN "updated" < {ts '1970-01-01 00:00:00.000000'} THEN NULL"""))
   }
 
   test("identifier quoting blocks injection vectors") {
