@@ -10,7 +10,7 @@ import scala.concurrent.duration.Duration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CurrentState, Snapshot}
+import graft.operators.{CompactedState, CurrentState, Snapshot}
 import graft.policy.WatermarkPolicy
 import graft.policy.WatermarkPolicy.{Advance, Decision, PolicyConfig, Skip}
 import graft.sinks.AppendSink
@@ -61,7 +61,11 @@ final class CdcEngine(
     /** Capture source; defaults to the parquet harness layout. Pass a
       * [[graft.sources.JdbcSource]] for the reference's production mode
       * (live database over the wire). */
-    source: Option[graft.sources.SnapshotSource] = None) {
+    source: Option[graft.sources.SnapshotSource] = None,
+    /** Maintain a per-batch MERGE-compacted current-state table next to
+      * each log (SURVEY §7.4): reads of latest state then touch the
+      * compacted table instead of collapsing the full log. */
+    maintainCurrentState: Boolean = false) {
 
   val state = new StateStore(spark, stateDir)
 
@@ -137,11 +141,19 @@ final class CdcEngine(
         // Single pass: count the rows as a side-effect of the write
         // (CollectMetrics), never as a second scan of the window.
         val obs = org.apache.spark.sql.Observation()
-        val snap = processor(
+        val snapBase = processor(
           Snapshot.snapshotWindow(windowed, t.nmsColumn, lo, hi, snapTm, munge))
-          .observe(obs, count(lit(1)).as("rows"))
+        val snap = snapBase.observe(obs, count(lit(1)).as("rows"))
         AppendSink.appendSnapshot(snap, sinkDir, t.name)
         val captured = obs.get("rows").asInstanceOf[Long]
+        // MERGE the batch into the compacted current state BEFORE the
+        // watermark commit: a failure re-runs the window and the upsert is
+        // idempotent, so the compacted table never silently misses a batch.
+        // (Re-plans the window scan — bounded by the window, not the corpus.)
+        if (maintainCurrentState) t.pKeyColumn.foreach { pk =>
+          CompactedState.upsert(spark, compactedStateDir(t.name), snapBase,
+            CompactedState.Config(Seq(pk), "snapshot_tm", Seq(t.nmsColumn)))
+        }
         // T3: commit only after the append succeeded.
         state.synchronized {
           state.commit(dsn, t.name, hi, liveCount, snapTm)
@@ -171,6 +183,16 @@ final class CdcEngine(
         t.name
       }
     }
+
+  private def compactedStateDir(table: String): String =
+    s"$sinkDir/${AppendSink.cdcTableName(table)}_state"
+
+  /** The MERGE-compacted current state (requires `maintainCurrentState`):
+    * reads only the compacted buckets — never the full log. */
+  def compactedCurrentState(table: String): DataFrame =
+    CompactedState.read(spark, compactedStateDir(table))
+      .getOrElse(sys.error(s"no compacted state for $table " +
+        "(engine not built with maintainCurrentState = true, or no batch captured)"))
 
   /** W1 — the current-state view over the log. */
   def currentState(table: String): DataFrame = {

@@ -54,6 +54,28 @@ object CdcQueries {
     "cdc_current_state_agg" -> ((s, dir) =>
       CurrentState.latestByKeyAgg(events(s, dir), Seq("user_id"), "ts", Seq("event_id"))),
 
+    // W1 via incremental MERGE compaction (SURVEY §7.4): fold four window
+    // slices of the table through CompactedState.upsert and read the
+    // materialized result — must equal the full recompute exactly.
+    "cdc_current_state_compacted" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-compacted-q").toString
+      val conf = graft.operators.CompactedState.Config(
+        Seq("user_id"), "ts", Seq("event_id"), numBuckets = 8)
+      val bounds = Seq(Lo, Mid, Hi).map(utcTs)
+      val slices = Seq(
+        ev.filter(col("ts") <= lit(bounds(0))),
+        ev.filter(col("ts") > lit(bounds(0)) && col("ts") <= lit(bounds(1))),
+        ev.filter(col("ts") > lit(bounds(1)) && col("ts") <= lit(bounds(2))),
+        ev.filter(col("ts") > lit(bounds(2))))
+      slices.foreach(b =>
+        graft.operators.CompactedState.upsert(s, stateDir, b, conf))
+      graft.operators.CompactedState.read(s, stateDir)
+        .getOrElse(sys.error("compacted state empty"))
+        .select(ev.columns.map(col).toIndexedSeq: _*)
+    }),
+
     // M1: invalid-timestamp → NULL munging.
     "cdc_munge_null" -> ((s, dir) =>
       events(s, dir).select(
@@ -105,6 +127,11 @@ object CdcQueries {
         |       FROM events) t
         | WHERE rn = 1""".stripMargin,
     "cdc_current_state_agg" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        | FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM events) t
+        | WHERE rn = 1""".stripMargin,
+    "cdc_current_state_compacted" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         | FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |       FROM events) t

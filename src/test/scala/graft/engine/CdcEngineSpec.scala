@@ -130,6 +130,48 @@ class CdcEngineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("per-batch MERGE compaction tracks the recompute view exactly") {
+    val sink = TestSpark.tmpDir("graft-sink-compact")
+    val stateDir = TestSpark.tmpDir("graft-state-compact")
+    val eng = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir,
+      policy = PolicyConfig(batchCount = 100, replicationBufferSecs = 180),
+      concurrency = 2, maintainCurrentState = true)
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+
+    var clock = Instant.parse("2024-02-01T00:00:00Z")
+    (1 to 10).foreach { _ =>
+      eng.tick(clock); clock = clock.plusSeconds(3600)
+      // invariant holds after EVERY batch, not just at the end
+      val compacted = eng.compactedCurrentState("events")
+      val recompute = eng.currentState("events")
+      assert(compacted.except(recompute).isEmpty && recompute.except(compacted).isEmpty)
+    }
+    // the compacted table holds exactly one row per key, and vacuum
+    // drops superseded versions without changing the contents
+    val dir = s"$sink/events_cdc_state"
+    val before = eng.compactedCurrentState("events")
+    assert(before.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+    graft.operators.CompactedState.vacuum(spark, dir)
+    val after = eng.compactedCurrentState("events")
+    assert(after.except(before).isEmpty && before.except(after).isEmpty)
+    // re-upserting the same batch (at-least-once retry) changes nothing
+    val win = graft.sources.Tables.loadWindowed(spark, TestSpark.Sf0001,
+      "events", "ts", graft.util.Util.utcTs("2024-01-05 00:00:00"),
+      graft.util.Util.utcTs("2024-01-10 00:00:00"))
+    val dup = graft.operators.Snapshot.snapshotWindow(win, "ts",
+      graft.util.Util.utcTs("2024-01-05 00:00:00"),
+      graft.util.Util.utcTs("2024-01-10 00:00:00"),
+      java.sql.Timestamp.from(Instant.parse("2024-02-01T05:00:00Z")))
+    graft.operators.CompactedState.upsert(spark, dir, dup,
+      graft.operators.CompactedState.Config(Seq("event_id"), "snapshot_tm", Seq("ts")))
+    // the replayed rows may win the snapshot_tm tiebreak, but the DATA
+    // (and cardinality) of the current state must be unchanged
+    val redone = eng.compactedCurrentState("events").drop("snapshot_tm")
+    val afterData = after.drop("snapshot_tm")
+    assert(redone.count() == after.count())
+    assert(redone.except(afterData).isEmpty && afterData.except(redone).isEmpty)
+  }
+
   test("ParquetMeta.rowCount reads footers only and is exact") {
     import graft.sources.ParquetMeta
     for (t <- Seq("events", "orders", "lineitem")) {
