@@ -133,7 +133,38 @@ object Similarity {
       candidates: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0): DataFrame =
+    ivfProbe(ivfFit(candidates, idCol, vecCol, nlist, seed, trainFraction),
+      queries, idCol, vecCol, k, nprobe)
+
+  /**
+   * A fitted IVF index: the tiny centroid table plus the cell-assigned
+   * corpus. Build ONCE (`ivfFit`), reuse across probe calls — a real
+   * pipeline never re-trains the quantizer per query. `save`/`loadIvfIndex`
+   * persist it as parquet partitioned by cell, so a 100 TB corpus's index
+   * is probed with cell-partition pruning and zero rebuild cost.
+   */
+  final case class IvfIndex(centers: DataFrame, assigned: DataFrame) {
+    /** Pin the assignment in executor storage for repeated probing. */
+    def cache(): IvfIndex = { assigned.cache(); centers.cache(); this }
+
+    def save(dir: String): Unit = {
+      centers.write.mode("overwrite").parquet(s"$dir/centers")
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/assigned")
+    }
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centers"),
+      spark.read.parquet(s"$dir/assigned"))
+
+  /** Train the coarse quantizer and assign every candidate to its cell. */
+  def ivfFit(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 1.0): IvfIndex = {
 
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -159,6 +190,17 @@ object Similarity {
     val centers = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toSeq.toDF("cell", "center")
+    IvfIndex(centers, assigned)
+  }
+
+  /** Probe a fitted index: score only the `nprobe` nearest cells' members. */
+  def ivfProbe(
+      index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+
+    val assigned = index.assigned
+    val centers = index.centers
     val qProbes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
         .crossJoin(broadcast(centers))

@@ -92,4 +92,29 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (brute & ivfAll).size.toDouble / brute.size
     assert(recall >= 0.2, s"ivf recall $recall")
   }
+
+  test("IVF index: fit-once probe-many == one-shot; save/load roundtrip identical") {
+    val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val oneShot = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+
+    val idx = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16)
+    val probed = Similarity.ivfProbe(idx, q, "vec_id", "embedding",
+      k = 10, nprobe = 4).select("query_id", "neighbor_id", "rank")
+    assert(probed.except(oneShot).isEmpty && oneShot.except(probed).isEmpty)
+    // second probe against the same index (the steady-state path)
+    val probed2 = Similarity.ivfProbe(idx, q, "vec_id", "embedding",
+      k = 10, nprobe = 4).select("query_id", "neighbor_id", "rank")
+    assert(probed2.except(probed).isEmpty)
+
+    // persisted index: save, load, probe — byte-identical
+    val dir = graft.TestSpark.tmpDir("graft-ivf-index")
+    idx.save(dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val probedL = Similarity.ivfProbe(loaded, q, "vec_id", "embedding",
+      k = 10, nprobe = 4).select("query_id", "neighbor_id", "rank")
+    assert(probedL.except(probed).isEmpty && probed.except(probedL).isEmpty)
+  }
 }
