@@ -41,7 +41,9 @@ object CdcEngine {
                  dsn: Int = 1): CdcEngine =
     new CdcEngine(spark, sourceDir, sinkDir, stateDir, dsn,
       policy = conf.policy, munge = conf.munge,
-      concurrency = conf.concurrentStreams)
+      concurrency = conf.concurrentStreams,
+      batchBytes = Some(conf.batchBytes),
+      excludedTables = conf.excludedTables)
 }
 
 final class CdcEngine(
@@ -65,7 +67,11 @@ final class CdcEngine(
     /** Maintain a per-batch MERGE-compacted current-state table next to
       * each log (SURVEY §7.4): reads of latest state then touch the
       * compacted table instead of collapsing the full log. */
-    maintainCurrentState: Boolean = false) {
+    maintainCurrentState: Boolean = false,
+    /** T8 BQ_BATCH_BYTES: cap on output file size in the append sink. */
+    batchBytes: Option[Long] = None,
+    /** S8/F3: tables never seeded or captured (`postgres.go:271-296`). */
+    excludedTables: Set[String] = Set.empty) {
 
   val state = new StateStore(spark, stateDir)
 
@@ -83,7 +89,8 @@ final class CdcEngine(
     * We seed 1 ms below the minimum so the first window captures them.
     */
   def seed(tables: Seq[(String, String, Option[String])]): Unit = {
-    val states = tables.map { case (name, nmsCol, pk) =>
+    // S8: exclusion list removes tables before any discovery/seed work
+    val states = tables.filterNot(t => excludedTables(t._1)).map { case (name, nmsCol, pk) =>
       val df = loadTable(name)
       val row = df.agg(min(col(nmsCol)).as("mn"), count(lit(1)).as("cnt")).head()
       val minTs = row.get(0) match {
@@ -106,7 +113,10 @@ final class CdcEngine(
 
   /** One capture tick over all tracked tables (one `cdc()` pass). */
   def tick(now: Instant = Instant.now()): Seq[TickResult] = {
+    // F3: exclusion also guards capture, so a table added to the list
+    // after seeding stops being captured (`seed.go:42-50` pairing)
     val tracked = state.readForDsn(dsn).collect().toSeq
+      .filterNot(t => excludedTables(t.name))
     val pool = Executors.newFixedThreadPool(math.max(1, math.min(concurrency, tracked.size.max(1))))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
@@ -144,7 +154,7 @@ final class CdcEngine(
         val snapBase = processor(
           Snapshot.snapshotWindow(windowed, t.nmsColumn, lo, hi, snapTm, munge))
         val snap = snapBase.observe(obs, count(lit(1)).as("rows"))
-        AppendSink.appendSnapshot(snap, sinkDir, t.name)
+        AppendSink.appendSnapshot(snap, sinkDir, t.name, maxFileBytes = batchBytes)
         val captured = obs.get("rows").asInstanceOf[Long]
         // MERGE the batch into the compacted current state BEFORE the
         // watermark commit: a failure re-runs the window and the upsert is

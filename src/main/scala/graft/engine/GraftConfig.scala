@@ -30,7 +30,11 @@ final case class GraftConfig(
     mungeToNull: Boolean = false,
     mungeToMin: Boolean = false,
     mungeMin: Timestamp = Snapshot.Epoch,
-    jsonLinesOutput: Boolean = false) {
+    jsonLinesOutput: Boolean = false,
+    /** S8/F3 — tables never seeded or captured (the reference's exclusion
+      * list, `postgres.go:271-296` / `seed.go:42-50`, there read from
+      * config and disabled; here env `EXCLUDED_TABLES`, comma-separated). */
+    excludedTables: Set[String] = Set.empty) {
 
   def policy: PolicyConfig =
     PolicyConfig(batchCount = batchCount, replicationBufferSecs = replicationBufferSecs)
@@ -69,6 +73,9 @@ object GraftConfig {
       mungeToNull = bool("MUNGE_INVALID_TIMESTAMPS_TO_NULL"),
       mungeToMin = bool("MUNGE_INVALID_TIMESTAMPS_TO_MIN"),
       mungeMin = env.get("MUNGE_TIMESTAMPS_MIN").map(utcTs).getOrElse(d.mungeMin),
-      jsonLinesOutput = env.get("OUTPUT_TYPE").exists(_.equalsIgnoreCase("FILE")))
+      jsonLinesOutput = env.get("OUTPUT_TYPE").exists(_.equalsIgnoreCase("FILE")),
+      excludedTables = env.get("EXCLUDED_TABLES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty))
   }
 }

@@ -26,16 +26,24 @@ object AppendSink {
    * silent drop.
    */
   def appendSnapshot(df: DataFrame, basePath: String, table: String,
-                     expected: Option[StructType] = None): String = {
+                     expected: Option[StructType] = None,
+                     maxFileBytes: Option[Long] = None): String = {
     expected.foreach { want =>
       require(df.schema == want,
         s"strict append schema mismatch for $table:\n got  ${df.schema.treeString}\n want ${want.treeString}")
     }
     val path = s"$basePath/${cdcTableName(table)}"
-    df.withColumn("snapshot_dt", to_date(col("snapshot_tm")))
+    val writer = df.withColumn("snapshot_dt", to_date(col("snapshot_tm")))
       .write.mode(SaveMode.Append)
       .partitionBy("snapshot_dt")
-      .parquet(path)
+    // T8 BQ_BATCH_BYTES (`/root/reference/benthos.go:117-120`): cap output
+    // batch (here: file) size. Parquet writers roll on record count, so the
+    // byte budget maps to records via the schema's per-row size estimate.
+    val tuned = maxFileBytes.fold(writer) { bytes =>
+      val rowBytes = math.max(1, df.schema.defaultSize)
+      writer.option("maxRecordsPerFile", math.max(1L, bytes / rowBytes))
+    }
+    tuned.parquet(path)
     path
   }
 

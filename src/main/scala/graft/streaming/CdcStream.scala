@@ -74,7 +74,10 @@ object CdcStream {
       nmsCol: String,
       pkCol: String,
       watermarkDelay: String = "1 hour",
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      /** T8 BQ_BATCH_PERIOD (`benthos.go:121-124`): max time between
+        * flushes -> the processing-time trigger interval. */
+      batchPeriodSecs: Long = 10L): StreamingQuery = {
 
     val raw = rawFileSchema(spark, sourceDir)
     val stream = readChangeStream(spark, sourceDir, raw)
@@ -96,11 +99,14 @@ object CdcStream {
         }
         ()
       }
-    val triggered =
-      if (availableNow) writer.trigger(Trigger.AvailableNow())
-      else writer.trigger(Trigger.ProcessingTime("10 seconds"))
-    triggered.start()
+    writer.trigger(batchTrigger(availableNow, batchPeriodSecs)).start()
   }
+
+  /** T6 x T8: run-once drains with AvailableNow; continuous mode fires on
+    * the configured batch period. */
+  private[streaming] def batchTrigger(availableNow: Boolean, batchPeriodSecs: Long): Trigger =
+    if (availableNow) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(s"$batchPeriodSecs seconds")
 
   /**
    * The wall-clock capture time of a batch, recorded ONCE per batch id as

@@ -187,6 +187,29 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(ParquetMeta.rowCount(spark, logPath) == eng.cdcLog("events").count())
   }
 
+  test("S8/F3 exclusion list: excluded tables are neither seeded nor captured") {
+    val sink = TestSpark.tmpDir("graft-sink-excl")
+    val stateDir = TestSpark.tmpDir("graft-state-excl")
+    val eng = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir,
+      policy = PolicyConfig(batchCount = 1000, replicationBufferSecs = 180),
+      concurrency = 2, excludedTables = Set("orders"))
+    eng.seed(Seq(
+      ("events", "ts", Some("event_id")),
+      ("orders", "o_orderdate", Some("o_orderkey"))))
+    // S8: orders never entered the state catalog
+    assert(eng.state.readForDsn(1).collect().map(_.name).toSeq == Seq("events"))
+
+    val res = eng.tick(Instant.parse("2024-02-01T00:00:00Z"))
+    assert(res.map(_.table) == Seq("events"))
+    assert(!new java.io.File(s"$sink/orders_cdc").exists())
+
+    // F3: exclusion guards capture even for already-seeded tables
+    val eng2 = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir,
+      policy = PolicyConfig(batchCount = 1000, replicationBufferSecs = 180),
+      concurrency = 2, excludedTables = Set("events"))
+    assert(eng2.tick(Instant.parse("2024-02-01T01:00:00Z")).isEmpty)
+  }
+
   test("DDL surface: database, external cdc table, current-state view via SQL") {
     val eng = mkEngine()
     eng.seed(Seq(("events", "ts", Some("event_id"))))

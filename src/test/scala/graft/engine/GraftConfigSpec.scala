@@ -23,10 +23,15 @@ class GraftConfigSpec extends AnyFunSuite {
       "MUNGE_TIMESTAMPS_BEFORE_MIN" -> "true",
       "MUNGE_INVALID_TIMESTAMPS_TO_NULL" -> "true",
       "MUNGE_TIMESTAMPS_MIN" -> "2000-01-01 00:00:00",
-      "OUTPUT_TYPE" -> "FILE"))
+      "OUTPUT_TYPE" -> "FILE",
+      "BQ_BATCH_BYTES" -> "1048576",
+      "BQ_BATCH_PERIOD" -> "5",
+      "EXCLUDED_TABLES" -> "audit_log, tmp_scratch"))
     assert(c.batchCount == 1000L && c.replicationBufferSecs == 60L)
     assert(c.concurrentStreams == 2)
     assert(c.jsonLinesOutput)
+    assert(c.batchBytes == 1048576L && c.batchPeriodSecs == 5L)
+    assert(c.excludedTables == Set("audit_log", "tmp_scratch"))
     val m = c.munge.get
     assert(m.toNull && m.minBound == utcTs("2000-01-01 00:00:00"))
     assert(c.policy.batchCount == 1000L)

@@ -43,6 +43,30 @@ class AppendSinkSpec extends AnyFunSuite {
     assert(log.filter(col("added") === "x").count() == 1)
   }
 
+  test("T8 batch-bytes cap rolls output files; uncapped appends stay whole") {
+    val big = batch(1L to 2000L)
+    def files(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val capped = TestSpark.tmpDir("graft-sink-capped")
+    val rowBytes = big.schema.defaultSize
+    // budget ~100 rows per file -> a 2000-row batch must roll into many files
+    AppendSink.appendSnapshot(big.coalesce(1), capped, "t",
+      maxFileBytes = Some(100L * rowBytes))
+    assert(files(s"$capped/t_cdc") >= 10,
+      s"expected rolled files, got ${files(s"$capped/t_cdc")}")
+
+    val uncapped = TestSpark.tmpDir("graft-sink-uncapped")
+    AppendSink.appendSnapshot(big.coalesce(1), uncapped, "t")
+    assert(files(s"$uncapped/t_cdc") == 1)
+    // identical contents either way
+    val a = spark.read.parquet(s"$capped/t_cdc")
+    val b = spark.read.parquet(s"$uncapped/t_cdc")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("json-lines sink writes append-only") {
     val dir = TestSpark.tmpDir("graft-sink-json")
     AppendSink.appendJsonLines(batch(Seq(1L)), dir, "t")

@@ -60,6 +60,13 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(dts.nonEmpty && dts.forall(_.after(java.sql.Date.valueOf("2020-01-01"))))
   }
 
+  test("T8 batch period drives the continuous-mode trigger") {
+    assert(CdcStream.batchTrigger(availableNow = true, 99L) ==
+      Trigger.AvailableNow())
+    assert(CdcStream.batchTrigger(availableNow = false, 7L) ==
+      Trigger.ProcessingTime("7 seconds"))
+  }
+
   test("per-batch capture time is recorded once and stable across replays") {
     val ckpt = TestSpark.tmpDir("graft-stamp-ckpt")
     var clock = 1700000000000L // arbitrary real epoch millis
