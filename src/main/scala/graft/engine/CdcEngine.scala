@@ -172,9 +172,49 @@ final class CdcEngine(
     }
   }
 
-  /** T6: `-runonce` vs continuous loop. */
-  def run(maxTicks: Int, now: () => Instant = () => Instant.now()): Seq[Seq[TickResult]] =
+  /** T6: `-runonce` vs continuous loop. Dumps the per-table stream
+    * configs once per run (O7). */
+  def run(maxTicks: Int, now: () => Instant = () => Instant.now()): Seq[Seq[TickResult]] = {
+    dumpStreamConfigs()
     (1 to maxTicks).map(_ => tick(now()))
+  }
+
+  /**
+   * O7 — per-run artifact dump: one JSON file per tracked table under
+   * `<sinkDir>/stream_configs/<dsn>_<table>.json` describing the effective
+   * capture pipeline (the reference writes its assembled Benthos YAML the
+   * same way, `/root/reference/benthos.go:146-160`).
+   */
+  def dumpStreamConfigs(): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    state.readForDsn(dsn).collect().toSeq.map { t =>
+      def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val mungeJson = munge match {
+        case Some(m) =>
+          s"""{"min_bound": ${js(m.minBound.toString)}, "to_null": ${m.toNull}}"""
+        case None => "null"
+      }
+      val content =
+        s"""{
+           |  "table": ${js(t.name)},
+           |  "dsn": $dsn,
+           |  "nms_column": ${js(t.nmsColumn)},
+           |  "pkey_column": ${t.pKeyColumn.map(js).getOrElse("null")},
+           |  "sink": ${js(s"$sinkDir/${AppendSink.cdcTableName(t.name)}")},
+           |  "batch": {"count": ${policy.batchCount}, "bytes": ${batchBytes.getOrElse(-1L)}},
+           |  "replication_buffer_secs": ${policy.replicationBufferSecs},
+           |  "munge": $mungeJson,
+           |  "maintain_current_state": $maintainCurrentState
+           |}""".stripMargin
+      val path = new org.apache.hadoop.fs.Path(
+        s"$sinkDir/stream_configs/${dsn}_${t.name}.json")
+      fs.mkdirs(path.getParent)
+      val out = fs.create(path, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      path.toString
+    }
+  }
 
   /** Read a table's append-only snapshot log (schemas reconciled across
     * batches, so additive source evolution is transparent). */

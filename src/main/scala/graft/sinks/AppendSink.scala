@@ -47,12 +47,26 @@ object AppendSink {
     path
   }
 
+  /** Microsecond-precision timestamp rendering: the default JSON format
+    * keeps only milliseconds, silently truncating µs-grained NMS columns. */
+  private val JsonTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** O2 — JSON-lines file sink (`OUTPUT_TYPE=FILE` path). */
   def appendJsonLines(df: DataFrame, basePath: String, table: String): String = {
     val path = s"$basePath/${cdcTableName(table)}_json"
-    df.write.mode(SaveMode.Append).json(path)
+    df.write.mode(SaveMode.Append).option("timestampFormat", JsonTsFmt).json(path)
     path
   }
+
+  /** S9 — JSON-lines load (the reference's GCS-JSON-into-BQ sample path,
+    * `/root/reference/bigquery.go` load-job analog): schema-FIRST read so
+    * types survive the text roundtrip exactly (schema inference would
+    * widen and reorder — the strict-schema discipline of O1 applies to
+    * loads too). */
+  def readJsonLines(spark: org.apache.spark.sql.SparkSession, basePath: String,
+                    table: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("timestampFormat", JsonTsFmt)
+      .json(s"$basePath/${cdcTableName(table)}_json")
 
   /**
    * O6 — schema evolution (the reference left this as a stub,

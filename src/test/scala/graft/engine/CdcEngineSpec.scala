@@ -210,6 +210,48 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(eng2.tick(Instant.parse("2024-02-01T01:00:00Z")).isEmpty)
   }
 
+  test("O7: run dumps one parseable stream-config artifact per tracked table") {
+    val eng = mkEngine()
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+    val paths = eng.dumpStreamConfigs()
+    assert(paths.size == 1 && paths.head.endsWith("stream_configs/1_events.json"))
+    val conf = spark.read.option("multiLine", true).json(paths.head)
+    val row = conf.head()
+    assert(row.getAs[String]("table") == "events")
+    assert(row.getAs[String]("nms_column") == "ts")
+    assert(row.getAs[String]("pkey_column") == "event_id")
+    assert(row.getAs[Long]("dsn") == 1L)
+    // run() refreshes the artifacts as part of the loop
+    val res = eng.run(1, () => Instant.parse("2024-02-01T00:00:00Z"))
+    assert(res.nonEmpty)
+    assert(new java.io.File(paths.head.stripPrefix("file:")).exists())
+  }
+
+  test("T10: shutdown stops active streaming queries without killing the session") {
+    import graft.streaming.CdcStream
+    val src = TestSpark.tmpDir("graft-shutdown-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events_000.parquet"))
+    val raw = CdcStream.rawFileSchema(spark, src)
+    val q = CdcStream.readChangeStream(spark, src, raw)
+      .writeStream.format("memory").queryName(s"shutdown_q_${System.nanoTime()}")
+      .option("checkpointLocation", TestSpark.tmpDir("graft-shutdown-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    assert(spark.streams.active.nonEmpty)
+
+    val hook = Shutdown.install(spark)
+    assert(hook != null)
+    hook.remove() // don't let it fire at test-JVM exit
+
+    Shutdown.shutdown(spark, stopSession = false)
+    assert(spark.streams.active.isEmpty)
+    assert(!q.isActive)
+    // the session survived and still executes work
+    assert(spark.range(5).count() == 5L)
+  }
+
   test("DDL surface: database, external cdc table, current-state view via SQL") {
     val eng = mkEngine()
     eng.seed(Seq(("events", "ts", Some("event_id"))))

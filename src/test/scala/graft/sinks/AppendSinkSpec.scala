@@ -73,4 +73,18 @@ class AppendSinkSpec extends AnyFunSuite {
     AppendSink.appendJsonLines(batch(Seq(2L)), dir, "t")
     assert(spark.read.json(s"$dir/t_cdc_json").count() == 2)
   }
+
+  test("S9: schema-first JSON-lines load roundtrips types exactly") {
+    val dir = TestSpark.tmpDir("graft-sink-json-rt")
+    // realistic mixed schema incl. timestamps and doubles
+    val events = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+      .withColumn("snapshot_tm", lit(utcTs("2024-02-01 00:00:00")))
+    AppendSink.appendJsonLines(events, dir, "events")
+    val back = AppendSink.readJsonLines(spark, dir, "events", events.schema)
+    // JSON loads are always nullable; names/types/order must match exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      events.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == events.count())
+    assert(back.except(events).isEmpty && events.except(back).isEmpty)
+  }
 }
