@@ -37,6 +37,20 @@ object Scratch {
         Files.writeString(Paths.get(out), sb.toString)
         println(s"wrote $out")
 
+      case "repeat" =>
+        // warm-path timing: run each named query N times in one JVM so
+        // machine noise and cold JIT don't masquerade as plan cost
+        val dir = args(1); val reps = args(2).toInt
+        val names = args(3).split(",").toSeq
+        names.foreach { n =>
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$n: ${times.map(t => f"$t%.2f").mkString(" ")} s")
+        }
+
       case "minhash-profile" =>
         import org.apache.spark.sql.functions._
         val dir = args(1)

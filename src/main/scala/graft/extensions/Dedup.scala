@@ -129,20 +129,28 @@ object Dedup {
       graft.functions.HashExpressions.hashed_shingles(
         TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
 
-  /** Skinny bucket self-join with a degenerate-bucket guard: distinct
-    * (id_a < id_b) pairs co-occurring in any bucket of size <= cap. */
+  /** Distinct (id_a < id_b) pairs co-occurring in any bucket of size <=
+    * cap (the degenerate-bucket guard).
+    *
+    * Shape: ONE combining shuffle (`groupBy(bucket).collect_set(id)` —
+    * partial sets merge map-side) with in-group pair expansion, then a
+    * distinct over candidate pairs only. The windowed-count + self-join
+    * formulation this replaces shuffled the full index four times (window
+    * sort, two join sides, distinct); this moves all O(df^2) work inside
+    * the group where the cap bounds it, and shuffles pairs once. */
   private def bucketPairs(banded: DataFrame, idCol: String,
                           bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
-    val sized = banded
-      .withColumn("__bsz", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(bucketCols.map(col): _*)))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val l = sized.toDF(sized.columns.map(c => if (c == idCol) "id_a" else c).toIndexedSeq: _*)
-    val r = sized.toDF(sized.columns.map(c => if (c == idCol) "id_b" else c).toIndexedSeq: _*)
-    l.join(r, bucketCols)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val grouped = banded.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+    val ids = col("__ids")
+    val n = size(ids)
+    // sorted ids make every emitted struct satisfy id_a < id_b for free
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(ids, i + 1).as("id_a"), element_at(ids, j + 1).as("id_b")))))
+    grouped.select(explode(pairs).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
   }
 

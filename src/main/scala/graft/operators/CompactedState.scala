@@ -89,7 +89,11 @@ object CompactedState {
     val newV = (current.values.map(_._1) ++ Seq(0L)).max + 1
     val f = fs(spark, dir)
     val stage = new Path(s"$dir/_stage_v$newV")
-    merged.write.mode("overwrite").partitionBy("__b").parquet(stage.toString)
+    // cluster output by bucket before the partitioned write: one file per
+    // touched bucket instead of (shuffle partitions x buckets) shards —
+    // state file count stays O(numBuckets), not O(batches x partitions).
+    merged.repartition(math.max(1, touched.size), col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(stage.toString)
 
     // publish: move each staged bucket dir to bucket=<b>/v=<newV>
     f.listStatus(stage).toSeq
