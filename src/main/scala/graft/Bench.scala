@@ -27,16 +27,27 @@ object Bench {
       graft.sources.Tables.load(spark, sfDir, t).count()
     }
 
+    // Two timed executions per query: the first ("cold") includes codegen
+    // compilation + JIT warmup, the second ("warm") is the steady-state
+    // plan cost — the number that scales with data, not with JVM state.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      val warm = once()
+      (name, cold, warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def render(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val warmQs = render(results.map(r => (r._1, r._3)))
+    val coldQs = render(results.map(r => (r._1, r._2)))
+    val warmTotal = results.map(_._3).sum
+    val coldTotal = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","queries":$warmQs,"value_cold":$coldTotal%.3f,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

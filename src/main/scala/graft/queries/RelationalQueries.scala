@@ -239,9 +239,75 @@ object RelationalQueries {
       t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))))
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))),
+
+    // Scalar subquery: planned as a ScalarSubquery node feeding the filter
+    // (the subquery runs once, its result broadcast into the predicate).
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_acctbal FROM customer
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)
+    }),
+
+    // IN (subquery): rewritten by Catalyst to a left-semi join.
+    "q_in_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              |WHERE o_custkey IN
+              |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+    }),
+
+    // Correlated NOT EXISTS: the null-aware anti-join surface.
+    "q_not_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+              |WHERE NOT EXISTS
+              |  (SELECT 1 FROM orders o
+              |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin)
+    }),
+
+    // Running-total window frame (ROWS UNBOUNDED PRECEDING..CURRENT) with
+    // a unique ordering so cumulative sums are engine-reproducible.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice")).over(w).as("running_total"))
+    }),
+
+    // Boolean/conditional aggregates: count_if, bool_or, bool_and.
+    "q_bool_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority")).agg(
+        count_if(col("o_totalprice") > 100000.0).as("n_big"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        bool_and(col("o_totalprice") > 0.0).as("all_pos"))))
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_custkey IN
+        |   (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "q_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        | FROM orders""".stripMargin,
+    "q_bool_agg" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        | bool_or(o_orderstatus = 'F') AS any_f,
+        | bool_and(o_totalprice > 0.0) AS all_pos
+        | FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | sum(l_extendedprice) AS sum_base_price,
