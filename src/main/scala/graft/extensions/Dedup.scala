@@ -236,19 +236,26 @@ object Dedup {
   // ------------------------------------------------- embedding cosine dup
 
   /** Embedding near-duplicate pairs via sign-LSH bucketing + exact cosine
-    * verification. Same shape as the text methods: skinny (bucket, id)
-    * self-join with a degenerate-bucket cap, vectors joined back once per
-    * distinct candidate pair. */
+    * verification. Same shape as the text methods: skinny (band, bucket,
+    * id) grouping with a degenerate-bucket cap, vectors joined back once
+    * per distinct candidate pair. `bands` independent plane sets raise
+    * recall multiplicatively (P(miss) = (1 - p^planes)^bands) for the cost
+    * of `bands` passes over the skinny key table — the standard
+    * recall/cost dial, same as `Similarity.lshTopK`. */
   def embeddingDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
+      bands: Int = 1, maxBucketSize: Int = 1000): DataFrame = {
 
     val banded = df.select(col(idCol).as("doc_id"),
-      graft.functions.VectorExpressions
-        .sign_lsh_bucket(col(vecCol), planes).as("bucket"))
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          graft.functions.VectorExpressions
+            .sign_lsh_bucket(col(vecCol), planes, b * planes).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
-    bucketPairs(banded, "doc_id", Seq("bucket"), maxBucketSize)
+    bucketPairs(banded, "doc_id", Seq("band", "bucket"), maxBucketSize)
       .join(vecs.select(col("doc_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("doc_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -62,7 +62,7 @@ object NorthStarQueries {
       // deterministic near-copies (first component nudged, new ids) —
       // the LSH bucketing + verify join are exercised on real signal.
       Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
-        "embedding", threshold = 0.9, planes = 12)),
+        "embedding", threshold = 0.9, planes = 12, bands = 2)),
     "dedup_embedding_exact" -> ((s, dir) => {
       // exact all-pairs baseline on the probe-scale slice: the correctness
       // anchor for the LSH path, and DuckDB-reproducible (hash-checked).
