@@ -51,6 +51,30 @@ object Scratch {
           println(f"$n: ${times.map(t => f"$t%.2f").mkString(" ")} s")
         }
 
+      case "ngram-profile" =>
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val docs = sources.Tables.load(spark, dir, "documents")
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        time("warmup count")(docs.count())
+        val sh = docs.select(col("doc_id"),
+          functions.HashExpressions.hashed_shingles(
+            functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+        time("shingle sets")(sh.count())
+        val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+        time("inverted index explode")(inv.count())
+        val grouped = inv.groupBy(col("gram"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, 100))
+        time("bucket group+filter")(grouped.count())
+        val full = extensions.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5)
+        time("full pipeline")(full.count())
+        time("full pipeline again")(full.count())
+
       case "minhash-profile" =>
         import org.apache.spark.sql.functions._
         val dir = args(1)

@@ -19,13 +19,32 @@ import org.apache.spark.sql.SparkSession
  */
 object ParquetMeta {
 
+  /** (files signature) -> row count; a directory listing (cheap) decides
+    * whether the footer sum (O(#files) metadata reads) can be reused —
+    * the capture loop calls this per tracked table per tick, and source
+    * tables change far less often than ticks fire. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** Exact row count of a parquet file or directory, from footers only
-    * (zero Spark jobs, zero data pages read). */
+    * (zero Spark jobs, zero data pages read). Cached against the file
+    * listing (paths + sizes + mtimes), so an unchanged table costs one
+    * listing, not one footer read per file. */
   def rowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    parquetFiles(fs, p).map(f => footerRowCount(f, conf)).sum
+    val files = parquetFiles(fs, p)
+    val sig = files.map(f =>
+      f.getPath.toString.hashCode.toLong * 31L +
+        f.getLen * 7L + f.getModificationTime).sum
+    val cached = countCache.get(path)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      val n = files.map(f => footerRowCount(f, conf)).sum
+      countCache.put(path, (sig, n))
+      n
+    }
   }
 
   private def footerRowCount(f: FileStatus, conf: Configuration): Long = {

@@ -75,20 +75,25 @@ class JdbcSource(
   override def load(table: String): DataFrame =
     read(s"SELECT * FROM ${quoted(schemaName)}.${quoted(table)}")
 
+  private val columnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[SourceColumn]]()
+
   /** Catalog metadata for [[SqlGen]]'s explicit projection, derived from
-    * the JDBC schema (production mode reads information_schema instead —
-    * `SqlGen.discoveryQuery` / `TypeMapper`). */
-  protected def sourceColumns(table: String): Seq[SourceColumn] = {
-    val schema = load(table).schema
-    schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-      val udt = f.dataType match {
-        case org.apache.spark.sql.types.TimestampType => "timestamp"
-        case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
-        case other => other.typeName
+    * the JDBC schema and cached per table — the reference caches its
+    * introspected catalog the same way (`postgres.go:201-269` runs once,
+    * not per window). Production mode reads information_schema instead
+    * (`SqlGen.discoveryQuery` / `TypeMapper`). */
+  protected def sourceColumns(table: String): Seq[SourceColumn] =
+    columnCache.computeIfAbsent(table, { t =>
+      load(t).schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        val udt = f.dataType match {
+          case org.apache.spark.sql.types.TimestampType => "timestamp"
+          case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+          case other => other.typeName
+        }
+        SourceColumn(f.name, udt, f.nullable, ordinalPosition = i + 1)
       }
-      SourceColumn(f.name, udt, f.nullable, ordinalPosition = i + 1)
-    }
-  }
+    })
 
   override def loadWindowed(table: String, nmsCol: String,
                             lo: Timestamp, hi: Timestamp): DataFrame =
