@@ -77,7 +77,11 @@ object CdcStream {
       availableNow: Boolean = true,
       /** T8 BQ_BATCH_PERIOD (`benthos.go:121-124`): max time between
         * flushes -> the processing-time trigger interval. */
-      batchPeriodSecs: Long = 10L): StreamingQuery = {
+      batchPeriodSecs: Long = 10L,
+      /** Also MERGE each micro-batch into `<table>_cdc_state` (SURVEY
+        * §7.4) — same compaction as the batch engine's
+        * `maintainCurrentState`, idempotent per batch id on replay. */
+      maintainCurrentState: Boolean = false): StreamingQuery = {
 
     val raw = rawFileSchema(spark, sourceDir)
     val stream = readChangeStream(spark, sourceDir, raw)
@@ -96,6 +100,12 @@ object CdcStream {
           lit(snapTm).cast(TimestampType))
         if (!stamped.isEmpty) {
           AppendSink.appendSnapshot(stamped, sinkDir, table)
+          if (maintainCurrentState) {
+            graft.operators.CompactedState.upsert(spark,
+              s"$sinkDir/${AppendSink.cdcTableName(table)}_state", stamped,
+              graft.operators.CompactedState.Config(
+                Seq(pkCol), "snapshot_tm", Seq(nmsCol)))
+          }
         }
         ()
       }

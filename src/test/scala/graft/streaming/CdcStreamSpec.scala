@@ -60,6 +60,34 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(dts.nonEmpty && dts.forall(_.after(java.sql.Date.valueOf("2020-01-01"))))
   }
 
+  test("streaming MERGE compaction tracks the dedup view across batches and replays") {
+    val src = stageSource()
+    val sink = TestSpark.tmpDir("graft-stream-compact-sink")
+    val ckpt = TestSpark.tmpDir("graft-stream-compact-ckpt")
+
+    val q1 = CdcStream.startIngest(spark, src, sink, ckpt,
+      "events", nmsCol = "ts", pkCol = "event_id", maintainCurrentState = true)
+    q1.awaitTermination()
+    val stateDir = s"$sink/events_cdc_state"
+    val compacted = graft.operators.CompactedState.read(spark, stateDir).get
+    assert(compacted.count() == 1000L)
+
+    // an overlapping file arrives (at-least-once): log grows, state doesn't tear
+    Files.copy(Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      Paths.get(s"$src/events_001.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q2 = CdcStream.startIngest(spark, src, sink, ckpt,
+      "events", nmsCol = "ts", pkCol = "event_id", maintainCurrentState = true)
+    q2.awaitTermination()
+
+    val after = graft.operators.CompactedState.read(spark, stateDir).get
+    assert(after.count() == 1000L) // still exactly one row per pk
+    // and it equals the view recompute over the full (duplicated) log
+    val view = CurrentState.latestByKeyAgg(
+      spark.read.parquet(s"$sink/events_cdc").drop("snapshot_dt"),
+      Seq("event_id"), "snapshot_tm", Seq("ts"))
+    assert(after.except(view).isEmpty && view.except(after).isEmpty)
+  }
+
   test("T8 batch period drives the continuous-mode trigger") {
     assert(CdcStream.batchTrigger(availableNow = true, 99L) ==
       Trigger.AvailableNow())
