@@ -153,22 +153,34 @@ final class CdcEngine(
         val obs = org.apache.spark.sql.Observation()
         val snapBase = processor(
           Snapshot.snapshotWindow(windowed, t.nmsColumn, lo, hi, snapTm, munge))
-        val snap = snapBase.observe(obs, count(lit(1)).as("rows"))
-        AppendSink.appendSnapshot(snap, sinkDir, t.name, maxFileBytes = batchBytes)
-        val captured = obs.get("rows").asInstanceOf[Long]
-        // MERGE the batch into the compacted current state BEFORE the
-        // watermark commit: a failure re-runs the window and the upsert is
-        // idempotent, so the compacted table never silently misses a batch.
-        // (Re-plans the window scan — bounded by the window, not the corpus.)
-        if (maintainCurrentState) t.pKeyColumn.foreach { pk =>
-          CompactedState.upsert(spark, compactedStateDir(t.name), snapBase,
-            CompactedState.Config(Seq(pk), "snapshot_tm", Seq(t.nmsColumn)))
+        // When compaction also consumes the batch, pin ONE materialization:
+        // re-planning the window against a LIVE source (JDBC) between the
+        // append and the merge could observe different rows, silently
+        // diverging the compacted table from the log.
+        val compacting = maintainCurrentState && t.pKeyColumn.isDefined
+        val stable =
+          if (compacting)
+            snapBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else snapBase
+        try {
+          val snap = stable.observe(obs, count(lit(1)).as("rows"))
+          AppendSink.appendSnapshot(snap, sinkDir, t.name, maxFileBytes = batchBytes)
+          val captured = obs.get("rows").asInstanceOf[Long]
+          // MERGE the batch into the compacted current state BEFORE the
+          // watermark commit: a failure re-runs the window and the upsert
+          // is idempotent, so the compacted table never misses a batch.
+          if (compacting) t.pKeyColumn.foreach { pk =>
+            CompactedState.upsert(spark, compactedStateDir(t.name), stable,
+              CompactedState.Config(Seq(pk), "snapshot_tm", Seq(t.nmsColumn)))
+          }
+          // T3: commit only after the append succeeded.
+          state.synchronized {
+            state.commit(dsn, t.name, hi, liveCount, snapTm)
+          }
+          TickResult(t.name, decision, captured)
+        } finally {
+          if (compacting) stable.unpersist(false)
         }
-        // T3: commit only after the append succeeded.
-        state.synchronized {
-          state.commit(dsn, t.name, hi, liveCount, snapTm)
-        }
-        TickResult(t.name, decision, captured)
     }
   }
 
@@ -188,7 +200,9 @@ final class CdcEngine(
   def dumpStreamConfigs(): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(sinkDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    state.readForDsn(dsn).collect().toSeq.map { t =>
+    // same exclusion as tick(): never describe a pipeline that won't run
+    state.readForDsn(dsn).collect().toSeq
+      .filterNot(t => excludedTables(t.name)).map { t =>
       def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val mungeJson = munge match {
         case Some(m) =>

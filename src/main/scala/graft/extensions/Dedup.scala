@@ -130,19 +130,28 @@ object Dedup {
         TextFunctions.tokens(col(textCol)), shingleK).as("sh"))
 
   /** Distinct (id_a < id_b) pairs co-occurring in any bucket of size <=
-    * cap (the degenerate-bucket guard).
+    * cap (the degenerate-bucket guard). Input contract: (bucket, id) rows
+    * are unique (every caller dedups by construction), so a COUNT is the
+    * member count.
     *
-    * Shape: ONE combining shuffle (`groupBy(bucket).collect_set(id)` —
-    * partial sets merge map-side) with in-group pair expansion, then a
-    * distinct over candidate pairs only. The windowed-count + self-join
-    * formulation this replaces shuffled the full index four times (window
-    * sort, two join sides, distinct); this moves all O(df^2) work inside
-    * the group where the cap bounds it, and shuffles pairs once. */
+    * Shape: a combining COUNT first — fixed-size aggregation buffers, so
+    * a degenerate bucket (boilerplate shared by 10^8 docs) is dropped
+    * WITHOUT ever materializing its member list — then `collect_set` only
+    * over surviving buckets (list length <= cap by construction), pair
+    * expansion inside the group, and one distinct over candidate pairs.
+    * The windowed-count + self-join formulation this replaces shuffled
+    * the full index four times (window sort, two join sides, distinct)
+    * and computed O(df^2) pairs through the join. */
   private def bucketPairs(banded: DataFrame, idCol: String,
                           bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
-    val grouped = banded.groupBy(bucketCols.map(col): _*)
+    val keyCols = bucketCols.map(col)
+    val small = banded.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucketSize))
+      .select(keyCols: _*)
+    val grouped = banded.join(small, bucketCols, "left_semi")
+      .groupBy(keyCols: _*)
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
     val ids = col("__ids")
     val n = size(ids)
     // sorted ids make every emitted struct satisfy id_a < id_b for free

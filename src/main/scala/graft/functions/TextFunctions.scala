@@ -27,10 +27,12 @@ object TextFunctions {
 
   /** BPE-ish token count: letter runs, digit runs, and isolated
     * punctuation each count as one token — a deterministic proxy for
-    * subword tokenizers when the real vocab isn't available. */
+    * subword tokenizers when the real vocab isn't available. Whitespace
+    * pieces are dropped by a `\s` test (Spark's `trim` strips only ASCII
+    * spaces, which would count tabs/newlines as tokens). */
   def tokenCountBpe(text: Column): Column =
     size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-      t => length(trim(t)) > 0)).cast(LongType)
+      t => t.rlike("[^\\s]"))).cast(LongType)
 
   // --- quality scoring ------------------------------------------------
 

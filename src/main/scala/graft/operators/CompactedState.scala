@@ -79,9 +79,14 @@ object CompactedState {
 
     val current = latestVersions(spark, dir)
     val existingPaths = current.filter { case (b, _) => touched(b) }.values.map(_._2).toSeq
+    // additive schema evolution (O6): per-file schemas reconcile on read and
+    // the union null-fills columns either side predates — a batch carrying a
+    // new column must not wedge the capture loop
     val merged0 =
       if (existingPaths.isEmpty) batch
-      else batch.unionByName(spark.read.parquet(existingPaths: _*))
+      else batch.unionByName(
+        spark.read.option("mergeSchema", "true").parquet(existingPaths: _*),
+        allowMissingColumns = true)
     val merged = CurrentState
       .latestByKeyAgg(merged0, conf.keyCols, conf.orderCol, conf.tiebreakCols)
       .withColumn("__b", bucketExpr(conf))
@@ -102,7 +107,10 @@ object CompactedState {
         val b = s.getPath.getName.stripPrefix("__b=")
         val target = new Path(s"$dir/bucket=$b/v=$newV")
         f.mkdirs(target.getParent)
-        f.rename(s.getPath, target)
+        // Hadoop rename reports most failures as `false`, not an exception;
+        // a silently dropped bucket would lose the batch's updates forever
+        // (the watermark commits after this returns)
+        require(f.rename(s.getPath, target), s"failed to publish $target")
       }
     f.delete(stage, true)
   }

@@ -192,10 +192,13 @@ object NorthStarQueries {
         | FROM (SELECT doc_id, strlen(text) AS n_bytes,
         |         unnest(generate_series(0, greatest((strlen(text) - 1) // 64, 0))) AS f
         |       FROM documents) t""".stripMargin,
-    // exact n-gram Jaccard: DuckDB recomputes all-pairs over STRING
-    // 3-grams (Spark uses 64-bit hashed grams; set Jaccard is identical
-    // up to hash collisions). Same tokenization, same "fewer tokens than
-    // k -> one whole-text shingle" convention.
+    // exact n-gram Jaccard: DuckDB recomputes the SAME semantics over
+    // STRING 3-grams (Spark uses 64-bit hashed grams; set Jaccard is
+    // identical up to hash collisions): candidate pairs come only from
+    // grams with document frequency <= 100 (mirroring the inverted
+    // index's stop-gram df-cut), then Jaccard is computed on the FULL
+    // gram sets. Same tokenization, same "fewer tokens than k -> one
+    // whole-text shingle" convention.
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
@@ -205,9 +208,16 @@ object NorthStarQueries {
         |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
         |  FROM toks),
         |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+        |lowdf AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM (SELECT * FROM dg WHERE gram IN (SELECT gram FROM lowdf)) a
+        |         JOIN (SELECT * FROM dg WHERE gram IN (SELECT gram FROM lowdf)) b USING (gram)
+        |         WHERE a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |          FROM dg a JOIN dg b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+        |          FROM cand c JOIN dg x ON x.doc_id = c.id_a
+        |          JOIN dg y ON y.doc_id = c.id_b AND y.gram = x.gram
+        |          GROUP BY c.id_a, c.id_b)
         |SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,

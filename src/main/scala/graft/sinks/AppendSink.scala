@@ -47,14 +47,19 @@ object AppendSink {
     path
   }
 
-  /** Microsecond-precision timestamp rendering: the default JSON format
-    * keeps only milliseconds, silently truncating µs-grained NMS columns. */
+  /** Microsecond-precision timestamp rendering: the default JSON formats
+    * keep only milliseconds, silently truncating µs-grained NMS columns.
+    * TimestampNTZ columns use the separate (offset-free) NTZ option. */
   private val JsonTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val JsonTsNtzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
   /** O2 — JSON-lines file sink (`OUTPUT_TYPE=FILE` path). */
   def appendJsonLines(df: DataFrame, basePath: String, table: String): String = {
     val path = s"$basePath/${cdcTableName(table)}_json"
-    df.write.mode(SaveMode.Append).option("timestampFormat", JsonTsFmt).json(path)
+    df.write.mode(SaveMode.Append)
+      .option("timestampFormat", JsonTsFmt)
+      .option("timestampNTZFormat", JsonTsNtzFmt)
+      .json(path)
     path
   }
 
@@ -65,7 +70,9 @@ object AppendSink {
     * loads too). */
   def readJsonLines(spark: org.apache.spark.sql.SparkSession, basePath: String,
                     table: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("timestampFormat", JsonTsFmt)
+    spark.read.schema(schema)
+      .option("timestampFormat", JsonTsFmt)
+      .option("timestampNTZFormat", JsonTsNtzFmt)
       .json(s"$basePath/${cdcTableName(table)}_json")
 
   /**

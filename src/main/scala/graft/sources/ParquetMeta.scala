@@ -34,10 +34,15 @@ object ParquetMeta {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = parquetFiles(fs, p)
-    val sig = files.map(f =>
-      f.getPath.toString.hashCode.toLong * 31L +
-        f.getLen * 7L + f.getModificationTime).sum
+    val files = parquetFiles(fs, p).sortBy(_.getPath.toString)
+    // order-sensitive mixing fold (a plain SUM of per-file hashes would let
+    // compensating changes across files collide to the same signature)
+    val sig = files.foldLeft(1125899906842597L) { (h, f) =>
+      var z = h * 31L + f.getPath.toString.hashCode
+      z = z * 31L + f.getLen
+      z = z * 31L + f.getModificationTime
+      z ^= (z >>> 27); z * 0x94D049BB133111EBL
+    }
     val cached = countCache.get(path)
     if (cached != null && cached._1 == sig) cached._2
     else {

@@ -139,8 +139,18 @@ object CdcStream {
     } else {
       val ms = now()
       fs.mkdirs(dir)
-      val out = new java.io.DataOutputStream(fs.create(f, true))
+      // write-then-rename so a crash mid-write can never leave a truncated
+      // file that poisons every replay of this batch id
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".${batchId}.tmp")
+      val out = new java.io.DataOutputStream(fs.create(tmp, true))
       try out.writeLong(ms) finally out.close()
+      if (!fs.rename(tmp, f)) {
+        fs.delete(tmp, false)
+        require(fs.exists(f), s"could not publish batch time for batch $batchId")
+        // lost a (theoretical) race: use the published value
+        val in = new java.io.DataInputStream(fs.open(f))
+        try return new Timestamp(in.readLong()) finally in.close()
+      }
       new Timestamp(ms)
     }
   }
