@@ -105,6 +105,26 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  // --- corpus splitting -----------------------------------------------
+
+  /** Deterministic train/val/test assignment by content-stable hash: the
+    * first md5 byte of the id/content column buckets rows reproducibly
+    * across engines, runs, and cluster sizes (the standard "hash split"
+    * for training corpora — no RNG state, rerunning never reshuffles).
+    * Thresholds are hex-string prefixes: "cc" ~ 0.8, "e6" ~ 0.9. */
+  def hashSplit(key: Column, trainTo: String = "cc", valTo: String = "e6"): Column = {
+    val h = substring(md5(key.cast("binary")), 1, 2)
+    when(h < lit(trainTo), "train").when(h < lit(valTo), "val").otherwise("test")
+  }
+
+  /** C4/Gopher-style quality gate: keep docs that look like prose in the
+    * target language — composable building block for filter pipelines. */
+  def qualityGate(text: Column, lang: String = "en",
+                  minQuality: Double = 0.3, maxPunct: Double = 0.2): Column =
+    langId(text) === lang &&
+      qualityScore(text) >= minQuality &&
+      punctRatio(text) <= maxPunct
+
   // --- fingerprinting -------------------------------------------------
 
   /** Normalized content fingerprint: md5 of lowercased text with all

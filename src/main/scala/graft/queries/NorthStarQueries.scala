@@ -133,6 +133,21 @@ object NorthStarQueries {
         TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
         TextFunctions.qualityScore(col("text")).as("quality"))),
 
+    // deterministic corpus split + per-split stats (reproducible across
+    // engines/runs/cluster sizes — no RNG)
+    "text_hash_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.hashSplit(col("doc_id").cast("string")).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
+
+    // C4-style quality-gate filter pipeline over the corpus
+    "text_quality_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(TextFunctions.qualityGate(col("text")))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // ---- multimodal plumbing -----------------------------------------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.withMediaColumn(docs(s, dir), "text").select(
@@ -270,5 +285,41 @@ object NorthStarQueries {
       """SELECT doc_id AS id, 'raw' AS format, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(16 + (strlen(text) * 31) % 64 AS BIGINT) AS width,
         | CAST(16 + strlen(text) % 64 AS BIGINT) AS height
-        | FROM documents""".stripMargin)
+        | FROM documents""".stripMargin,
+    "text_hash_split" ->
+      """SELECT split, count(*) AS n, min(doc_id) AS min_id FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents) t
+        |GROUP BY split""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des','dans','que'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','que','por'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不','人','这'], x))) AS s_zh,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','at','by','be'], x))) AS DOUBLE) / len(toks) END AS sw,
+        |  length(text) AS n_len
+        |  FROM t)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN s ON s.doc_id = d.doc_id
+        |WHERE (CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+        |            WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+        |            WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+        |            WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+        |            WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+        |            ELSE 'de' END) = 'en'
+        |  AND round(least(n_len / 200.0, 1.0)
+        |            * greatest(0.0, 1.0 - punct * 4.0)
+        |            * (0.5 + least(sw * 5.0, 1.0) * 0.5), 6) >= 0.3
+        |  AND punct <= 0.2""".stripMargin)
 }

@@ -60,4 +60,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(df.select(TextFunctions.shingles(col("t"), 3)).head()
       .getSeq[String](0) == Seq("two words"))
   }
+
+  test("hashSplit: deterministic, total, and roughly 80/10/10") {
+    val ids = (0L until 2000L).toDF("id").select(col("id").cast("string").as("k"))
+    val splits = ids.select(col("k"), TextFunctions.hashSplit(col("k")).as("s"))
+    val counts = splits.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1400 && counts("train") < 1800) // ~80%
+    assert(counts("val") > 100 && counts("val") < 320)       // ~10%
+    // rerun -> byte-identical assignment (no RNG anywhere)
+    val again = ids.select(col("k"), TextFunctions.hashSplit(col("k")).as("s"))
+    assert(splits.except(again).isEmpty && again.except(splits).isEmpty)
+  }
+
+  test("qualityGate keeps prose and rejects noise") {
+    val df = Seq(
+      ("good", "the quick brown fox and the lazy dog went to the market in town " * 4),
+      ("punct", "!!! ??? *** ### $$$ %%% the and of to !!! ??? *** ### $$$ %%%"),
+      ("short", "the of"),
+      ("nonenglish", "der die das und ist nicht ein mit von zu " * 8)
+    ).toDF("tag", "t")
+    val kept = df.filter(TextFunctions.qualityGate(col("t")))
+      .select("tag").as[String].collect().toSet
+    assert(kept == Set("good"))
+  }
 }
