@@ -69,12 +69,18 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: length-band * (1 - punct noise) *
     * stopword presence. Deterministic, tunable; mirrors the shape of
-    * published heuristic filters (length/punct/stopword ratios). */
+    * published heuristic filters (length/punct/stopword ratios).
+    *
+    * Deliberately NOT decimal-rounded: per-row IEEE arithmetic is
+    * engine-exact, but `round(x, 6)` is not — Spark rounds the shortest
+    * decimal rendering (`BigDecimal.valueOf`) while other engines round
+    * the raw binary value, so an exact .5 at the 7th digit diverges
+    * (found via a real 0.2559375 at sf0.1). */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
     val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round(lenScore * punctScore * (lit(0.5) + swScore * 0.5), 6)
+    lenScore * punctScore * (lit(0.5) + swScore * 0.5)
   }
 
   // --- language identification ---------------------------------------

@@ -277,9 +277,9 @@ object NorthStarQueries {
         |       WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
         |       ELSE 'de' END AS lang_pred,
         |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+')) + len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tokens_bpe,
-        |  round(least(length(text) / 200.0, 1.0)
-        |        * greatest(0.0, 1.0 - punct * 4.0)
-        |        * (0.5 + least(sw * 5.0, 1.0) * 0.5), 6) AS quality
+        |  least(length(text) / 200.0, 1.0)
+        |    * greatest(0.0, 1.0 - punct * 4.0)
+        |    * (0.5 + least(sw * 5.0, 1.0) * 0.5) AS quality
         |FROM s""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS id, 'raw' AS format, CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -318,8 +318,8 @@ object NorthStarQueries {
         |            WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
         |            WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
         |            ELSE 'de' END) = 'en'
-        |  AND round(least(n_len / 200.0, 1.0)
-        |            * greatest(0.0, 1.0 - punct * 4.0)
-        |            * (0.5 + least(sw * 5.0, 1.0) * 0.5), 6) >= 0.3
+        |  AND least(n_len / 200.0, 1.0)
+        |      * greatest(0.0, 1.0 - punct * 4.0)
+        |      * (0.5 + least(sw * 5.0, 1.0) * 0.5) >= 0.3
         |  AND punct <= 0.2""".stripMargin)
 }

@@ -155,6 +155,16 @@ object CdcStream {
     }
   }
 
+  /** Stream-static enrichment: join the change stream against a (small)
+    * static dimension, broadcast per micro-batch — the streaming analog of
+    * the J1 star join, and the standard way to attach slowly-changing
+    * reference data to a CDC stream without stateful stream-stream joins.
+    * The dimension is re-resolved per micro-batch, so an updated dim table
+    * is picked up on the next trigger. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    joinCols: Seq[String], how: String = "left"): DataFrame =
+    stream.join(broadcast(dim), joinCols, how)
+
   /** Tumbling/sliding-window aggregation over the change stream with
     * late-data handling — the analytic windows the reference lacks
     * entirely (SURVEY §2.10). */

@@ -210,6 +210,39 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(eng2.tick(Instant.parse("2024-02-01T01:00:00Z")).isEmpty)
   }
 
+  test("T3 under failure: a failed capture leaves the watermark uncommitted; retry loses nothing") {
+    val sink = TestSpark.tmpDir("graft-sink-fail")
+    val stateDir = TestSpark.tmpDir("graft-state-fail")
+    val boom = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val eng = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir,
+      policy = PolicyConfig(batchCount = 1000, replicationBufferSecs = 180),
+      concurrency = 1,
+      // processor that fails the FIRST capture attempt (sink outage analog)
+      processor = df => {
+        if (boom.getAndSet(false)) throw new RuntimeException("sink outage")
+        df
+      })
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+    val nms0 = eng.state.readForDsn(1).collect().head.nms
+
+    val failed = intercept[Exception] {
+      eng.tick(Instant.parse("2024-02-01T00:00:00Z"))
+    }
+    assert(failed.getMessage != null)
+    // watermark did NOT advance; nothing was committed for the failed window
+    val nms1 = eng.state.readForDsn(1).collect().head.nms
+    assert(nms1 == nms0, "failed capture must not commit the watermark")
+
+    // retry: the SAME window re-runs and the capture completes
+    val res = eng.tick(Instant.parse("2024-02-01T00:00:00Z"))
+    assert(res.head.rowsCaptured > 0)
+    assert(eng.state.readForDsn(1).collect().head.nms.after(nms0))
+    assert(eng.cdcLog("events").count() == res.head.rowsCaptured)
+    // exactly-once downstream: no duplicate pks in the current state
+    assert(eng.currentState("events")
+      .groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("O7: run dumps one parseable stream-config artifact per tracked table") {
     val eng = mkEngine()
     eng.seed(Seq(("events", "ts", Some("event_id"))))

@@ -138,6 +138,30 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n") =!= col("b.n")).isEmpty)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val src = stageSource()
+    val raw = CdcStream.rawFileSchema(spark, src)
+    val stream = CdcStream.readChangeStream(spark, src, raw)
+    // static "dimension": event_type -> category
+    val dim = Seq(("click", "ui"), ("view", "ui"), ("purchase", "commerce"))
+      .toDF("event_type", "category")
+    val enriched = CdcStream.enrichWithDim(stream, dim, Seq("event_type"))
+      .select("event_id", "event_type", "category")
+
+    val qn = s"enrich_${System.nanoTime()}"
+    val q = enriched.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table(qn)
+    val batch = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .select("event_id", "event_type", "category")
+    assert(streamed.count() == 1000L)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState user sessions accumulate per key") {
     val events = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
