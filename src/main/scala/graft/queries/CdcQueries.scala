@@ -108,7 +108,38 @@ object CdcQueries {
       events(s, dir).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"),
-        from_json(col("props"), lit("k BIGINT")).getField("k").as("k_typed"))))
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k_typed"))),
+
+    // AS-OF JOIN (operator Spark lacks natively): attribute every event to
+    // the same user's latest purchase at or before it — union+window
+    // merge-join shape, no inequality-join row explosion.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.asOfJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases.withColumnRenamed("event_id", "purchase_id"),
+        keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+        rightValCols = Seq("purchase_id"), rightTiebreak = Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"), col("asof_purchase_id"))
+    }),
+
+    // RANGE JOIN via binning (the inequality join Spark would otherwise
+    // plan as a nested loop): events within 6 hours after the same user's
+    // purchase, half-open [purchase, purchase + 6h).
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val intervals = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("hi"))
+      graft.operators.RangeJoin.pointInIntervalJoin(
+        ev.select(col("user_id"), col("event_id"), col("ts")), intervals,
+        keyCols = Seq("user_id"), pointTimeCol = "ts",
+        loCol = "lo", hiCol = "hi", binMicros = 6L * 3600 * 1000000)
+        .select(col("purchase_id"), col("event_id"), col("user_id"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "cdc_snapshot_window" ->
@@ -154,5 +185,26 @@ object CdcQueries {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
-        | FROM events""".stripMargin)
+        | FROM events""".stripMargin,
+    // deterministic AS-OF formulation (greatest (ts, purchase_id) at or
+    // before each event) — ties broken identically to the Spark operator
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase'),
+        |ranked AS (
+        |  SELECT e.event_id, p.purchase_id,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY p.ts DESC, p.purchase_id DESC) AS rn
+        |  FROM e JOIN p ON p.user_id = e.user_id AND p.ts <= e.ts)
+        |SELECT e.event_id, e.user_id, r.purchase_id AS asof_purchase_id
+        |FROM e LEFT JOIN (SELECT event_id, purchase_id FROM ranked WHERE rn = 1) r
+        |  ON r.event_id = e.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id, e.user_id
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |  ON e.user_id = p.user_id
+        | AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 6 HOUR""".stripMargin)
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.util.Util.utcTs
+
+/** Planted-scenario coverage for the time-join operators (as-of + binned
+  * range): boundary inclusion, no-match nulls, tie determinism, and the
+  * no-duplicates guarantee of bin expansion. */
+class TimeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = utcTs(s)
+
+  test("asOfJoin: picks latest at-or-before per key; null when none; ties break by tiebreak") {
+    val left = Seq(
+      (1L, ts("2024-01-10 00:00:00"), "a"),  // after v2 -> v2
+      (1L, ts("2024-01-05 00:00:00"), "b"),  // exactly at v2 -> v2 (<= bound)
+      (1L, ts("2024-01-02 00:00:00"), "c"),  // between v1 and v2 -> v1
+      (1L, ts("2023-12-31 00:00:00"), "d"),  // before all -> null
+      (2L, ts("2024-01-10 00:00:00"), "e"),  // other key, no versions -> null
+      (3L, ts("2024-01-08 00:00:00"), "f")   // tie case below
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L),
+      (1L, ts("2024-01-05 00:00:00"), 200L),
+      (3L, ts("2024-01-08 00:00:00"), 300L), // two versions at the SAME time:
+      (3L, ts("2024-01-08 00:00:00"), 301L)  // tiebreak picks greatest vid
+    ).toDF("k", "vt", "vid")
+
+    val out = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "vt",
+      rightValCols = Seq("vid"), rightTiebreak = Seq("vid"))
+      .select("tag", "asof_vid").as[(String, Option[Long])].collect().toMap
+    assert(out("a").contains(200L))
+    assert(out("b").contains(200L))
+    assert(out("c").contains(100L))
+    assert(out("d").isEmpty)
+    assert(out("e").isEmpty)
+    assert(out("f").contains(301L))
+    // every left row survives exactly once (left-join semantics)
+    assert(out.size == 6)
+  }
+
+  test("pointInIntervalJoin: half-open bounds, no duplicates across bins, empty intervals dropped") {
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),  // == lo -> in
+      (1L, 11L, ts("2024-01-01 05:59:59")),  // just inside
+      (1L, 12L, ts("2024-01-01 06:00:00")),  // == hi -> out (half-open)
+      (1L, 13L, ts("2024-01-03 00:00:00")),  // outside
+      (2L, 14L, ts("2024-01-01 01:00:00"))   // wrong key
+    ).toDF("k", "pid", "t")
+    val intervals = Seq(
+      (1L, 77L, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")),
+      // interval spanning MANY bins with a tiny binWidth must still match once
+      (1L, 88L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      // empty interval: matches nothing (and must not break bin expansion)
+      (1L, 99L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00"))
+    ).toDF("k", "iid", "lo", "hi")
+
+    val out = RangeJoin.pointInIntervalJoin(points, intervals, Seq("k"),
+      "t", "lo", "hi", binMicros = 3600L * 1000000) // 1h bins, 6h/24h intervals
+      .select("iid", "pid").as[(Long, Long)].collect().toSeq
+    assert(out.count { case (i, p) => i == 77L } == 2)       // pids 10, 11
+    assert(out.filter(_._1 == 77L).map(_._2).toSet == Set(10L, 11L))
+    assert(out.filter(_._1 == 88L).map(_._2).toSet == Set(10L, 11L, 12L))
+    assert(!out.exists(_._1 == 99L))
+    // exactly-once: no (interval, point) pair appears twice
+    assert(out.distinct.size == out.size)
+  }
+}
