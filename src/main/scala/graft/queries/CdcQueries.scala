@@ -125,6 +125,31 @@ object CdcQueries {
         .select(col("event_id"), col("user_id"), col("asof_purchase_id"))
     }),
 
+    // Sessionization: split each user's event stream into sessions at
+    // >30-minute gaps (lag + running sum of session-start flags — the
+    // standard one-shuffle formulation; no stateful loop).
+    "q_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = lit(30L * 60 * 1000000)
+      val newSession =
+        when(lag(col("ts"), 1).over(w).isNull, 1L)
+          .when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1L)
+          .otherwise(0L)
+      events(s, dir)
+        .withColumn("__new", newSession)
+        .withColumn("session_seq", sum(col("__new")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+    }),
+
+    // Pivot: per-user event counts spread across event-type columns.
+    "q_pivot" -> ((s, dir) =>
+      events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)),
+
     // RANGE JOIN via binning (the inequality join Spark would otherwise
     // plan as a nested loop): events within 6 hours after the same user's
     // purchase, half-open [purchase, purchase + 6h).
@@ -186,6 +211,27 @@ object CdcQueries {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
         | FROM events""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT event_id, user_id,
+        |  sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |FROM flagged""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'view') AS view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        | FROM events GROUP BY user_id""".stripMargin,
     // deterministic AS-OF formulation (greatest (ts, purchase_id) at or
     // before each event) — ties broken identically to the Spark operator
     "q_asof_join" ->
