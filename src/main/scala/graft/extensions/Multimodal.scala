@@ -87,6 +87,24 @@ object Multimodal {
     }
   }
 
+  /**
+   * Resize plumbing: aspect-preserving target dimensions for a bounding
+   * box (the real pixel resample is the codec stub's job — absent in this
+   * container — but the dimension arithmetic, schema, and pipeline
+   * position are the production shape). Pure integer math, so the oracle
+   * reproduces it exactly.
+   */
+  def resizeMeta(df: DataFrame, idCol: String, box: Int = 64): DataFrame = {
+    // integer floor division (`div`) matches every engine's semantics
+    val longSide = "greatest(CAST(width AS BIGINT), CAST(height AS BIGINT))"
+    val rw = greatest(expr(s"CAST(width AS BIGINT) * $box div $longSide"), lit(1L))
+    val rh = greatest(expr(s"CAST(height AS BIGINT) * $box div $longSide"), lit(1L))
+    df.select(col(idCol),
+      col("width").cast(LongType).as("width"),
+      col("height").cast(LongType).as("height"),
+      rw.as("resized_w"), rh.as("resized_h"))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: deterministic
     * stride over the byte stream standing in for frame extraction;
     * output explodes to one row per sampled "frame". */

@@ -163,7 +163,12 @@ object NorthStarQueries {
           col("height").cast(LongType).as("height"))),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.withMediaColumn(docs(s, dir), "text"), "doc_id", 64)))
+        Multimodal.withMediaColumn(docs(s, dir), "text"), "doc_id", 64)),
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeMeta(
+        Multimodal.extractFeatures(s,
+          Multimodal.withMediaColumn(docs(s, dir), "text"), "doc_id").toDF(),
+        "id", box = 64)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_groups" ->
@@ -285,6 +290,17 @@ object NorthStarQueries {
       """SELECT doc_id AS id, 'raw' AS format, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | CAST(16 + (strlen(text) * 31) % 64 AS BIGINT) AS width,
         | CAST(16 + strlen(text) % 64 AS BIGINT) AS height
+        | FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id AS id,
+        | CAST(16 + (strlen(text) * 31) % 64 AS BIGINT) AS width,
+        | CAST(16 + strlen(text) % 64 AS BIGINT) AS height,
+        | greatest(CAST(16 + (strlen(text) * 31) % 64 AS BIGINT) * 64
+        |   // greatest(CAST(16 + (strlen(text) * 31) % 64 AS BIGINT),
+        |              CAST(16 + strlen(text) % 64 AS BIGINT)), 1) AS resized_w,
+        | greatest(CAST(16 + strlen(text) % 64 AS BIGINT) * 64
+        |   // greatest(CAST(16 + (strlen(text) * 31) % 64 AS BIGINT),
+        |              CAST(16 + strlen(text) % 64 AS BIGINT)), 1) AS resized_h
         | FROM documents""".stripMargin,
     "text_hash_split" ->
       """SELECT split, count(*) AS n, min(doc_id) AS min_id FROM (

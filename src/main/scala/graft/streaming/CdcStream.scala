@@ -189,6 +189,36 @@ object CdcStream {
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
                                first_ts: Timestamp, last_ts: Timestamp)
 
+  /** `flatMapGroupsWithState` exactly-once emission: per-key custom state
+    * (the set of seen pks) emits each row the FIRST time it arrives and
+    * swallows at-least-once replays — the multi-row-output custom-state
+    * surface next to `dropDuplicatesWithinWatermark` (which bounds state
+    * by watermark; this form gives the pipeline full control of the state
+    * and what is emitted). */
+  def dedupStream(spark: SparkSession,
+                  events: Dataset[UserEvent]): Dataset[UserEvent] = {
+    import spark.implicits._
+    // NoTimeout: with ProcessingTimeTimeout the engine schedules a batch
+    // EVERY trigger to evaluate timeouts, so Trigger.AvailableNow never
+    // drains — state here is bounded by retention of the upstream log
+    // instead (production: swap for EventTimeTimeout + watermark eviction)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Set[Long], UserEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[UserEvent], state: GroupState[Set[Long]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Long])
+          var s = seen
+          val out = Vector.newBuilder[UserEvent]
+          rows.foreach { e =>
+            // µs-precision event identity within the user's stream
+            val id = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+            if (!s(id)) { s += id; out += e }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** `mapGroupsWithState` per-user running session — the KeyValue state
     * surface (north-star requirement; the reference keeps comparable state
     * in SQLite, `/root/reference/nmsdb.go`). ProcessingTimeTimeout keeps

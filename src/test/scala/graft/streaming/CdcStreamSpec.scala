@@ -162,6 +162,29 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("flatMapGroupsWithState dedup emits each event once despite duplicate deliveries") {
+    val src = stageSource()
+    // the change log delivers the same file twice (at-least-once upstream)
+    Files.copy(Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      Paths.get(s"$src/events_dup.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val raw = CdcStream.rawFileSchema(spark, src)
+    val stream = CdcStream.readChangeStream(spark, src, raw)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[CdcStream.UserEvent]
+    val deduped = CdcStream.dedupStream(spark, stream)
+
+    val qn = s"fmgs_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", TestSpark.tmpDir("graft-fmgs-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.table(qn)
+    assert(out.count() == 1000L, "2000 delivered rows -> 1000 distinct events")
+    assert(out.select("user_id", "ts").distinct().count() == 1000L)
+  }
+
   test("mapGroupsWithState user sessions accumulate per key") {
     val events = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
