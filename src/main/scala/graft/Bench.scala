@@ -33,7 +33,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        // toRdd.count(): execute the query's OWN plan — a plain .count()
+        // lets the optimizer prune every projected column, so projection
+        // queries would be timed as bare scans
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }

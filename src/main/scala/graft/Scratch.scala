@@ -45,7 +45,8 @@ object Scratch {
         names.foreach { n =>
           val times = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            SparkEntry.queries(n)(spark, dir).count()
+            // toRdd: evaluate all output columns (see Bench)
+            SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
             (System.nanoTime() - t0) / 1e9
           }
           println(f"$n: ${times.map(t => f"$t%.2f").mkString(" ")} s")

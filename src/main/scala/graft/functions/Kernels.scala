@@ -120,6 +120,69 @@ object HashKernels {
   }
 }
 
+/** Static kernels for [[TextExpressions]] — same rationale as
+  * [[HashKernels]]: the Column-composed forms walk the token array once
+  * per profile through the expression interpreter; these score all
+  * profiles in one pass per row. */
+object TextKernels {
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def toSet(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Profiles in ascending lang-tag order (argmax tie resolves to the
+    * lexicographically GREATEST tag, matching the struct-max form). */
+  private val langTags: Array[UTF8String] =
+    TextFunctions.LangProfiles.keys.toArray.sorted.map(UTF8String.fromString)
+  private val langSets: Array[java.util.HashSet[UTF8String]] =
+    TextFunctions.LangProfiles.toSeq.sortBy(_._1).map(p => toSet(p._2)).toArray
+  private val und = UTF8String.fromString("und")
+
+  /** Best-scoring language tag over the token array ("und" when nothing
+    * matches): every profile scored in ONE pass over the tokens. */
+  def langId(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val scores = new Array[Int](langSets.length)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var p = 0
+        while (p < langSets.length) {
+          if (langSets(p).contains(t)) scores(p) += 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var p = 1
+    while (p < scores.length) {
+      if (scores(p) >= scores(best)) best = p // later tag wins ties (asc order)
+      p += 1
+    }
+    if (scores(best) > 0) langTags(best) else und
+  }
+
+  private val stopwords = toSet(TextFunctions.EnglishStopwords)
+
+  /** Number of tokens (with multiplicity) that are English stopwords. */
+  def stopwordHits(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && stopwords.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+}
+
 /** Static kernels for [[VectorExpressions]] — same rationale as
   * [[HashKernels]]. */
 object VectorKernels {

@@ -60,8 +60,23 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "that", "this", "it", "as", "at", "by", "be")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val t = tokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    stopwordRatioFromTokens(tokens(text), stopwords)
+
+  /** Token-staged variant: pass a PRE-MATERIALIZED tokens column so a
+    * multi-feature pipeline tokenizes each document once (HOF lambdas are
+    * interpreted with no common-subexpression elimination — the same
+    * staging rule as `Dedup.minhashBase`). The default stopword list runs
+    * as a one-pass native kernel; custom lists use the composed form. */
+  def stopwordRatioFromTokens(t: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    if (stopwords == EnglishStopwords)
+      when(size(t) === 0, 0.0).otherwise(
+        TextExpressions.stopword_hits(t).cast("double") / size(t))
+    else stopwordRatioComposed(t, stopwords)
+
+  /** Builtin-composed reference semantics (spec-pinned to the kernel). */
+  private[graft] def stopwordRatioComposed(
+      t: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val sw = array(stopwords.map(lit): _*)
     when(size(t) === 0, 0.0).otherwise(
       size(filter(t, x => array_contains(sw, x))).cast("double") / size(t))
@@ -76,10 +91,15 @@ object TextFunctions {
     * decimal rendering (`BigDecimal.valueOf`) while other engines round
     * the raw binary value, so an exact .5 at the 7th digit diverges
     * (found via a real 0.2559375 at sf0.1). */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** Token-staged variant of [[qualityScore]] (see
+    * [[stopwordRatioFromTokens]]). */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
-    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatioFromTokens(toks) * 5.0, lit(1.0))
     lenScore * punctScore * (lit(0.5) + swScore * 0.5)
   }
 
@@ -97,10 +117,16 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
 
   /** Best-scoring language tag, "und" when nothing matches. */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
-    // build array<struct<score,lang>>, take max (struct ordering = by
-    // score, ties by lang tag descending for determinism), then gate.
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** Token-staged variant of [[langId]] (see [[stopwordRatioFromTokens]]):
+    * one native-kernel pass scoring all profiles at once. */
+  def langIdFromTokens(t: Column): Column = TextExpressions.lang_id(t)
+
+  /** Builtin-composed reference semantics (spec-pinned to the kernel):
+    * array<struct<score,lang>> max — score first, ties to the
+    * lexicographically greatest lang tag. */
+  private[graft] def langIdComposed(t: Column): Column = {
     val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val profile = array(words.map(lit): _*)
       struct(
@@ -129,6 +155,16 @@ object TextFunctions {
                   minQuality: Double = 0.3, maxPunct: Double = 0.2): Column =
     langId(text) === lang &&
       qualityScore(text) >= minQuality &&
+      punctRatio(text) <= maxPunct
+
+  /** Token-staged variant of [[qualityGate]]: every feature reads the one
+    * materialized tokens column instead of re-splitting the text (the
+    * plain form tokenizes 3x per row; Catalyst's project collapsing keeps
+    * non-cheap staged expressions staged). */
+  def qualityGateFromTokens(text: Column, toks: Column, lang: String = "en",
+                            minQuality: Double = 0.3, maxPunct: Double = 0.2): Column =
+    langIdFromTokens(toks) === lang &&
+      qualityScoreFromTokens(text, toks) >= minQuality &&
       punctRatio(text) <= maxPunct
 
   // --- fingerprinting -------------------------------------------------

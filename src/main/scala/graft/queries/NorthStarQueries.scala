@@ -127,11 +127,13 @@ object NorthStarQueries {
         TextFunctions.digitRatio(col("text")).as("digit_ratio"),
         TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))),
     "text_langid" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang_pred"),
-        TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
-        TextFunctions.qualityScore(col("text")).as("quality"))),
+      docs(s, dir)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"),
+          TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+          TextFunctions.qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))),
 
     // deterministic corpus split + per-split stats (reproducible across
     // engines/runs/cluster sizes — no RNG)
@@ -142,10 +144,12 @@ object NorthStarQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
 
-    // C4-style quality-gate filter pipeline over the corpus
+    // C4-style quality-gate filter pipeline over the corpus — tokens
+    // staged ONCE, every gate feature reads the staged column
     "text_quality_filter" -> ((s, dir) =>
       docs(s, dir)
-        .filter(TextFunctions.qualityGate(col("text")))
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .filter(TextFunctions.qualityGateFromTokens(col("text"), col("__toks")))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
     // ---- multimodal plumbing -----------------------------------------

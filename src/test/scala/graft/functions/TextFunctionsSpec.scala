@@ -61,6 +61,29 @@ class TextFunctionsSpec extends AnyFunSuite {
       .getSeq[String](0) == Seq("two words"))
   }
 
+  test("native langId/stopword kernels match the composed forms on the corpus (both codegen modes)") {
+    val docs = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "documents")
+      .withColumn("__toks", TextFunctions.tokens(col("t".replace("t", "text"))))
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.fallback", mode != "CODEGEN_ONLY")
+      try {
+        val both = docs.select(
+          TextFunctions.langIdFromTokens(col("__toks")).as("k_lang"),
+          TextFunctions.langIdComposed(col("__toks")).as("c_lang"),
+          TextFunctions.stopwordRatioFromTokens(col("__toks")).as("k_sw"),
+          TextFunctions.stopwordRatioComposed(col("__toks")).as("c_sw"))
+        assert(both.filter(col("k_lang") =!= col("c_lang")).isEmpty)
+        assert(both.filter(col("k_sw") =!= col("c_sw")).isEmpty)
+        both.collect()
+      } finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+    assert(run("CODEGEN_ONLY").toSeq == run("NO_CODEGEN").toSeq)
+  }
+
   test("hashSplit: deterministic, total, and roughly 80/10/10") {
     val ids = (0L until 2000L).toDF("id").select(col("id").cast("string").as("k"))
     val splits = ids.select(col("k"), TextFunctions.hashSplit(col("k")).as("s"))
