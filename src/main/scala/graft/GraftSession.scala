@@ -30,6 +30,7 @@ object GraftSession {
   def create(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     functions.HashExpressions.register(spark)
+    functions.TextExpressions.register(spark)
     spark
   }
 }

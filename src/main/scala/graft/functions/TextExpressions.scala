@@ -55,4 +55,12 @@ object TextExpressions {
 
   def stopword_hits(tokens: Column): Column =
     ColumnBridge.column(StopwordHits(ColumnBridge.expression(tokens)))
+
+  /** Register both as SQL functions on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id", exprs => LangIdExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "stopword_hits", exprs => StopwordHits(exprs.head), "scala_udf")
+  }
 }
