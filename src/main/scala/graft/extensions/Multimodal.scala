@@ -95,8 +95,10 @@ object Multimodal {
    * reproduces it exactly.
    */
   def resizeMeta(df: DataFrame, idCol: String, box: Int = 64): DataFrame = {
-    // integer floor division (`div`) matches every engine's semantics
-    val longSide = "greatest(CAST(width AS BIGINT), CAST(height AS BIGINT))"
+    // integer floor division (`div`) matches every engine's semantics;
+    // a degenerate 0x0 frame resizes to 1x1 instead of dividing by zero
+    // (ANSI mode would kill the job)
+    val longSide = "greatest(greatest(CAST(width AS BIGINT), CAST(height AS BIGINT)), 1)"
     val rw = greatest(expr(s"CAST(width AS BIGINT) * $box div $longSide"), lit(1L))
     val rh = greatest(expr(s"CAST(height AS BIGINT) * $box div $longSide"), lit(1L))
     df.select(col(idCol),

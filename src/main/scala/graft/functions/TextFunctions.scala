@@ -120,8 +120,11 @@ object TextFunctions {
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Token-staged variant of [[langId]] (see [[stopwordRatioFromTokens]]):
-    * one native-kernel pass scoring all profiles at once. */
-  def langIdFromTokens(t: Column): Column = TextExpressions.lang_id(t)
+    * one native-kernel pass scoring all profiles at once. NULL tokens
+    * resolve to "und" exactly like the composed form (the expression
+    * itself null-propagates). */
+  def langIdFromTokens(t: Column): Column =
+    coalesce(TextExpressions.lang_id(t), lit("und"))
 
   /** Builtin-composed reference semantics (spec-pinned to the kernel):
     * array<struct<score,lang>> max — score first, ties to the

@@ -57,7 +57,13 @@ object AsOfJoin {
         (if (present) col(c) else lit(null).cast(right.schema(c).dataType))
           .as(s"__tie$i")
       }
-    val r = right.select(
+    // equi-join semantics: a right version with a NULL key or NULL time
+    // can never match (the window form would otherwise group NULL keys
+    // together and sort NULL times first, attaching them to everything)
+    val matchableRight = right.filter(
+      (col(rightTimeCol).isNotNull +: keyCols.map(col(_).isNotNull))
+        .reduce(_ && _))
+    val r = matchableRight.select(
       keyCols.map(col) ++
         Seq(col(rightTimeCol).as("__t"), lit(0).as("__side")) ++
         tieCols(present = true) ++

@@ -148,7 +148,9 @@ object CdcQueries {
       events(s, dir).groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .count()
-        .na.fill(0L)),
+        // fill only the pivoted counts — an unscoped fill would also
+        // rewrite a NULL group key to 0
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
 
     // RANGE JOIN via binning (the inequality join Spark would otherwise
     // plan as a nested loop): events within 6 hours after the same user's

@@ -190,13 +190,20 @@ object CdcStream {
                                first_ts: Timestamp, last_ts: Timestamp)
 
   /** `flatMapGroupsWithState` exactly-once emission: per-key custom state
-    * (the set of seen pks) emits each row the FIRST time it arrives and
-    * swallows at-least-once replays — the multi-row-output custom-state
-    * surface next to `dropDuplicatesWithinWatermark` (which bounds state
-    * by watermark; this form gives the pipeline full control of the state
-    * and what is emitted). */
+    * (the set of seen event identities) emits each row the FIRST time it
+    * arrives and swallows at-least-once replays — the multi-row-output
+    * custom-state surface next to `dropDuplicatesWithinWatermark` (which
+    * bounds state by watermark; this form gives the pipeline full control
+    * of the state and what is emitted).
+    *
+    * @param eventKey identity of an event WITHIN its user's stream; the
+    *   default is the µs timestamp (right for sources where a user emits
+    *   at most one event per µs — pass a real pk extractor otherwise).
+    */
   def dedupStream(spark: SparkSession,
-                  events: Dataset[UserEvent]): Dataset[UserEvent] = {
+                  events: Dataset[UserEvent],
+                  eventKey: UserEvent => Long = e =>
+                    e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000): Dataset[UserEvent] = {
     import spark.implicits._
     // NoTimeout: with ProcessingTimeTimeout the engine schedules a batch
     // EVERY trigger to evaluate timeouts, so Trigger.AvailableNow never
@@ -206,12 +213,10 @@ object CdcStream {
       .flatMapGroupsWithState[Set[Long], UserEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[UserEvent], state: GroupState[Set[Long]]) =>
-          val seen = state.getOption.getOrElse(Set.empty[Long])
-          var s = seen
+          var s = state.getOption.getOrElse(Set.empty[Long])
           val out = Vector.newBuilder[UserEvent]
           rows.foreach { e =>
-            // µs-precision event identity within the user's stream
-            val id = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+            val id = eventKey(e)
             if (!s(id)) { s += id; out += e }
           }
           state.update(s)

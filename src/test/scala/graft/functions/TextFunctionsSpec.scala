@@ -63,7 +63,7 @@ class TextFunctionsSpec extends AnyFunSuite {
 
   test("native langId/stopword kernels match the composed forms on the corpus (both codegen modes)") {
     val docs = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "documents")
-      .withColumn("__toks", TextFunctions.tokens(col("t".replace("t", "text"))))
+      .withColumn("__toks", TextFunctions.tokens(col("text")))
     def run(mode: String) = {
       spark.conf.set("spark.sql.codegen.factoryMode", mode)
       spark.conf.set("spark.sql.codegen.fallback", mode != "CODEGEN_ONLY")
@@ -82,6 +82,15 @@ class TextFunctionsSpec extends AnyFunSuite {
       }
     }
     assert(run("CODEGEN_ONLY").toSeq == run("NO_CODEGEN").toSeq)
+
+    // NULL text resolves to "und" on both paths (the kernel expression
+    // null-propagates; the wrapper coalesces to match the composed form)
+    val nullDf = Seq(Option.empty[String]).toDF("text")
+      .withColumn("__toks", TextFunctions.tokens(col("text")))
+    assert(nullDf.select(
+      TextFunctions.langIdFromTokens(col("__toks")),
+      TextFunctions.langIdComposed(col("__toks"))).head() ==
+      org.apache.spark.sql.Row("und", "und"))
   }
 
   test("hashSplit: deterministic, total, and roughly 80/10/10") {

@@ -33,17 +33,31 @@ class TimeJoinSpec extends AnyFunSuite {
       (3L, ts("2024-01-08 00:00:00"), 301L)  // tiebreak picks greatest vid
     ).toDF("k", "vt", "vid")
 
-    val out = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "vt",
+    val rows = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "vt",
       rightValCols = Seq("vid"), rightTiebreak = Seq("vid"))
-      .select("tag", "asof_vid").as[(String, Option[Long])].collect().toMap
+      .select("tag", "asof_vid").as[(String, Option[Long])].collect().toSeq
+    // every left row survives EXACTLY once (toMap would hide duplicates)
+    assert(rows.length == 6 && rows.map(_._1).distinct.length == 6)
+    val out = rows.toMap
     assert(out("a").contains(200L))
     assert(out("b").contains(200L))
     assert(out("c").contains(100L))
     assert(out("d").isEmpty)
     assert(out("e").isEmpty)
     assert(out("f").contains(301L))
-    // every left row survives exactly once (left-join semantics)
-    assert(out.size == 6)
+
+    // NULL right time / NULL keys never match (equi-join semantics)
+    val withNulls = AsOfJoin.asOfJoin(
+      Seq((Some(9L), ts("2024-01-10 00:00:00"), "x"),
+        (None: Option[Long], ts("2024-01-10 00:00:00"), "y"))
+        .toDF("k", "t", "tag"),
+      Seq((Some(9L), None: Option[Timestamp], 900L),
+        (None: Option[Long], Some(ts("2024-01-01 00:00:00")), 901L))
+        .toDF("k", "vt", "vid"),
+      Seq("k"), "t", "vt", rightValCols = Seq("vid"), rightTiebreak = Seq("vid"))
+      .select("tag", "asof_vid").as[(String, Option[Long])].collect().toMap
+    assert(withNulls("x").isEmpty, "NULL-time version must never attach")
+    assert(withNulls("y").isEmpty, "NULL keys never equi-match")
   }
 
   test("pointInIntervalJoin: half-open bounds, no duplicates across bins, empty intervals dropped") {
