@@ -140,6 +140,13 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Type-token ratio (distinct tokens / total tokens) — the Gopher-style
+    * within-document repetition signal: boilerplate and generated spam
+    * repeat; prose doesn't. */
+  def typeTokenRatio(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      size(array_distinct(toks)).cast("double") / size(toks))
+
   // --- corpus splitting -----------------------------------------------
 
   /** Deterministic train/val/test assignment by content-stable hash: the

@@ -135,6 +135,15 @@ object NorthStarQueries {
           TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
           TextFunctions.qualityScoreFromTokens(col("text"), col("__toks")).as("quality"))),
 
+    // within-document repetition signal (type-token ratio + vocab size)
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          TextFunctions.typeTokenRatio(col("__toks")).as("ttr"),
+          size(array_distinct(col("__toks"))).cast(LongType).as("n_types"),
+          size(col("__toks")).cast(LongType).as("n_tokens"))),
+
     // deterministic corpus split + per-split stats (reproducible across
     // engines/runs/cluster sizes — no RNG)
     "text_hash_split" -> ((s, dir) =>
@@ -306,6 +315,16 @@ object NorthStarQueries {
         |   // greatest(CAST(16 + (strlen(text) * 31) % 64 AS BIGINT),
         |              CAST(16 + strlen(text) % 64 AS BIGINT)), 1) AS resized_h
         | FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens
+        |FROM t""".stripMargin,
     "text_hash_split" ->
       """SELECT split, count(*) AS n, min(doc_id) AS min_id FROM (
         |  SELECT doc_id,

@@ -21,6 +21,33 @@ class DedupSpec extends AnyFunSuite {
     (5L, "another unrelated short text")
   ).toDF("doc_id", "text")
 
+  test("builtin-composed minhash/simhash forms: deterministic, dup-sensitive reference semantics") {
+    import graft.functions.TextFunctions
+    // expression-staging rule: materialize the base arrays as columns
+    val staged = docs
+      .withColumn("__mb", Dedup.minhashBase(col("text"), 3))
+      .withColumn("__th", Dedup.tokenHashes(col("text")))
+      .select(col("doc_id"),
+        Dedup.minhashSignature(col("__mb"), 16).as("sig"),
+        Dedup.simhash64(col("__th")).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    // identical docs -> identical signature and simhash
+    assert(staged(1L) == staged(2L))
+    // near dup agrees on most minhash positions; unrelated doc agrees on few
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(staged(1L)._1, staged(3L)._1) > agree(staged(1L)._1, staged(4L)._1))
+    // simhash hamming: near dup closer than unrelated
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(staged(1L)._2, staged(3L)._2) < ham(staged(1L)._2, staged(4L)._2))
+    // simhash Column form matches the native expression exactly (same
+    // xxhash64 seed -> interchangeable results)
+    val nativeSh = docs.select(col("doc_id"),
+      graft.functions.HashExpressions.simhash64(
+        TextFunctions.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged.forall { case (id, (_, sh)) => nativeSh(id) == sh })
+  }
+
   test("exact dedup keeps lowest id per distinct text") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
