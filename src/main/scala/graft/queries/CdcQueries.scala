@@ -129,8 +129,11 @@ object CdcQueries {
     // >30-minute gaps (lag + running sum of session-start flags — the
     // standard one-shuffle formulation; no stateful loop).
     "q_sessionize" -> ((s, dir) => {
+      // NULLS LAST pinned explicitly: Spark's bare .asc is NULLS FIRST while
+      // DuckDB's default is NULLS LAST — latent divergence if ts ever nulls.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
       val gapUs = lit(30L * 60 * 1000000)
       val newSession =
         when(lag(col("ts"), 1).over(w).isNull, 1L)
@@ -220,11 +223,12 @@ object CdcQueries {
         |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
         |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
         |         ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST))
         |SELECT event_id, user_id,
-        |  sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts ASC, event_id ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM flagged""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,

@@ -75,6 +75,70 @@ object NorthStarQueries {
         .filter(col("cosine") >= 0.4)
     }),
 
+    // ---- derived recall / soundness gates ----------------------------
+    // Each emits a deterministic result whose expected value DuckDB can
+    // compute from the exact/brute-force side alone, turning the
+    // LSH/minhash/simhash paths from rows-only checks into hash-matched
+    // oracle rows. The LSH parameters are sized so the miss probability
+    // on the fixture is negligible (e.g. the true dup pairs all have
+    // Jaccard >= 0.88, so 16 bands x 2 rows misses a pair w.p. ~1e-11) —
+    // a broken bucket join or signature kernel drops recall to ~0 and
+    // fails the gate hard.
+
+    // MinHash-LSH soundness + recall vs the exact inverted-index result:
+    // two independent candidate-generation paths (banded signatures vs
+    // df-cut posting lists) end in the same exact-Jaccard verify, so
+    // every emitted pair must be in the exact set (n_unsound = 0) and
+    // recall must clear the floor. NOT set equality: both paths carry a
+    // deliberate degenerate-bucket/df-cut guard, and on a templated
+    // corpus a same-text cluster larger than the cap is dropped by
+    // design (measured 247/256 at sf0.1 — so 0.9 floors survive every
+    // SF while a broken kernel or bucket join lands near 0).
+    "dedup_minhash_sound" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("__true"))
+      val mh = Dedup.minhashDupPairs(d, "doc_id", "text",
+        bands = 16, rows = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+      exact.join(mh, Seq("id_a", "id_b"), "full")
+        .agg(
+          count(col("__true")).as("n_true"),
+          count(when(col("__true").isNull, 1)).as("n_unsound"),
+          count(when(col("__true").isNotNull && col("__hit").isNotNull, 1))
+            .as("__n_found"))
+        .select(col("n_true"), col("n_unsound"),
+          (col("__n_found") >= col("n_true") * lit(0.9)).as("recall_ge_090"))
+    }),
+
+    // SimHash recall floor: the 4x16-bit band blocking guarantees every
+    // Hamming<=3 pair by pigeonhole, but on ~20-token docs a Jaccard-0.9
+    // pair can flip enough fingerprint bits that NO band matches exactly
+    // — an intrinsic simhash property on short text, measured 0.887 /
+    // 0.92 / 0.96 recall at sf0.1/0.01/0.001 (invariant to bucket cap
+    // and Hamming cutoff: misses are all at candidate generation). The
+    // 0.85 floor passes every SF while a broken kernel or band join
+    // lands near 0. n_true is the exact DuckDB-recomputable pair count.
+    "dedup_simhash_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.5)
+      val sim = Dedup.simhashDupPairs(d, "doc_id", "text", maxHamming = 16)
+        .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+      exact.join(sim, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.85)).as("recall_ge_085"))
+    }),
+
+    // Embedding sign-LSH near-dup vs exact: with 8 bands of 12 planes a
+    // planted pair (cosine ~0.9988) is missed w.p. ~8e-7, and the max
+    // non-planted pair cosine on the fixture is ~0.51 — so the LSH result
+    // must equal the exact all-pairs >= 0.9 set, which DuckDB recomputes
+    // (including the planting arithmetic, float-exact).
+    "dedup_embedding_sound" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
+        "embedding", threshold = 0.9, planes = 12, bands = 8)),
+
     // ---- similarity search -------------------------------------------
     "sim_topk_brute" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -103,6 +167,40 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // Sign-LSH ANN recall floor: at 2 planes x 16 bands the weakest true
+    // top-10 neighbor on the fixture (cosine ~0.26) is missed w.p.
+    // ~1.3e-3, so recall@10 lands at ~1.0; the gate asserts >= 0.9,
+    // which any bucketing/scoring bug drops far below. n_true is exact
+    // and DuckDB-recomputable from the brute-force SQL.
+    "sim_lsh_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10,
+        planes = 2, bands = 16)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.9)).as("recall_ge_090"))
+    }),
+
+    // IVF ANN recall floor vs brute force, probing 8 of 16 cells.
+    "sim_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfProbe(ivfIndex(dir, e), q,
+        "vec_id", "embedding", k = 10, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
+    }),
+
     "embeddings_stats" -> ((s, dir) =>
       embs(s, dir).groupBy(col("label")).agg(
         count(lit(1)).as("n"),
@@ -183,6 +281,47 @@ object NorthStarQueries {
           Multimodal.withMediaColumn(docs(s, dir), "text"), "doc_id").toDF(),
         "id", box = 64)))
 
+  /** Exact n-gram Jaccard oracle, shared by the dedup gates: DuckDB
+    * recomputes the SAME semantics over STRING 3-grams (Spark uses 64-bit
+    * hashed grams; set Jaccard is identical up to hash collisions):
+    * candidate pairs come only from grams with document frequency <= 100
+    * (mirroring the inverted index's stop-gram df-cut), then Jaccard is
+    * computed on the FULL gram sets. Same tokenization, same "fewer
+    * tokens than k -> one whole-text shingle" convention. */
+  private val NgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
+      |  FROM toks),
+      |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+      |lowdf AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM (SELECT * FROM dg WHERE gram IN (SELECT gram FROM lowdf)) a
+      |         JOIN (SELECT * FROM dg WHERE gram IN (SELECT gram FROM lowdf)) b USING (gram)
+      |         WHERE a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+      |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+      |          FROM cand c JOIN dg x ON x.doc_id = c.id_a
+      |          JOIN dg y ON y.doc_id = c.id_b AND y.gram = x.gram
+      |          GROUP BY c.id_a, c.id_b)
+      |SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin
+
+  /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
+  private val BruteForceTopKSql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+      |                    c.vec_id ASC) AS rank
+      |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+      |  WHERE c.vec_id <> q.vec_id) t
+      |WHERE rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact_groups" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -225,49 +364,47 @@ object NorthStarQueries {
         | FROM (SELECT doc_id, strlen(text) AS n_bytes,
         |         unnest(generate_series(0, greatest((strlen(text) - 1) // 64, 0))) AS f
         |       FROM documents) t""".stripMargin,
-    // exact n-gram Jaccard: DuckDB recomputes the SAME semantics over
-    // STRING 3-grams (Spark uses 64-bit hashed grams; set Jaccard is
-    // identical up to hash collisions): candidate pairs come only from
-    // grams with document frequency <= 100 (mirroring the inverted
-    // index's stop-gram df-cut), then Jaccard is computed on the FULL
-    // gram sets. Same tokenization, same "fewer tokens than k -> one
-    // whole-text shingle" convention.
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
-        |  FROM toks),
-        |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
-        |lowdf AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM (SELECT * FROM dg WHERE gram IN (SELECT gram FROM lowdf)) a
-        |         JOIN (SELECT * FROM dg WHERE gram IN (SELECT gram FROM lowdf)) b USING (gram)
-        |         WHERE a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
-        |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-        |          FROM cand c JOIN dg x ON x.doc_id = c.id_a
-        |          JOIN dg y ON y.doc_id = c.id_b AND y.gram = x.gram
-        |          GROUP BY c.id_a, c.id_b)
-        |SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "dedup_ngram_jaccard" -> NgramJaccardSql,
+    // Soundness (0 emitted pairs outside the exact set) + recall floor;
+    // n_true is the exact pair count DuckDB recomputes independently.
+    "dedup_minhash_sound" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(0 AS BIGINT) AS n_unsound, TRUE AS recall_ge_090
+         |FROM ($NgramJaccardSql) t""".stripMargin,
+    // Recall floor of the simhash blocking vs the exact pair count.
+    "dedup_simhash_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_085
+         |FROM ($NgramJaccardSql) t""".stripMargin,
+    // Exact all-pairs cosine over the planted corpus, reproducing the
+    // planting arithmetic float-exact: FLOAT + FLOAT == round_to_float(
+    // DOUBLE sum) under IEEE 754, so CAST(CAST(e[1] AS DOUBLE) +
+    // CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT) is bit-identical to
+    // Spark's float addition.
+    "dedup_embedding_sound" ->
+      """WITH pe AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    CAST(list_prepend(
+        |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+        |      embedding[2:]) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.emb, b.emb) AS cosine
+        |FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9""".stripMargin,
+    "sim_lsh_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_090
+         |FROM ($BruteForceTopKSql) t""".stripMargin,
+    "sim_ivf_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+         |FROM ($BruteForceTopKSql) t""".stripMargin,
     "dedup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
-    "sim_topk_brute" ->
-      """SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         row_number() OVER (PARTITION BY q.vec_id
-        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-        |                    c.vec_id ASC) AS rank
-        |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
-        |  WHERE c.vec_id <> q.vec_id) t
-        |WHERE rank <= 10""".stripMargin,
+    "sim_topk_brute" -> BruteForceTopKSql,
     // langId argmax: score ties resolve to the lexicographically greatest
     // lang tag (Spark struct-max semantics) -> CASE in descending tag
     // order. tokenCountBpe reformulated without lookarounds (RE2): count

@@ -67,10 +67,13 @@ object RelationalQueries {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))),
 
-    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    // Left-anti join (NOT EXISTS): customers with no F-status orders.
+    // (Every customer in the fixture has at least one order, so the anti
+    // join is against the filtered F-status set to return real rows.)
     "q_join_anti" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
 
     // Sort + limit (top-k): ordering on stored doubles with key tiebreak.
@@ -106,7 +109,8 @@ object RelationalQueries {
         .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))),
     "q_except" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"))
-        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))),
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))),
     "q_union_all" -> ((s, dir) =>
       t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
@@ -166,10 +170,11 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), max(col("l_extendedprice")).as("max_price"))),
 
-    // LIKE pattern predicate.
+    // LIKE pattern predicate ('%AR%' matches STANDARD + LARGE in the
+    // fixture's p_type domain — non-degenerate at every SF).
     "q_like_filter" -> ((s, dir) =>
       t(s, dir, "part")
-        .filter(col("p_type").like("%BRASS%"))
+        .filter(col("p_type").like("%AR%"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"))),
 
@@ -241,6 +246,24 @@ object RelationalQueries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))),
 
+    // Sketch accuracy gate (derived oracle for the sketch surface): the
+    // exact distinct count is DuckDB-recomputable, and the HLL++/KLL
+    // estimates must land within their documented error envelopes (HLL
+    // default rsd 5%; quantile sketch at accuracy 1000 on this value
+    // distribution well inside 2%) — a broken sketch fails hard, while
+    // the envelope makes the row deterministic across engines.
+    "q_sketch_accuracy" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey")).as("__n_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("__p50_exact"))
+        .select(col("n_exact"),
+          (abs(col("__n_approx") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.05).as("hll_within_5pct"),
+          (abs(col("__p50_approx") - col("__p50_exact")) / col("__p50_exact")
+            <= 0.02).as("p50_within_2pct"))),
+
     // Scalar subquery: planned as a ScalarSubquery node feeding the filter
     // (the subquery runs once, its result broadcast into the predicate).
     "q_scalar_subquery" -> ((s, dir) => {
@@ -284,6 +307,10 @@ object RelationalQueries {
         bool_and(col("o_totalprice") > 0.0).as("all_pos"))))
 
   val oracles: Map[String, String] = Map(
+    "q_sketch_accuracy" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        | TRUE AS hll_within_5pct, TRUE AS p50_within_2pct
+        | FROM lineitem""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer
         | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
@@ -333,7 +360,8 @@ object RelationalQueries {
         |               WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        | WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
@@ -353,7 +381,8 @@ object RelationalQueries {
         | INTERSECT SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
     "q_except" ->
       """SELECT c_custkey FROM customer
-        | EXCEPT SELECT o_custkey AS c_custkey FROM orders""".stripMargin,
+        | EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        |        WHERE o_orderstatus = 'F'""".stripMargin,
     "q_union_all" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         | UNION ALL SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
@@ -393,7 +422,7 @@ object RelationalQueries {
         | GROUP BY l_returnflag""".stripMargin,
     "q_like_filter" ->
       """SELECT p_brand, count(*) AS n FROM part
-        | WHERE p_type LIKE '%BRASS%' GROUP BY p_brand""".stripMargin,
+        | WHERE p_type LIKE '%AR%' GROUP BY p_brand""".stripMargin,
     "q_in_list" ->
       """SELECT o_orderstatus, count(*) AS n, min(o_orderdate) AS first_order
         | FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')

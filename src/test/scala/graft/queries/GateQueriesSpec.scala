@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Regression gates for the derived soundness/recall/accuracy queries and
+  * the de-zeroed relational queries: each must return real signal at
+  * sf0.001 (the driver's oracle compare then hash-checks the same rows at
+  * sf0.01). A broken kernel, bucket join, or sketch drops these booleans
+  * to false / the row counts to zero. */
+class GateQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("dedup_minhash_sound: zero unsound pairs, recall >= 0.9 of exact set") {
+    val Array(r) = run("dedup_minhash_sound")
+    assert(r.getAs[Long]("n_true") > 0)
+    assert(r.getAs[Long]("n_unsound") == 0L)
+    assert(r.getAs[Boolean]("recall_ge_090"))
+  }
+
+  test("dedup_simhash_recall: recall >= 0.85 of exact pair set") {
+    val Array(r) = run("dedup_simhash_recall")
+    assert(r.getAs[Long]("n_true") > 0)
+    assert(r.getAs[Boolean]("recall_ge_085"))
+  }
+
+  test("dedup_embedding_sound: LSH pair set equals exact planted set") {
+    val rows = run("dedup_embedding_sound")
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.9))
+  }
+
+  test("sim_lsh_recall and sim_ivf_recall clear their floors") {
+    val Array(l) = run("sim_lsh_recall")
+    assert(l.getAs[Long]("n_true") > 0 && l.getAs[Boolean]("recall_ge_090"))
+    val Array(i) = run("sim_ivf_recall")
+    assert(i.getAs[Long]("n_true") > 0 && i.getAs[Boolean]("recall_ge_070"))
+  }
+
+  test("q_sketch_accuracy: HLL and quantile estimates inside documented envelopes") {
+    val Array(r) = run("q_sketch_accuracy")
+    assert(r.getAs[Long]("n_exact") > 0)
+    assert(r.getAs[Boolean]("hll_within_5pct"))
+    assert(r.getAs[Boolean]("p50_within_2pct"))
+  }
+
+  test("de-zeroed queries return non-degenerate results") {
+    for (name <- Seq("q_except", "q_join_anti", "q_like_filter"))
+      assert(run(name).nonEmpty, s"$name must return rows")
+  }
+
+  test("q_sessionize emits BIGINT session_seq with deterministic ordering") {
+    val df = SparkEntry.queries("q_sessionize")(spark, sf)
+    assert(df.schema("session_seq").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.count() > 0)
+  }
+}
