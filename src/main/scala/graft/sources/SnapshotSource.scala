@@ -104,11 +104,60 @@ class JdbcSource(
 
   override def liveRowCount(table: String): Long =
     // COUNT's JDBC type varies by dialect (Derby INTEGER, PG BIGINT)
-    read(s"SELECT COUNT(*) AS c FROM ${quoted(schemaName)}.${quoted(table)}")
-      .head().get(0) match {
-      case l: Long => l
-      case i: Integer => i.toLong
-      case d: java.math.BigDecimal => d.longValue
-      case other => other.toString.toLong
-    }
+    numericScalar(
+      read(s"SELECT COUNT(*) AS c FROM ${quoted(schemaName)}.${quoted(table)}")
+        .head().get(0))
+
+  /** JDBC numeric scalars arrive as dialect-dependent boxes. */
+  protected final def numericScalar(v: Any): Long = v match {
+    case null => -1L
+    case l: Long => l
+    case i: Integer => i.toLong
+    case d: java.lang.Double => d.toLong
+    case f: java.lang.Float => f.toLong
+    case d: java.math.BigDecimal => d.longValue
+    case other => other.toString.toDouble.toLong
+  }
+}
+
+/**
+ * PostgreSQL source: identical capture path to [[JdbcSource]], but the
+ * per-tick row count reads the planner's statistics instead of running
+ * `COUNT(*)` — the reference deliberately uses the O(1) estimate
+ * (`/root/reference/postgres.go:137-156`: `reltuples/relpages *
+ * pg_relation_size/block_size`) because an exact count is a server-side
+ * full scan per tracked table per tick, which the watermark policy
+ * (which only needs a batch-size signal, T1/T2) never justifies.
+ *
+ * `reltuples` is -1 until the first VACUUM/ANALYZE (PostgreSQL >= 14)
+ * and `relpages` can be 0 on a fresh table — the reference divides
+ * blindly; here those degenerate cases fall back to one exact COUNT.
+ */
+class PgSource(
+    spark: SparkSession,
+    url: String,
+    props: Properties,
+    schemaName: String) extends JdbcSource(spark, url, props, schemaName, nowExpr = "now()") {
+
+  private def litStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The reference's stats estimate, schema-qualified (the reference
+    * matches on bare `relname`, which collides across schemas). Protected
+    * so tests can swap in a dialect-compatible stand-in and so other
+    * engines' stats views can be slotted the same way. */
+  protected def statsRowCountQuery(table: String): String = {
+    val regclass = s"${litStr(schemaName + "." + table)}::regclass"
+    s"""SELECT CASE WHEN c.reltuples < 0 OR c.relpages = 0 THEN -1
+       |  ELSE (c.reltuples / c.relpages) *
+       |       (pg_relation_size($regclass) /
+       |        current_setting('block_size')::integer)
+       |  END AS rows
+       |FROM pg_class c
+       |WHERE c.oid = $regclass""".stripMargin
+  }
+
+  override def liveRowCount(table: String): Long = {
+    val est = numericScalar(read(statsRowCountQuery(table)).head().get(0))
+    if (est < 0) super.liveRowCount(table) else est
+  }
 }

@@ -83,6 +83,41 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(logJ.except(logP).isEmpty && logP.except(logJ).isEmpty)
   }
 
+  test("PgSource: per-tick row counts use the stats query, never COUNT(*)") {
+    val (url, props) = seedDerby()
+    val issued = scala.collection.mutable.ArrayBuffer[String]()
+    // Derby stand-in for pg_class (Derby has no planner-stats view): the
+    // override mechanism under test is exactly what a production PgSource
+    // exercises — liveRowCount must route through statsRowCountQuery.
+    def mkPg(statsSql: String) = new PgSource(spark, url, props, "APP") {
+      override protected def statsRowCountQuery(table: String): String = statsSql
+      override protected def read(q: String) = {
+        issued.synchronized { issued += q }; super.read(q)
+      }
+    }
+
+    val pg = mkPg("SELECT CAST(997 AS DOUBLE) AS est FROM SYSIBM.SYSDUMMY1")
+    assert(pg.liveRowCount("EVENTS") == 997L, "estimate, not exact count")
+
+    // full engine loop: seed + ticks must never issue a COUNT(*)
+    val eng = new CdcEngine(spark, TestSpark.Sf0001,
+      TestSpark.tmpDir("graft-pg-sink"), TestSpark.tmpDir("graft-pg-state"),
+      policy = PolicyConfig(batchCount = 100, replicationBufferSecs = 180),
+      concurrency = 1, source = Some(pg))
+    eng.seed(Seq(("EVENTS", "ts", Some("event_id"))))
+    var clock = Instant.parse("2024-02-01T00:00:00Z")
+    (1 to 4).foreach { _ => eng.tick(clock); clock = clock.plusSeconds(3600) }
+    assert(eng.cdcLog("EVENTS").count() > 0)
+    assert(!issued.exists(_.toUpperCase.contains("COUNT(*)")),
+      s"COUNT(*) issued: ${issued.filter(_.toUpperCase.contains("COUNT(*)"))}")
+
+    // degenerate stats (reltuples = -1 pre-ANALYZE) fall back to one exact count
+    issued.clear()
+    val fallback = mkPg("SELECT CAST(-1 AS DOUBLE) AS est FROM SYSIBM.SYSDUMMY1")
+    assert(fallback.liveRowCount("EVENTS") == 1000L)
+    assert(issued.exists(_.toUpperCase.contains("COUNT(*)")))
+  }
+
   test("SqlGen database-side munging matches Spark-side munging") {
     val (url, props) = seedDerby()
     val jdbc = new JdbcSource(spark, url, props, "APP",
