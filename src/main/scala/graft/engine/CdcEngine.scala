@@ -111,18 +111,27 @@ final class CdcEngine(
 
   import CdcEngine.TickResult
 
+  /** T5 capture pool, shared across ticks — a forever `-cdc` loop must not
+    * allocate/tear down a thread pool per tick. Daemon threads so the pool
+    * never blocks JVM exit (Shutdown handles in-flight query teardown). */
+  private lazy val capturePool = Executors.newFixedThreadPool(
+    math.max(1, concurrency),
+    (r: Runnable) => {
+      val t = new Thread(r, s"graft-capture-dsn$dsn")
+      t.setDaemon(true)
+      t
+    })
+  private implicit lazy val captureEc: ExecutionContext =
+    ExecutionContext.fromExecutor(capturePool)
+
   /** One capture tick over all tracked tables (one `cdc()` pass). */
   def tick(now: Instant = Instant.now()): Seq[TickResult] = {
     // F3: exclusion also guards capture, so a table added to the list
     // after seeding stops being captured (`seed.go:42-50` pairing)
     val tracked = state.readForDsn(dsn).collect().toSeq
       .filterNot(t => excludedTables(t.name))
-    val pool = Executors.newFixedThreadPool(math.max(1, math.min(concurrency, tracked.size.max(1))))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futures = tracked.map { t => Future(captureOne(t, now)) }
-      Await.result(Future.sequence(futures), Duration.Inf)
-    } finally pool.shutdown()
+    val futures = tracked.map { t => Future(captureOne(t, now)) }
+    Await.result(Future.sequence(futures), Duration.Inf)
   }
 
   private def captureOne(t: TableState, now: Instant): TickResult = {
@@ -185,11 +194,28 @@ final class CdcEngine(
   }
 
   /** T6: `-runonce` vs continuous loop. Dumps the per-table stream
-    * configs once per run (O7). */
+    * configs once per run (O7). Between ticks — the safe point per
+    * `CompactedState.vacuum`'s contract, since no engine reader holds a
+    * stale version listing there — superseded compacted-state versions are
+    * dropped, so the forever `-cdc` mode's storage stays O(current state)
+    * instead of growing by one superseded bucket copy per batch. */
   def run(maxTicks: Int, now: () => Instant = () => Instant.now()): Seq[Seq[TickResult]] = {
     dumpStreamConfigs()
-    (1 to maxTicks).map(_ => tick(now()))
+    (1 to maxTicks).map { _ =>
+      val r = tick(now())
+      vacuumCompactedState()
+      r
+    }
   }
+
+  /** Drop superseded compacted-state versions for every compacting table.
+    * Safe whenever no reader holds a stale listing (between ticks). */
+  def vacuumCompactedState(): Unit =
+    if (maintainCurrentState)
+      state.readForDsn(dsn).collect().toSeq
+        .filterNot(t => excludedTables(t.name))
+        .filter(_.pKeyColumn.isDefined)
+        .foreach(t => CompactedState.vacuum(spark, compactedStateDir(t.name)))
 
   /**
    * O7 — per-run artifact dump: one JSON file per tracked table under
@@ -238,12 +264,21 @@ final class CdcEngine(
   /** O5 — publish the current-state view of every tracked table with a
     * known primary key as a temp view named after the bare table, so
     * `spark.sql("SELECT ... FROM <table>")` sees latest state (the
-    * reference's view-per-table convention, `bigquery.go:101-110`). */
+    * reference's view-per-table convention, `bigquery.go:101-110`).
+    * With `maintainCurrentState` on, the view serves from the compacted
+    * table — a bounded scan of `numBuckets` bucket dirs — instead of
+    * collapsing the full append log on every read, matching the
+    * reference's always-latest warehouse view (`bigquery.go:187-207`)
+    * without its per-read recompute cost. */
   def registerCurrentStateViews(): Seq[String] =
     state.readForDsn(dsn).collect().toSeq.flatMap { t =>
       t.pKeyColumn.map { pk =>
-        graft.sinks.Ddl.createCurrentStateView(
-          spark, t.name, cdcLog(t.name).drop("snapshot_dt"), pk, Seq(t.nmsColumn))
+        compactedIfAvailable(t.name) match {
+          case Some(compacted) => compacted.createOrReplaceTempView(t.name)
+          case None =>
+            graft.sinks.Ddl.createCurrentStateView(
+              spark, t.name, cdcLog(t.name).drop("snapshot_dt"), pk, Seq(t.nmsColumn))
+        }
         t.name
       }
     }
@@ -258,12 +293,27 @@ final class CdcEngine(
       .getOrElse(sys.error(s"no compacted state for $table " +
         "(engine not built with maintainCurrentState = true, or no batch captured)"))
 
-  /** W1 — the current-state view over the log. */
-  def currentState(table: String): DataFrame = {
+  /** The compacted current state iff this engine maintains one and at
+    * least one batch has landed (tables without a primary key never
+    * compact; before the first capture the dir is empty). */
+  private def compactedIfAvailable(table: String): Option[DataFrame] =
+    if (!maintainCurrentState) None
+    else CompactedState.read(spark, compactedStateDir(table))
+
+  /** W1 — latest state from the full append log, always recomputed. The
+    * compacted path must agree with this by construction (fold equivalence
+    * of `max_by`); kept public as the correctness oracle for it. */
+  def recomputeCurrentState(table: String): DataFrame = {
     val t = state.readForDsn(dsn).collect().find(_.name == table)
       .getOrElse(sys.error(s"unknown table $table"))
     val pk = t.pKeyColumn.getOrElse(sys.error(s"no pkey for $table; view requires one"))
     CurrentState.latestByKeyAgg(
       cdcLog(table).drop("snapshot_dt"), Seq(pk), "snapshot_tm", Seq(t.nmsColumn))
   }
+
+  /** W1 — the current-state view. Served from the compacted table when the
+    * engine maintains one (O(numBuckets) files read, no log collapse);
+    * falls back to the full-log recompute otherwise. */
+  def currentState(table: String): DataFrame =
+    compactedIfAvailable(table).getOrElse(recomputeCurrentState(table))
 }

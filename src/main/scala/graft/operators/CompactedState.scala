@@ -64,10 +64,41 @@ object CompactedState {
         }.toMap
   }
 
-  /** The current compacted state (None before the first upsert). */
+  /** The current compacted state (None before the first upsert).
+    * `mergeSchema` so a column added by a later batch (O6 additive
+    * evolution, which `upsert` accepts) survives the read: without it the
+    * footer-sampled schema can silently drop columns absent from whichever
+    * file Spark happens to sample. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
     val paths = latestVersions(spark, dir).values.map(_._2).toSeq
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+  }
+
+  /** Persisted layout contract: `numBuckets` determines which bucket dir a
+    * key hashes into, so changing it between runs re-buckets keys and
+    * resurrects stale rows (the old bucket's copy is no longer shadowed).
+    * First upsert writes `dir/_meta`; every later upsert fails fast on a
+    * mismatch instead of silently corrupting state. */
+  private def checkOrWriteMeta(f: FileSystem, dir: String, conf: Config): Unit = {
+    val meta = new Path(s"$dir/_meta")
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val persisted =
+        "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(content).map(_.group(1).toInt)
+      require(persisted.contains(conf.numBuckets),
+        s"numBuckets mismatch for compacted state at $dir: on-disk layout uses " +
+          s"numBuckets=${persisted.map(_.toString).getOrElse("<unreadable>")}, config says " +
+          s"${conf.numBuckets}; re-bucketing existing state would resurrect stale rows")
+    } else {
+      f.mkdirs(new Path(dir))
+      val out = f.create(meta, false)
+      try out.write(s"""{"numBuckets": ${conf.numBuckets}}""".getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** MERGE one batch into the compacted state. Idempotent per batch. */
@@ -76,6 +107,7 @@ object CompactedState {
     val touched = withB.select(col("__b")).distinct()
       .collect().map(_.getLong(0)).toSet // <= numBuckets rows by construction
     if (touched.isEmpty) return
+    checkOrWriteMeta(fs(spark, dir), dir, conf)
 
     val current = latestVersions(spark, dir)
     val existingPaths = current.filter { case (b, _) => touched(b) }.values.map(_._2).toSeq

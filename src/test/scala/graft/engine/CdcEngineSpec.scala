@@ -141,9 +141,11 @@ class CdcEngineSpec extends AnyFunSuite {
     var clock = Instant.parse("2024-02-01T00:00:00Z")
     (1 to 10).foreach { _ =>
       eng.tick(clock); clock = clock.plusSeconds(3600)
-      // invariant holds after EVERY batch, not just at the end
+      // invariant holds after EVERY batch, not just at the end; compare
+      // against the explicit full-log recompute (currentState itself now
+      // serves from the compacted table, so it is not the oracle here)
       val compacted = eng.compactedCurrentState("events")
-      val recompute = eng.currentState("events")
+      val recompute = eng.recomputeCurrentState("events")
       assert(compacted.except(recompute).isEmpty && recompute.except(compacted).isEmpty)
     }
     // the compacted table holds exactly one row per key, and vacuum
@@ -170,6 +172,75 @@ class CdcEngineSpec extends AnyFunSuite {
     val afterData = after.drop("snapshot_tm")
     assert(redone.count() == after.count())
     assert(redone.except(afterData).isEmpty && afterData.except(redone).isEmpty)
+  }
+
+  test("run() vacuums between ticks: one version per bucket; currentState/view serve the compacted table") {
+    val sink = TestSpark.tmpDir("graft-sink-vacuum")
+    val stateDir = TestSpark.tmpDir("graft-state-vacuum")
+    val eng = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir,
+      policy = PolicyConfig(batchCount = 100, replicationBufferSecs = 180),
+      concurrency = 2, maintainCurrentState = true)
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+
+    var clock = Instant.parse("2024-02-01T00:00:00Z")
+    val results = eng.run(10, () => { val c = clock; clock = clock.plusSeconds(3600); c })
+    assert(results.flatten.map(_.rowsCaptured).sum > 0)
+
+    // vacuum ran between ticks: every bucket dir holds EXACTLY one v= dir,
+    // i.e. storage is O(current state), not O(batches x state)
+    val buckets = new java.io.File(s"$sink/events_cdc_state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    buckets.foreach { b =>
+      val versions = b.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v="))
+      assert(versions.length == 1,
+        s"${b.getName} has ${versions.length} versions after vacuum: ${versions.map(_.getName).toSeq}")
+    }
+
+    // the serving path reads the compacted table, never the append log...
+    val served = eng.currentState("events")
+    val files = served.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("events_cdc_state")),
+      s"currentState must serve from the compacted table; scanned: ${files.toSeq}")
+    // ...and equals the full-log recompute
+    val recompute = eng.recomputeCurrentState("events")
+    assert(served.except(recompute).isEmpty && recompute.except(served).isEmpty)
+
+    // the registered view serves the same compacted data
+    assert(eng.registerCurrentStateViews() == Seq("events"))
+    val viaSql = spark.sql("SELECT * FROM events")
+    assert(viaSql.inputFiles.forall(_.contains("events_cdc_state")))
+    assert(viaSql.except(recompute).isEmpty && recompute.except(viaSql).isEmpty)
+    spark.catalog.dropTempView("events")
+  }
+
+  test("CompactedState: additive schema evolution survives the read; numBuckets drift fails fast") {
+    import graft.operators.CompactedState
+    val dir = TestSpark.tmpDir("graft-compact-evolve")
+    val conf = CompactedState.Config(Seq("event_id"), "ts", numBuckets = 4)
+    val base = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+      .select("event_id", "user_id", "ts")
+    CompactedState.upsert(spark, dir, base.filter(col("event_id") < 500), conf)
+    // batch 2 carries a NEW column (additive source evolution, O6)
+    CompactedState.upsert(spark, dir,
+      base.filter(col("event_id") >= 500).withColumn("extra", lit("v2")), conf)
+
+    val state = CompactedState.read(spark, dir).get
+    // mergeSchema: the late column is visible no matter which file the
+    // reader samples; pre-evolution rows null-fill it
+    assert(state.columns.contains("extra"))
+    assert(state.filter(col("extra") === "v2").count() ==
+      base.filter(col("event_id") >= 500).count())
+    assert(state.filter(col("extra").isNull).count() ==
+      base.filter(col("event_id") < 500).count())
+
+    // layout guard: an upsert with a different bucket count must fail fast
+    // instead of re-bucketing keys and resurrecting stale rows
+    val drift = intercept[IllegalArgumentException] {
+      CompactedState.upsert(spark, dir, base.limit(10),
+        CompactedState.Config(Seq("event_id"), "ts", numBuckets = 8))
+    }
+    assert(drift.getMessage.contains("numBuckets mismatch"))
   }
 
   test("ParquetMeta.rowCount reads footers only and is exact") {
