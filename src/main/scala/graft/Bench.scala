@@ -50,7 +50,18 @@ object Bench {
     val coldQs = render(results.map(r => (r._1, r._2)))
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","queries":$warmQs,"value_cold":$coldTotal%.3f,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    // The full artifact (~3 KB with 70+ queries) exceeds the harness's line
+    // capture, which truncated it to unparseable JSON in past runs. Emit the
+    // totals as a short self-contained FIRST line, the per-query detail on
+    // its own line after, and the complete artifact as a file.
+    val totals =
+      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,"sf":"$sfDir"}"""
+    val full =
+      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,"sf":"$sfDir","queries":$warmQs,"queries_cold":$coldQs}"""
+    println(totals)
+    println(full)
+    val out = new java.io.PrintWriter("BENCH.json")
+    try out.println(full) finally out.close()
     spark.stop()
   }
 }
