@@ -185,7 +185,8 @@ object CdcStream {
 
   // ---- custom keyed state: per-user activity sessions -----------------
 
-  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class UserEvent(event_id: Long, user_id: Long, ts: Timestamp,
+                             event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
                                first_ts: Timestamp, last_ts: Timestamp)
 
@@ -196,19 +197,18 @@ object CdcStream {
     * bounds state by watermark; this form gives the pipeline full control
     * of the state and what is emitted).
     *
-    * @param eventKey identity of an event WITHIN its user's stream; the
-    *   default is the µs timestamp (right for sources where a user emits
-    *   at most one event per µs — pass a real pk extractor otherwise).
+    * @param eventKey identity of an event WITHIN its user's stream — the
+    *   primary key by default. (A timestamp is NOT an identity: two events
+    *   a user emits in the same microsecond would silently collapse.)
     */
   def dedupStream(spark: SparkSession,
                   events: Dataset[UserEvent],
-                  eventKey: UserEvent => Long = e =>
-                    e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000): Dataset[UserEvent] = {
+                  eventKey: UserEvent => Long = _.event_id): Dataset[UserEvent] = {
     import spark.implicits._
     // NoTimeout: with ProcessingTimeTimeout the engine schedules a batch
     // EVERY trigger to evaluate timeouts, so Trigger.AvailableNow never
     // drains — state here is bounded by retention of the upstream log
-    // instead (production: swap for EventTimeTimeout + watermark eviction)
+    // instead. For watermark-bounded state use `dedupStreamEvicting`.
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Set[Long], UserEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
@@ -221,6 +221,49 @@ object CdcStream {
           }
           state.update(s)
           out.result().iterator
+      }
+  }
+
+  /** Production form of [[dedupStream]]: `EventTimeTimeout` evicts a
+    * user's seen-set once the watermark has passed it by `stateTtlMs`, so
+    * state is bounded by the watermark delay + TTL instead of growing for
+    * the lifetime of the query. The dedup guarantee becomes
+    * watermark-bounded — a replay arriving later than watermark + TTL
+    * re-emits, the same contract as `dropDuplicatesWithinWatermark` — which
+    * is the only state-bounded guarantee possible on an unbounded stream.
+    *
+    * `events` MUST carry a watermark (`.withWatermark` on the event-time
+    * column before `.as[UserEvent]`); EventTimeTimeout requires one.
+    */
+  def dedupStreamEvicting(spark: SparkSession,
+                          events: Dataset[UserEvent],
+                          stateTtlMs: Long = 3600L * 1000L,
+                          eventKey: UserEvent => Long = _.event_id): Dataset[UserEvent] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Set[Long], UserEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[UserEvent], state: GroupState[Set[Long]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed this user's TTL with no new events: drop the
+            // seen-set — the watermark already guarantees no in-order
+            // deliveries this old are still in flight
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(Set.empty[Long])
+            val out = Vector.newBuilder[UserEvent]
+            rows.foreach { e =>
+              val id = eventKey(e)
+              if (!s(id)) { s += id; out += e }
+            }
+            state.update(s)
+            // timeout fires once the watermark advances TTL past where it
+            // is now (must be set anew each invocation — timeouts clear on
+            // every state update)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
+            out.result().iterator
+          }
       }
   }
 

@@ -169,7 +169,7 @@ class CdcStreamSpec extends AnyFunSuite {
       Paths.get(s"$src/events_dup.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val raw = CdcStream.rawFileSchema(spark, src)
     val stream = CdcStream.readChangeStream(spark, src, raw)
-      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[CdcStream.UserEvent]
     val deduped = CdcStream.dedupStream(spark, stream)
 
@@ -185,9 +185,88 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(out.select("user_id", "ts").distinct().count() == 1000L)
   }
 
+  test("pk identity: two same-microsecond events per user both survive; pk replays collapse") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts0 = graft.util.Util.utcTs("2024-01-10 12:00:00")
+    ts0.setNanos(1000) // :00.000001 — a sub-second instant two events share
+    val ms = MemoryStream[CdcStream.UserEvent]
+    val deduped = CdcStream.dedupStream(spark, ms.toDS())
+    val qn = s"same_us_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", TestSpark.tmpDir("graft-sameus-ckpt"))
+      .start()
+    try {
+      ms.addData(
+        // two DISTINCT events in the same microsecond for the same user —
+        // a timestamp-based identity silently collapses these
+        CdcStream.UserEvent(101L, 1L, ts0, "click", 1.0),
+        CdcStream.UserEvent(102L, 1L, ts0, "view", 2.0),
+        // a true at-least-once replay (same pk): must collapse
+        CdcStream.UserEvent(101L, 1L, ts0, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table(qn).as[CdcStream.UserEvent].collect()
+      assert(out.length == 2, s"expected both same-µs events exactly once, got: ${out.toSeq}")
+      assert(out.map(_.event_id).sorted.toSeq == Seq(101L, 102L))
+    } finally q.stop()
+  }
+
+  test("EventTimeTimeout dedup evicts state once the watermark passes the TTL") {
+    val src = TestSpark.tmpDir("graft-evict-src")
+    val base = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    // batch 0: the events as-is; batch 1: a disjoint "two days later" wave
+    // (new users + pks) whose event times push the watermark far past
+    // batch 0's TTL — its per-user seen-sets must then be evicted.
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String, lastMod: Long): Unit = {
+      val tmp = TestSpark.tmpDir(s"graft-evict-stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$src/$name.parquet")
+      Files.copy(part.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
+      target.setLastModified(lastMod) // FileStreamSource orders by mod time
+    }
+    writeOne(base, "a_events", 1700000000000L)
+    writeOne(base
+      .withColumn("event_id", col("event_id") + 100000L)
+      .withColumn("user_id", col("user_id") + 1000L)
+      .withColumn("ts", col("ts") + expr("INTERVAL 2 DAYS")),
+      "b_events", 1700000100000L)
+
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src) // one file per batch
+      .withWatermark("ts", "1 hour")
+      .as[CdcStream.UserEvent]
+    val deduped = CdcStream.dedupStreamEvicting(spark, stream, stateTtlMs = 3600L * 1000L)
+    val qn = s"evict_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qn)
+      .option("checkpointLocation", TestSpark.tmpDir("graft-evict-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // every event (both waves are duplicate-free) was emitted exactly once
+    assert(spark.table(qn).count() == 2000L)
+    // batch 0's 15 user states were evicted when batch 1's watermark
+    // passed their TTL, and AvailableNow's trailing batch then evicted
+    // batch 1's wave the same way: every state row was removed and the
+    // query ends with ZERO retained state — never the 30-user union a
+    // NoTimeout version accumulates
+    val progs = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    val removed = progs.map(_.stateOperators(0).numRowsRemoved).sum
+    assert(removed == 30L, s"expected both waves' state evicted; progress: $progs")
+    assert(progs.map(_.stateOperators(0).numRowsTotal).max == 15L,
+      s"no batch may retain more than one wave's users; progress: $progs")
+    assert(progs.last.stateOperators(0).numRowsTotal == 0L,
+      s"state must drain once the watermark passes the last TTL; progress: $progs")
+  }
+
   test("mapGroupsWithState user sessions accumulate per key") {
     val events = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
-      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[CdcStream.UserEvent]
     val sessions = CdcStream.userSessions(spark, events)
     val out = sessions.collect()
