@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -43,10 +44,12 @@ object HashExpressions {
   case class HashedShingles(child: Expression, k: Int)
       extends UnaryExpression {
 
-    // input contract: array<string> of tokens (AbstractDataType is
-    // private[sql], so no ExpectsInputTypes; the Column helpers enforce it)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "hashed_shingles"
+
+    override def checkInputDataTypes(): TypeCheckResult = ExprChecks.all(
+      ExprChecks.requireArrayOf(prettyName, child.dataType, StringType),
+      ExprChecks.requireParam(prettyName, k >= 1, s"shingle size k must be >= 1, got $k"))
 
     override def nullSafeEval(input: Any): Any =
       HashKernels.hashedShingles(input.asInstanceOf[ArrayData], k)
@@ -70,6 +73,11 @@ object HashExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
 
+    override def checkInputDataTypes(): TypeCheckResult = ExprChecks.all(
+      ExprChecks.requireArrayOf(prettyName, child.dataType, StringType, LongType),
+      ExprChecks.requireParam(prettyName, numHashes >= 1,
+        s"numHashes must be >= 1, got $numHashes"))
+
     private lazy val elementIsString: Boolean = child.dataType match {
       case ArrayType(StringType, _) => true
       case _ => false
@@ -92,9 +100,11 @@ object HashExpressions {
   case class SimHash64(child: Expression)
       extends UnaryExpression {
 
-    // input contract: array<string> of tokens (see note on MinHashSignature)
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      ExprChecks.requireArrayOf(prettyName, child.dataType, StringType)
 
     override def nullSafeEval(input: Any): Any =
       java.lang.Long.valueOf(HashKernels.simhash64(input.asInstanceOf[ArrayData]))

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,6 +26,9 @@ object TextExpressions {
     override def dataType: DataType = StringType
     override def prettyName: String = "lang_id"
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      ExprChecks.requireArrayOf(prettyName, child.dataType, StringType)
+
     override def nullSafeEval(input: Any): Any =
       TextKernels.langId(input.asInstanceOf[ArrayData])
 
@@ -39,6 +43,9 @@ object TextExpressions {
   case class StopwordHits(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "stopword_hits"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      ExprChecks.requireArrayOf(prettyName, child.dataType, StringType)
 
     override def nullSafeEval(input: Any): Any =
       java.lang.Integer.valueOf(TextKernels.stopwordHits(input.asInstanceOf[ArrayData]))

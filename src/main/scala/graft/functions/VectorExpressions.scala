@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -41,6 +42,10 @@ object VectorExpressions {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_similarity"
 
+    override def checkInputDataTypes(): TypeCheckResult = ExprChecks.all(
+      ExprChecks.requireArrayOf(prettyName, left.dataType, FloatType),
+      ExprChecks.requireArrayOf(prettyName, right.dataType, FloatType))
+
     override def nullSafeEval(a: Any, b: Any): Any =
       java.lang.Double.valueOf(VectorKernels.cosineSimilarity(
         a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
@@ -64,6 +69,11 @@ object VectorExpressions {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "sign_lsh_bucket"
+
+    override def checkInputDataTypes(): TypeCheckResult = ExprChecks.all(
+      ExprChecks.requireArrayOf(prettyName, child.dataType, FloatType),
+      ExprChecks.requireParam(prettyName, planes >= 1 && planes <= 63,
+        s"planes must be in [1, 63] (sign bits of one long), got $planes"))
 
     override def nullSafeEval(input: Any): Any =
       java.lang.Long.valueOf(VectorKernels.signLshBucket(

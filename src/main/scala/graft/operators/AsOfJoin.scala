@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * AS-OF JOIN — for each left row at time `t`, attach the right row with
@@ -28,6 +29,27 @@ import org.apache.spark.sql.functions._
  */
 object AsOfJoin {
 
+  /** The time type both sides are compared in: the FINER of the two when
+    * the widening is lossless (date -> timestamp, narrow -> wide integer),
+    * and an error otherwise. The old behavior — silently casting the left
+    * time to the right side's type — TRUNCATED timestamp left events when
+    * the right side was a date, changing `<=` outcomes with no warning. */
+  private[operators] def commonTimeType(l: DataType, r: DataType): DataType = {
+    val intRank: Map[DataType, Int] =
+      Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (l, r) match {
+      case (a, b) if a == b => a
+      case (DateType, t @ (TimestampType | TimestampNTZType)) => t
+      case (t @ (TimestampType | TimestampNTZType), DateType) => t
+      case (a, b) if intRank.contains(a) && intRank.contains(b) =>
+        if (intRank(a) >= intRank(b)) a else b
+      case (a, b) => throw new IllegalArgumentException(
+        s"as-of time columns have incompatible types ${a.simpleString} vs " +
+          s"${b.simpleString}: no lossless common type — comparing them would " +
+          "silently truncate one side; cast explicitly to the semantics you want")
+    }
+  }
+
   /**
    * @param left          fact side (every row preserved — left join)
    * @param right         versioned side
@@ -45,6 +67,8 @@ object AsOfJoin {
       rightValCols: Seq[String],
       rightTiebreak: Seq[String] = Nil): DataFrame = {
 
+    val timeType = commonTimeType(
+      left.schema(leftTimeCol).dataType, right.schema(rightTimeCol).dataType)
     val leftCols = left.columns.toIndexedSeq
     // key columns already travel as join keys — carrying them again would
     // duplicate names in the unioned frame
@@ -65,13 +89,13 @@ object AsOfJoin {
         .reduce(_ && _))
     val r = matchableRight.select(
       keyCols.map(col) ++
-        Seq(col(rightTimeCol).as("__t"), lit(0).as("__side")) ++
+        Seq(col(rightTimeCol).cast(timeType).as("__t"), lit(0).as("__side")) ++
         tieCols(present = true) ++
         Seq(payload.as("__r")) ++
         nonKeyLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       keyCols.map(col) ++
-        Seq(col(leftTimeCol).cast(right.schema(rightTimeCol).dataType).as("__t"),
+        Seq(col(leftTimeCol).cast(timeType).as("__t"),
           lit(1).as("__side")) ++
         tieCols(present = false) ++
         Seq(lit(null).cast(r.schema("__r").dataType).as("__r")) ++

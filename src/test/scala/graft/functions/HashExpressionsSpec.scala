@@ -71,6 +71,52 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(gen == interp)
   }
 
+  test("mistyped inputs fail at analysis, not at runtime") {
+    import org.apache.spark.sql.AnalysisException
+    import graft.functions.{TextExpressions => TE, VectorExpressions => VE}
+    HashExpressions.register(spark)
+    TE.register(spark)
+    val df = Seq(("plain text", Array(0.1f, 0.2f), Array(1.0d, 2.0d)))
+      .toDF("t", "vf", "vd")
+    df.createOrReplaceTempView("typecheck_t")
+
+    // SQL path: a bare string (not array<string>) into each registered fn
+    for (q <- Seq(
+      "SELECT simhash64(t) FROM typecheck_t",
+      "SELECT minhash_signature(t, 16) FROM typecheck_t",
+      "SELECT lang_id(t) FROM typecheck_t",
+      "SELECT stopword_hits(t) FROM typecheck_t")) {
+      val e = intercept[AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.contains("array<string>"), s"$q -> ${e.getMessage}")
+    }
+
+    // Column path: wrong element type (double vs float), wrong child type
+    val cosBad = intercept[AnalysisException](
+      df.select(VE.cosine_similarity(col("vf"), col("vd"))).collect())
+    assert(cosBad.getMessage.contains("array<float>"))
+    val lshBad = intercept[AnalysisException](
+      df.select(VE.sign_lsh_bucket(col("t"), 8)).collect())
+    assert(lshBad.getMessage.contains("array<float>"))
+    val shBad = intercept[AnalysisException](
+      df.select(HashExpressions.hashed_shingles(col("vf"), 3)).collect())
+    assert(shBad.getMessage.contains("array<string>"))
+
+    // bad static params are analysis errors too
+    val kBad = intercept[AnalysisException](
+      df.select(HashExpressions.hashed_shingles(
+        TextFunctions.tokens(col("t")), 0)).collect())
+    assert(kBad.getMessage.contains("k must be >= 1"))
+    val planesBad = intercept[AnalysisException](
+      df.select(VE.sign_lsh_bucket(col("vf"), 64)).collect())
+    assert(planesBad.getMessage.contains("planes"))
+
+    // and the correctly-typed calls still analyze + run
+    assert(df.select(
+      HashExpressions.simhash64(TextFunctions.tokens(col("t"))),
+      VE.cosine_similarity(col("vf"), col("vf")),
+      TE.lang_id(TextFunctions.tokens(col("t")))).count() == 1L)
+  }
+
   test("simhash64: identical tokens identical hash; SQL registration works") {
     HashExpressions.register(spark)
     val df = Seq("alpha beta gamma delta", "alpha beta gamma delta", "zz yy xx ww")

@@ -60,6 +60,42 @@ class TimeJoinSpec extends AnyFunSuite {
     assert(withNulls("y").isEmpty, "NULL keys never equi-match")
   }
 
+  test("asOfJoin time types: lossless widening only; lossy combinations raise") {
+    import java.sql.Date
+    // Date right side vs Timestamp left: compared at TIMESTAMP precision
+    // (date widens to midnight) — the old behavior truncated the left
+    // events to dates instead
+    val left = Seq(
+      (1L, ts("2024-01-05 12:00:00"), "noon"),   // after v-eff midnight -> v
+      (1L, ts("2024-01-04 23:30:00"), "before")  // before it -> null
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, Date.valueOf("2024-01-05"), 500L)).toDF("k", "vd", "vid")
+    val out = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "vd",
+      rightValCols = Seq("vid"), rightTiebreak = Seq("vid"))
+      .select("tag", "asof_vid").as[(String, Option[Long])].collect().toMap
+    assert(out("noon").contains(500L))
+    assert(out("before").isEmpty)
+
+    // integer times widen to the WIDER side: a long left beyond Int range
+    // must not wrap (the old cast-to-right-type overflowed it)
+    val bigT = Int.MaxValue.toLong + 5L
+    val intRight = Seq((1L, 100, 7L)).toDF("k", "vt", "vid")
+    val longLeft = Seq((1L, bigT, "big"), (1L, 50L, "small")).toDF("k", "t", "tag")
+    val widened = AsOfJoin.asOfJoin(longLeft, intRight, Seq("k"), "t", "vt",
+      rightValCols = Seq("vid"), rightTiebreak = Seq("vid"))
+      .select("tag", "asof_vid").as[(String, Option[Long])].collect().toMap
+    assert(widened("big").contains(7L), "must not overflow-wrap the long left time")
+    assert(widened("small").isEmpty)
+
+    // no lossless common type -> fail fast at plan build, not silent cast
+    val strRight = Seq((1L, "2024-01-05", 9L)).toDF("k", "vt", "vid")
+    val lossy = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(left, strRight, Seq("k"), "t", "vt",
+        rightValCols = Seq("vid"))
+    }
+    assert(lossy.getMessage.contains("incompatible types"))
+  }
+
   test("pointInIntervalJoin: half-open bounds, no duplicates across bins, empty intervals dropped") {
     val points = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00")),  // == lo -> in
