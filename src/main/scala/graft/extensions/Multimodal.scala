@@ -42,6 +42,35 @@ object Multimodal {
         md5(payload).as("checksum")))
   }
 
+  /**
+   * Production ingest: read opaque media files through Spark's
+   * `binaryFile` source (one row per file: path, modificationTime,
+   * length, content) and normalize to the SAME (media, media_meta) shape
+   * as [[withMediaColumn]] — the whole downstream pipeline
+   * ([[extractFeatures]], [[resizeMeta]], [[sampleFrames]]) is then
+   * source-agnostic between the harness text stand-in and real files.
+   *
+   * `media_id` is the xxhash64 of the file path: a stable 64-bit key to
+   * hash-partition payloads by (and what `extractFeatures` joins on).
+   * At 100 TB the source parallelizes by file; `pathGlobFilter` prunes by
+   * extension before any byte is read.
+   */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+                      format: String = "binary",
+                      pathGlob: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    val src = pathGlob.map(g => reader.option("pathGlobFilter", g))
+      .getOrElse(reader).load(dir)
+    src.select(
+      xxhash64(col("path")).as("media_id"),
+      col("path"),
+      col("content").as("media"),
+      struct(
+        lit(format).as("format"),
+        col("length").cast(LongType).as("n_bytes"),
+        md5(col("content")).as("checksum")).as("media_meta"))
+  }
+
   /** Output row of the feature-extraction stage. */
   final case class MediaFeatures(
       id: Long, format: String, n_bytes: Long, width: Int, height: Int,
