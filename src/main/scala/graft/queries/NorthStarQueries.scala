@@ -170,10 +170,16 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10, planes = 8, bands = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
-    // index build + probe (first call fits the quantizer and caches it)
+    // index build + probe, measured TOGETHER: fits a FRESH quantizer on
+    // every call (fixed seed -> identical cells to the cached index, so
+    // results match the probe-only row) — the cached index would otherwise
+    // make this row silently measure probe-only whenever another IVF
+    // query ran first.
     "sim_topk_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.ivfProbe(ivfIndex(dir, e), e.filter(col("vec_id") % 100 === 0),
+      Similarity.ivfProbe(
+        Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16),
+        e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
