@@ -316,4 +316,16 @@ final class CdcEngine(
     * falls back to the full-log recompute otherwise. */
   def currentState(table: String): DataFrame =
     compactedIfAvailable(table).getOrElse(recomputeCurrentState(table))
+
+  /** Point lookup: the latest state of ONE primary-key value, reading a
+    * single compacted bucket dir (requires `maintainCurrentState`) —
+    * O(state / numBuckets) instead of a full view scan. */
+  def currentStateLookup(table: String, pkValue: Any): Option[DataFrame] = {
+    require(maintainCurrentState, s"lookup requires maintainCurrentState = true")
+    val t = state.readForDsn(dsn).collect().find(_.name == table)
+      .getOrElse(sys.error(s"unknown table $table"))
+    val pk = t.pKeyColumn.getOrElse(sys.error(s"no pkey for $table; lookup requires one"))
+    CompactedState.lookup(spark, compactedStateDir(table),
+      CompactedState.Config(Seq(pk), "snapshot_tm", Seq(t.nmsColumn)), Seq(pkValue))
+  }
 }

@@ -80,15 +80,24 @@ object CompactedState {
     * resurrects stale rows (the old bucket's copy is no longer shadowed).
     * First upsert writes `dir/_meta`; every later upsert fails fast on a
     * mismatch instead of silently corrupting state. */
-  private def checkOrWriteMeta(f: FileSystem, dir: String, conf: Config): Unit = {
+  /** The persisted `numBuckets` of an existing layout (None before the
+    * first upsert or for pre-_meta layouts). */
+  private def readMeta(f: FileSystem, dir: String): Option[Int] = {
     val meta = new Path(s"$dir/_meta")
-    if (f.exists(meta)) {
+    if (!f.exists(meta)) None
+    else {
       val in = f.open(meta)
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val persisted =
-        "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(content).map(_.group(1).toInt)
+      "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(content).map(_.group(1).toInt)
+    }
+  }
+
+  private def checkOrWriteMeta(f: FileSystem, dir: String, conf: Config): Unit = {
+    val meta = new Path(s"$dir/_meta")
+    if (f.exists(meta)) {
+      val persisted = readMeta(f, dir)
       require(persisted.contains(conf.numBuckets),
         s"numBuckets mismatch for compacted state at $dir: on-disk layout uses " +
           s"numBuckets=${persisted.map(_.toString).getOrElse("<unreadable>")}, config says " +
@@ -145,6 +154,37 @@ object CompactedState {
         require(f.rename(s.getPath, target), s"failed to publish $target")
       }
     f.delete(stage, true)
+  }
+
+  /** Point lookup: the current state of ONE key, reading ONLY the bucket
+    * dir the key hashes into — an O(state / numBuckets) scan instead of
+    * the full-state read, the access path a "current state of key X"
+    * serving query needs at 100 TB. `keyValues` must match
+    * `conf.keyCols` positionally (and in type: the literal is hashed
+    * exactly as the column is). Fails fast if `conf.numBuckets` disagrees
+    * with the on-disk layout (a wrong bucket count would probe the wrong
+    * dir and silently return no rows). */
+  def lookup(spark: SparkSession, dir: String, conf: Config,
+             keyValues: Seq[Any]): Option[DataFrame] = {
+    require(keyValues.length == conf.keyCols.length,
+      s"expected ${conf.keyCols.length} key values (${conf.keyCols.mkString(", ")}), " +
+        s"got ${keyValues.length}")
+    readMeta(fs(spark, dir), dir).foreach { persisted =>
+      require(persisted == conf.numBuckets,
+        s"numBuckets mismatch for compacted state at $dir: on-disk layout uses " +
+          s"numBuckets=$persisted, config says ${conf.numBuckets}; probing with the " +
+          "wrong bucket count would silently miss the key")
+    }
+    // same hash as bucketExpr, evaluated on a one-row local plan
+    val bucket = spark.range(1)
+      .select(pmod(xxhash64(keyValues.map(lit): _*), lit(conf.numBuckets.toLong)))
+      .head().getLong(0)
+    latestVersions(spark, dir).get(bucket).map { case (_, path) =>
+      conf.keyCols.zip(keyValues).foldLeft(
+        spark.read.option("mergeSchema", "true").parquet(path)) {
+        case (df, (c, v)) => df.filter(col(c) === lit(v))
+      }
+    }
   }
 
   /** Drop superseded versions (keep the latest per bucket). Run when no

@@ -243,6 +243,42 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(drift.getMessage.contains("numBuckets mismatch"))
   }
 
+  test("currentStateLookup probes exactly one bucket dir and matches the view row") {
+    val sink = TestSpark.tmpDir("graft-sink-lookup")
+    val stateDir = TestSpark.tmpDir("graft-state-lookup")
+    val eng = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir,
+      policy = PolicyConfig(batchCount = 100, replicationBufferSecs = 180),
+      concurrency = 2, maintainCurrentState = true)
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+    var clock = Instant.parse("2024-02-01T00:00:00Z")
+    (1 to 5).foreach { _ => eng.tick(clock); clock = clock.plusSeconds(3600) }
+
+    val some = eng.currentState("events").select("event_id").head(3).map(_.getLong(0))
+    some.foreach { id =>
+      val hit = eng.currentStateLookup("events", id).get
+      // exactly the view's row for that key...
+      val expect = eng.currentState("events").filter(col("event_id") === id)
+      assert(hit.count() == 1L)
+      assert(hit.except(expect).isEmpty && expect.except(hit).isEmpty)
+      // ...read from ONE bucket dir, not the whole state
+      val dirs = hit.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+      assert(dirs.length == 1 && dirs.head.contains("bucket="),
+        s"lookup must probe a single bucket dir; scanned: ${dirs.toSeq}")
+    }
+    // an absent key in a present bucket -> empty result, still one bucket
+    val ghost = eng.currentStateLookup("events", 999999999L)
+    assert(ghost.forall(_.isEmpty))
+
+    // a wrong bucket count must fail fast, not silently miss
+    val bad = intercept[IllegalArgumentException] {
+      graft.operators.CompactedState.lookup(spark, s"$sink/events_cdc_state",
+        graft.operators.CompactedState.Config(
+          Seq("event_id"), "snapshot_tm", Seq("ts"), numBuckets = 7),
+        Seq(some.head))
+    }
+    assert(bad.getMessage.contains("numBuckets mismatch"))
+  }
+
   test("ParquetMeta.rowCount reads footers only and is exact") {
     import graft.sources.ParquetMeta
     for (t <- Seq("events", "orders", "lineitem")) {
