@@ -51,17 +51,23 @@ object Bench {
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     // The full artifact (~3 KB with 70+ queries) exceeds the harness's line
-    // capture, which truncated it to unparseable JSON in past runs. Emit the
-    // totals as a short self-contained FIRST line, the per-query detail on
-    // its own line after, and the complete artifact as a file.
+    // capture, which truncated it to unparseable JSON in past runs. The
+    // harness tail-captures stdout, so the short self-contained totals line
+    // must be the LAST line printed (the 4 KB detail line would otherwise
+    // push it out of the capture window); the complete artifact also lands
+    // in BENCH.json.
     val totals =
       f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,"sf":"$sfDir"}"""
     val full =
       f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,"sf":"$sfDir","queries":$warmQs,"queries_cold":$coldQs}"""
-    println(totals)
     println(full)
+    println(totals)
     val out = new java.io.PrintWriter("BENCH.json")
     try out.println(full) finally out.close()
+    // release the session caches the query suite pins (exact pairs,
+    // simhash candidates, IVF indexes) — the contract a long-lived
+    // service embedding these queries must follow
+    graft.queries.NorthStarQueries.clearCaches()
     spark.stop()
   }
 }

@@ -148,6 +148,12 @@ object Similarity {
     /** Pin the assignment in executor storage for repeated probing. */
     def cache(): IvfIndex = { assigned.cache(); centers.cache(); this }
 
+    /** Release executor storage pinned by [[cache]] (long-lived services
+      * must pair every cache with this; short-lived mains may skip it). */
+    def unpersist(): IvfIndex = {
+      assigned.unpersist(false); centers.unpersist(false); this
+    }
+
     def save(dir: String): Unit = {
       centers.write.mode("overwrite").parquet(s"$dir/centers")
       assigned.write.mode("overwrite").partitionBy("cell")
