@@ -114,27 +114,48 @@ final class CdcEngine(
   /** T5 capture pool, shared across ticks — a forever `-cdc` loop must not
     * allocate/tear down a thread pool per tick. Daemon threads so the pool
     * never blocks JVM exit (Shutdown handles in-flight query teardown). */
+  private val captureThreadSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private lazy val capturePool = Executors.newFixedThreadPool(
     math.max(1, concurrency),
     (r: Runnable) => {
-      val t = new Thread(r, s"graft-capture-dsn$dsn")
+      // per-thread index: concurrent captures must be tellable apart in
+      // thread dumps and logs
+      val t = new Thread(r, s"graft-capture-dsn$dsn-${captureThreadSeq.incrementAndGet()}")
       t.setDaemon(true)
       t
     })
   private implicit lazy val captureEc: ExecutionContext =
     ExecutionContext.fromExecutor(capturePool)
 
-  /** One capture tick over all tracked tables (one `cdc()` pass). */
+  /** One capture tick over all tracked tables (one `cdc()` pass).
+    *
+    * Watermark commits batch to ONE catalog rewrite at tick end
+    * (`StateStore.commitAll`) — the per-table rewrite was O(catalog) per
+    * table per tick, the tick bottleneck at 10k+ tracked tables. T3
+    * still holds per table: only tables whose append succeeded are in the
+    * batch, and the batch lands before any failure is rethrown, so a
+    * sibling's failure never discards a successful capture's watermark.
+    * (A driver crash between a table's append and the tick-end commit
+    * re-runs that window — the same at-least-once window the per-table
+    * form had between append and commit; W1 dedup absorbs it.) */
   def tick(now: Instant = Instant.now()): Seq[TickResult] = {
     // F3: exclusion also guards capture, so a table added to the list
     // after seeding stops being captured (`seed.go:42-50` pairing)
     val tracked = state.readForDsn(dsn).collect().toSeq
       .filterNot(t => excludedTables(t.name))
-    val futures = tracked.map { t => Future(captureOne(t, now)) }
-    Await.result(Future.sequence(futures), Duration.Inf)
+    val futures = tracked.map { t =>
+      Future(captureOne(t, now)).transform(scala.util.Success(_))
+    }
+    val outcomes = Await.result(Future.sequence(futures), Duration.Inf)
+    state.commitAll(outcomes.collect {
+      case scala.util.Success((_, Some(c))) => c
+    })
+    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(e => throw e)
+    outcomes.collect { case scala.util.Success((r, _)) => r }
   }
 
-  private def captureOne(t: TableState, now: Instant): TickResult = {
+  private def captureOne(t: TableState,
+                         now: Instant): (TickResult, Option[StateStore.Commit]) = {
     // S6: cheap live count — parquet footers / database stats, never a
     // Spark-side scan. The reference reads the O(1) catalog estimate
     // (`postgres.go:144-149`); a `df.count()` here would re-scan every
@@ -148,7 +169,7 @@ final class CdcEngine(
       now = now,
       conf = policy)
     decision match {
-      case Skip(_) => TickResult(t.name, decision, 0L)
+      case Skip(_) => (TickResult(t.name, decision, 0L), None)
       case Advance(w, _) =>
         val lo = Timestamp.from(w.lo)
         val hi = Timestamp.from(w.hi)
@@ -182,11 +203,11 @@ final class CdcEngine(
             CompactedState.upsert(spark, compactedStateDir(t.name), stable,
               CompactedState.Config(Seq(pk), "snapshot_tm", Seq(t.nmsColumn)))
           }
-          // T3: commit only after the append succeeded.
-          state.synchronized {
-            state.commit(dsn, t.name, hi, liveCount, snapTm)
-          }
-          TickResult(t.name, decision, captured)
+          // T3: the commit is handed to tick() only after the append
+          // succeeded; tick() applies all successful tables' commits in
+          // one batched catalog write.
+          (TickResult(t.name, decision, captured),
+            Some(StateStore.Commit(dsn, t.name, hi, liveCount, snapTm)))
         } finally {
           if (compacting) stable.unpersist(false)
         }
@@ -194,28 +215,35 @@ final class CdcEngine(
   }
 
   /** T6: `-runonce` vs continuous loop. Dumps the per-table stream
-    * configs once per run (O7). Between ticks — the safe point per
-    * `CompactedState.vacuum`'s contract, since no engine reader holds a
-    * stale version listing there — superseded compacted-state versions are
-    * dropped, so the forever `-cdc` mode's storage stays O(current state)
-    * instead of growing by one superseded bucket copy per batch. */
+    * configs once per run (O7). Between ticks superseded compacted-state
+    * versions are vacuumed with a ONE-VERSION grace (`retain = 2`): an
+    * external reader that resolved its file listing last tick — a held
+    * `currentState` DataFrame, a registered current-state view — still
+    * finds its files for one more tick, so the forever `-cdc` mode's
+    * storage stays O(current state) without yanking files out from under
+    * the advertised serving path. Views registered via
+    * [[registerCurrentStateViews]] are re-registered after each tick so
+    * they re-resolve onto the newest version. */
   def run(maxTicks: Int, now: () => Instant = () => Instant.now()): Seq[Seq[TickResult]] = {
     dumpStreamConfigs()
     (1 to maxTicks).map { _ =>
       val r = tick(now())
       vacuumCompactedState()
+      if (viewsRegistered) registerCurrentStateViews()
       r
     }
   }
 
   /** Drop superseded compacted-state versions for every compacting table.
-    * Safe whenever no reader holds a stale listing (between ticks). */
-  def vacuumCompactedState(): Unit =
+    * The default one-version grace (`retain = 2`) tolerates readers whose
+    * listing is one tick stale; pass `retain = 1` to reclaim everything
+    * but the current version when no reader can be live. */
+  def vacuumCompactedState(retain: Int = 2): Unit =
     if (maintainCurrentState)
       state.readForDsn(dsn).collect().toSeq
         .filterNot(t => excludedTables(t.name))
         .filter(_.pKeyColumn.isDefined)
-        .foreach(t => CompactedState.vacuum(spark, compactedStateDir(t.name)))
+        .foreach(t => CompactedState.vacuum(spark, compactedStateDir(t.name), retain))
 
   /**
    * O7 — per-run artifact dump: one JSON file per tracked table under
@@ -269,9 +297,15 @@ final class CdcEngine(
     * table — a bounded scan of `numBuckets` bucket dirs — instead of
     * collapsing the full append log on every read, matching the
     * reference's always-latest warehouse view (`bigquery.go:187-207`)
-    * without its per-read recompute cost. */
-  def registerCurrentStateViews(): Seq[String] =
-    state.readForDsn(dsn).collect().toSeq.flatMap { t =>
+    * without its per-read recompute cost.
+    *
+    * The view pins the compacted version listing AT REGISTRATION; under a
+    * continuous [[run]] the engine re-registers after every tick (and
+    * vacuum keeps one superseded version as grace), so SQL readers always
+    * resolve. A caller driving [[tick]] manually must re-register (or
+    * re-call [[currentState]]) after compaction-advancing ticks. */
+  def registerCurrentStateViews(): Seq[String] = {
+    val names = state.readForDsn(dsn).collect().toSeq.flatMap { t =>
       t.pKeyColumn.map { pk =>
         compactedIfAvailable(t.name) match {
           case Some(compacted) => compacted.createOrReplaceTempView(t.name)
@@ -282,6 +316,13 @@ final class CdcEngine(
         t.name
       }
     }
+    viewsRegistered = names.nonEmpty
+    names
+  }
+
+  /** Whether the engine has published serving views it must keep fresh
+    * across the run() loop (vacuum would otherwise strand them). */
+  @volatile private var viewsRegistered = false
 
   private def compactedStateDir(table: String): String =
     s"$sinkDir/${AppendSink.cdcTableName(table)}_state"
@@ -313,19 +354,35 @@ final class CdcEngine(
 
   /** W1 — the current-state view. Served from the compacted table when the
     * engine maintains one (O(numBuckets) files read, no log collapse);
-    * falls back to the full-log recompute otherwise. */
+    * falls back to the full-log recompute otherwise.
+    *
+    * The returned DataFrame pins the compacted file listing at CALL time;
+    * under a continuous [[run]] it stays readable for one more tick
+    * (vacuum's grace version) — re-obtain it per tick rather than holding
+    * it across many. */
   def currentState(table: String): DataFrame =
     compactedIfAvailable(table).getOrElse(recomputeCurrentState(table))
 
   /** Point lookup: the latest state of ONE primary-key value, reading a
     * single compacted bucket dir (requires `maintainCurrentState`) —
-    * O(state / numBuckets) instead of a full view scan. */
+    * O(state / numBuckets) instead of a full view scan. The literal is
+    * coerced to the pk column's stored type before bucket hashing: an Int
+    * passed for a Long pk would otherwise hash to a DIFFERENT bucket and
+    * silently return no rows. */
   def currentStateLookup(table: String, pkValue: Any): Option[DataFrame] = {
     require(maintainCurrentState, s"lookup requires maintainCurrentState = true")
     val t = state.readForDsn(dsn).collect().find(_.name == table)
       .getOrElse(sys.error(s"unknown table $table"))
     val pk = t.pKeyColumn.getOrElse(sys.error(s"no pkey for $table; lookup requires one"))
+    val pkType = t.schemaJson.flatMap { j =>
+      org.apache.spark.sql.types.DataType.fromJson(j) match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.find(_.name == pk).map(_.dataType)
+        case _ => None
+      }
+    }
     CompactedState.lookup(spark, compactedStateDir(table),
-      CompactedState.Config(Seq(pk), "snapshot_tm", Seq(t.nmsColumn)), Seq(pkValue))
+      CompactedState.Config(Seq(pk), "snapshot_tm", Seq(t.nmsColumn)),
+      Seq(pkValue), keyTypes = pkType.toSeq)
   }
 }

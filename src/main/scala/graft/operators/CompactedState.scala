@@ -81,7 +81,11 @@ object CompactedState {
     * First upsert writes `dir/_meta`; every later upsert fails fast on a
     * mismatch instead of silently corrupting state. */
   /** The persisted `numBuckets` of an existing layout (None before the
-    * first upsert or for pre-_meta layouts). */
+    * first upsert or for pre-_meta layouts). A present-but-unparseable
+    * `_meta` gets its OWN error, distinct from a genuine bucket-count
+    * mismatch: reporting corruption as "numBuckets mismatch" sends the
+    * operator chasing the wrong repair, and silently ignoring it would
+    * let a lookup probe the wrong dir. */
   private def readMeta(f: FileSystem, dir: String): Option[Int] = {
     val meta = new Path(s"$dir/_meta")
     if (!f.exists(meta)) None
@@ -90,23 +94,42 @@ object CompactedState {
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(content).map(_.group(1).toInt)
+      val parsed =
+        "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(content).map(_.group(1).toInt)
+      if (parsed.isEmpty)
+        throw new IllegalStateException(
+          s"corrupt _meta for compacted state at $dir (content: " +
+            s"'${content.take(120)}'): cannot determine the on-disk bucket " +
+            "layout; restore _meta from the layout's known numBuckets before " +
+            "upserting or probing")
+      parsed
     }
   }
 
   private def checkOrWriteMeta(f: FileSystem, dir: String, conf: Config): Unit = {
     val meta = new Path(s"$dir/_meta")
-    if (f.exists(meta)) {
-      val persisted = readMeta(f, dir)
+    def check(): Unit = {
+      val persisted = readMeta(f, dir) // throws its own error if corrupt
       require(persisted.contains(conf.numBuckets),
         s"numBuckets mismatch for compacted state at $dir: on-disk layout uses " +
-          s"numBuckets=${persisted.map(_.toString).getOrElse("<unreadable>")}, config says " +
+          s"numBuckets=${persisted.map(_.toString).getOrElse("<absent>")}, config says " +
           s"${conf.numBuckets}; re-bucketing existing state would resurrect stale rows")
-    } else {
+    }
+    if (f.exists(meta)) check()
+    else {
+      // temp file + rename: FileSystem.create is not atomic, and a crash
+      // mid-write would leave a truncated _meta that wedges every later
+      // upsert with a corruption error until manually repaired
       f.mkdirs(new Path(dir))
-      val out = f.create(meta, false)
+      val tmp = new Path(s"$dir/._meta.tmp")
+      val out = f.create(tmp, true)
       try out.write(s"""{"numBuckets": ${conf.numBuckets}}""".getBytes("UTF-8"))
       finally out.close()
+      if (!f.rename(tmp, meta)) {
+        // lost a concurrent first-upsert race: validate against the winner
+        f.delete(tmp, false)
+        check()
+      }
     }
   }
 
@@ -160,43 +183,60 @@ object CompactedState {
     * dir the key hashes into — an O(state / numBuckets) scan instead of
     * the full-state read, the access path a "current state of key X"
     * serving query needs at 100 TB. `keyValues` must match
-    * `conf.keyCols` positionally (and in type: the literal is hashed
-    * exactly as the column is). Fails fast if `conf.numBuckets` disagrees
-    * with the on-disk layout (a wrong bucket count would probe the wrong
-    * dir and silently return no rows). */
+    * `conf.keyCols` positionally; pass `keyTypes` (the key columns'
+    * stored DataTypes) to coerce each literal before hashing — xxhash64
+    * hashes an Int literal differently from the Long column it probes, so
+    * an uncoerced caller-side type picks the WRONG bucket and silently
+    * returns no rows. Fails fast if `conf.numBuckets` disagrees with the
+    * on-disk layout (same silent-miss failure mode). */
   def lookup(spark: SparkSession, dir: String, conf: Config,
-             keyValues: Seq[Any]): Option[DataFrame] = {
+             keyValues: Seq[Any],
+             keyTypes: Seq[org.apache.spark.sql.types.DataType] = Nil): Option[DataFrame] = {
     require(keyValues.length == conf.keyCols.length,
       s"expected ${conf.keyCols.length} key values (${conf.keyCols.mkString(", ")}), " +
         s"got ${keyValues.length}")
+    require(keyTypes.isEmpty || keyTypes.length == keyValues.length,
+      s"keyTypes must be empty or match keyValues, got ${keyTypes.length}")
     readMeta(fs(spark, dir), dir).foreach { persisted =>
       require(persisted == conf.numBuckets,
         s"numBuckets mismatch for compacted state at $dir: on-disk layout uses " +
           s"numBuckets=$persisted, config says ${conf.numBuckets}; probing with the " +
           "wrong bucket count would silently miss the key")
     }
+    val keyLits = keyValues.zipWithIndex.map { case (v, i) =>
+      keyTypes.lift(i).map(lit(v).cast).getOrElse(lit(v))
+    }
     // same hash as bucketExpr, evaluated on a one-row local plan
     val bucket = spark.range(1)
-      .select(pmod(xxhash64(keyValues.map(lit): _*), lit(conf.numBuckets.toLong)))
+      .select(pmod(xxhash64(keyLits: _*), lit(conf.numBuckets.toLong)))
       .head().getLong(0)
     latestVersions(spark, dir).get(bucket).map { case (_, path) =>
-      conf.keyCols.zip(keyValues).foldLeft(
+      conf.keyCols.zip(keyLits).foldLeft(
         spark.read.option("mergeSchema", "true").parquet(path)) {
-        case (df, (c, v)) => df.filter(col(c) === lit(v))
+        case (df, (c, v)) => df.filter(col(c) === v)
       }
     }
   }
 
-  /** Drop superseded versions (keep the latest per bucket). Run when no
-    * reader can hold a stale listing — e.g. between engine ticks. */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
+  /** Drop superseded versions, keeping the newest `retain` per bucket.
+    * `retain = 1` reclaims everything but the current version — safe only
+    * when no reader can hold a stale listing. `retain = 2` leaves a
+    * one-version grace window so a reader that resolved its file listing
+    * before the latest upsert (a held `read` DataFrame, a registered temp
+    * view) still finds its files — the engine loop runs with this. */
+  def vacuum(spark: SparkSession, dir: String, retain: Int = 1): Unit = {
+    require(retain >= 1, s"vacuum must retain at least the current version, got $retain")
     val f = fs(spark, dir)
-    latestVersions(spark, dir).foreach { case (bucket, (vMax, _)) =>
-      val bdir = new Path(s"$dir/bucket=$bucket")
-      f.listStatus(bdir).toSeq
-        .filter(s => s.getPath.getName.startsWith("v=") &&
-          s.getPath.getName.stripPrefix("v=").toLong < vMax)
-        .foreach(s => f.delete(s.getPath, true))
-    }
+    val root = new Path(dir)
+    if (!f.exists(root)) return
+    f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .foreach { b =>
+        f.listStatus(b.getPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .sortBy(-_.getPath.getName.stripPrefix("v=").toLong)
+          .drop(retain)
+          .foreach(s => f.delete(s.getPath, true))
+      }
   }
 }

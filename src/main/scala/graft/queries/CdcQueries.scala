@@ -26,6 +26,29 @@ object CdcQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** One fully-built CDC engine per sf dir for the `cdc_state_lookup` row:
+    * seed + synthetic-clock ticks with compaction maintained, built ONCE
+    * per session (the fit/probe split again) — so the bench row measures
+    * build+lookup cold and the bucket-pruned point lookup itself warm.
+    * Five ticks traverse the whole fixture: the policy's bounded 14-day
+    * steps cover January in two, then a jump-to-ceiling catches up. */
+  private val lookupEngineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.engine.CdcEngine]()
+
+  private def lookupEngine(s: SparkSession, dir: String): graft.engine.CdcEngine =
+    lookupEngineCache.computeIfAbsent(dir, _ => {
+      val sink = java.nio.file.Files.createTempDirectory("graft-lookup-sink").toString
+      val state = java.nio.file.Files.createTempDirectory("graft-lookup-state").toString
+      val eng = new graft.engine.CdcEngine(s, dir, sink, state,
+        policy = graft.policy.WatermarkPolicy.PolicyConfig(
+          batchCount = 100, replicationBufferSecs = 180),
+        concurrency = 2, maintainCurrentState = true)
+      eng.seed(Seq(("events", "ts", Some("event_id"))))
+      var clock = java.time.Instant.parse("2024-02-01T00:00:00Z")
+      (1 to 5).foreach { _ => eng.tick(clock); clock = clock.plusSeconds(3600) }
+      eng
+    })
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F1/P1/P3: windowed snapshot scan with half-open (lo, hi] bounds.
     // loadWindowed pushes the window to the parquet scan (row-group
@@ -75,6 +98,18 @@ object CdcQueries {
         .getOrElse(sys.error("compacted state empty"))
         .select(ev.columns.map(col).toIndexedSeq: _*)
     }),
+
+    // W1 point lookup through the ENGINE serving path: capture `events`
+    // end-to-end (seed -> ticks -> append -> MERGE compaction), then read
+    // ONE key back via the bucket-pruned compacted lookup. The oracle is
+    // the latest-row answer for that key — event_id is the pk and unique,
+    // so that is the source row itself. snapshot_tm is capture metadata
+    // (clock-dependent) and is projected away.
+    "cdc_state_lookup" -> ((s, dir) =>
+      lookupEngine(s, dir).currentStateLookup("events", 42L)
+        .getOrElse(sys.error("no compacted bucket holds event_id 42"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))),
 
     // M1: invalid-timestamp → NULL munging.
     "cdc_munge_null" -> ((s, dir) =>
@@ -197,6 +232,9 @@ object CdcQueries {
         | FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |       FROM events) t
         | WHERE rn = 1""".stripMargin,
+    "cdc_state_lookup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        | FROM events WHERE event_id = 42""".stripMargin,
     "cdc_munge_null" ->
       s"""SELECT event_id,
          | CASE WHEN ts < TIMESTAMP '$Mid' THEN NULL ELSE CAST(ts AS TIMESTAMP) END AS ts_munged

@@ -190,12 +190,28 @@ object CdcStream {
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double,
                                first_ts: Timestamp, last_ts: Timestamp)
 
+  /** Whether a (streaming) Dataset carries an event-time watermark — the
+    * signal that watermark-bounded state eviction is available. */
+  private[streaming] def hasEventTimeWatermark(ds: Dataset[_]): Boolean =
+    ds.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+
   /** `flatMapGroupsWithState` exactly-once emission: per-key custom state
     * (the set of seen event identities) emits each row the FIRST time it
     * arrives and swallows at-least-once replays — the multi-row-output
     * custom-state surface next to `dropDuplicatesWithinWatermark` (which
     * bounds state by watermark; this form gives the pipeline full control
     * of the state and what is emitted).
+    *
+    * Dispatches on the stream: if `events` carries a watermark, the
+    * production [[dedupStreamEvicting]] form runs (state bounded by
+    * watermark + TTL — unbounded state on an unbounded stream is an
+    * outage, not a default). Without a watermark it falls back to
+    * NoTimeout: ProcessingTimeTimeout would schedule a batch EVERY
+    * trigger to evaluate timeouts, so `Trigger.AvailableNow` never
+    * drains — state is then bounded by retention of the upstream log.
     *
     * @param eventKey identity of an event WITHIN its user's stream — the
     *   primary key by default. (A timestamp is NOT an identity: two events
@@ -205,10 +221,8 @@ object CdcStream {
                   events: Dataset[UserEvent],
                   eventKey: UserEvent => Long = _.event_id): Dataset[UserEvent] = {
     import spark.implicits._
-    // NoTimeout: with ProcessingTimeTimeout the engine schedules a batch
-    // EVERY trigger to evaluate timeouts, so Trigger.AvailableNow never
-    // drains — state here is bounded by retention of the upstream log
-    // instead. For watermark-bounded state use `dedupStreamEvicting`.
+    if (hasEventTimeWatermark(events))
+      return dedupStreamEvicting(spark, events, eventKey = eventKey)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Set[Long], UserEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {

@@ -90,11 +90,18 @@ class CdcEngineSpec extends AnyFunSuite {
       ("events", "ts", Some("event_id")),
       ("orders", "o_orderdate", Some("o_orderkey"))))
 
+    val writesBefore = eng.state.catalogWrites.get()
     val res = eng.tick(java.time.Instant.parse("2024-02-01T00:00:00Z"))
     assert(res.map(_.table).toSet == Set("events", "orders"))
     assert(eng.cdcLog("events").count() == 1000L)
     assert(eng.cdcLog("orders").count() == 1500L)
     assert(eng.currentState("orders").count() == 1500L)
+    // watermark commits batch: BOTH tables' captures land in ONE catalog
+    // rewrite per tick, not one per table
+    assert(eng.state.catalogWrites.get() == writesBefore + 1,
+      "a tick must write the state catalog exactly once")
+    val committed = eng.state.readForDsn(1).collect()
+    assert(committed.forall(_.lastShovedOn.nonEmpty), "both tables committed")
 
     // F4 — a second DSN sharing the state store owns none of these tables
     val other = new CdcEngine(spark, TestSpark.Sf0001, sink, stateDir, dsn = 2)
@@ -186,14 +193,15 @@ class CdcEngineSpec extends AnyFunSuite {
     val results = eng.run(10, () => { val c = clock; clock = clock.plusSeconds(3600); c })
     assert(results.flatten.map(_.rowsCaptured).sum > 0)
 
-    // vacuum ran between ticks: every bucket dir holds EXACTLY one v= dir,
-    // i.e. storage is O(current state), not O(batches x state)
+    // vacuum ran between ticks: every bucket dir holds at most the current
+    // version plus ONE superseded grace version (for readers whose listing
+    // is a tick stale) — storage is O(current state), not O(batches x state)
     val buckets = new java.io.File(s"$sink/events_cdc_state").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(buckets.nonEmpty)
     buckets.foreach { b =>
       val versions = b.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v="))
-      assert(versions.length == 1,
+      assert(versions.length <= 2,
         s"${b.getName} has ${versions.length} versions after vacuum: ${versions.map(_.getName).toSeq}")
     }
 
@@ -211,6 +219,15 @@ class CdcEngineSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT * FROM events")
     assert(viaSql.inputFiles.forall(_.contains("events_cdc_state")))
     assert(viaSql.except(recompute).isEmpty && recompute.except(viaSql).isEmpty)
+
+    // a view registered BEFORE more run() ticks keeps serving afterwards:
+    // run() re-registers it per tick and vacuum keeps a grace version, so
+    // compaction never strands the advertised SQL serving path
+    val more = eng.run(3, () => { val c = clock; clock = clock.plusSeconds(3600); c })
+    assert(more.nonEmpty)
+    val afterRun = spark.sql("SELECT * FROM events")
+    assert(afterRun.count() == recompute.count())
+    assert(afterRun.inputFiles.forall(_.contains("events_cdc_state")))
     spark.catalog.dropTempView("events")
   }
 
@@ -268,6 +285,13 @@ class CdcEngineSpec extends AnyFunSuite {
     // an absent key in a present bucket -> empty result, still one bucket
     val ghost = eng.currentStateLookup("events", 999999999L)
     assert(ghost.forall(_.isEmpty))
+
+    // caller-side type drift: an Int for the Long pk must coerce to the
+    // column's stored type before bucket hashing (an uncoerced Int hashes
+    // to a DIFFERENT bucket and silently returns nothing)
+    val viaInt = eng.currentStateLookup("events", some.head.toInt)
+    assert(viaInt.nonEmpty && viaInt.get.count() == 1L,
+      "Int-typed key for a Long pk must still find the row")
 
     // a wrong bucket count must fail fast, not silently miss
     val bad = intercept[IllegalArgumentException] {

@@ -53,4 +53,46 @@ class CompactedStateSpec extends AnyFunSuite {
     val vacuumed = CompactedState.read(spark, dir).get
     assert(vacuumed.except(folded).isEmpty && folded.except(vacuumed).isEmpty)
   }
+
+  test("vacuum retain=2 keeps a one-version grace; a pre-vacuum reader still resolves") {
+    val dir = TestSpark.tmpDir("graft-compact-retain")
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 === 1)
+    CompactedState.upsert(spark, dir, half1, conf)
+    val held = CompactedState.read(spark, dir).get // listing pinned at v=1
+    val heldExpect = CurrentState.latestByKeyAgg(
+      half1, Seq("user_id"), "ts", Seq("event_id")).count()
+    CompactedState.upsert(spark, dir, half2, conf)
+    CompactedState.vacuum(spark, dir, retain = 2)
+    // the held reader's files survived the vacuum (one-tick grace)...
+    assert(held.count() == heldExpect)
+    // ...and a fresh reader serves the merged current state
+    val fresh = CompactedState.read(spark, dir).get
+    assert(fresh.except(recompute).isEmpty && recompute.except(fresh).isEmpty)
+    // retain=1 then reclaims the superseded version
+    CompactedState.vacuum(spark, dir, retain = 1)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).foreach { b =>
+        assert(b.listFiles().count(f => f.getName.startsWith("v=")) == 1)
+      }
+  }
+
+  test("corrupt _meta fails with its own error, distinct from a numBuckets mismatch") {
+    val dir = TestSpark.tmpDir("graft-compact-corrupt")
+    CompactedState.upsert(spark, dir, events, conf)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_meta"),
+      "{\"numBuc".getBytes("UTF-8")) // truncated mid-write
+    // drop the checksummed-FS sidecar: the out-of-band corruption above
+    // would otherwise surface as a ChecksumException before parsing
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/._meta.crc"))
+    val up = intercept[IllegalStateException] {
+      CompactedState.upsert(spark, dir, events.limit(5), conf)
+    }
+    assert(up.getMessage.contains("corrupt _meta"))
+    assert(!up.getMessage.contains("numBuckets mismatch"))
+    val look = intercept[IllegalStateException] {
+      CompactedState.lookup(spark, dir, conf, Seq(1L))
+    }
+    assert(look.getMessage.contains("corrupt _meta"))
+  }
 }

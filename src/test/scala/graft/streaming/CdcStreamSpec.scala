@@ -240,7 +240,9 @@ class CdcStreamSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1).parquet(src) // one file per batch
       .withWatermark("ts", "1 hour")
       .as[CdcStream.UserEvent]
-    val deduped = CdcStream.dedupStreamEvicting(spark, stream, stateTtlMs = 3600L * 1000L)
+    // via the DEFAULT entry point: the stream carries a watermark, so
+    // dedupStream must dispatch to the evicting (watermark-bounded) form
+    val deduped = CdcStream.dedupStream(spark, stream)
     val qn = s"evict_${System.nanoTime()}"
     val q = deduped.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(qn)
