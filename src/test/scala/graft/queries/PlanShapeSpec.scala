@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * Physical-plan regression guards for the scale-critical plan shapes
+ * (SURVEY §7.4, PLANS.md): these properties — predicate pushdown reaching
+ * the scan, dimensions broadcasting, map-side combine before a single
+ * shuffle, shuffle-free narrow kernels — are what make the operators hold
+ * at 100 TB, and they can silently regress under a refactor while every
+ * correctness oracle stays green. Each test executes the query (AQE
+ * finalizes plans only at runtime) and asserts on the formatted plan.
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  /** Execute, then render the formatted plan (execution finalizes AQE, so
+    * the tree shows the plan that actually ran). */
+  private def finalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  /** Count a node in the EXECUTED tree only — an executed AQE explain also
+    * echoes the initial (pre-runtime-reopt) tree and a per-node detail
+    * section, which would double-count. Word-bounded, so "Exchange" does
+    * not match inside "BroadcastExchange". */
+  private def treeCount(plan: String, pattern: String): Int =
+    pattern.r.findAllIn(plan.split("== Initial Plan ==")(0)).size
+
+  private def nodeCount(plan: String, node: String): Int =
+    treeCount(plan, "\\b" + node + "\\b")
+
+  test("capture window predicate reaches the parquet scan (raw-nanos pushdown)") {
+    val plan = finalPlan("cdc_snapshot_window")
+    // the half-open window must push as min/max-prunable filters on the RAW
+    // nanosecond column — a filter above the µs conversion projection
+    // reaches the scan as IsNotNull only and prunes nothing
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert("GreaterThan\\(ts,\\d{15,}\\)".r.findFirstIn(plan).nonEmpty,
+      s"window lower bound must push to the scan as a raw-nanos literal:\n${plan.take(2000)}")
+    assert("LessThanOrEqual\\(ts,\\d{15,}\\)".r.findFirstIn(plan).nonEmpty,
+      "window upper bound must push to the scan")
+  }
+
+  test("star join: dimensions broadcast, no sort-merge, fact scan pruned") {
+    val plan = finalPlan("q_join_revenue")
+    assert(nodeCount(plan, "BroadcastHashJoin") >= 2,
+      s"customer and nation must broadcast:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "SortMergeJoin") == 0,
+      "no sort-merge join may appear in the star join at this scale")
+    assert(nodeCount(plan, "CartesianProduct") == 0)
+    // column pruning: the fact scan reads exactly the 3 referenced columns
+    val factSchema = "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
+    assert(plan.contains(factSchema),
+      s"lineitem scan must be pruned to 3 columns:\n${plan.take(2000)}")
+  }
+
+  test("exact dedup groups: ONE map-side-combining shuffle") {
+    val plan = finalPlan("dedup_exact_groups")
+    assert(nodeCount(plan, "Exchange") == 1,
+      s"exactly one shuffle (on the content hash):\n${plan.take(2000)}")
+    assert(nodeCount(plan, "HashAggregate") == 2,
+      "partial (map-side) + final aggregate — the combining shape")
+    assert(nodeCount(plan, "Sort") == 0, "hash aggregation, never a sort")
+  }
+
+  test("brute-force ANN: the probe side broadcasts, the corpus never shuffles") {
+    val plan = finalPlan("sim_topk_brute")
+    assert(nodeCount(plan, "BroadcastExchange") >= 1,
+      s"the query set must broadcast:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "SortMergeJoin") == 0)
+  }
+
+  test("text kernels: zero shuffles, whole-stage codegen") {
+    for (q <- Seq("text_stats", "text_langid", "text_fingerprint")) {
+      val plan = finalPlan(q)
+      assert(nodeCount(plan, "Exchange") == 0,
+        s"$q is a narrow one-pass kernel; no shuffle allowed:\n${plan.take(1500)}")
+    }
+    // the formatted tree stars nodes running inside WholeStageCodegen; the
+    // custom-Expression kernel projections must carry the star. (text_langid
+    // is excluded by design: it stages tokens through higher-order-function
+    // lambdas, which Spark evaluates interpreted — the documented trade-off
+    // in Dedup.minhashBase — so its Project legitimately leaves codegen.)
+    for (q <- Seq("text_stats", "text_fingerprint")) {
+      val plan = finalPlan(q)
+      assert(treeCount(plan, """\* Project""") >= 1,
+        s"$q's kernel projection must stay inside whole-stage codegen:\n${plan.take(1500)}")
+    }
+  }
+
+  test("multimodal ingest: file-parallel source, no shuffle before projection") {
+    val plan = finalPlan("multimodal_ingest")
+    assert(nodeCount(plan, "Exchange") == 0,
+      s"binaryFile ingest + meta projection must be narrow:\n${plan.take(1500)}")
+  }
+}
