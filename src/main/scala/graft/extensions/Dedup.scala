@@ -242,6 +242,68 @@ object Dedup {
     verifyJaccard(pairs, sh, threshold)
   }
 
+  // --------------------------------------------- near-dup group resolution
+
+  /**
+   * Resolve near-duplicate PAIRS into duplicate GROUPS: connected
+   * components by iterative min-label propagation, then one group id per
+   * member (the smallest doc id reachable — the canonical representative).
+   * Pairs alone do not dedup a corpus: a keeps-one-per-group decision
+   * needs the transitive closure (a~b, b~c => one survivor among {a,b,c}).
+   *
+   * Scale shape (100 TB): this is the alternating label-propagation loop
+   * every distributed CC algorithm (large-star/small-star) reduces to —
+   * per round, ONE shuffle join of the skinny (node, label) relation
+   * against the symmetric edge list, converging in O(graph diameter)
+   * rounds. Near-dup clusters are near-cliques (diameter 1-2 in
+   * practice), so rounds stay single digits; the per-round convergence
+   * probe is a LIMIT-1 count, not a collect. Labels persist per round and
+   * the previous round unpersists, so executor storage holds two skinny
+   * relations regardless of round count.
+   *
+   * @return (doc_id, group_id) for every doc appearing in a pair;
+   *         group_id = min doc_id of the component. Fails loudly if
+   *         `maxIters` rounds do not converge (raise it for a pathological
+   *         chain-shaped graph; dup clusters never need that).
+   */
+  def resolveDupGroups(pairs: DataFrame, idA: String = "id_a",
+                       idB: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val fwd = pairs.select(col(idA).cast(LongType).as("src"),
+      col(idB).cast(LongType).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(lvl)
+    // round 0: label(v) = min(v, neighbors(v))
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .persist(lvl)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      // label'(v) = min(label(v), min over neighbors u of label(u))
+      val neigh = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nlabel"))
+      val next = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(lvl)
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0L
+      rounds += 1
+    }
+    edges.unpersist(false)
+    require(converged,
+      s"connected components did not converge in $maxIters rounds; " +
+        "the pair graph has a path longer than maxIters — raise it")
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
   // ------------------------------------------------- embedding cosine dup
 
   /** Embedding near-duplicate pairs via sign-LSH bucketing + exact cosine

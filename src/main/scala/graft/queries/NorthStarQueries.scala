@@ -66,16 +66,30 @@ object NorthStarQueries {
       Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The resolved near-dup GROUPS (connected components over the exact
+    * pair set), cached per sf dir: `resolveDupGroups` returns a persisted
+    * label relation (its iterative loop needs the pin), so one resolution
+    * is shared by the bench's cold+warm executions and released by
+    * [[clearCaches]]. */
+  private val dupGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dupGroups(s: SparkSession, dir: String): DataFrame =
+    dupGroupsCache.computeIfAbsent(dir, _ =>
+      Dedup.resolveDupGroups(exactPairs(s, dir)))
+
   /** Release every session cache this object pins (exact pairs, simhash
-    * candidates, IVF indexes). The bench/verify mains call this before
-    * stopping the session; a LONG-LIVED service embedding these queries
-    * must call it when a corpus version is retired, or executor storage
-    * leaks one persisted relation per sf dir forever. */
+    * candidates, dup groups, IVF indexes). The bench/verify mains call
+    * this before stopping the session; a LONG-LIVED service embedding
+    * these queries must call it when a corpus version is retired, or
+    * executor storage leaks one persisted relation per sf dir forever. */
   def clearCaches(): Unit = {
     exactPairsCache.values.forEach(df => { df.unpersist(false); () })
     exactPairsCache.clear()
     simPairsCache.values.forEach(df => { df.unpersist(false); () })
     simPairsCache.clear()
+    dupGroupsCache.values.forEach(df => { df.unpersist(false); () })
+    dupGroupsCache.clear()
     ivfIndexCache.values.forEach(ix => { ix.unpersist(); () })
     ivfIndexCache.clear()
   }
@@ -121,6 +135,14 @@ object NorthStarQueries {
             .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
         .filter(col("cosine") >= 0.4)
     }),
+
+    // Near-dup group resolution: pairs -> connected components -> one
+    // group id (min member) per doc. The step that turns pairwise
+    // detections into an actual keep-one-per-group dedup decision; the
+    // oracle recomputes the transitive closure with a recursive CTE, so
+    // every membership is hash-checked.
+    "dedup_near_groups" -> ((s, dir) =>
+      dupGroups(s, dir).select(col("doc_id"), col("group_id"))),
 
     // Materialize + persist the shared exact-pairs side (the dedup-gate
     // analog of `sim_topk_ivf`'s fit/probe split): this row carries the
@@ -446,6 +468,21 @@ object NorthStarQueries {
     "dedup_exact_pairs_build" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_pairs
          |FROM ($NgramJaccardSql) t""".stripMargin,
+    // Connected components over the exact pair set: transitive closure by
+    // recursive CTE, component label = min reachable id — the exact
+    // semantics of the engine's min-label propagation.
+    "dedup_near_groups" ->
+      s"""WITH RECURSIVE base AS ($NgramJaccardSql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM base
+         |  UNION
+         |  SELECT id_b, id_a FROM base),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS group_id
+         |FROM reach GROUP BY a""".stripMargin,
     // Soundness (0 emitted pairs outside the exact set) + recall floor;
     // n_true is the exact pair count DuckDB recomputes independently.
     "dedup_minhash_sound" ->

@@ -86,6 +86,17 @@ class DedupSpec extends AnyFunSuite {
     assert(near.nonEmpty && near.get._3 > 0.5 && near.get._3 < 1.0)
   }
 
+  test("resolveDupGroups: transitive closure, min-id labels, chain + clique + pair") {
+    // chain 1-2-3 (needs >1 propagation round), clique {20,21,22}, pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val resolved = Dedup.resolveDupGroups(pairs) // persisted; released below
+    val groups = resolved.as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    resolved.unpersist(false)
+  }
+
   test("embedding dup pairs find identical and near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
