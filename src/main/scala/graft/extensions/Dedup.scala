@@ -304,6 +304,19 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** The terminal dedup step: drop every NON-representative member of a
+    * dup group (representative = the group id itself, i.e. the smallest
+    * member), keep everything else — including docs in no group at all.
+    * One broadcast-able anti-join against the skinny loser set; at 100 TB
+    * the corpus side streams through untouched. `groups` is the output of
+    * [[resolveDupGroups]]. */
+  def keepRepresentatives(df: DataFrame, idCol: String,
+                          groups: DataFrame): DataFrame = {
+    val losers = groups.filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- embedding cosine dup
 
   /** Embedding near-duplicate pairs via sign-LSH bucketing + exact cosine

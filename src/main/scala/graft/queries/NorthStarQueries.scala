@@ -144,6 +144,14 @@ object NorthStarQueries {
     "dedup_near_groups" -> ((s, dir) =>
       dupGroups(s, dir).select(col("doc_id"), col("group_id"))),
 
+    // ...and the terminal corpus dedup those groups drive: keep group
+    // representatives + ungrouped docs. Anti-join against the skinny
+    // loser set — the corpus side streams through untouched at scale.
+    "dedup_near_corpus" -> ((s, dir) =>
+      Dedup.keepRepresentatives(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        "doc_id", dupGroups(s, dir))),
+
     // Materialize + persist the shared exact-pairs side (the dedup-gate
     // analog of `sim_topk_ivf`'s fit/probe split): this row carries the
     // full inverted-index + verify pipeline cost ONCE, so the
@@ -483,6 +491,22 @@ object NorthStarQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS group_id
          |FROM reach GROUP BY a""".stripMargin,
+    // Corpus-level keep set: everything except non-representative group
+    // members (doc_id is never NULL, so NOT IN is safe here).
+    "dedup_near_corpus" ->
+      s"""WITH RECURSIVE base AS ($NgramJaccardSql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM base
+         |  UNION
+         |  SELECT id_b, id_a FROM base),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+         |        FROM reach GROUP BY a)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> group_id)""".stripMargin,
     // Soundness (0 emitted pairs outside the exact set) + recall floor;
     // n_true is the exact pair count DuckDB recomputes independently.
     "dedup_minhash_sound" ->

@@ -94,6 +94,13 @@ class DedupSpec extends AnyFunSuite {
     val groups = resolved.as[(Long, Long)].collect().toMap
     assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+
+    // terminal dedup: representatives survive, other members drop, docs in
+    // no group (99) pass through untouched
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 99L).toDF("doc_id")
+    val kept = Dedup.keepRepresentatives(corpus, "doc_id", resolved)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L, 99L))
     resolved.unpersist(false)
   }
 
