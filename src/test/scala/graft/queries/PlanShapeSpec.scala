@@ -94,6 +94,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus dedup: the keep-set anti-join broadcasts the loser side") {
+    val plan = finalPlan("dedup_near_corpus")
+    // the corpus side must stream through a broadcast anti-join — a
+    // shuffled (sort-merge) anti here would re-shuffle 100 TB of corpus
+    // for a skinny loser set
+    assert(treeCount(plan, "BroadcastHashJoin LeftAnti") >= 1,
+      s"keepRepresentatives must anti-join via broadcast:\n${plan.take(2000)}")
+  }
+
   test("multimodal ingest: file-parallel source, no shuffle before projection") {
     val plan = finalPlan("multimodal_ingest")
     assert(nodeCount(plan, "Exchange") == 0,
