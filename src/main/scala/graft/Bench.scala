@@ -64,10 +64,10 @@ object Bench {
     println(totals)
     val out = new java.io.PrintWriter("BENCH.json")
     try out.println(full) finally out.close()
-    // release the session caches the query suite pins (exact pairs,
-    // simhash candidates, IVF indexes) — the contract a long-lived
-    // service embedding these queries must follow
-    graft.queries.NorthStarQueries.clearCaches()
+    // release the session caches the query suites pin (persisted
+    // relations, IVF indexes, lookup engines) — the contract a
+    // long-lived service embedding these queries must follow
+    SparkEntry.clearCaches()
     spark.stop()
   }
 }

@@ -28,4 +28,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++ NorthStarQueries.oracles
+
+  /** Release every session cache the query suites pin (persisted
+    * relations, IVF indexes, lookup engines + their temp trees). The
+    * bench/verify mains call this before stopping the session; a
+    * long-lived service embedding `queries` must call it when a corpus
+    * version is retired. */
+  def clearCaches(): Unit = {
+    NorthStarQueries.clearCaches()
+    CdcQueries.clearCaches()
+  }
 }

@@ -127,6 +127,12 @@ final class CdcEngine(
   private implicit lazy val captureEc: ExecutionContext =
     ExecutionContext.fromExecutor(capturePool)
 
+  /** Release driver-side resources (the capture thread pool). Call once at
+    * end of engine life; ticks must not run after. The pool's threads are
+    * daemons, so skipping close() never blocks JVM exit — this exists for
+    * long-lived services that build many engines. */
+  def close(): Unit = capturePool.shutdown()
+
   /** One capture tick over all tracked tables (one `cdc()` pass).
     *
     * Watermark commits batch to ONE catalog rewrite at tick end
@@ -150,7 +156,15 @@ final class CdcEngine(
     state.commitAll(outcomes.collect {
       case scala.util.Success((_, Some(c))) => c
     })
-    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(e => throw e)
+    val failures = outcomes.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      // surface EVERY failed table, not just the first: sibling failures
+      // ride along as suppressed exceptions (distinct root causes — say,
+      // schema drift on one table, an IO outage on another — must both
+      // reach the operator)
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
     outcomes.collect { case scala.util.Success((r, _)) => r }
   }
 

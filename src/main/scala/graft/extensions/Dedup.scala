@@ -289,6 +289,11 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist(lvl)
+      // materialize next FULLY before releasing its parent: a short-circuit
+      // probe would cache only the partitions it scanned, and the next
+      // round would recompute the holes through an already-unpersisted
+      // lineage — O(rounds) re-joins on a deep graph
+      next.count()
       val changed = next
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()
@@ -298,9 +303,12 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist(false)
-    require(converged,
-      s"connected components did not converge in $maxIters rounds; " +
-        "the pair graph has a path longer than maxIters — raise it")
+    if (!converged) {
+      labels.unpersist(false) // nothing is returned; don't strand the pin
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds; " +
+          "the pair graph has a path longer than maxIters — raise it")
+    }
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 

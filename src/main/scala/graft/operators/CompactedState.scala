@@ -119,17 +119,22 @@ object CompactedState {
     else {
       // temp file + rename: FileSystem.create is not atomic, and a crash
       // mid-write would leave a truncated _meta that wedges every later
-      // upsert with a corruption error until manually repaired
+      // upsert with a corruption error until manually repaired. The tmp
+      // name is per-attempt unique — a SHARED tmp path would let two
+      // concurrent first upserts truncate each other mid-write and publish
+      // interleaved bytes.
       f.mkdirs(new Path(dir))
-      val tmp = new Path(s"$dir/._meta.tmp")
+      val tmp = new Path(
+        s"$dir/._meta.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       try out.write(s"""{"numBuckets": ${conf.numBuckets}}""".getBytes("UTF-8"))
       finally out.close()
-      if (!f.rename(tmp, meta)) {
-        // lost a concurrent first-upsert race: validate against the winner
-        f.delete(tmp, false)
-        check()
-      }
+      if (!f.rename(tmp, meta)) f.delete(tmp, false)
+      // ALWAYS validate the published content rather than trusting the
+      // rename return value: on POSIX-backed filesystems rename over an
+      // existing destination succeeds, so a lost race can otherwise leave
+      // a winner whose bucket count disagrees with this writer's layout.
+      check()
     }
   }
 

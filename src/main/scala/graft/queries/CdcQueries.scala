@@ -32,8 +32,11 @@ object CdcQueries {
     * build+lookup cold and the bucket-pruned point lookup itself warm.
     * Five ticks traverse the whole fixture: the policy's bounded 14-day
     * steps cover January in two, then a jump-to-ceiling catches up. */
+  private final case class LookupFixture(
+      eng: graft.engine.CdcEngine, sink: String, state: String)
+
   private val lookupEngineCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.engine.CdcEngine]()
+    new java.util.concurrent.ConcurrentHashMap[String, LookupFixture]()
 
   private def lookupEngine(s: SparkSession, dir: String): graft.engine.CdcEngine =
     lookupEngineCache.computeIfAbsent(dir, _ => {
@@ -46,8 +49,26 @@ object CdcQueries {
       eng.seed(Seq(("events", "ts", Some("event_id"))))
       var clock = java.time.Instant.parse("2024-02-01T00:00:00Z")
       (1 to 5).foreach { _ => eng.tick(clock); clock = clock.plusSeconds(3600) }
-      eng
-    })
+      LookupFixture(eng, sink, state)
+    }).eng
+
+  /** Release the per-dir lookup fixtures: stop each engine's capture pool
+    * and delete its temp sink/state trees. Part of the suite-wide cache
+    * contract ([[graft.SparkEntry.clearCaches]]) — a long-lived service
+    * would otherwise accumulate one engine + two temp trees per sf dir. */
+  def clearCaches(): Unit = {
+    lookupEngineCache.values.forEach { f =>
+      f.eng.close()
+      Seq(f.sink, f.state).foreach { d =>
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
+    }
+    lookupEngineCache.clear()
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F1/P1/P3: windowed snapshot scan with half-open (lo, hi] bounds.

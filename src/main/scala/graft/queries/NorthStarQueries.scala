@@ -385,9 +385,14 @@ object NorthStarQueries {
 
   /** Checked-in binary fixture dir for `multimodal_ingest`: real files
     * through the `binaryFile` source on the Spark side, `read_blob` on the
-    * DuckDB side — the same absolute path in both engines. */
+    * DuckDB side — the same absolute path in both engines (it is baked
+    * into the generated oracle SQL, so it must be filesystem-resolvable,
+    * not classpath-relative). Lives under MAIN resources — the query ships
+    * in the main artifact — with an env override for checkouts rooted
+    * elsewhere. */
   private val MultimodalFixtureDir =
-    "/root/repo/src/test/resources/multimodal_fixture"
+    sys.env.getOrElse("GRAFT_MULTIMODAL_FIXTURE_DIR",
+      "/root/repo/src/main/resources/multimodal_fixture")
 
   /** Exact n-gram Jaccard oracle, shared by the dedup gates: DuckDB
     * recomputes the SAME semantics over STRING 3-grams (Spark uses 64-bit

@@ -26,6 +26,20 @@ object StateStore {
   /** One table's watermark commit (T3), applied by [[StateStore.commitAll]]. */
   final case class Commit(dsn: Int, name: String, newNms: Timestamp,
                           rowCount: Long, shovedOn: Timestamp)
+
+  /** One lock object per catalog path, JVM-wide: multiple engines (the
+    * multi-DSN deployment) each build their OWN StateStore over the SAME
+    * stateDir, so an instance-level `synchronized` would let their
+    * read-modify-rewrite cycles interleave and silently clobber each
+    * other's watermark commits. Cross-PROCESS exclusion is out of scope
+    * here, as in the reference: its SQLite state plus the singleton guard
+    * (SURVEY §2.9 T9) also assume one process, and cluster managers own
+    * single-instance scheduling. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[state] def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(new java.io.File(path).getAbsolutePath,
+      _ => new Object)
 }
 
 /**
@@ -44,15 +58,23 @@ final class StateStore(spark: SparkSession, dir: String) {
   import spark.implicits._
 
   private val path = s"$dir/nmstables"
+  private val lock = StateStore.lockFor(path)
 
   /** Catalog rewrites performed by this store (observability for the
     * one-write-per-tick contract; a per-table regression shows up here). */
   val catalogWrites = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def read(): Dataset[TableState] = {
+  /** Reads materialize EAGERLY under the catalog lock: a lazy Dataset
+    * would list/scan the parquet at action time, racing `write`'s
+    * delete-then-rename swap and observing a mid-swap empty catalog. The
+    * catalog is metadata-tiny, so the eager collect is O(tables). */
+  def read(): Dataset[TableState] = lock.synchronized {
     val f = new java.io.File(path)
     if (!f.exists()) spark.emptyDataset[TableState]
-    else spark.read.parquet(path).as[TableState]
+    else {
+      val rows = spark.read.parquet(path).as[TableState].collect()
+      spark.createDataset(rows.toIndexedSeq)
+    }
   }
 
   def readForDsn(dsn: Int): Dataset[TableState] =
@@ -61,7 +83,7 @@ final class StateStore(spark: SparkSession, dir: String) {
 
   /** T4 — upsert by (dsn, name), replacing manual SELECT-then-INSERT/UPDATE
     * (`/root/reference/nmsdb.go:126-158`). */
-  def upsert(states: Seq[TableState]): Unit = synchronized {
+  def upsert(states: Seq[TableState]): Unit = lock.synchronized {
     val keys = states.map(s => (s.dsn, s.name)).toSet
     val kept = read().collect().filterNot(s => keys.contains((s.dsn, s.name)))
     write(kept.toSeq ++ states)
@@ -76,11 +98,13 @@ final class StateStore(spark: SparkSession, dir: String) {
     commitAll(Seq(StateStore.Commit(dsn, name, newNms, rowCount, shovedOn)))
 
   /** T3, batched: apply every commit in ONE read-modify-rewrite of the
-    * catalog. Internally synchronized — concurrent capture threads no
-    * longer serialize on a caller-side lock around per-table rewrites. */
+    * catalog. Synchronized on the JVM-wide per-path lock — concurrent
+    * capture threads AND concurrent engines sharing the stateDir
+    * (multi-DSN) serialize here, so no commit cycle can clobber
+    * another's rows. */
   def commitAll(commits: Seq[StateStore.Commit]): Unit = {
     if (commits.isEmpty) return
-    synchronized {
+    lock.synchronized {
       val byKey = commits.map(c => (c.dsn, c.name) -> c).toMap
       val updated = read().collect().toSeq.map { s =>
         byKey.get((s.dsn, s.name)) match {
