@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness tail-captures `sbt runMain` stdout and parses the LAST line
+// as JSON (Bench prints its totals line last). Strip sbt's framing around
+// the forked program: StdoutOutput passes the child's stdout through
+// verbatim (no `[info] ` prefix), and showSuccess := false drops the
+// trailing `[success] Total time ...` line — so the totals JSON is the
+// literal last line of captured output.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — lintUnused
+// false-positives on it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

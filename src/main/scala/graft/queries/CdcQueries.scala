@@ -52,22 +52,68 @@ object CdcQueries {
       LookupFixture(eng, sink, state)
     }).eng
 
+  /** Fold the four fixed window slices of `events` into a compacted state
+    * under `stateDir` (the `cdc_current_state_compacted` build). Shared by
+    * the from-scratch build row (fresh temp dir every call — it measures
+    * the build) and the session-cached fixture the read row serves from. */
+  private def buildCompacted(s: SparkSession, dir: String, stateDir: String)
+      : graft.operators.CompactedState.Config = {
+    val ev = events(s, dir)
+    val conf = graft.operators.CompactedState.Config(
+      Seq("user_id"), "ts", Seq("event_id"), numBuckets = 8)
+    val bounds = Seq(Lo, Mid, Hi).map(utcTs)
+    val slices = Seq(
+      ev.filter(col("ts") <= lit(bounds(0))),
+      ev.filter(col("ts") > lit(bounds(0)) && col("ts") <= lit(bounds(1))),
+      ev.filter(col("ts") > lit(bounds(1)) && col("ts") <= lit(bounds(2))),
+      ev.filter(col("ts") > lit(bounds(2))))
+    slices.foreach(b =>
+      graft.operators.CompactedState.upsert(s, stateDir, b, conf))
+    conf
+  }
+
+  /** One pre-built compacted state per sf dir for the read row — the
+    * fit/probe split again: the build row keeps paying the full fold, the
+    * read row measures ONLY the compacted read path (a bounded scan of
+    * `numBuckets` bucket dirs). */
+  private val compactedFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def compactedFixture(s: SparkSession, dir: String): String =
+    compactedFixtureCache.computeIfAbsent(dir, _ => {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-compacted-fixture").toString
+      buildCompacted(s, dir, stateDir)
+      stateDir
+    })
+
+  /** Temp trees created by the from-scratch build row, swept by
+    * [[clearCaches]] (the row itself must NOT reuse them — it measures the
+    * build — but a long-lived service must not leak one per execution). */
+  private val buildScratchDirs =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
   /** Release the per-dir lookup fixtures: stop each engine's capture pool
-    * and delete its temp sink/state trees. Part of the suite-wide cache
-    * contract ([[graft.SparkEntry.clearCaches]]) — a long-lived service
-    * would otherwise accumulate one engine + two temp trees per sf dir. */
+    * and delete its temp sink/state trees. Also sweeps the compacted
+    * read-fixture and the build row's scratch dirs. Part of the
+    * suite-wide cache contract ([[graft.SparkEntry.clearCaches]]) — a
+    * long-lived service would otherwise accumulate one engine + temp
+    * trees per sf dir. */
   def clearCaches(): Unit = {
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(); ()
+    }
     lookupEngineCache.values.forEach { f =>
       f.eng.close()
-      Seq(f.sink, f.state).foreach { d =>
-        def rm(p: java.io.File): Unit = {
-          if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
-          p.delete(); ()
-        }
-        rm(new java.io.File(d))
-      }
+      Seq(f.sink, f.state).foreach(d => rm(new java.io.File(d)))
     }
     lookupEngineCache.clear()
+    compactedFixtureCache.values.forEach(d => rm(new java.io.File(d)))
+    compactedFixtureCache.clear()
+    buildScratchDirs.forEach(d => rm(new java.io.File(d)))
+    buildScratchDirs.clear()
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,23 +146,29 @@ object CdcQueries {
 
     // W1 via incremental MERGE compaction (SURVEY §7.4): fold four window
     // slices of the table through CompactedState.upsert and read the
-    // materialized result — must equal the full recompute exactly.
+    // materialized result — must equal the full recompute exactly. This is
+    // the BUILD row (fresh state dir every call, the whole fold is the
+    // cost); the steady-state read path is measured by the `_read` sibling.
     "cdc_current_state_compacted" -> ((s, dir) => {
       val ev = events(s, dir)
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft-compacted-q").toString
-      val conf = graft.operators.CompactedState.Config(
-        Seq("user_id"), "ts", Seq("event_id"), numBuckets = 8)
-      val bounds = Seq(Lo, Mid, Hi).map(utcTs)
-      val slices = Seq(
-        ev.filter(col("ts") <= lit(bounds(0))),
-        ev.filter(col("ts") > lit(bounds(0)) && col("ts") <= lit(bounds(1))),
-        ev.filter(col("ts") > lit(bounds(1)) && col("ts") <= lit(bounds(2))),
-        ev.filter(col("ts") > lit(bounds(2))))
-      slices.foreach(b =>
-        graft.operators.CompactedState.upsert(s, stateDir, b, conf))
+      buildScratchDirs.add(stateDir)
+      buildCompacted(s, dir, stateDir)
       graft.operators.CompactedState.read(s, stateDir)
         .getOrElse(sys.error("compacted state empty"))
+        .select(ev.columns.map(col).toIndexedSeq: _*)
+    }),
+
+    // ...and the READ row: the same oracle served from a session-cached
+    // pre-built compacted state — measures ONLY the bounded
+    // numBuckets-dir scan a warehouse reader pays per query, not the
+    // build (the `cdc_state_lookup` fit/probe split applied to the full
+    // current-state read).
+    "cdc_current_state_compacted_read" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.CompactedState.read(s, compactedFixture(s, dir))
+        .getOrElse(sys.error("compacted fixture empty"))
         .select(ev.columns.map(col).toIndexedSeq: _*)
     }),
 
@@ -249,6 +301,11 @@ object CdcQueries {
         |       FROM events) t
         | WHERE rn = 1""".stripMargin,
     "cdc_current_state_compacted" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        | FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM events) t
+        | WHERE rn = 1""".stripMargin,
+    "cdc_current_state_compacted_read" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         | FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |       FROM events) t

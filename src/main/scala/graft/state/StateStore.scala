@@ -40,6 +40,18 @@ object StateStore {
   private[state] def lockFor(path: String): Object =
     pathLocks.computeIfAbsent(new java.io.File(path).getAbsolutePath,
       _ => new Object)
+
+  /** JVM-wide materialized-catalog memo, keyed like [[lockFor]]: every
+    * writer in scope (cross-process writers are out of scope, same as the
+    * lock) refreshes it on publish, so reads between writes cost zero
+    * Spark jobs — a tick's 4-5 catalog reads were each a parquet
+    * list+scan+collect job, pure driver latency at 10k tables × many
+    * ticks. The dir mtime rides along as a staleness guard for external
+    * mutation (a test wiping the dir): mismatch → fall through to a real
+    * scan. */
+  private final case class CachedCatalog(mtime: Long, rows: IndexedSeq[TableState])
+  private val catalogMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedCatalog]()
 }
 
 /**
@@ -58,22 +70,42 @@ final class StateStore(spark: SparkSession, dir: String) {
   import spark.implicits._
 
   private val path = s"$dir/nmstables"
+  private val absPath = new java.io.File(path).getAbsolutePath
   private val lock = StateStore.lockFor(path)
 
   /** Catalog rewrites performed by this store (observability for the
     * one-write-per-tick contract; a per-table regression shows up here). */
   val catalogWrites = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Parquet scans the memo could not serve (observability for the
+    * zero-jobs-between-writes contract: a no-write tick must not grow
+    * this). */
+  val catalogScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Reads materialize EAGERLY under the catalog lock: a lazy Dataset
     * would list/scan the parquet at action time, racing `write`'s
-    * delete-then-rename swap and observing a mid-swap empty catalog. The
-    * catalog is metadata-tiny, so the eager collect is O(tables). */
+    * rename swap and observing a mid-swap catalog. Served from the
+    * JVM-wide memo when the last publish's copy is still current (zero
+    * Spark jobs); the catalog is metadata-tiny, so the fallback collect
+    * is O(tables). */
   def read(): Dataset[TableState] = lock.synchronized {
+    recoverAside()
     val f = new java.io.File(path)
     if (!f.exists()) spark.emptyDataset[TableState]
     else {
-      val rows = spark.read.parquet(path).as[TableState].collect()
-      spark.createDataset(rows.toIndexedSeq)
+      val mtime = f.lastModified()
+      val hit = StateStore.catalogMemo.get(absPath)
+      val rows =
+        if (hit != null && hit.mtime == mtime) hit.rows
+        else {
+          catalogScans.incrementAndGet()
+          val scanned =
+            spark.read.parquet(path).as[TableState].collect().toIndexedSeq
+          StateStore.catalogMemo.put(absPath,
+            StateStore.CachedCatalog(mtime, scanned))
+          scanned
+        }
+      spark.createDataset(rows)
     }
   }
 
@@ -121,16 +153,43 @@ final class StateStore(spark: SparkSession, dir: String) {
   def exportJsonl(outPath: String): Unit =
     read().toDF().coalesce(1).write.mode(SaveMode.Overwrite).json(outPath)
 
+  /** Rename-aside publish: stage the new catalog in `.tmp`, move the live
+    * catalog ASIDE (`.old`) rather than deleting it, publish `.tmp`, then
+    * drop the aside. At every crash point a complete catalog exists on
+    * disk — either `path` (before the aside move, or after publish) or
+    * `path.old` (between the two renames; [[recoverAside]] restores it on
+    * the next read). The delete-then-rename this replaces had a window
+    * where a crash left NO live catalog. */
   private def write(states: Seq[TableState]): Unit = {
     catalogWrites.incrementAndGet()
-    // Write to a temp dir then swap, so a crash mid-write cannot destroy the
-    // previous state (the commit protocol relies on this file surviving).
     val tmp = s"$path.tmp"
     states.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    recoverAside() // a crash-orphaned aside is the live catalog; restore first
     val target = new java.io.File(path)
-    deleteRecursively(target)
-    if (!new java.io.File(tmp).renameTo(target))
+    val aside = new java.io.File(s"$path.old")
+    deleteRecursively(aside) // stale aside from a crash after a past publish
+    if (target.exists() && !target.renameTo(aside))
+      throw new java.io.IOException(s"state swap failed: $path -> $path.old")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      aside.renameTo(target) // restore the previous catalog before failing
       throw new java.io.IOException(s"state swap failed: $tmp -> $path")
+    }
+    deleteRecursively(aside)
+    StateStore.catalogMemo.put(absPath,
+      StateStore.CachedCatalog(target.lastModified(), states.toIndexedSeq))
+  }
+
+  /** Crash recovery for the rename-aside window: no live catalog but an
+    * aside present means the crash hit between `path -> path.old` and
+    * `tmp -> path` — the aside IS the last durable catalog; restore it.
+    * Both present (crash after publish, before aside cleanup): `path` is
+    * newer and wins; the stale aside is swept by the next write. */
+  private def recoverAside(): Unit = {
+    val target = new java.io.File(path)
+    val aside = new java.io.File(s"$path.old")
+    if (!target.exists() && aside.exists() && !aside.renameTo(target))
+      throw new java.io.IOException(
+        s"state recovery failed: $path.old -> $path")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

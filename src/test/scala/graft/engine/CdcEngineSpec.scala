@@ -111,6 +111,27 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(eng.state.readForDsn(1).count() == 2)
   }
 
+  test("a no-write tick costs zero catalog scans (memo serves every read)") {
+    val eng = mkEngine()
+    eng.seed(Seq(("events", "ts", Some("event_id"))))
+    val now = Instant.parse("2024-02-01T00:00:00Z")
+    // march the watermark to the replication ceiling (bounded 14-day steps
+    // cover January, then the jump-to-ceiling catches up)
+    (1 to 5).foreach(_ => eng.tick(now))
+
+    // same clock again: policy case 1 (recently shoved, nearly caught up)
+    // skips every table — no capture, no commit, NO catalog write...
+    val writes0 = eng.state.catalogWrites.get()
+    val scans0 = eng.state.catalogScans.get()
+    val res = eng.tick(now)
+    assert(res.forall(_.decision.isInstanceOf[graft.policy.WatermarkPolicy.Skip]))
+    assert(eng.state.catalogWrites.get() == writes0, "skip tick must not write")
+    // ...and the tick's catalog READS are all memo hits: the last write
+    // populated the memo, so a no-write tick issues zero parquet scans
+    assert(eng.state.catalogScans.get() == scans0,
+      "a no-write tick must not scan the catalog parquet")
+  }
+
   test("tick is single-pass: no count() jobs; rows come from write-side metrics") {
     val eng = mkEngine()
     eng.seed(Seq(("events", "ts", Some("event_id"))))

@@ -103,6 +103,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"keepRepresentatives must anti-join via broadcast:\n${plan.take(2000)}")
   }
 
+  test("as-of join: union+window merge shape — no join node, no row explosion") {
+    val plan = finalPlan("q_asof_join")
+    // the naive formulation plans the r.t <= l.t inequality as a
+    // nested-loop/cartesian per key and multiplies rows by version count;
+    // the merge shape has NO join operator at all — one shuffle on the
+    // key, one per-partition sort, one Window carrying the last right
+    // payload forward
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct",
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+      assert(nodeCount(plan, bad) == 0,
+        s"as-of must not plan a $bad:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Window") >= 1, s"windowed merge:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Union") >= 1, "both sides union into one timeline")
+    assert(nodeCount(plan, "Exchange") == 1,
+      s"exactly one shuffle (hash on the join key):\n${plan.take(2000)}")
+  }
+
+  test("range join: bin-explode equi-join — no nested loop, no cartesian") {
+    val plan = finalPlan("q_range_join")
+    // a raw lo <= t < hi inequality join plans as BroadcastNestedLoop
+    // (quadratic per key); the binning rewrite explodes intervals to
+    // their bins (Generate) and hash-joins on (key, bin) with the exact
+    // predicate as a residual filter
+    assert(nodeCount(plan, "BroadcastNestedLoopJoin") == 0,
+      s"the inequality must never reach the join operator:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "CartesianProduct") == 0)
+    assert(nodeCount(plan, "Generate") >= 1,
+      s"intervals must explode to bins:\n${plan.take(2000)}")
+    assert(Seq("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+      .map(nodeCount(plan, _)).sum >= 1,
+      s"bins must equi-join (hash or merge):\n${plan.take(2000)}")
+  }
+
   test("multimodal ingest: file-parallel source, no shuffle before projection") {
     val plan = finalPlan("multimodal_ingest")
     assert(nodeCount(plan, "Exchange") == 0,
