@@ -91,6 +91,16 @@ object NorthStarQueries {
     dupGroupsCache.computeIfAbsent(dir, _ =>
       Dedup.resolveDupGroups(exactPairs(s, dir)))
 
+  /** Near-dup groups resolved from the MINHASH pair set (the LSH-driven
+    * pipeline end to end, vs [[dupGroups]]' exact-pairs-driven one),
+    * cached per sf dir like every other iterative/persisted side. */
+  private val mhGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def mhGroups(s: SparkSession, dir: String): DataFrame =
+    mhGroupsCache.computeIfAbsent(dir, _ =>
+      Dedup.resolveDupGroups(minhashPairs(s, dir)))
+
   /** Release every session cache this object pins (exact pairs, simhash
     * candidates, dup groups, IVF indexes). The bench/verify mains call
     * this before stopping the session; a LONG-LIVED service embedding
@@ -105,6 +115,8 @@ object NorthStarQueries {
     minhashPairsCache.clear()
     dupGroupsCache.values.forEach(df => { df.unpersist(false); () })
     dupGroupsCache.clear()
+    mhGroupsCache.values.forEach(df => { df.unpersist(false); () })
+    mhGroupsCache.clear()
     ivfIndexCache.values.forEach(ix => { ix.unpersist(); () })
     ivfIndexCache.clear()
   }
@@ -165,6 +177,42 @@ object NorthStarQueries {
       Dedup.keepRepresentatives(
         docs(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         "doc_id", dupGroups(s, dir))),
+
+    // The LSH-DRIVEN dedup pipeline end to end: minhash pairs -> connected
+    // components -> keep-one-per-group anti-join — the full production
+    // path (dedup_near_corpus exercises the same tail from EXACT pairs).
+    // Gated, not dumped: DuckDB cannot reproduce minhash signatures, but
+    // two structural facts are exactly checkable against the recursive-CTE
+    // closure over the exact pairs:
+    //  - the minhash drop set is a SUBSET of the exact drop set. Minhash
+    //    pairs pass the same exact-Jaccard verify (soundness gate:
+    //    n_unsound = 0), so its edge set is a subgraph; components of a
+    //    subgraph refine the full graph's components, and a refined
+    //    component's losers (members above its min) are losers of the
+    //    containing component too. Any bucketing/labeling bug that emits
+    //    a false pair or mislabels a group breaks the subset.
+    //  - the drop-count floor: the LSH pipeline must drop >= 90% as many
+    //    docs as the exact closure (pair recall is gated at 0.9; clusters
+    //    are near-cliques, so component membership is at least as robust
+    //    as pair recall — measured drop ratios 1.0 / 1.0 / 0.971 at
+    //    sf0.001 / 0.01 / 0.1).
+    "dedup_minhash_corpus" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val kept = Dedup.keepRepresentatives(d, "doc_id", mhGroups(s, dir))
+        .withColumn("__keep", lit(1))
+      val exLosers = dupGroups(s, dir)
+        .filter(col("doc_id") =!= col("group_id"))
+        .select(col("doc_id"), lit(1).as("__ex"))
+      d.join(kept, Seq("doc_id"), "left")
+        .join(exLosers, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("__ex")).as("n_dropped_exact"),
+          (count(when(col("__keep").isNull && col("__ex").isNull, 1)) === 0)
+            .as("dropped_subset_of_exact"),
+          (count(when(col("__keep").isNull, 1)) >=
+            count(col("__ex")) * lit(0.9)).as("drop_ge_090"))
+    }),
 
     // Materialize + persist the shared exact-pairs side (the dedup-gate
     // analog of `sim_topk_ivf`'s fit/probe split): this row carries the
@@ -526,6 +574,27 @@ object NorthStarQueries {
          |        FROM reach GROUP BY a)
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> group_id)""".stripMargin,
+    // The end-to-end LSH dedup gate: n_docs and the exact drop count are
+    // recomputed independently (recursive-CTE closure over the exact
+    // pairs); the two structural facts are TRUE by construction when the
+    // pipeline is correct (see the query's comment).
+    "dedup_minhash_corpus" ->
+      s"""WITH RECURSIVE base AS ($NgramJaccardSql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM base
+         |  UNION
+         |  SELECT id_b, id_a FROM base),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+         |        FROM reach GROUP BY a)
+         |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+         |  CAST((SELECT count(*) FROM lab WHERE doc_id <> group_id) AS BIGINT)
+         |    AS n_dropped_exact,
+         |  TRUE AS dropped_subset_of_exact,
+         |  TRUE AS drop_ge_090""".stripMargin,
     // Soundness (0 emitted pairs outside the exact set) + recall floor;
     // n_true is the exact pair count DuckDB recomputes independently.
     "dedup_minhash_sound" ->

@@ -37,6 +37,28 @@ object Scratch {
         Files.writeString(Paths.get(out), sb.toString)
         println(s"wrote $out")
 
+      case "show" =>
+        // print a named query's rows (gate-value spot checks across SFs)
+        val dir = args(1)
+        val names = args(2).split(",").toSeq
+        names.foreach { n =>
+          println(s"=== $n @ $dir")
+          SparkEntry.queries(n)(spark, dir).show(50, truncate = false)
+        }
+
+      case "mhdrop" =>
+        // measured drop counts for the dedup_minhash_corpus floor comment
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val docs = sources.Tables.load(spark, dir, "documents")
+        def losers(groups: org.apache.spark.sql.DataFrame): Long =
+          groups.filter(col("doc_id") =!= col("group_id")).count()
+        val ex = losers(extensions.Dedup.resolveDupGroups(
+          extensions.Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
+        val mh = losers(extensions.Dedup.resolveDupGroups(
+          extensions.Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)))
+        println(s"mhdrop @ $dir: exact=$ex minhash=$mh ratio=${mh.toDouble / ex}")
+
       case "repeat" =>
         // warm-path timing: run each named query N times in one JVM so
         // machine noise and cold JIT don't masquerade as plan cost
