@@ -325,6 +325,80 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---------------------------------------- incremental (batch-vs-corpus)
+
+  /**
+   * Inverted-index snapshot of a corpus for INCREMENTAL dedup — the
+   * persisted fit side of a fit/probe split. `postings` is the skinny
+   * (gram, doc_id) relation after the df-cut (stop-grams occurring in
+   * more than `maxGramDf` corpus docs carry no discrimination and cost
+   * O(df × batch) in the probe join — dropped at build time, once);
+   * `shingles` holds each corpus doc's full hashed shingle set for exact
+   * verification. The caller owns the lifecycle: [[persist]] before
+   * probing batches against it, [[unpersist]] when the corpus version is
+   * retired.
+   */
+  final case class CorpusIndex(postings: DataFrame, shingles: DataFrame) {
+    private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def persist(): CorpusIndex = {
+      postings.persist(lvl); shingles.persist(lvl); this
+    }
+    def unpersist(): Unit = {
+      postings.unpersist(false); shingles.unpersist(false); ()
+    }
+  }
+
+  /** Build the [[CorpusIndex]] for [[dedupAgainstCorpus]]. One pass over
+    * the corpus: shingle-hash, explode to the skinny postings relation,
+    * df-cut via a combining COUNT (fixed-size buffers — a boilerplate
+    * gram shared by 10^8 docs is dropped without materializing its
+    * posting list). */
+  def buildCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, maxGramDf: Int = 100): CorpusIndex = {
+    val sh = hashedShingleSets(corpus, idCol, textCol, shingleK)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val keep = inv.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxGramDf).select(col("gram"))
+    CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh)
+  }
+
+  /**
+   * INCREMENTAL ingest dedup: drop every batch doc whose exact n-gram
+   * Jaccard against SOME indexed corpus doc reaches `threshold`; keep
+   * the rest (including batch-internal duplicates — dedup the batch
+   * against itself with the symmetric operators first if wanted).
+   *
+   * This is the shape a 100 TB ingest pipeline actually runs: the corpus
+   * index is built ONCE and persisted; each arriving batch costs
+   * O(batch) work — shingle the batch, probe the postings (each df-cut
+   * gram matches at most `maxGramDf` corpus docs, so the candidate join
+   * is bounded at batch_grams × maxGramDf), verify exact Jaccard on the
+   * candidates only, anti-join the dup ids away. Re-running the
+   * symmetric all-corpus dedup per ingest would re-shuffle the full
+   * corpus every batch.
+   *
+   * @return the batch rows that are NOT near-dups of the corpus
+   */
+  def dedupAgainstCorpus(batch: DataFrame, index: CorpusIndex,
+                         idCol: String, textCol: String,
+                         shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bsh = hashedShingleSets(batch, idCol, textCol, shingleK)
+    val cand = bsh
+      .select(col("doc_id").as("batch_id"), explode(col("sh")).as("gram"))
+      .join(index.postings.select(col("gram"), col("doc_id").as("corpus_id")),
+        Seq("gram"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val dupIds = cand
+      .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+        Seq("batch_id"))
+      .join(index.shingles.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+        Seq("corpus_id"))
+      .filter((size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+        size(array_union(col("sh_b"), col("sh_c")))) >= threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- embedding cosine dup
 
   /** Embedding near-duplicate pairs via sign-LSH bucketing + exact cosine

@@ -101,6 +101,32 @@ object NorthStarQueries {
     mhGroupsCache.computeIfAbsent(dir, _ =>
       Dedup.resolveDupGroups(minhashPairs(s, dir)))
 
+  /** Embedding-modality dup groups (connected components over the
+    * sign-LSH pair set on the planted corpus), cached per sf dir —
+    * `resolveDupGroups` returns a persisted relation, so an uncached
+    * call would leak one pin per bench execution. */
+  private val embGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def embGroups(s: SparkSession, dir: String): DataFrame =
+    embGroupsCache.computeIfAbsent(dir, _ =>
+      Dedup.resolveDupGroups(
+        Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
+          "embedding", threshold = 0.9, planes = 12, bands = 8)))
+
+  /** The incremental-dedup corpus index (docs with doc_id % 5 != 0),
+    * persisted per sf dir: the fit side of the fit/probe split —
+    * `dedup_incr_index_build` pays its materialization once (first in
+    * bench order), `dedup_incremental` measures only the batch probe. */
+  private val corpusIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.CorpusIndex]()
+
+  private def corpusIndex(s: SparkSession, dir: String): Dedup.CorpusIndex =
+    corpusIndexCache.computeIfAbsent(dir, _ =>
+      Dedup.buildCorpusIndex(
+        docs(s, dir).filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .persist())
+
   /** Release every session cache this object pins (exact pairs, simhash
     * candidates, dup groups, IVF indexes). The bench/verify mains call
     * this before stopping the session; a LONG-LIVED service embedding
@@ -117,6 +143,10 @@ object NorthStarQueries {
     dupGroupsCache.clear()
     mhGroupsCache.values.forEach(df => { df.unpersist(false); () })
     mhGroupsCache.clear()
+    embGroupsCache.values.forEach(df => { df.unpersist(false); () })
+    embGroupsCache.clear()
+    corpusIndexCache.values.forEach(ix => ix.unpersist())
+    corpusIndexCache.clear()
     ivfIndexCache.values.forEach(ix => { ix.unpersist(); () })
     ivfIndexCache.clear()
   }
@@ -177,6 +207,24 @@ object NorthStarQueries {
       Dedup.keepRepresentatives(
         docs(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         "doc_id", dupGroups(s, dir))),
+
+    // INCREMENTAL ingest dedup, fit side: materialize + persist the
+    // corpus inverted index (docs with doc_id % 5 != 0) and report its
+    // posting count — DuckDB recomputes the df-cut postings exactly.
+    // Runs before `dedup_incremental` in bench order, so that row
+    // measures only the per-batch probe cost.
+    "dedup_incr_index_build" -> ((s, dir) =>
+      corpusIndex(s, dir).postings.agg(count(lit(1)).as("n_postings"))),
+
+    // ...and the probe: drop batch docs (doc_id % 5 == 0) that near-dup
+    // an indexed corpus doc at exact Jaccard >= 0.5; keep the rest.
+    // Exact semantics end to end (inverted-index candidates + exact
+    // verify), so the keep-set is fully hash-matched — no floors.
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.dedupAgainstCorpus(
+        docs(s, dir).filter(col("doc_id") % 5 === 0),
+        corpusIndex(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
     // The LSH-DRIVEN dedup pipeline end to end: minhash pairs -> connected
     // components -> keep-one-per-group anti-join — the full production
@@ -285,6 +333,17 @@ object NorthStarQueries {
     "dedup_embedding_sound" -> ((s, dir) =>
       Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
         "embedding", threshold = 0.9, planes = 12, bands = 8)),
+
+    // Embedding-modality corpus dedup END TO END: sign-LSH pairs ->
+    // connected components -> keep-one-per-group. On this fixture the
+    // LSH pair set EQUALS the exact cosine >= 0.9 set (pinned by
+    // `dedup_embedding_sound`), so the keep-set is fully hash-matched
+    // against the recursive-CTE closure over DuckDB's float-exact
+    // all-pairs — no floors, unlike the text-LSH corpus gate.
+    "dedup_embedding_corpus" -> ((s, dir) =>
+      Dedup.keepRepresentatives(
+        plantedEmbeddings(embs(s, dir)).select(col("vec_id"), col("label")),
+        "vec_id", embGroups(s, dir))),
 
     // ---- similarity search -------------------------------------------
     "sim_topk_brute" -> ((s, dir) => {
@@ -574,6 +633,79 @@ object NorthStarQueries {
          |        FROM reach GROUP BY a)
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> group_id)""".stripMargin,
+    // Incremental dedup, fit side: postings count after the df-cut.
+    // Spark counts 64-bit-hashed grams, DuckDB string grams — identical
+    // up to hash collisions, the standing assumption of every n-gram
+    // oracle here.
+    "dedup_incr_index_build" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |grams AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
+        |  FROM toks),
+        |cg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+        |keepgram AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) <= 100)
+        |SELECT CAST(count(*) AS BIGINT) AS n_postings
+        |FROM cg WHERE gram IN (SELECT gram FROM keepgram)""".stripMargin,
+    // Incremental dedup, probe side: the kept batch rows. Same
+    // tokenization / shingle convention / df-cut as NgramJaccardSql, but
+    // asymmetric: candidates pair batch docs with corpus docs only, and
+    // the df-cut applies to CORPUS document frequency (the index is
+    // built once against the corpus; batch grams are never cut).
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
+        |  FROM toks),
+        |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+        |cg AS (SELECT * FROM dg WHERE doc_id % 5 <> 0),
+        |bg AS (SELECT * FROM dg WHERE doc_id % 5 = 0),
+        |keepgram AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) <= 100),
+        |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |         FROM bg b JOIN (SELECT * FROM cg WHERE gram IN (SELECT gram FROM keepgram)) c USING (gram)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+        |inter AS (SELECT cand.batch_id, cand.corpus_id, count(*) AS i
+        |          FROM cand JOIN dg x ON x.doc_id = cand.batch_id
+        |          JOIN dg y ON y.doc_id = cand.corpus_id AND y.gram = x.gram
+        |          GROUP BY cand.batch_id, cand.corpus_id),
+        |dup AS (SELECT DISTINCT inter.batch_id FROM inter
+        |        JOIN sizes sa ON sa.doc_id = inter.batch_id
+        |        JOIN sizes sb ON sb.doc_id = inter.corpus_id
+        |        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM dup)""".stripMargin,
+    // Embedding corpus dedup: keep-set from the recursive-CTE closure
+    // over the float-exact planted all-pairs (>= 0.9) — the LSH pair set
+    // equals this set on the fixture, so the match is exact.
+    "dedup_embedding_corpus" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    CAST(list_prepend(
+        |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+        |      embedding[2:]) AS DOUBLE[]), label
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |base AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+        |         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM base
+        |  UNION
+        |  SELECT id_b, id_a FROM base),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+        |        FROM reach GROUP BY a)
+        |SELECT vec_id, label FROM pe
+        |WHERE vec_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> group_id)""".stripMargin,
     // The end-to-end LSH dedup gate: n_docs and the exact drop count are
     // recomputed independently (recursive-CTE closure over the exact
     // pairs); the two structural facts are TRUE by construction when the

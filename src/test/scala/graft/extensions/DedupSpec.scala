@@ -104,6 +104,41 @@ class DedupSpec extends AnyFunSuite {
     resolved.unpersist(false)
   }
 
+  test("incremental dedup: batch probes the corpus index; batch-internal dups survive") {
+    // corpus: docs 1-5; batch: an exact copy of 1, a near copy of 1, a
+    // novel doc, and TWO copies of the same novel text (batch-internal
+    // dup — out of scope by contract, both must survive)
+    val novel = "entirely new material about distributed checkpointing and " +
+      "watermark semantics in long running stream processing applications today"
+    val batch = Seq(
+      (101L, base),                          // exact dup of corpus doc 1
+      (102L, base.replace("quick", "rapid")), // near dup of corpus doc 1
+      (103L, novel),
+      (104L, novel + " with a tail"),
+      (105L, novel + " with a tail")          // batch-internal dup of 104
+    ).toDF("doc_id", "text")
+
+    val index = Dedup.buildCorpusIndex(docs, "doc_id", "text").persist()
+    try {
+      val kept = Dedup.dedupAgainstCorpus(batch, index, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(103L, 104L, 105L),
+        "corpus dups drop; novel docs AND batch-internal dups survive")
+
+      // idempotence on a clean batch: nothing novel is ever dropped
+      val clean = Seq((201L, novel)).toDF("doc_id", "text")
+      assert(Dedup.dedupAgainstCorpus(clean, index, "doc_id", "text").count() == 1L)
+
+      // a batch doc sharing only STOP-GRAMS (df-cut) with the corpus is
+      // not even a candidate: index grams above the cut are dropped
+      val tiny = Dedup.buildCorpusIndex(docs, "doc_id", "text", maxGramDf = 1)
+      // doc 1's grams have corpus df 2 (docs 1 and 2 are identical) ->
+      // all cut; probing an exact copy of doc 1 finds nothing
+      val probe = Seq((301L, base)).toDF("doc_id", "text")
+      assert(Dedup.dedupAgainstCorpus(probe, tiny, "doc_id", "text").count() == 1L)
+    } finally index.unpersist()
+  }
+
   test("embedding dup pairs find identical and near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),

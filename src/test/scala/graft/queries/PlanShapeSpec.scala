@@ -136,6 +136,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bins must equi-join (hash or merge):\n${plan.take(2000)}")
   }
 
+  test("incremental dedup probe: serves from the persisted index, anti-join broadcasts") {
+    val plan = finalPlan("dedup_incremental")
+    // the probe must read the corpus index from the persisted relation —
+    // a probe that re-derives postings from the corpus parquet re-pays
+    // the full index build on every ingest batch
+    assert(treeCount(plan, "InMemoryTableScan") >= 1,
+      s"probe must scan the persisted index:\n${plan.take(2000)}")
+    // the terminal anti-join drops a SKINNY dup-id set from the batch:
+    // broadcast, never a shuffled merge of the batch side
+    assert(treeCount(plan, "BroadcastHashJoin LeftAnti") >= 1,
+      s"dup-ids must broadcast into the anti-join:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "CartesianProduct") == 0)
+  }
+
   test("multimodal ingest: file-parallel source, no shuffle before projection") {
     val plan = finalPlan("multimodal_ingest")
     assert(nodeCount(plan, "Exchange") == 0,
