@@ -220,6 +220,11 @@ object NorthStarQueries {
     // an indexed corpus doc at exact Jaccard >= 0.5; keep the rest.
     // Exact semantics end to end (inverted-index candidates + exact
     // verify), so the keep-set is fully hash-matched — no floors.
+    // Bench note: warm ~= cold BY DESIGN — the probe is the measured
+    // unit of work (only the index is cached), and at this fixture the
+    // batch is 20% of the corpus so the probe costs a visible fraction
+    // of the full symmetric dedup; at production ratios (a batch is a
+    // vanishing fraction of a 100 TB corpus) the same plan is O(batch).
     "dedup_incremental" -> ((s, dir) =>
       Dedup.dedupAgainstCorpus(
         docs(s, dir).filter(col("doc_id") % 5 === 0),

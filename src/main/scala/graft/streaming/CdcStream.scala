@@ -165,6 +165,45 @@ object CdcStream {
                     joinCols: Seq[String], how: String = "left"): DataFrame =
     stream.join(broadcast(dim), joinCols, how)
 
+  /**
+   * Streaming ingest dedup against a persisted corpus index: every
+   * micro-batch of arriving documents is probed with
+   * [[graft.extensions.Dedup.dedupAgainstCorpus]] — O(batch) work per
+   * trigger against the fit-once index — and only novel docs append to
+   * the sink. `foreachBatch` hands each micro-batch over as a static
+   * DataFrame, so the exact batch semantics (inverted-index candidates +
+   * exact-Jaccard verify + broadcast anti-join) apply unchanged; a
+   * stream-static formulation of the anti-join would pin the plan to
+   * whatever join types the streaming planner supports, for no gain.
+   *
+   * The index is resolved per micro-batch by reference, so the caller
+   * can swap in a refreshed corpus version between triggers (retire the
+   * old one via `CorpusIndex.unpersist` only after the swap). Accepted
+   * batches do NOT auto-join the index: growing the corpus is a
+   * versioning decision (when to re-fit, how to compact), owned by the
+   * pipeline, not this operator.
+   */
+  def startCorpusDedupIngest(
+      docStream: DataFrame,
+      index: graft.extensions.Dedup.CorpusIndex,
+      idCol: String, textCol: String,
+      sinkDir: String, checkpointDir: String,
+      threshold: Double = 0.5,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val novel = graft.extensions.Dedup.dedupAgainstCorpus(
+          batch, index, idCol, textCol, threshold = threshold)
+        // exactly-once to the sink comes from the checkpoint (committed
+        // batch ids are not re-run); the write itself is a plain append
+        if (!novel.isEmpty) novel.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
   /** Tumbling/sliding-window aggregation over the change stream with
     * late-data handling — the analytic windows the reference lacks
     * entirely (SURVEY §2.10). */

@@ -60,6 +60,43 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(dts.nonEmpty && dts.forall(_.after(java.sql.Date.valueOf("2020-01-01"))))
   }
 
+  test("streaming corpus-dedup ingest: novel docs append, corpus dups drop, restart is a no-op") {
+    import graft.extensions.Dedup
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    // corpus = docs with doc_id % 5 != 0; the stream carries ALL docs, so
+    // the sink must end up with exactly the batch operator's keep-set
+    val index = Dedup.buildCorpusIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text").persist()
+    val expected = Dedup.dedupAgainstCorpus(
+      docs.filter(col("doc_id") % 5 === 0), index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+
+    val src = TestSpark.tmpDir("graft-corpus-stream-src")
+    docs.filter(col("doc_id") % 5 === 0)
+      .write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-corpus-stream-sink")
+    val ckpt = TestSpark.tmpDir("graft-corpus-stream-ckpt")
+
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src)
+      val q = CdcStream.startCorpusDedupIngest(stream, index,
+        "doc_id", "text", sink, ckpt)
+      q.awaitTermination()
+      val kept = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+      assert(kept == expected, "streamed keep-set equals the batch operator's")
+      assert(kept.nonEmpty && expected.size < 100,
+        "fixture sanity: some batch docs survive, some drop")
+
+      // restart on the same checkpoint: committed batch ids do not re-run
+      val q2 = CdcStream.startCorpusDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "doc_id", "text", sink, ckpt)
+      q2.awaitTermination()
+      assert(spark.read.parquet(sink).count() == expected.size.toLong)
+    } finally index.unpersist()
+  }
+
   test("streaming MERGE compaction tracks the dedup view across batches and replays") {
     val src = stageSource()
     val sink = TestSpark.tmpDir("graft-stream-compact-sink")
