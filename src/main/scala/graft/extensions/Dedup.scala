@@ -362,6 +362,24 @@ object Dedup {
     CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh)
   }
 
+  /** Persist a [[CorpusIndex]] to storage so it outlives the session —
+    * the production lifecycle: one job fits the index, every later
+    * ingest job loads it. Plain parquet: the probe join never needs the
+    * postings co-partitioned (at scale the batch side broadcasts), so
+    * bucketed-table ceremony buys nothing here. */
+  def saveCorpusIndex(index: CorpusIndex, dir: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Load a [[CorpusIndex]] written by [[saveCorpusIndex]]. Call
+    * [[CorpusIndex.persist]] before probing many batches against it. */
+  def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): CorpusIndex =
+    CorpusIndex(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/shingles"))
+
   /**
    * INCREMENTAL ingest dedup: drop every batch doc whose exact n-gram
    * Jaccard against SOME indexed corpus doc reaches `threshold`; keep
@@ -375,7 +393,12 @@ object Dedup {
    * is bounded at batch_grams × maxGramDf), verify exact Jaccard on the
    * candidates only, anti-join the dup ids away. Re-running the
    * symmetric all-corpus dedup per ingest would re-shuffle the full
-   * corpus every batch.
+   * corpus every batch. Candidate-join side-selection is deliberately
+   * left to the optimizer: at test scale it broadcasts the (small)
+   * index; at production ratios stats flip it to broadcast the batch
+   * grams, so the persisted postings never reshuffle per probe — and a
+   * huge backfill "batch" degrades to a shuffle join instead of an OOM,
+   * which a forced broadcast hint would cause.
    *
    * @return the batch rows that are NOT near-dups of the corpus
    */

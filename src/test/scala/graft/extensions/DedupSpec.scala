@@ -136,6 +136,15 @@ class DedupSpec extends AnyFunSuite {
       // all cut; probing an exact copy of doc 1 finds nothing
       val probe = Seq((301L, base)).toDF("doc_id", "text")
       assert(Dedup.dedupAgainstCorpus(probe, tiny, "doc_id", "text").count() == 1L)
+
+      // save/load round-trip: a reloaded index (fresh session lifecycle)
+      // probes to the identical keep-set
+      val ixDir = graft.TestSpark.tmpDir("graft-corpus-index")
+      Dedup.saveCorpusIndex(index, ixDir)
+      val loaded = Dedup.loadCorpusIndex(spark, ixDir)
+      val keptLoaded = Dedup.dedupAgainstCorpus(batch, loaded, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptLoaded == kept, "reloaded index must probe identically")
     } finally index.unpersist()
   }
 
