@@ -476,6 +476,25 @@ object NorthStarQueries {
         .filter(TextFunctions.qualityGateFromTokens(col("text"), col("__toks")))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
+    // The COMPOSED preprocessing pipeline in ONE Catalyst plan: C4-style
+    // quality gate -> exact dedup among survivors -> deterministic hash
+    // split -> per-split stats. Every stage is DuckDB-expressible, so
+    // the whole composition is hash-matched end to end — the "would a
+    // user actually chain these operators" proof, not just per-operator
+    // rows. (Filter pushes below the dedup's semi-join build side;
+    // one aggregation per stage that needs one.)
+    "text_pipeline" -> ((s, dir) => {
+      val gated = docs(s, dir)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .filter(TextFunctions.qualityGateFromTokens(col("text"), col("__toks")))
+        .drop("__toks")
+      Dedup.exactDedup(gated, "doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.hashSplit(col("doc_id").cast("string")).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    }),
+
     // ---- multimodal plumbing -----------------------------------------
     // Real-file ingest through the `binaryFile` source over a checked-in
     // fixture dir (glob-pruned to *.bin — the .txt fixture must NOT appear),
@@ -841,6 +860,48 @@ object NorthStarQueries {
         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents) t
+        |GROUP BY split""".stripMargin,
+    // Composed pipeline: the text_quality_filter gate verbatim, then
+    // min-id-per-text dedup among survivors, then the text_hash_split
+    // thresholds, then per-split stats.
+    "text_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des','dans','que'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','que','por'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不','人','这'], x))) AS s_zh,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','at','by','be'], x))) AS DOUBLE) / len(toks) END AS sw,
+        |  length(text) AS n_len
+        |  FROM t),
+        |gated AS (
+        |  SELECT d.doc_id, d.text
+        |  FROM documents d JOIN s ON s.doc_id = d.doc_id
+        |  WHERE (CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+        |              WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+        |              WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+        |              WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+        |              WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+        |              ELSE 'de' END) = 'en'
+        |    AND least(n_len / 200.0, 1.0)
+        |        * greatest(0.0, 1.0 - punct * 4.0)
+        |        * (0.5 + least(sw * 5.0, 1.0) * 0.5) >= 0.3
+        |    AND punct <= 0.2),
+        |kept AS (
+        |  SELECT doc_id FROM gated
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text))
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM kept) x
         |GROUP BY split""".stripMargin,
     "text_quality_filter" ->
       """WITH t AS (SELECT doc_id, text,
