@@ -148,6 +148,40 @@ class DedupSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("incremental dedup agrees with the symmetric operator's cross-side pairs") {
+    // property: with the df-cut disabled (cap >> corpus), the batch docs
+    // dropped by dedupAgainstCorpus are EXACTLY those appearing in a
+    // cross-side pair of the symmetric ngramJaccardPairs over the union —
+    // two independent formulations of the same semantics
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rng = new scala.util.Random(42)
+    def text() = Seq.fill(8 + rng.nextInt(8))(words(rng.nextInt(words.size))).mkString(" ")
+    val corpusRows = (1L to 30L).map(i => (i, text()))
+    // batch: 10 fresh random docs + 5 mutated copies of corpus docs
+    val batchRows = (101L to 110L).map(i => (i, text())) ++
+      (111L to 115L).map { i =>
+        val src = corpusRows((i % 30).toInt)._2
+        (i, src.replaceFirst("\\w+", "omega"))
+      }
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+
+    val index = Dedup.buildCorpusIndex(corpus, "doc_id", "text", maxGramDf = 10000)
+    val kept = Dedup.dedupAgainstCorpus(batch, index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+
+    val crossDropped = Dedup.ngramJaccardPairs(
+      corpus.union(batch), "doc_id", "text", threshold = 0.5, maxGramDf = 10000)
+      .filter((col("id_a") <= 30 && col("id_b") > 100) ||
+        (col("id_b") <= 30 && col("id_a") > 100))
+      .select(when(col("id_a") > 100, col("id_a")).otherwise(col("id_b")).as("bid"))
+      .as[Long].collect().toSet
+    assert(kept == batchRows.map(_._1).toSet -- crossDropped,
+      s"kept=$kept crossDropped=$crossDropped")
+    assert(crossDropped.nonEmpty, "fixture sanity: mutated copies must match")
+  }
+
   test("embedding dup pairs find identical and near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),

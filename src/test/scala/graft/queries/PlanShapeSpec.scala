@@ -150,6 +150,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeCount(plan, "CartesianProduct") == 0)
   }
 
+  test("composed pipeline: filter below the dedup semi-join, two combining shuffles") {
+    val plan = finalPlan("text_pipeline")
+    // gate -> dedup -> split in one plan: the dedup keep-set must
+    // broadcast into a semi-join (never a shuffled merge of the corpus),
+    // and the only shuffles are the two combining aggregations (dedup
+    // groups, split stats)
+    assert(treeCount(plan, "BroadcastHashJoin LeftSemi") >= 1,
+      s"dedup keep-set must broadcast:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "SortMergeJoin") == 0)
+    assert(nodeCount(plan, "Exchange") == 2,
+      s"exactly two shuffles (group-by-text, group-by-split):\n${plan.take(2000)}")
+  }
+
   test("multimodal ingest: file-parallel source, no shuffle before projection") {
     val plan = finalPlan("multimodal_ingest")
     assert(nodeCount(plan, "Exchange") == 0,
