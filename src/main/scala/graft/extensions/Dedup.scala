@@ -334,11 +334,15 @@ object Dedup {
    * more than `maxGramDf` corpus docs carry no discrimination and cost
    * O(df × batch) in the probe join — dropped at build time, once);
    * `shingles` holds each corpus doc's full hashed shingle set for exact
-   * verification. The caller owns the lifecycle: [[persist]] before
-   * probing batches against it, [[unpersist]] when the corpus version is
-   * retired.
+   * verification. `shingleK` rides WITH the index: the probe must
+   * shingle batches with the same k the index was built with — a
+   * mismatched k makes every candidate join miss and silently disables
+   * dedup, so the parameter is not probe-side configurable. The caller
+   * owns the lifecycle: [[persist]] before probing batches against it,
+   * [[unpersist]] when the corpus version is retired.
    */
-  final case class CorpusIndex(postings: DataFrame, shingles: DataFrame) {
+  final case class CorpusIndex(postings: DataFrame, shingles: DataFrame,
+                               shingleK: Int = 3) {
     private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def persist(): CorpusIndex = {
       postings.persist(lvl); shingles.persist(lvl); this
@@ -359,17 +363,22 @@ object Dedup {
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
     val keep = inv.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxGramDf).select(col("gram"))
-    CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh)
+    CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh, shingleK)
   }
 
   /** Persist a [[CorpusIndex]] to storage so it outlives the session —
     * the production lifecycle: one job fits the index, every later
     * ingest job loads it. Plain parquet: the probe join never needs the
     * postings co-partitioned (at scale the batch side broadcasts), so
-    * bucketed-table ceremony buys nothing here. */
+    * bucketed-table ceremony buys nothing here. shingleK lands in a
+    * one-row meta table so a load can never probe with the wrong k. */
   def saveCorpusIndex(index: CorpusIndex, dir: String): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$dir/postings")
     index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq(index.shingleK).toDF("shingle_k")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a [[CorpusIndex]] written by [[saveCorpusIndex]]. Call
@@ -378,7 +387,8 @@ object Dedup {
                       dir: String): CorpusIndex =
     CorpusIndex(
       spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/shingles"))
+      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/meta").head().getInt(0))
 
   /**
    * INCREMENTAL ingest dedup: drop every batch doc whose exact n-gram
@@ -404,8 +414,10 @@ object Dedup {
    */
   def dedupAgainstCorpus(batch: DataFrame, index: CorpusIndex,
                          idCol: String, textCol: String,
-                         shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val bsh = hashedShingleSets(batch, idCol, textCol, shingleK)
+                         threshold: Double = 0.5): DataFrame = {
+    // the batch MUST shingle with the index's k (carried by the index so
+    // a mismatch is unrepresentable, not a caller obligation)
+    val bsh = hashedShingleSets(batch, idCol, textCol, index.shingleK)
     val cand = bsh
       .select(col("doc_id").as("batch_id"), explode(col("sh")).as("gram"))
       .join(index.postings.select(col("gram"), col("doc_id").as("corpus_id")),

@@ -101,18 +101,15 @@ object CdcQueries {
     * long-lived service would otherwise accumulate one engine + temp
     * trees per sf dir. */
   def clearCaches(): Unit = {
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
-      p.delete(); ()
-    }
+    def rm(d: String): Unit = graft.util.Util.deleteRecursively(new java.io.File(d))
     lookupEngineCache.values.forEach { f =>
       f.eng.close()
-      Seq(f.sink, f.state).foreach(d => rm(new java.io.File(d)))
+      Seq(f.sink, f.state).foreach(rm)
     }
     lookupEngineCache.clear()
-    compactedFixtureCache.values.forEach(d => rm(new java.io.File(d)))
+    compactedFixtureCache.values.forEach(rm(_))
     compactedFixtureCache.clear()
-    buildScratchDirs.forEach(d => rm(new java.io.File(d)))
+    buildScratchDirs.forEach(rm(_))
     buildScratchDirs.clear()
   }
 

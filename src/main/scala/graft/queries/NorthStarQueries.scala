@@ -244,6 +244,15 @@ object NorthStarQueries {
     //    component's losers (members above its min) are losers of the
     //    containing component too. Any bucketing/labeling bug that emits
     //    a false pair or mislabels a group breaks the subset.
+    //    Shared caveat with `dedup_minhash_sound` (same class, accepted
+    //    there since round 5): the "exact" reference itself carries the
+    //    df<=100 stop-gram cut, while minhash buckets cap at 200 — a
+    //    verified pair whose every shared gram exceeds the df-cut would
+    //    appear in the minhash side only and break the subset. The
+    //    fixture's same-template clusters are all either under the
+    //    df-cut or over BOTH caps (checked at sf0.001/0.01/0.1, where
+    //    this row hash-matches), so the window is empty on every scale
+    //    the oracle runs at.
     //  - the drop-count floor: the LSH pipeline must drop >= 90% as many
     //    docs as the exact closure (pair recall is gated at 0.9; clusters
     //    are near-cliques, so component membership is at least as robust

@@ -52,6 +52,18 @@ object StateStore {
   private final case class CachedCatalog(mtime: Long, rows: IndexedSeq[TableState])
   private val catalogMemo =
     new java.util.concurrent.ConcurrentHashMap[String, CachedCatalog]()
+
+  /** Staleness token for the memo: dir mtime alone has millisecond (or
+    * coarser) granularity, so a delete-and-rewrite inside one tick of
+    * the filesystem clock would alias; folding in the child listing
+    * (names, lengths, mtimes — parquet part names carry UUIDs, so any
+    * rewrite changes them) closes that hole without reading any data. */
+  private[state] def catalogToken(f: java.io.File): Long = {
+    val children = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    children.sortBy(_.getName).foldLeft(f.lastModified()) { (acc, c) =>
+      ((acc * 31 + c.getName.hashCode) * 31 + c.length()) * 31 + c.lastModified()
+    }
+  }
 }
 
 /**
@@ -93,16 +105,16 @@ final class StateStore(spark: SparkSession, dir: String) {
     val f = new java.io.File(path)
     if (!f.exists()) spark.emptyDataset[TableState]
     else {
-      val mtime = f.lastModified()
+      val token = StateStore.catalogToken(f)
       val hit = StateStore.catalogMemo.get(absPath)
       val rows =
-        if (hit != null && hit.mtime == mtime) hit.rows
+        if (hit != null && hit.mtime == token) hit.rows
         else {
           catalogScans.incrementAndGet()
           val scanned =
             spark.read.parquet(path).as[TableState].collect().toIndexedSeq
           StateStore.catalogMemo.put(absPath,
-            StateStore.CachedCatalog(mtime, scanned))
+            StateStore.CachedCatalog(token, scanned))
           scanned
         }
       spark.createDataset(rows)
@@ -176,7 +188,8 @@ final class StateStore(spark: SparkSession, dir: String) {
     }
     deleteRecursively(aside)
     StateStore.catalogMemo.put(absPath,
-      StateStore.CachedCatalog(target.lastModified(), states.toIndexedSeq))
+      StateStore.CachedCatalog(StateStore.catalogToken(target),
+        states.toIndexedSeq))
   }
 
   /** Crash recovery for the rename-aside window: no live catalog but an
@@ -192,8 +205,6 @@ final class StateStore(spark: SparkSession, dir: String) {
         s"state recovery failed: $path.old -> $path")
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists()) f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.Util.deleteRecursively(f)
 }

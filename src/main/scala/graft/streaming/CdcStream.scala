@@ -178,10 +178,20 @@ object CdcStream {
    *
    * The index is resolved per micro-batch by reference, so the caller
    * can swap in a refreshed corpus version between triggers (retire the
-   * old one via `CorpusIndex.unpersist` only after the swap). Accepted
+   * old one via `CorpusIndex.unpersist` only after the swap); the batch
+   * shingles with the index's own `shingleK`, so an index built with a
+   * non-default k probes correctly with no extra plumbing. Accepted
    * batches do NOT auto-join the index: growing the corpus is a
    * versioning decision (when to re-fit, how to compact), owned by the
    * pipeline, not this operator.
+   *
+   * Exactly-once to the sink: committed batch ids are not re-run
+   * (checkpoint), and each batch writes by OVERWRITE into its own
+   * `batch=<id>` subdirectory — so the crash window between a sink write
+   * and the checkpoint commit, where a plain append would duplicate the
+   * batch on replay, instead overwrites the same subdir with the same
+   * rows. Readers `spark.read.parquet(sinkDir)` and see `batch` as a
+   * partition column.
    */
   def startCorpusDedupIngest(
       docStream: DataFrame,
@@ -193,12 +203,16 @@ object CdcStream {
       batchPeriodSecs: Long = 10L): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val novel = graft.extensions.Dedup.dedupAgainstCorpus(
           batch, index, idCol, textCol, threshold = threshold)
-        // exactly-once to the sink comes from the checkpoint (committed
-        // batch ids are not re-run); the write itself is a plain append
-        if (!novel.isEmpty) novel.write.mode("append").parquet(sinkDir)
+          // pin: the emptiness probe and the write would otherwise each
+          // run the full dedup pipeline (2x the probe cost per trigger)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!novel.isEmpty)
+            novel.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        } finally { novel.unpersist(false); () }
         ()
       }
       .trigger(batchTrigger(availableNow, batchPeriodSecs))

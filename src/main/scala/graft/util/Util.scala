@@ -14,4 +14,13 @@ object Util {
     * the DuckDB oracle's naive timestamps. */
   def utcTs(s: String): Timestamp =
     Timestamp.from(LocalDateTime.parse(s, Fmt).toInstant(ZoneOffset.UTC))
+
+  /** Recursive local-file delete (null-safe on unreadable dirs). The one
+    * shared copy — the per-call-site variants this replaces had drifting
+    * null-handling. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 }

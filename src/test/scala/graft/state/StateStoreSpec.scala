@@ -130,15 +130,11 @@ class StateStoreSpec extends AnyFunSuite {
     val live = new java.io.File(s"$dir/nmstables")
     val other = TestSpark.tmpDir("graft-store-ext2")
     new StateStore(spark, other).upsert(Seq(mkState("events"), mkState("orders")))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(live)
+    graft.util.Util.deleteRecursively(live)
     assert(new java.io.File(s"$other/nmstables").renameTo(live))
-    // ensure a distinct mtime even on coarse-grained filesystems
-    assert(live.setLastModified(System.currentTimeMillis() + 2000))
-
+    // NO mtime nudge: the staleness token folds in the child listing
+    // (parquet part names are unique per write), so even a same-mtime
+    // replacement must invalidate the memo
     assert(store.read().count() == 2, "memo must not serve the replaced catalog")
   }
 }

@@ -94,6 +94,19 @@ class CdcStreamSpec extends AnyFunSuite {
         index, "doc_id", "text", sink, ckpt)
       q2.awaitTermination()
       assert(spark.read.parquet(sink).count() == expected.size.toLong)
+
+      // crash-replay idempotence: a FRESH checkpoint replays every batch
+      // (the worst case of the append-vs-commit crash window); the
+      // per-batch-id OVERWRITE rewrites the same batch= subdirs with the
+      // same rows, so the sink holds NO duplicates afterwards
+      val q3 = CdcStream.startCorpusDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "doc_id", "text", sink, TestSpark.tmpDir("graft-corpus-stream-ckpt2"))
+      q3.awaitTermination()
+      assert(spark.read.parquet(sink).count() == expected.size.toLong,
+        "full replay must overwrite, not duplicate")
+      assert(spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+        == expected)
     } finally index.unpersist()
   }
 
