@@ -119,6 +119,41 @@ class StateStoreSpec extends AnyFunSuite {
     assert(store.catalogScans.get() == scans0, "post-commit read still memo-served")
   }
 
+  test("concurrent multi-DSN commits never lose updates through the memo") {
+    // two engines (separate StateStore instances, same path — the
+    // multi-DSN deployment) commit interleaved; the per-path lock plus
+    // the write-refreshed memo must serialize read-modify-rewrite cycles
+    // so every commit survives
+    val dir = TestSpark.tmpDir("graft-store-race")
+    val a = new StateStore(spark, dir)
+    val b = new StateStore(spark, dir)
+    a.upsert((1 to 6).map(i => mkState(s"t$i", dsn = 1 + i % 2)))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new Runnable {
+        def run(): Unit = (1 to 10).foreach { r =>
+          a.commit(1, "t2", ts("2024-03-01 00:00:00"), r.toLong,
+            ts("2024-03-01 00:00:00"))
+        }
+      })
+      val fb = pool.submit(new Runnable {
+        def run(): Unit = (1 to 10).foreach { r =>
+          b.commit(2, "t3", ts("2024-03-02 00:00:00"), (100 + r).toLong,
+            ts("2024-03-02 00:00:00"))
+        }
+      })
+      fa.get(); fb.get()
+    } finally pool.shutdown()
+
+    val fin = new StateStore(spark, dir).read().collect()
+    assert(fin.length == 6, "no row lost or duplicated under concurrent commits")
+    assert(fin.find(s => s.name == "t2" && s.dsn == 1).get.lastRowCount == 10L)
+    assert(fin.find(s => s.name == "t3" && s.dsn == 2).get.lastRowCount == 110L)
+    // untouched rows still carry their seed state
+    assert(fin.count(_.lastShovedOn.isEmpty) == 4)
+  }
+
   test("external mutation invalidates the memo via mtime") {
     val dir = TestSpark.tmpDir("graft-store-ext")
     val store = new StateStore(spark, dir)
