@@ -434,6 +434,71 @@ object Dedup {
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  // ----------------------------------- incremental embedding (batch-vs-corpus)
+
+  /** Sign-LSH bucket index of a corpus's embeddings — the embedding
+    * analog of [[CorpusIndex]]: `buckets` is the skinny (band, bucket,
+    * doc_id) relation, `vectors` the id→vector table for the exact
+    * cosine verify. `planes`/`bands` ride with the index (a probe with
+    * different hyperplanes would silently never match, same failure
+    * class as a shingle-k mismatch). */
+  final case class EmbeddingIndex(buckets: DataFrame, vectors: DataFrame,
+                                  planes: Int, bands: Int) {
+    private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def persist(): EmbeddingIndex = {
+      buckets.persist(lvl); vectors.persist(lvl); this
+    }
+    def unpersist(): Unit = {
+      buckets.unpersist(false); vectors.unpersist(false); ()
+    }
+  }
+
+  private def signBands(df: DataFrame, idCol: String, vecCol: String,
+                        planes: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          graft.functions.VectorExpressions
+            .sign_lsh_bucket(col(vecCol), planes, b * planes).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  /** Build the [[EmbeddingIndex]] for [[dedupEmbeddingsAgainstCorpus]]. */
+  def buildEmbeddingIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                          planes: Int = 12, bands: Int = 8): EmbeddingIndex =
+    EmbeddingIndex(
+      signBands(corpus, idCol, vecCol, planes, bands),
+      corpus.select(col(idCol).as("doc_id"), col(vecCol).as("v")),
+      planes, bands)
+
+  /** INCREMENTAL embedding dedup: drop every batch vector whose exact
+    * cosine against SOME indexed corpus vector reaches `threshold`;
+    * keep the rest. Same fit/probe economics as the text form
+    * ([[dedupAgainstCorpus]]): the index is built once, each batch
+    * costs O(batch) — bucket the batch with the index's own planes,
+    * equi-join buckets for candidates, verify exact cosine on
+    * candidates only, anti-join the dup ids away. The hyperplanes are
+    * derived deterministically from (plane, dim) hashes, so batch and
+    * corpus bucket identically with no shared RNG state. */
+  def dedupEmbeddingsAgainstCorpus(batch: DataFrame, index: EmbeddingIndex,
+                                   idCol: String, vecCol: String,
+                                   threshold: Double = 0.95): DataFrame = {
+    val cand = signBands(batch, idCol, vecCol, index.planes, index.bands)
+      .withColumnRenamed("doc_id", "batch_id")
+      .join(index.buckets.select(col("band"), col("bucket"),
+        col("doc_id").as("corpus_id")), Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val dupIds = cand
+      .join(batch.select(col(idCol).as("batch_id"), col(vecCol).as("v_b")),
+        Seq("batch_id"))
+      .join(index.vectors.select(col("doc_id").as("corpus_id"), col("v").as("v_c")),
+        Seq("corpus_id"))
+      .filter(graft.functions.VectorExpressions
+        .cosine_similarity(col("v_b"), col("v_c")) >= threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- embedding cosine dup
 
   /** Embedding near-duplicate pairs via sign-LSH bucketing + exact cosine

@@ -114,6 +114,16 @@ object NorthStarQueries {
         Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
           "embedding", threshold = 0.9, planes = 12, bands = 8)))
 
+  /** Sign-LSH bucket index over the embeddings table (the incremental
+    * embedding-dedup fit side), persisted per sf dir. */
+  private val embIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.EmbeddingIndex]()
+
+  private def embIndex(s: SparkSession, dir: String): Dedup.EmbeddingIndex =
+    embIndexCache.computeIfAbsent(dir, _ =>
+      Dedup.buildEmbeddingIndex(embs(s, dir), "vec_id", "embedding",
+        planes = 12, bands = 8).persist())
+
   /** The incremental-dedup corpus index (docs with doc_id % 5 != 0),
     * persisted per sf dir: the fit side of the fit/probe split —
     * `dedup_incr_index_build` pays its materialization once (first in
@@ -145,6 +155,8 @@ object NorthStarQueries {
     mhGroupsCache.clear()
     embGroupsCache.values.forEach(df => { df.unpersist(false); () })
     embGroupsCache.clear()
+    embIndexCache.values.forEach(ix => ix.unpersist())
+    embIndexCache.clear()
     corpusIndexCache.values.forEach(ix => ix.unpersist())
     corpusIndexCache.clear()
     ivfIndexCache.values.forEach(ix => { ix.unpersist(); () })
@@ -347,6 +359,28 @@ object NorthStarQueries {
     "dedup_embedding_sound" -> ((s, dir) =>
       Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
         "embedding", threshold = 0.9, planes = 12, bands = 8)),
+
+    // INCREMENTAL embedding dedup: a batch of planted near-copies (every
+    // 10th vector, first component nudged — cosine ~0.9988 vs source)
+    // plus genuinely novel vectors (every 7th vector NEGATED — cosine
+    // exactly -cos(source, ·), far below threshold against the whole
+    // corpus) probes the sign-LSH bucket index. LSH miss probability on
+    // a planted pair is ~8e-7 (12 planes x 8 bands), so the keep-set is
+    // deterministic and DuckDB recomputes it float-exactly: planted
+    // drops, negated survives.
+    "dedup_embedding_incr" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val batch = e.filter(col("vec_id") % 10 === 0).select(
+          (col("vec_id") + 10000000L).as("vec_id"),
+          concat(array(col("embedding").getItem(0) + lit(0.05f)),
+            slice(col("embedding"), 2, 1000000)).as("embedding"))
+        .union(e.filter(col("vec_id") % 7 === 0).select(
+          (col("vec_id") + 20000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+      Dedup.dedupEmbeddingsAgainstCorpus(batch, embIndex(s, dir),
+        "vec_id", "embedding", threshold = 0.9)
+        .select(col("vec_id"))
+    }),
 
     // Embedding-modality corpus dedup END TO END: sign-LSH pairs ->
     // connected components -> keep-one-per-group. On this fixture the
@@ -712,6 +746,25 @@ object NorthStarQueries {
         |        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM dup)""".stripMargin,
+    // Incremental embedding dedup: exact cosine between the constructed
+    // batch and the corpus, float-exact (planting arithmetic + float
+    // negation are both bit-reproducible across engines).
+    "dedup_embedding_incr" ->
+      """WITH batch AS (
+        |  SELECT vec_id + 10000000 AS vec_id,
+        |    list_prepend(
+        |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+        |      embedding[2:]) AS emb
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 20000000,
+        |    list_transform(embedding, x -> CAST(-x AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id FROM batch b JOIN embeddings c
+        |  ON list_cosine_similarity(CAST(b.emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= 0.9)
+        |SELECT vec_id FROM batch
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
     // Embedding corpus dedup: keep-set from the recursive-CTE closure
     // over the float-exact planted all-pairs (>= 0.9) — the LSH pair set
     // equals this set on the fixture, so the match is exact.

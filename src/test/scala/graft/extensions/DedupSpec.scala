@@ -182,6 +182,26 @@ class DedupSpec extends AnyFunSuite {
     assert(crossDropped.nonEmpty, "fixture sanity: mutated copies must match")
   }
 
+  test("incremental embedding dedup: near-copies drop, orthogonal/negated vectors survive") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(0.1f, 0.9f, -0.3f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (101L, Array(1.0f, 0.01f, 0.5f, 0.2f)),   // near-copy of 1 -> drop
+      (102L, Array(-1.0f, 0.0f, -0.5f, -0.2f)), // negation of 1 -> keep
+      (103L, Array(0.0f, 0.0f, 0.0f, 1.0f))     // unrelated -> keep
+    ).toDF("vec_id", "embedding")
+    val index = Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      planes = 12, bands = 8).persist()
+    try {
+      val kept = Dedup.dedupEmbeddingsAgainstCorpus(batch, index,
+        "vec_id", "embedding", threshold = 0.95)
+        .select("vec_id").as[Long].collect().toSet
+      assert(kept == Set(102L, 103L))
+    } finally index.unpersist()
+  }
+
   test("embedding dup pairs find identical and near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
