@@ -223,6 +223,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash candidates verified by EXACT shingle Jaccard — the
+    * production form: Hamming blocking is a candidate GENERATOR (cheap,
+    * recall-tunable), not a similarity oracle, and a corpus-dedup
+    * decision needs a verified similarity. `simhashDupPairs` stays as
+    * the raw candidate surface; this composes it with the same exact
+    * verify the minhash and n-gram paths end in, so its pairs carry the
+    * same guarantee (Jaccard >= threshold) and feed group resolution
+    * soundly. */
+  def simhashDupPairsVerified(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 16, shingleK: Int = 3,
+      threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
+    verifyJaccard(
+      simhashDupPairs(df, idCol, textCol, maxHamming, maxBucketSize)
+        .select(col("id_a"), col("id_b")),
+      hashedShingleSets(df, idCol, textCol, shingleK), threshold)
+
   // ------------------------------------------------------ n-gram Jaccard
 
   /** Exact n-gram Jaccard via an inverted-index join — never a full cross

@@ -114,6 +114,16 @@ object NorthStarQueries {
         Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
           "embedding", threshold = 0.9, planes = 12, bands = 8)))
 
+  /** Near-dup groups resolved from the VERIFIED simhash pair set
+    * (Hamming-16 candidates + exact-Jaccard verify), cached per sf dir. */
+  private val shGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def shGroups(s: SparkSession, dir: String): DataFrame =
+    shGroupsCache.computeIfAbsent(dir, _ =>
+      Dedup.resolveDupGroups(
+        Dedup.simhashDupPairsVerified(docs(s, dir), "doc_id", "text")))
+
   /** Sign-LSH bucket index over the embeddings table (the incremental
     * embedding-dedup fit side), persisted per sf dir. */
   private val embIndexCache =
@@ -153,6 +163,8 @@ object NorthStarQueries {
     dupGroupsCache.clear()
     mhGroupsCache.values.forEach(df => { df.unpersist(false); () })
     mhGroupsCache.clear()
+    shGroupsCache.values.forEach(df => { df.unpersist(false); () })
+    shGroupsCache.clear()
     embGroupsCache.values.forEach(df => { df.unpersist(false); () })
     embGroupsCache.clear()
     embIndexCache.values.forEach(ix => ix.unpersist())
@@ -359,6 +371,31 @@ object NorthStarQueries {
     "dedup_embedding_sound" -> ((s, dir) =>
       Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
         "embedding", threshold = 0.9, planes = 12, bands = 8)),
+
+    // The SIMHASH-driven corpus dedup end to end, through the VERIFIED
+    // pair form (Hamming blocking is a candidate generator; the corpus
+    // decision uses the same exact-Jaccard verify as every other text
+    // path, so the subset fact holds for the same reason as the minhash
+    // gate, with the same df-cut caveat documented there). Floor 0.85 =
+    // the simhash pair-recall floor; measured drop ratios 0.958 / 0.958
+    // / 0.902 at sf0.001 / 0.01 / 0.1.
+    "dedup_simhash_corpus" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val kept = Dedup.keepRepresentatives(d, "doc_id", shGroups(s, dir))
+        .withColumn("__keep", lit(1))
+      val exLosers = dupGroups(s, dir)
+        .filter(col("doc_id") =!= col("group_id"))
+        .select(col("doc_id"), lit(1).as("__ex"))
+      d.join(kept, Seq("doc_id"), "left")
+        .join(exLosers, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("__ex")).as("n_dropped_exact"),
+          (count(when(col("__keep").isNull && col("__ex").isNull, 1)) === 0)
+            .as("dropped_subset_of_exact"),
+          (count(when(col("__keep").isNull, 1)) >=
+            count(col("__ex")) * lit(0.85)).as("drop_ge_085"))
+    }),
 
     // INCREMENTAL embedding dedup: a batch of planted near-copies (every
     // 10th vector, first component nudged — cosine ~0.9988 vs source)
@@ -792,6 +829,25 @@ object NorthStarQueries {
         |        FROM reach GROUP BY a)
         |SELECT vec_id, label FROM pe
         |WHERE vec_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> group_id)""".stripMargin,
+    // Simhash-driven corpus gate: same independent recomputation as the
+    // minhash gate, different LSH family under test.
+    "dedup_simhash_corpus" ->
+      s"""WITH RECURSIVE base AS ($NgramJaccardSql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM base
+         |  UNION
+         |  SELECT id_b, id_a FROM base),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+         |        FROM reach GROUP BY a)
+         |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+         |  CAST((SELECT count(*) FROM lab WHERE doc_id <> group_id) AS BIGINT)
+         |    AS n_dropped_exact,
+         |  TRUE AS dropped_subset_of_exact,
+         |  TRUE AS drop_ge_085""".stripMargin,
     // The end-to-end LSH dedup gate: n_docs and the exact drop count are
     // recomputed independently (recursive-CTE closure over the exact
     // pairs); the two structural facts are TRUE by construction when the

@@ -70,7 +70,7 @@ object Scratch {
         }
 
       case "mhdrop" =>
-        // measured drop counts for the dedup_minhash_corpus floor comment
+        // measured drop counts for the LSH corpus-gate floor comments
         import org.apache.spark.sql.functions._
         val dir = args(1)
         val docs = sources.Tables.load(spark, dir, "documents")
@@ -80,7 +80,10 @@ object Scratch {
           extensions.Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)))
         val mh = losers(extensions.Dedup.resolveDupGroups(
           extensions.Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)))
-        println(s"mhdrop @ $dir: exact=$ex minhash=$mh ratio=${mh.toDouble / ex}")
+        val sh = losers(extensions.Dedup.resolveDupGroups(
+          extensions.Dedup.simhashDupPairsVerified(docs, "doc_id", "text")))
+        println(s"mhdrop @ $dir: exact=$ex minhash=$mh (${mh.toDouble / ex}) " +
+          s"simhash=$sh (${sh.toDouble / ex})")
 
       case "repeat" =>
         // warm-path timing: run each named query N times in one JVM so

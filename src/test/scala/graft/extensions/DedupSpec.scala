@@ -104,6 +104,23 @@ class DedupSpec extends AnyFunSuite {
     resolved.unpersist(false)
   }
 
+  test("verified simhash pairs: Hamming candidates filtered to exact-Jaccard dups") {
+    val verified = Dedup.simhashDupPairsVerified(docs, "doc_id", "text",
+      maxHamming = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val raw = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(raw), "verify can only REMOVE candidates")
+    assert(verified.contains((1L, 2L)), "identical docs survive the verify")
+    assert(verified.contains((1L, 3L)), "true near-dup survives")
+    assert(!verified.exists(p => p._1 == 4L || p._2 == 4L),
+      "an unrelated doc sharing no shingles cannot pass exact Jaccard")
+    // the verified set carries the SAME guarantee as the n-gram path
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(exact))
+  }
+
   test("incremental dedup: batch probes the corpus index; batch-internal dups survive") {
     // corpus: docs 1-5; batch: an exact copy of 1, a near copy of 1, a
     // novel doc, and TWO copies of the same novel text (batch-internal
