@@ -235,9 +235,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 16, shingleK: Int = 3,
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
-    verifyJaccard(
-      simhashDupPairs(df, idCol, textCol, maxHamming, maxBucketSize)
-        .select(col("id_a"), col("id_b")),
+    verifyPairsExact(
+      simhashDupPairs(df, idCol, textCol, maxHamming, maxBucketSize),
+      df, idCol, textCol, shingleK, threshold)
+
+  /** Exact-Jaccard verify of an EXTERNALLY-generated candidate pair set
+    * (id_a, id_b) — lets a caller reuse a persisted candidate relation
+    * (e.g. the Hamming candidates a recall gate already pins) instead of
+    * regenerating it per consumer. Same verify every text path ends in. */
+  def verifyPairsExact(pairs: DataFrame, df: DataFrame, idCol: String,
+                       textCol: String, shingleK: Int = 3,
+                       threshold: Double = 0.5): DataFrame =
+    verifyJaccard(pairs.select(col("id_a"), col("id_b")),
       hashedShingleSets(df, idCol, textCol, shingleK), threshold)
 
   // ------------------------------------------------------ n-gram Jaccard

@@ -114,15 +114,19 @@ object NorthStarQueries {
         Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
           "embedding", threshold = 0.9, planes = 12, bands = 8)))
 
-  /** Near-dup groups resolved from the VERIFIED simhash pair set
-    * (Hamming-16 candidates + exact-Jaccard verify), cached per sf dir. */
+  /** Near-dup groups resolved from the VERIFIED simhash pair set,
+    * cached per sf dir. Reuses the persisted Hamming-16 candidate side
+    * the recall gate pins ([[simPairs]]) — regenerating it here doubled
+    * the session's simhash build cost (measured 10.1s cold for this row
+    * alone at sf0.1). */
   private val shGroupsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def shGroups(s: SparkSession, dir: String): DataFrame =
     shGroupsCache.computeIfAbsent(dir, _ =>
       Dedup.resolveDupGroups(
-        Dedup.simhashDupPairsVerified(docs(s, dir), "doc_id", "text")))
+        Dedup.verifyPairsExact(simPairs(s, dir), docs(s, dir),
+          "doc_id", "text")))
 
   /** Sign-LSH bucket index over the embeddings table (the incremental
     * embedding-dedup fit side), persisted per sf dir. */
