@@ -6,6 +6,17 @@ import org.apache.spark.sql.SparkSession
  * Benchmark main: times every SparkEntry query end-to-end (plan + execute
  * via count) on SPARK_GRAFT_SF_DIR and emits ONE JSON line:
  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":"..."}.
+ *
+ * Queries run in FAMILY PHASES (relational -> cdc -> text/multimodal ->
+ * dedup -> sim), alphabetical within a phase, and each phase's session
+ * caches are released the moment its last row finishes. The dedup family
+ * pins ~10 persisted relations and the cdc family a live engine +
+ * compacted fixture; holding all of it for the whole run (the round-7
+ * regime) put every later query under executor-storage pressure and
+ * degraded untouched relational rows 3-6x — exactly the cross-tenant
+ * memory-pressure failure a shared 100 TB cluster hits. Scoped release
+ * is the contract a long-lived service must follow too: drop a corpus
+ * version's caches when its last consumer finishes, not at shutdown.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,23 +38,60 @@ object Bench {
       graft.sources.Tables.load(spark, sfDir, t).count()
     }
 
+    // Family phases: (name, membership, post-phase cache release). Order
+    // puts the cache-free relational/text rows on a clean JVM first and
+    // the heavy cache-pinning families (cdc fixture engine, dedup
+    // persisted relations, IVF index) after them, each released before
+    // the next family starts. Within a phase rows run alphabetically —
+    // the fit/probe orderings (dedup_exact_pairs_build before the gates,
+    // dedup_incr_index_build before dedup_incremental) are all
+    // within-family and survive.
+    val phases: Seq[(String, String => Boolean, () => Unit)] = Seq(
+      ("relational", n => n == "q1_agg" || n.startsWith("q_"), () => ()),
+      ("cdc", n => n.startsWith("cdc_"),
+        () => graft.queries.CdcQueries.clearCaches()),
+      ("text", n => n.startsWith("text_") || n.startsWith("multimodal_") ||
+        n == "embeddings_stats", () => ()),
+      ("dedup", n => n.startsWith("dedup_"),
+        () => graft.queries.NorthStarQueries.clearDedupCaches()),
+      ("sim", n => n.startsWith("sim_"),
+        () => graft.queries.NorthStarQueries.clearSimCaches()))
+
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val phased = phases.map { case (p, member, release) =>
+      (p, allNames.filter(member), release)
+    }
+    // a query family the phase table doesn't know yet must not silently
+    // run under another family's cache pressure — run leftovers last,
+    // after every scoped release.
+    val leftovers = allNames.filterNot(n => phases.exists(_._2(n)))
+
     // Two timed executions per query: the first ("cold") includes codegen
     // compilation + JIT warmup, the second ("warm") is the steady-state
     // plan cost — the number that scales with data, not with JVM state.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // toRdd.count(): execute the query's OWN plan — a plain .count()
-        // lets the optimizer prune every projected column, so projection
-        // queries would be timed as bare scans
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+    def run(names: Seq[String]): Seq[(String, Double, Double)] =
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          // toRdd.count(): execute the query's OWN plan — a plain .count()
+          // lets the optimizer prune every projected column, so projection
+          // queries would be timed as bare scans
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = once()
+        val warm = once()
+        (name, cold, warm)
       }
-      val cold = once()
-      val warm = once()
-      (name, cold, warm)
-    }
+
+    val results = (phased.flatMap { case (_, names, release) =>
+      val rs = run(names)
+      release()
+      rs
+    } ++ run(leftovers)).sortBy(_._1)
+
     def render(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val warmQs = render(results.map(r => (r._1, r._3)))
@@ -64,9 +112,15 @@ object Bench {
     println(totals)
     val out = new java.io.PrintWriter("BENCH.json")
     try out.println(full) finally out.close()
-    // release the session caches the query suites pin (persisted
-    // relations, IVF indexes, lookup engines) — the contract a
-    // long-lived service embedding these queries must follow
+    // ...and append to the tracked history so the per-round WARM map
+    // survives the driver's tail-truncated BENCH_r{N}.json archive — the
+    // round-7 audit could not diff warm per-query numbers because only
+    // the overwritten BENCH.json carried them.
+    val hist = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
+    try hist.write(
+      "{\"ts\":" + System.currentTimeMillis / 1000 + "," + full.stripPrefix("{") + "\n")
+    finally hist.close()
+    // final sweep for anything the phases didn't scope
     SparkEntry.clearCaches()
     spark.stop()
   }

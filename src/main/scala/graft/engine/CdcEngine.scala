@@ -131,7 +131,10 @@ final class CdcEngine(
     * end of engine life; ticks must not run after. The pool's threads are
     * daemons, so skipping close() never blocks JVM exit — this exists for
     * long-lived services that build many engines. */
-  def close(): Unit = capturePool.shutdown()
+  def close(): Unit = {
+    capturePool.shutdown()
+    state.close() // drop the retired state dir's JVM-wide catalog memo entry
+  }
 
   /** One capture tick over all tracked tables (one `cdc()` pass).
     *

@@ -116,10 +116,43 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** |a ∩ b| of two SORTED DISTINCT array<long> columns (the
+    * [[HashedShingles]] output contract) — one merge pass, no hash-set
+    * builds, no output array. The exact-Jaccard verify is the hottest
+    * stage of every text-dedup path (it runs once per CANDIDATE pair);
+    * with set inputs jaccard = i / (|a| + |b| - i), so `array_intersect`
+    * + `array_union` per pair are replaced by this single count. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override def checkInputDataTypes(): TypeCheckResult = ExprChecks.all(
+      ExprChecks.requireArrayOf(prettyName, left.dataType, LongType),
+      ExprChecks.requireArrayOf(prettyName, right.dataType, LongType))
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(HashKernels.sortedIntersectCount(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.HashKernels.sortedIntersectCount($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column + SQL surfaces ----------------------------------------
 
   def hashed_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), k))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(

@@ -23,6 +23,29 @@ object HashKernels {
     z
   }
 
+  /** Intersection size of two SORTED DISTINCT long arrays (the
+    * [[hashedShingles]] output contract): one allocation-free merge pass.
+    * The Jaccard verify only needs |a∩b| — |a∪b| = |a|+|b|-|a∩b| for
+    * sets — so the per-pair hash-set builds and output arrays of
+    * `array_intersect` + `array_union` were pure overhead on the
+    * hottest dedup path (the verify stage dominated the incremental
+    * probe: 4.4 s of 4.3 s total at sf0.1 before this kernel). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** See [[HashExpressions.HashedShingles]]: sorted distinct k-shingle
     * hashes of a token array, one pass, no string building. */
   def hashedShingles(arr: ArrayData, k: Int): ArrayData = {

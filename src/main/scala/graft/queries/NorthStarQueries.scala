@@ -164,12 +164,29 @@ object NorthStarQueries {
         docs(s, dir).filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
         .persist())
 
-  /** Release every session cache this object pins (exact pairs, simhash
-    * candidates, dup groups, IVF indexes). The bench/verify mains call
-    * this before stopping the session; a LONG-LIVED service embedding
-    * these queries must call it when a corpus version is retired, or
-    * executor storage leaks one persisted relation per sf dir forever. */
-  def clearCaches(): Unit = {
+  /** On-disk copy of [[corpusIndex]] per sf dir (saved once per session),
+    * for the production COLD-START path: a fresh ingest job loads the
+    * persisted index from storage — no fitting session, no session cache.
+    * The `dedup_incremental_saved` row probes through [[Dedup
+    * .loadCorpusIndex]] over this tree; swept by [[clearDedupCaches]]. */
+  private val savedIndexDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def savedIndexDir(s: SparkSession, dir: String): String =
+    savedIndexDirCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-corpus-index").toString
+      Dedup.saveCorpusIndex(corpusIndex(s, dir), out)
+      out
+    })
+
+  /** Release the ~10 persisted relations the dedup_* rows pin (exact
+    * pairs, LSH candidate sides, dup groups, corpus/embedding indexes).
+    * Scoped so a phased consumer (Bench) can drop them the moment the
+    * dedup family finishes instead of letting them pressure every later
+    * query's heap — round 7 measured untouched relational rows 3-6x
+    * slower under the always-pinned regime. */
+  def clearDedupCaches(): Unit = {
     exactPairsCache.values.forEach(df => { df.unpersist(false); () })
     exactPairsCache.clear()
     simPairsCache.values.forEach(df => { df.unpersist(false); () })
@@ -190,8 +207,25 @@ object NorthStarQueries {
     embIndexCache.clear()
     corpusIndexCache.values.forEach(ix => ix.unpersist())
     corpusIndexCache.clear()
+    savedIndexDirCache.values.forEach(d =>
+      graft.util.Util.deleteRecursively(new java.io.File(d)))
+    savedIndexDirCache.clear()
+  }
+
+  /** Release the sim_* rows' pinned state (the fitted IVF index). */
+  def clearSimCaches(): Unit = {
     ivfIndexCache.values.forEach(ix => { ix.unpersist(); () })
     ivfIndexCache.clear()
+  }
+
+  /** Release every session cache this object pins (exact pairs, simhash
+    * candidates, dup groups, IVF indexes). The bench/verify mains call
+    * this before stopping the session; a LONG-LIVED service embedding
+    * these queries must call it when a corpus version is retired, or
+    * executor storage leaks one persisted relation per sf dir forever. */
+  def clearCaches(): Unit = {
+    clearDedupCaches()
+    clearSimCaches()
   }
 
   /** Embeddings plus deterministic planted near-copies of every 10th
@@ -271,6 +305,20 @@ object NorthStarQueries {
       Dedup.dedupAgainstCorpus(
         docs(s, dir).filter(col("doc_id") % 5 === 0),
         corpusIndex(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // ...and the persisted-lifecycle COLD-START path: the same probe
+    // served by an index LOADED FROM DISK (`loadCorpusIndex` over a tree
+    // `saveCorpusIndex` wrote), not the fitting session's cache — the
+    // production shape where the fit job and every ingest job are
+    // different processes. Identical oracle to `dedup_incremental`; the
+    // cold execution additionally pays the one-time save. No persist on
+    // the loaded index (one batch per load here), so the row measures
+    // parquet-read + probe — the true fresh-job cost.
+    "dedup_incremental_saved" -> ((s, dir) =>
+      Dedup.dedupAgainstCorpus(
+        docs(s, dir).filter(col("doc_id") % 5 === 0),
+        Dedup.loadCorpusIndex(s, savedIndexDir(s, dir)), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
     // The LSH-DRIVEN dedup pipeline end to end: minhash pairs -> connected
@@ -667,6 +715,39 @@ object NorthStarQueries {
       |FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin
 
+  /** Incremental-dedup probe oracle, shared by `dedup_incremental` and
+    * its saved-index cold-start sibling (same keep-set by construction).
+    * Same tokenization / shingle convention / df-cut as
+    * [[NgramJaccardSql]], but asymmetric: candidates pair batch docs
+    * with corpus docs only, and the df-cut applies to CORPUS document
+    * frequency (the index is built once against the corpus; batch grams
+    * are never cut). */
+  private val IncrementalDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
+      |  FROM toks),
+      |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+      |cg AS (SELECT * FROM dg WHERE doc_id % 5 <> 0),
+      |bg AS (SELECT * FROM dg WHERE doc_id % 5 = 0),
+      |keepgram AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) <= 100),
+      |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |         FROM bg b JOIN (SELECT * FROM cg WHERE gram IN (SELECT gram FROM keepgram)) c USING (gram)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+      |inter AS (SELECT cand.batch_id, cand.corpus_id, count(*) AS i
+      |          FROM cand JOIN dg x ON x.doc_id = cand.batch_id
+      |          JOIN dg y ON y.doc_id = cand.corpus_id AND y.gram = x.gram
+      |          GROUP BY cand.batch_id, cand.corpus_id),
+      |dup AS (SELECT DISTINCT inter.batch_id FROM inter
+      |        JOIN sizes sa ON sa.doc_id = inter.batch_id
+      |        JOIN sizes sb ON sb.doc_id = inter.corpus_id
+      |        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM dup)""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
   private val BruteForceTopKSql: String =
     """SELECT query_id, neighbor_id, rank FROM (
@@ -776,31 +857,10 @@ object NorthStarQueries {
     // asymmetric: candidates pair batch docs with corpus docs only, and
     // the df-cut applies to CORPUS document frequency (the index is
     // built once against the corpus; batch grams are never cut).
-    "dedup_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
-        |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
-        |  FROM toks),
-        |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
-        |cg AS (SELECT * FROM dg WHERE doc_id % 5 <> 0),
-        |bg AS (SELECT * FROM dg WHERE doc_id % 5 = 0),
-        |keepgram AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) <= 100),
-        |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-        |         FROM bg b JOIN (SELECT * FROM cg WHERE gram IN (SELECT gram FROM keepgram)) c USING (gram)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
-        |inter AS (SELECT cand.batch_id, cand.corpus_id, count(*) AS i
-        |          FROM cand JOIN dg x ON x.doc_id = cand.batch_id
-        |          JOIN dg y ON y.doc_id = cand.corpus_id AND y.gram = x.gram
-        |          GROUP BY cand.batch_id, cand.corpus_id),
-        |dup AS (SELECT DISTINCT inter.batch_id FROM inter
-        |        JOIN sizes sa ON sa.doc_id = inter.batch_id
-        |        JOIN sizes sb ON sb.doc_id = inter.corpus_id
-        |        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM dup)""".stripMargin,
+    "dedup_incremental" -> IncrementalDedupSql,
+    // the saved-index cold-start row computes the SAME keep-set — the
+    // on-disk round-trip must be semantically invisible
+    "dedup_incremental_saved" -> IncrementalDedupSql,
     // Incremental embedding dedup: exact cosine between the constructed
     // batch and the corpus, float-exact (planting arithmetic + float
     // negation are both bit-reproducible across engines).

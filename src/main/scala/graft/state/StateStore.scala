@@ -57,12 +57,30 @@ object StateStore {
     * coarser) granularity, so a delete-and-rewrite inside one tick of
     * the filesystem clock would alias; folding in the child listing
     * (names, lengths, mtimes — parquet part names carry UUIDs, so any
-    * rewrite changes them) closes that hole without reading any data. */
+    * rewrite changes them) closes that hole without reading any data.
+    * Child names hash through xxhash64 (not 32-bit String.hashCode):
+    * the guard exists precisely for out-of-band rewrites, so a
+    * same-mtime same-length replacement must not be able to alias on a
+    * 32-bit name collision. */
   private[state] def catalogToken(f: java.io.File): Long = {
     val children = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
     children.sortBy(_.getName).foldLeft(f.lastModified()) { (acc, c) =>
-      ((acc * 31 + c.getName.hashCode) * 31 + c.length()) * 31 + c.lastModified()
+      val nameHash = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(c.getName),
+          org.apache.spark.sql.types.StringType, 42L)
+      ((acc * 31 + nameHash) * 31 + c.length()) * 31 + c.lastModified()
     }
+  }
+
+  /** Drop a retired store path's memo entry — the hook [[StateStore.close]]
+    * uses so a long-lived multi-DSN service does not accumulate one cached
+    * catalog per deleted/retired state dir for the life of the JVM. The
+    * per-path LOCK entry deliberately stays: it is one bare Object, and
+    * evicting it while a sibling store on the same path is still live
+    * would hand the next store a DIFFERENT lock object — two "mutually
+    * excluded" writers interleaving. */
+  private[state] def evictMemo(absPath: String): Unit = {
+    catalogMemo.remove(absPath); ()
   }
 }
 
@@ -160,6 +178,13 @@ final class StateStore(spark: SparkSession, dir: String) {
       write(updated)
     }
   }
+
+  /** Release this store's JVM-wide memo entry. Call when the state dir
+    * is retired (engine shutdown, test teardown) — the memo holds the
+    * full cached catalog rows, a slow leak across many short-lived
+    * state dirs in one long-lived process. Safe to keep using the store
+    * afterwards: the next read just falls through to a real scan. */
+  def close(): Unit = StateStore.evictMemo(absPath)
 
   /** O8 — JSONL state backup (`/root/reference/nmsdb.go:160-177`). */
   def exportJsonl(outPath: String): Unit =

@@ -206,13 +206,15 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val novel = graft.extensions.Dedup.dedupAgainstCorpus(
           batch, index, idCol, textCol, threshold = threshold)
-          // pin: the emptiness probe and the write would otherwise each
-          // run the full dedup pipeline (2x the probe cost per trigger)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          if (!novel.isEmpty)
-            novel.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-        } finally { novel.unpersist(false); () }
+        // ALWAYS write the batch subdir, even when novel is empty: a
+        // replayed batch whose novel set shrank to empty (the caller
+        // swapped in a refreshed index between a crashed attempt and
+        // its replay) must still reconcile the subdir, or the crashed
+        // attempt's now-stale rows would survive as batch=<id>. The
+        // unconditional overwrite keeps replay idempotent in all cases —
+        // and with the emptiness probe gone the write is the pipeline's
+        // single action, so the round-7 persist guard is obsolete too.
+        novel.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
         ()
       }
       .trigger(batchTrigger(availableNow, batchPeriodSecs))

@@ -100,6 +100,74 @@ object Scratch {
           println(f"$n: ${times.map(t => f"$t%.2f").mkString(" ")} s")
         }
 
+      case "pctl" =>
+        // q_percentile formulation shoot-out on an idle session (VERDICT
+        // r07 item 2): array-form (one value buffer, two quantiles) vs
+        // two scalar percentile() aggregates.
+        import org.apache.spark.sql.functions._
+        val dir = args(1); val reps = args(2).toInt
+        val li = sources.Tables.load(spark, dir, "lineitem")
+        li.count()
+        def timeDf(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val ts = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$label: ${ts.map(t => f"$t%.2f").mkString(" ")} s")
+        }
+        timeDf("array ")(li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("__p"))
+          .select(col("l_returnflag"),
+            col("__p").getItem(0).as("median_price"),
+            col("__p").getItem(1).as("p90_price")))
+        timeDf("scalar")(li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+            expr("percentile(l_extendedprice, 0.9)").as("p90_price")))
+
+      case "incr-profile" =>
+        // dedup_incremental stage attribution (VERDICT r07 item 4): what
+        // the 5.5 s warm probe is actually spending — batch shingling
+        // (computed for BOTH the candidate and verify joins), candidate
+        // generation, exact-Jaccard verify, terminal anti-join.
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val docs = sources.Tables.load(spark, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        time("warmup count")(docs.count())
+        val index = extensions.Dedup.buildCorpusIndex(corpus, "doc_id", "text").persist()
+        time("index materialize")(index.postings.count() + index.shingles.count())
+        val bshReal = batch.select(col("doc_id"),
+          functions.HashExpressions.hashed_shingles(
+            functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+        time("batch shingles alone")(bshReal.queryExecution.toRdd.count())
+        val cand = bshReal
+          .select(col("doc_id").as("batch_id"), explode(col("sh")).as("gram"))
+          .join(index.postings.select(col("gram"), col("doc_id").as("corpus_id")),
+            Seq("gram"))
+          .select(col("batch_id"), col("corpus_id")).distinct()
+        time("candidates")(cand.count())
+        // deliberately the PRE-round-8 array_intersect/array_union
+        // formulation, kept as the A/B baseline for the merge-count
+        // kernel that replaced it in Dedup.verifyJaccard
+        val dupIds = cand
+          .join(bshReal.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+            Seq("batch_id"))
+          .join(index.shingles.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+            Seq("corpus_id"))
+          .filter((size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+            size(array_union(col("sh_b"), col("sh_c")))) >= 0.5)
+          .select(col("batch_id").as("doc_id")).distinct()
+        time("verify dupIds (OLD array_intersect path)")(dupIds.count())
+        val full = extensions.Dedup.dedupAgainstCorpus(batch, index, "doc_id", "text")
+        time("full probe")(full.queryExecution.toRdd.count())
+        time("full probe again")(full.queryExecution.toRdd.count())
+
       case "ngram-profile" =>
         import org.apache.spark.sql.functions._
         val dir = args(1)

@@ -86,9 +86,15 @@ class CdcEngineSpec extends AnyFunSuite {
       policy = graft.policy.WatermarkPolicy.PolicyConfig(
         batchCount = 1000, replicationBufferSecs = 180),
       concurrency = 2)
+    val seedWrites0 = eng.state.catalogWrites.get()
     eng.seed(Seq(
       ("events", "ts", Some("event_id")),
       ("orders", "o_orderdate", Some("o_orderkey"))))
+    // seeding batches like committing: N tables land in ONE catalog
+    // rewrite (the commitAll one-write contract, mirrored for seed —
+    // seeding 10k tables must not be 10k O(catalog) rewrites)
+    assert(eng.state.catalogWrites.get() == seedWrites0 + 1,
+      "seed must write the state catalog exactly once")
 
     val writesBefore = eng.state.catalogWrites.get()
     val res = eng.tick(java.time.Instant.parse("2024-02-01T00:00:00Z"))

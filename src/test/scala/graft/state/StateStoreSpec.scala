@@ -172,4 +172,23 @@ class StateStoreSpec extends AnyFunSuite {
     // replacement must invalidate the memo
     assert(store.read().count() == 2, "memo must not serve the replaced catalog")
   }
+
+  test("close() evicts the memo entry; the store still works afterwards") {
+    val dir = TestSpark.tmpDir("graft-store-close")
+    val store = new StateStore(spark, dir)
+    store.upsert(Seq(mkState("events")))
+    val scans0 = store.catalogScans.get()
+    store.read()
+    assert(store.catalogScans.get() == scans0, "write populated the memo")
+
+    // retire the path: the JVM-wide memo must not keep this dir's full
+    // catalog rows alive for the life of the process
+    store.close()
+    store.read()
+    assert(store.catalogScans.get() == scans0 + 1,
+      "post-close read falls through to a real scan (memo entry gone)")
+    // ...and repopulates the memo like any scan
+    store.read()
+    assert(store.catalogScans.get() == scans0 + 1)
+  }
 }

@@ -107,6 +107,22 @@ class CdcStreamSpec extends AnyFunSuite {
         "full replay must overwrite, not duplicate")
       assert(spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
         == expected)
+
+      // replay after an index SWAP that makes every batch doc a corpus
+      // dup (index over ALL docs): the novel set is EMPTY, and the
+      // replayed batch must still reconcile its batch= subdir — a
+      // skip-when-empty would leave the previous attempt's now-stale
+      // rows in the sink
+      val fullIndex = Dedup.buildCorpusIndex(docs, "doc_id", "text").persist()
+      try {
+        val q4 = CdcStream.startCorpusDedupIngest(
+          spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+          fullIndex, "doc_id", "text", sink,
+          TestSpark.tmpDir("graft-corpus-stream-ckpt3"))
+        q4.awaitTermination()
+        assert(spark.read.parquet(sink).count() == 0L,
+          "empty-novel replay must overwrite the stale batch subdir, not skip it")
+      } finally fullIndex.unpersist()
     } finally index.unpersist()
   }
 
