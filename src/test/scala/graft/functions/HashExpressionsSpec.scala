@@ -117,6 +117,44 @@ class HashExpressionsSpec extends AnyFunSuite {
       TE.lang_id(TextFunctions.tokens(col("t")))).count() == 1L)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    // the kernel's input contract is the hashed_shingles output (sorted
+    // distinct); randomized cross-check against the builtin it replaced,
+    // including the edge shapes: empty, disjoint, identical, subset
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(2L, 4L))
+    ) ++ (1 to 50).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      (arr(), arr())
+    }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      HashExpressions.sorted_intersect_count(col("a"), col("b")),
+      size(array_intersect(col("a"), col("b"))).cast("long"))
+      .as[(Long, Long)].collect()
+    got.zip(cases).foreach { case ((k, builtin), c) =>
+      assert(k == builtin, s"mismatch on $c") }
+
+    // codegen and interpreted paths agree (same gate as the other kernels)
+    def modes(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.fallback", mode != "CODEGEN_ONLY")
+      try df.select(HashExpressions.sorted_intersect_count(col("a"), col("b")))
+        .as[Long].collect().toSeq
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+    assert(modes("CODEGEN_ONLY") == modes("NO_CODEGEN"))
+  }
+
   test("simhash64: identical tokens identical hash; SQL registration works") {
     HashExpressions.register(spark)
     val df = Seq("alpha beta gamma delta", "alpha beta gamma delta", "zz yy xx ww")
