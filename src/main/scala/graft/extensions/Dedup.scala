@@ -511,6 +511,32 @@ object Dedup {
       corpus.select(col(idCol).as("doc_id"), col(vecCol).as("v")),
       planes, bands)
 
+  /** Persist an [[EmbeddingIndex]] to storage — the embedding analog of
+    * [[saveCorpusIndex]], same production lifecycle: one job fits the
+    * index, every later ingest job loads it. planes/bands land in a
+    * one-row meta table so a load can never probe with mismatched
+    * hyperplanes (the silent-never-match failure class). */
+  def saveEmbeddingIndex(index: EmbeddingIndex, dir: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    index.vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    Seq((index.planes, index.bands)).toDF("planes", "bands")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load an [[EmbeddingIndex]] written by [[saveEmbeddingIndex]]. Call
+    * [[EmbeddingIndex.persist]] before probing many batches against it. */
+  def loadEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): EmbeddingIndex = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("planes"), col("bands")).head()
+    EmbeddingIndex(
+      spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/vectors"),
+      meta.getInt(0), meta.getInt(1))
+  }
+
   /** INCREMENTAL embedding dedup: drop every batch vector whose exact
     * cosine against SOME indexed corpus vector reaches `threshold`;
     * keep the rest. Same fit/probe economics as the text form

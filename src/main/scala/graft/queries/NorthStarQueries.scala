@@ -180,6 +180,20 @@ object NorthStarQueries {
       out
     })
 
+  /** On-disk copy of [[embIndex]] per sf dir — the embedding analog of
+    * [[savedIndexDir]], for the `dedup_embedding_incr_saved` cold-start
+    * row; swept by [[clearDedupCaches]]. */
+  private val savedEmbIndexDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def savedEmbIndexDir(s: SparkSession, dir: String): String =
+    savedEmbIndexDirCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-emb-index").toString
+      Dedup.saveEmbeddingIndex(embIndex(s, dir), out)
+      out
+    })
+
   /** Release the ~10 persisted relations the dedup_* rows pin (exact
     * pairs, LSH candidate sides, dup groups, corpus/embedding indexes).
     * Scoped so a phased consumer (Bench) can drop them the moment the
@@ -210,6 +224,9 @@ object NorthStarQueries {
     savedIndexDirCache.values.forEach(d =>
       graft.util.Util.deleteRecursively(new java.io.File(d)))
     savedIndexDirCache.clear()
+    savedEmbIndexDirCache.values.forEach(d =>
+      graft.util.Util.deleteRecursively(new java.io.File(d)))
+    savedEmbIndexDirCache.clear()
   }
 
   /** Release the sim_* rows' pinned state (the fitted IVF index). */
@@ -227,6 +244,19 @@ object NorthStarQueries {
     clearDedupCaches()
     clearSimCaches()
   }
+
+  /** The incremental-embedding-dedup probe batch, shared by the cached
+    * and saved-index rows: planted near-copies of every 10th vector
+    * (drop targets) plus NEGATED copies of every 7th (guaranteed-novel
+    * survivors). */
+  private def embIncrBatch(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        concat(array(col("embedding").getItem(0) + lit(0.05f)),
+          slice(col("embedding"), 2, 1000000)).as("embedding"))
+      .union(e.filter(col("vec_id") % 7 === 0).select(
+        (col("vec_id") + 20000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding")))
 
   /** Embeddings plus deterministic planted near-copies of every 10th
     * vector (id + 10M, first component nudged by +0.05): cosine(v, v') ≈
@@ -471,19 +501,21 @@ object NorthStarQueries {
     // a planted pair is ~8e-7 (12 planes x 8 bands), so the keep-set is
     // deterministic and DuckDB recomputes it float-exactly: planted
     // drops, negated survives.
-    "dedup_embedding_incr" -> ((s, dir) => {
-      val e = embs(s, dir)
-      val batch = e.filter(col("vec_id") % 10 === 0).select(
-          (col("vec_id") + 10000000L).as("vec_id"),
-          concat(array(col("embedding").getItem(0) + lit(0.05f)),
-            slice(col("embedding"), 2, 1000000)).as("embedding"))
-        .union(e.filter(col("vec_id") % 7 === 0).select(
-          (col("vec_id") + 20000000L).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding")))
-      Dedup.dedupEmbeddingsAgainstCorpus(batch, embIndex(s, dir),
+    "dedup_embedding_incr" -> ((s, dir) =>
+      Dedup.dedupEmbeddingsAgainstCorpus(embIncrBatch(embs(s, dir)),
+        embIndex(s, dir), "vec_id", "embedding", threshold = 0.9)
+        .select(col("vec_id"))),
+
+    // ...and its persisted-lifecycle cold-start sibling (the embedding
+    // analog of `dedup_incremental_saved`): the same probe served by an
+    // index LOADED FROM DISK through `loadEmbeddingIndex` — planes and
+    // bands ride in the saved meta, so the reloaded index buckets
+    // identically and the keep-set is the same float-exact oracle.
+    "dedup_embedding_incr_saved" -> ((s, dir) =>
+      Dedup.dedupEmbeddingsAgainstCorpus(embIncrBatch(embs(s, dir)),
+        Dedup.loadEmbeddingIndex(s, savedEmbIndexDir(s, dir)),
         "vec_id", "embedding", threshold = 0.9)
-        .select(col("vec_id"))
-    }),
+        .select(col("vec_id"))),
 
     // Embedding-modality corpus dedup END TO END: sign-LSH pairs ->
     // connected components -> keep-one-per-group. On this fixture the
@@ -748,6 +780,25 @@ object NorthStarQueries {
       |SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM dup)""".stripMargin
 
+  /** Incremental embedding-dedup oracle, shared by `dedup_embedding_incr`
+    * and its saved-index cold-start sibling. */
+  private val EmbeddingIncrSql: String =
+    """WITH batch AS (
+      |  SELECT vec_id + 10000000 AS vec_id,
+      |    list_prepend(
+      |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+      |      embedding[2:]) AS emb
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 20000000,
+      |    list_transform(embedding, x -> CAST(-x AS FLOAT))
+      |  FROM embeddings WHERE vec_id % 7 = 0),
+      |dup AS (
+      |  SELECT DISTINCT b.vec_id FROM batch b JOIN embeddings c
+      |  ON list_cosine_similarity(CAST(b.emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= 0.9)
+      |SELECT vec_id FROM batch
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
   private val BruteForceTopKSql: String =
     """SELECT query_id, neighbor_id, rank FROM (
@@ -863,23 +914,11 @@ object NorthStarQueries {
     "dedup_incremental_saved" -> IncrementalDedupSql,
     // Incremental embedding dedup: exact cosine between the constructed
     // batch and the corpus, float-exact (planting arithmetic + float
-    // negation are both bit-reproducible across engines).
-    "dedup_embedding_incr" ->
-      """WITH batch AS (
-        |  SELECT vec_id + 10000000 AS vec_id,
-        |    list_prepend(
-        |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
-        |      embedding[2:]) AS emb
-        |  FROM embeddings WHERE vec_id % 10 = 0
-        |  UNION ALL
-        |  SELECT vec_id + 20000000,
-        |    list_transform(embedding, x -> CAST(-x AS FLOAT))
-        |  FROM embeddings WHERE vec_id % 7 = 0),
-        |dup AS (
-        |  SELECT DISTINCT b.vec_id FROM batch b JOIN embeddings c
-        |  ON list_cosine_similarity(CAST(b.emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= 0.9)
-        |SELECT vec_id FROM batch
-        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin,
+    // negation are both bit-reproducible across engines). Shared with
+    // the saved-index cold-start sibling: the on-disk round-trip must be
+    // semantically invisible.
+    "dedup_embedding_incr" -> EmbeddingIncrSql,
+    "dedup_embedding_incr_saved" -> EmbeddingIncrSql,
     // Embedding corpus dedup: keep-set from the recursive-CTE closure
     // over the float-exact planted all-pairs (>= 0.9) — the LSH pair set
     // equals this set on the fixture, so the match is exact.

@@ -220,6 +220,35 @@ object CdcStream {
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
       .start()
 
+  /** Streaming EMBEDDING dedup ingest — the embedding analog of
+    * [[startCorpusDedupIngest]], same contract end to end: each
+    * micro-batch probes the sign-LSH bucket index via
+    * [[graft.extensions.Dedup.dedupEmbeddingsAgainstCorpus]] (O(batch)
+    * per trigger), only novel vectors land in the sink, the index is
+    * resolved by reference per trigger (hot-swappable between
+    * triggers), and each batch OVERWRITES its own `batch=<id>` subdir —
+    * replay after ANY crash point, including a replay whose novel set
+    * shrank to empty under a swapped index, reconciles the subdir
+    * instead of duplicating or stranding rows. */
+  def startEmbeddingDedupIngest(
+      vecStream: DataFrame,
+      index: graft.extensions.Dedup.EmbeddingIndex,
+      idCol: String, vecCol: String,
+      sinkDir: String, checkpointDir: String,
+      threshold: Double = 0.95,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.extensions.Dedup.dedupEmbeddingsAgainstCorpus(
+          batch, index, idCol, vecCol, threshold = threshold)
+          .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
   /** Tumbling/sliding-window aggregation over the change stream with
     * late-data handling — the analytic windows the reference lacks
     * entirely (SURVEY §2.10). */

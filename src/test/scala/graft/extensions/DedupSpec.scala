@@ -216,6 +216,18 @@ class DedupSpec extends AnyFunSuite {
         "vec_id", "embedding", threshold = 0.95)
         .select("vec_id").as[Long].collect().toSet
       assert(kept == Set(102L, 103L))
+
+      // save/load round-trip: planes/bands ride in the saved meta, so a
+      // reloaded index (fresh-job lifecycle) buckets identically and
+      // probes to the same keep-set
+      val ixDir = graft.TestSpark.tmpDir("graft-emb-index")
+      Dedup.saveEmbeddingIndex(index, ixDir)
+      val loaded = Dedup.loadEmbeddingIndex(spark, ixDir)
+      assert(loaded.planes == index.planes && loaded.bands == index.bands)
+      val keptLoaded = Dedup.dedupEmbeddingsAgainstCorpus(batch, loaded,
+        "vec_id", "embedding", threshold = 0.95)
+        .select("vec_id").as[Long].collect().toSet
+      assert(keptLoaded == kept, "reloaded embedding index must probe identically")
     } finally index.unpersist()
   }
 

@@ -126,6 +126,50 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("streaming embedding-dedup ingest mirrors the batch operator; replay is idempotent") {
+    import graft.extensions.Dedup
+    val embs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val index = Dedup.buildEmbeddingIndex(embs, "vec_id", "embedding",
+      planes = 12, bands = 8).persist()
+    // batch: planted near-copies (drop) + negated vectors (survive) —
+    // the same probe shape the oracle-checked dedup_embedding_incr uses
+    val batch = embs.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        concat(array(col("embedding").getItem(0) + lit(0.05f)),
+          slice(col("embedding"), 2, 1000000)).as("embedding"))
+      .union(embs.filter(col("vec_id") % 7 === 0).select(
+        (col("vec_id") + 20000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding")))
+    val expected = Dedup.dedupEmbeddingsAgainstCorpus(batch, index,
+      "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+
+    val src = TestSpark.tmpDir("graft-emb-stream-src")
+    batch.write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-emb-stream-sink")
+    try {
+      val q = CdcStream.startEmbeddingDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "vec_id", "embedding", sink,
+        TestSpark.tmpDir("graft-emb-stream-ckpt"), threshold = 0.9)
+      q.awaitTermination()
+      val kept = spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+      assert(kept == expected, "streamed keep-set equals the batch operator's")
+      assert(kept.nonEmpty && kept.size < batch.count(),
+        "fixture sanity: some vectors survive, some drop")
+
+      // crash-replay idempotence: a fresh checkpoint replays every batch;
+      // the per-batch-id OVERWRITE leaves no duplicates
+      val q2 = CdcStream.startEmbeddingDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "vec_id", "embedding", sink,
+        TestSpark.tmpDir("graft-emb-stream-ckpt2"), threshold = 0.9)
+      q2.awaitTermination()
+      assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+        == expected, "full replay must overwrite, not duplicate")
+    } finally index.unpersist()
+  }
+
   test("streaming MERGE compaction tracks the dedup view across batches and replays") {
     val src = stageSource()
     val sink = TestSpark.tmpDir("graft-stream-compact-sink")
