@@ -125,6 +125,48 @@ object Scratch {
           .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
             expr("percentile(l_extendedprice, 0.9)").as("p90_price")))
 
+      case "sketch" =>
+        // q_sketch_accuracy formulation shoot-out: one agg mixing a
+        // DISTINCT aggregate with value-buffering aggregates (Expand
+        // doubles the rows through the percentile buffers) vs the
+        // distinct agg computed separately and cross-joined (both
+        // single-row).
+        import org.apache.spark.sql.functions._
+        val dir = args(1); val reps = args(2).toInt
+        val li = sources.Tables.load(spark, dir, "lineitem")
+        li.count()
+        def timeDf(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val ts = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$label: ${ts.map(t => f"$t%.2f").mkString(" ")} s")
+        }
+        timeDf("mixed ")(li.agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey")).as("__n_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("__p50_exact"))
+          .select(col("n_exact"),
+            (abs(col("__n_approx") - col("n_exact")).cast("double") / col("n_exact")
+              <= 0.05).as("hll_within_5pct"),
+            (abs(col("__p50_approx") - col("__p50_exact")) / col("__p50_exact")
+              <= 0.02).as("p50_within_2pct")))
+        timeDf("split ")({
+          val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+          val rest = li.agg(
+            approx_count_distinct(col("l_partkey")).as("__n_approx"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50_approx"),
+            expr("percentile(l_extendedprice, 0.5)").as("__p50_exact"))
+          exact.crossJoin(rest)
+            .select(col("n_exact"),
+              (abs(col("__n_approx") - col("n_exact")).cast("double") / col("n_exact")
+                <= 0.05).as("hll_within_5pct"),
+              (abs(col("__p50_approx") - col("__p50_exact")) / col("__p50_exact")
+                <= 0.02).as("p50_within_2pct"))
+        })
+
       case "incr-profile" =>
         // dedup_incremental stage attribution (VERDICT r07 item 4): what
         // the 5.5 s warm probe is actually spending — batch shingling

@@ -150,6 +150,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeCount(plan, "CartesianProduct") == 0)
   }
 
+  test("saved-index probe: reads the on-disk index, anti-join still broadcasts") {
+    val plan = finalPlan("dedup_incremental_saved")
+    // the cold-start lifecycle: the index comes from parquet (a fresh
+    // ingest job has no fitting session to serve an InMemoryTableScan),
+    // and the probe keeps the same scale shape as the cached form —
+    // broadcast anti-join, no cartesian, no corpus re-derivation
+    assert(treeCount(plan, "BroadcastHashJoin LeftAnti") >= 1,
+      s"dup-ids must broadcast into the anti-join:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "CartesianProduct") == 0)
+    assert(nodeCount(plan, "BroadcastNestedLoopJoin") == 0)
+  }
+
   test("composed pipeline: filter below the dedup semi-join, two combining shuffles") {
     val plan = finalPlan("text_pipeline")
     // gate -> dedup -> split in one plan: the dedup keep-set must
