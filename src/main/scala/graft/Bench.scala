@@ -19,6 +19,28 @@ import org.apache.spark.sql.SparkSession
  * version's caches when its last consumer finishes, not at shutdown.
  */
 object Bench {
+
+  /** Family phases: (name, membership, post-phase cache release). Order
+    * puts the cache-free relational/text rows on a clean JVM first and
+    * the heavy cache-pinning families (cdc fixture engine, dedup
+    * persisted relations, IVF index) after them, each released before
+    * the next family starts. Within a phase rows run alphabetically —
+    * the fit/probe orderings (dedup_exact_pairs_build before the gates,
+    * dedup_incr_index_build before dedup_incremental) are all
+    * within-family and survive. BenchPhaseSpec asserts every query name
+    * matches exactly one phase, so a new family cannot silently run in
+    * the leftover slot under another family's cache pressure. */
+  private[graft] val phases: Seq[(String, String => Boolean, () => Unit)] = Seq(
+    ("relational", n => n == "q1_agg" || n.startsWith("q_"), () => ()),
+    ("cdc", n => n.startsWith("cdc_"),
+      () => graft.queries.CdcQueries.clearCaches()),
+    ("text", n => n.startsWith("text_") || n.startsWith("multimodal_") ||
+      n == "embeddings_stats", () => ()),
+    ("dedup", n => n.startsWith("dedup_"),
+      () => graft.queries.NorthStarQueries.clearDedupCaches()),
+    ("sim", n => n.startsWith("sim_"),
+      () => graft.queries.NorthStarQueries.clearSimCaches()))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,25 +59,6 @@ object Bench {
     graft.sources.Tables.all.foreach { t =>
       graft.sources.Tables.load(spark, sfDir, t).count()
     }
-
-    // Family phases: (name, membership, post-phase cache release). Order
-    // puts the cache-free relational/text rows on a clean JVM first and
-    // the heavy cache-pinning families (cdc fixture engine, dedup
-    // persisted relations, IVF index) after them, each released before
-    // the next family starts. Within a phase rows run alphabetically —
-    // the fit/probe orderings (dedup_exact_pairs_build before the gates,
-    // dedup_incr_index_build before dedup_incremental) are all
-    // within-family and survive.
-    val phases: Seq[(String, String => Boolean, () => Unit)] = Seq(
-      ("relational", n => n == "q1_agg" || n.startsWith("q_"), () => ()),
-      ("cdc", n => n.startsWith("cdc_"),
-        () => graft.queries.CdcQueries.clearCaches()),
-      ("text", n => n.startsWith("text_") || n.startsWith("multimodal_") ||
-        n == "embeddings_stats", () => ()),
-      ("dedup", n => n.startsWith("dedup_"),
-        () => graft.queries.NorthStarQueries.clearDedupCaches()),
-      ("sim", n => n.startsWith("sim_"),
-        () => graft.queries.NorthStarQueries.clearSimCaches()))
 
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val phased = phases.map { case (p, member, release) =>
