@@ -371,12 +371,15 @@ object Dedup {
    * verification. `shingleK` rides WITH the index: the probe must
    * shingle batches with the same k the index was built with — a
    * mismatched k makes every candidate join miss and silently disables
-   * dedup, so the parameter is not probe-side configurable. The caller
-   * owns the lifecycle: [[persist]] before probing batches against it,
-   * [[unpersist]] when the corpus version is retired.
+   * dedup, so the parameter is not probe-side configurable. `maxGramDf`
+   * rides along for the same reason: [[extendCorpusIndex]] must re-cut
+   * with the df the index was built with, or the extended index drifts
+   * from a from-scratch build. The caller owns the lifecycle:
+   * [[persist]] before probing batches against it, [[unpersist]] when
+   * the corpus version is retired.
    */
   final case class CorpusIndex(postings: DataFrame, shingles: DataFrame,
-                               shingleK: Int = 3) {
+                               shingleK: Int = 3, maxGramDf: Int = 100) {
     private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def persist(): CorpusIndex = {
       postings.persist(lvl); shingles.persist(lvl); this
@@ -392,13 +395,39 @@ object Dedup {
     * gram shared by 10^8 docs is dropped without materializing its
     * posting list). */
   def buildCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
-                       shingleK: Int = 3, maxGramDf: Int = 100): CorpusIndex = {
-    val sh = hashedShingleSets(corpus, idCol, textCol, shingleK)
+                       shingleK: Int = 3, maxGramDf: Int = 100): CorpusIndex =
+    indexFromShingles(hashedShingleSets(corpus, idCol, textCol, shingleK),
+      shingleK, maxGramDf)
+
+  /** Postings + df-cut from an already-materialized shingle relation —
+    * shared by the from-scratch build and [[extendCorpusIndex]]. */
+  private def indexFromShingles(sh: DataFrame, shingleK: Int,
+                                maxGramDf: Int): CorpusIndex = {
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
     val keep = inv.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxGramDf).select(col("gram"))
-    CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh, shingleK)
+    CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh,
+      shingleK, maxGramDf)
   }
+
+  /** Grow a [[CorpusIndex]] with `newDocs` WITHOUT re-tokenizing the
+    * existing corpus — the versioning step the streaming ingest's
+    * "accepted batches do not auto-join the index" contract defers to
+    * the pipeline. The old corpus's shingle sets are already
+    * materialized in the index, so extension costs shingling the NEW
+    * docs plus one postings rebuild over the unioned skinny shingle
+    * relation; at 100 TB that is the difference between re-reading the
+    * corpus text and re-exploding stored hashes. The df-cut is
+    * recomputed over the UNION with the index's own `maxGramDf` — a
+    * gram that crosses the cut only once the new docs arrive is dropped
+    * exactly as a from-scratch build would drop it, so
+    * extend(build(A), B) ≡ build(A ∪ B) (spec-pinned). */
+  def extendCorpusIndex(index: CorpusIndex, newDocs: DataFrame,
+                        idCol: String, textCol: String): CorpusIndex =
+    indexFromShingles(
+      index.shingles.union(
+        hashedShingleSets(newDocs, idCol, textCol, index.shingleK)),
+      index.shingleK, index.maxGramDf)
 
   /** Persist a [[CorpusIndex]] to storage so it outlives the session —
     * the production lifecycle: one job fits the index, every later
@@ -411,18 +440,21 @@ object Dedup {
     index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
     val spark = index.postings.sparkSession
     import spark.implicits._
-    Seq(index.shingleK).toDF("shingle_k")
+    Seq((index.shingleK, index.maxGramDf)).toDF("shingle_k", "max_gram_df")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a [[CorpusIndex]] written by [[saveCorpusIndex]]. Call
     * [[CorpusIndex.persist]] before probing many batches against it. */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): CorpusIndex =
+                      dir: String): CorpusIndex = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("shingle_k"), col("max_gram_df")).head()
     CorpusIndex(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/shingles"),
-      spark.read.parquet(s"$dir/meta").head().getInt(0))
+      meta.getInt(0), meta.getInt(1))
+  }
 
   /**
    * INCREMENTAL ingest dedup: drop every batch doc whose exact n-gram

@@ -351,6 +351,24 @@ object NorthStarQueries {
         Dedup.loadCorpusIndex(s, savedIndexDir(s, dir)), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
+    // Corpus VERSIONING end to end: build the index on HALF the corpus,
+    // EXTEND it with the other half (extendCorpusIndex — shingles the new
+    // docs only, re-cuts df over the union), probe the same batch. Must
+    // hash-match the from-scratch index's keep-set (same oracle as
+    // `dedup_incremental`): extend(build(A), B) ≡ build(A ∪ B), also
+    // unit-pinned at the postings level in DedupSpec. Uncached by design
+    // — warm ≈ cold; the row measures the extend+probe path itself.
+    "dedup_incr_index_extend" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = col("doc_id") % 5
+      val base = Dedup.buildCorpusIndex(
+        d.filter(m === 1 || m === 2), "doc_id", "text")
+      val extended = Dedup.extendCorpusIndex(base,
+        d.filter(m === 3 || m === 4), "doc_id", "text")
+      Dedup.dedupAgainstCorpus(d.filter(m === 0), extended, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // The LSH-DRIVEN dedup pipeline end to end: minhash pairs -> connected
     // components -> keep-one-per-group anti-join — the full production
     // path (dedup_near_corpus exercises the same tail from EXACT pairs).
@@ -912,6 +930,8 @@ object NorthStarQueries {
     // the saved-index cold-start row computes the SAME keep-set — the
     // on-disk round-trip must be semantically invisible
     "dedup_incremental_saved" -> IncrementalDedupSql,
+    // ...as must the extend-vs-from-scratch index equivalence
+    "dedup_incr_index_extend" -> IncrementalDedupSql,
     // Incremental embedding dedup: exact cosine between the constructed
     // batch and the corpus, float-exact (planting arithmetic + float
     // negation are both bit-reproducible across engines). Shared with

@@ -199,6 +199,41 @@ class DedupSpec extends AnyFunSuite {
     assert(crossDropped.nonEmpty, "fixture sanity: mutated copies must match")
   }
 
+  test("extendCorpusIndex(build(A), B) equals buildCorpusIndex(A union B)") {
+    // corpus versioning: extension re-cuts with the index's own df, so a
+    // gram crossing the cut only after the new docs arrive is dropped
+    // exactly as a from-scratch build drops it. Low df-cut (3) + repeated
+    // templates make the fixture actually exercise that crossing.
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(7)
+    def text() = Seq.fill(6 + rng.nextInt(6))(words(rng.nextInt(words.size))).mkString(" ")
+    val a = (1L to 20L).map(i => (i, text())).toDF("doc_id", "text")
+    val b = (21L to 40L).map(i => (i, if (i % 4 == 0) "alpha beta gamma delta repeated"
+      else text())).toDF("doc_id", "text")
+
+    val extended = Dedup.extendCorpusIndex(
+      Dedup.buildCorpusIndex(a, "doc_id", "text", maxGramDf = 3),
+      b, "doc_id", "text")
+    val scratch = Dedup.buildCorpusIndex(a.union(b), "doc_id", "text", maxGramDf = 3)
+    assert(extended.shingleK == scratch.shingleK &&
+      extended.maxGramDf == scratch.maxGramDf)
+
+    def postingSet(ix: Dedup.CorpusIndex) =
+      ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+    assert(postingSet(extended) == postingSet(scratch),
+      "extended postings must equal the from-scratch build's")
+
+    // ...and both probe a batch identically
+    val batch = Seq((101L, a.as[(Long, String)].head()._2),
+      (102L, "totally novel content never seen before anywhere"))
+      .toDF("doc_id", "text")
+    def kept(ix: Dedup.CorpusIndex) =
+      Dedup.dedupAgainstCorpus(batch, ix, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(extended) == kept(scratch))
+  }
+
   test("incremental embedding dedup: near-copies drop, orthogonal/negated vectors survive") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
