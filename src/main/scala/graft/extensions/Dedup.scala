@@ -421,7 +421,10 @@ object Dedup {
     * recomputed over the UNION with the index's own `maxGramDf` — a
     * gram that crosses the cut only once the new docs arrive is dropped
     * exactly as a from-scratch build would drop it, so
-    * extend(build(A), B) ≡ build(A ∪ B) (spec-pinned). */
+    * extend(build(A), B) ≡ build(A ∪ B) (spec-pinned). `newDocs` ids
+    * must be new (append-only versioning, the same contract a
+    * from-scratch build has on duplicate ids): re-adding an indexed id
+    * double-counts its grams' df on both paths alike. */
   def extendCorpusIndex(index: CorpusIndex, newDocs: DataFrame,
                         idCol: String, textCol: String): CorpusIndex =
     indexFromShingles(
