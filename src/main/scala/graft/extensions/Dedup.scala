@@ -164,12 +164,12 @@ object Dedup {
   }
 
   /** Join shingle arrays back to candidate pairs and keep those at or
-    * above the exact-Jaccard threshold. */
-  /** Exact set-Jaccard over the sorted-distinct shingle arrays: ONE
-    * merge-count kernel per candidate pair (|a∪b| = |a|+|b|-|a∩b|), not
-    * the two hash-set builds + output arrays of array_intersect +
-    * array_union — the verify runs once per candidate and dominated the
-    * incremental probe (4.4 s of 4.3 s at sf0.1) before this. */
+    * above the exact set-Jaccard threshold, computed over the
+    * sorted-distinct shingle arrays with ONE merge-count kernel per
+    * candidate pair (|a∪b| = |a|+|b|-|a∩b|) — not the two hash-set
+    * builds + output arrays of array_intersect + array_union; the
+    * verify runs once per candidate and dominated the incremental probe
+    * (4.4 s of 4.3 s at sf0.1) before the kernel. */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
     pairs
@@ -374,18 +374,25 @@ object Dedup {
    * dedup, so the parameter is not probe-side configurable. `maxGramDf`
    * rides along for the same reason: [[extendCorpusIndex]] must re-cut
    * with the df the index was built with, or the extended index drifts
-   * from a from-scratch build. The caller owns the lifecycle:
-   * [[persist]] before probing batches against it, [[unpersist]] when
-   * the corpus version is retired.
+   * from a from-scratch build. `dfCounts` is the gram DICTIONARY —
+   * (gram, df) over ALL grams including the cut ones — kept so
+   * extension can detect grams crossing the cut without regrouping the
+   * old corpus's postings: skinny (one row per distinct gram, not per
+   * posting) and append-only under the extend contract, since df only
+   * grows. The caller owns the lifecycle: [[persist]] before probing
+   * batches against it, [[unpersist]] when the corpus version is
+   * retired.
    */
   final case class CorpusIndex(postings: DataFrame, shingles: DataFrame,
+                               dfCounts: DataFrame,
                                shingleK: Int = 3, maxGramDf: Int = 100) {
     private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def persist(): CorpusIndex = {
-      postings.persist(lvl); shingles.persist(lvl); this
+      postings.persist(lvl); shingles.persist(lvl); dfCounts.persist(lvl); this
     }
     def unpersist(): Unit = {
-      postings.unpersist(false); shingles.unpersist(false); ()
+      postings.unpersist(false); shingles.unpersist(false)
+      dfCounts.unpersist(false); ()
     }
   }
 
@@ -399,38 +406,65 @@ object Dedup {
     indexFromShingles(hashedShingleSets(corpus, idCol, textCol, shingleK),
       shingleK, maxGramDf)
 
-  /** Postings + df-cut from an already-materialized shingle relation —
-    * shared by the from-scratch build and [[extendCorpusIndex]]. */
+  /** Postings + gram dictionary + df-cut from an already-materialized
+    * shingle relation — the from-scratch build. */
   private def indexFromShingles(sh: DataFrame, shingleK: Int,
                                 maxGramDf: Int): CorpusIndex = {
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
-    val keep = inv.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxGramDf).select(col("gram"))
-    CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh,
+    val dfc = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val keep = dfc.filter(col("df") <= maxGramDf).select(col("gram"))
+    CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh, dfc,
       shingleK, maxGramDf)
   }
 
   /** Grow a [[CorpusIndex]] with `newDocs` WITHOUT re-tokenizing the
     * existing corpus — the versioning step the streaming ingest's
     * "accepted batches do not auto-join the index" contract defers to
-    * the pipeline. The old corpus's shingle sets are already
-    * materialized in the index, so extension costs shingling the NEW
-    * docs plus one postings rebuild over the unioned skinny shingle
-    * relation; at 100 TB that is the difference between re-reading the
-    * corpus text and re-exploding stored hashes. The df-cut is
-    * recomputed over the UNION with the index's own `maxGramDf` — a
-    * gram that crosses the cut only once the new docs arrive is dropped
-    * exactly as a from-scratch build would drop it, so
-    * extend(build(A), B) ≡ build(A ∪ B) (spec-pinned). `newDocs` ids
-    * must be new (append-only versioning, the same contract a
-    * from-scratch build has on duplicate ids): re-adding an indexed id
-    * double-counts its grams' df on both paths alike. */
+    * the pipeline. Cost is O(new docs + crossing grams), NOT O(corpus):
+    * the new docs are shingled and grouped once; the stored gram
+    * dictionary ([[CorpusIndex.dfCounts]], one skinny row per distinct
+    * gram) is merged with the new-doc gram counts; and the OLD postings
+    * — the only corpus-sized relation — are touched by exactly one
+    * anti-join against the grams whose df CROSSES the cut with this
+    * extension (a near-empty set in practice, broadcast at any scale),
+    * so they stream through unregrouped. Before round 9 this regrouped
+    * every gram of old∪new per version bump — the full-corpus-gram
+    * shuffle the 100 TB story could not carry. The df-cut semantics are
+    * unchanged: a gram that crosses the cut only once the new docs
+    * arrive is dropped exactly as a from-scratch build would drop it,
+    * so extend(build(A), B) ≡ build(A ∪ B) (spec-pinned at the
+    * postings AND dictionary level). `newDocs` ids must be new
+    * (append-only versioning, the same contract a from-scratch build
+    * has on duplicate ids): re-adding an indexed id double-counts its
+    * grams' df on both paths alike. */
   def extendCorpusIndex(index: CorpusIndex, newDocs: DataFrame,
-                        idCol: String, textCol: String): CorpusIndex =
-    indexFromShingles(
-      index.shingles.union(
-        hashedShingleSets(newDocs, idCol, textCol, index.shingleK)),
-      index.shingleK, index.maxGramDf)
+                        idCol: String, textCol: String): CorpusIndex = {
+    val cut = index.maxGramDf
+    val newSh = hashedShingleSets(newDocs, idCol, textCol, index.shingleK)
+    val newInv = newSh.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val newDf = newInv.groupBy(col("gram")).agg(count(lit(1)).as("__new"))
+    // updated dictionary: df only ever grows under the append-only
+    // contract, so a full-outer merge of two skinny relations is exact
+    val mergedDf = index.dfCounts.join(newDf, Seq("gram"), "full_outer")
+      .select(col("gram"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("df"))
+    // grams the extension pushes OVER the cut: previously kept, and only
+    // grams the new docs actually touch can move — join against newDf,
+    // never the dictionary alone
+    val crossing = index.dfCounts.filter(col("df") <= cut)
+      .join(newDf, Seq("gram"))
+      .filter(col("df") + col("__new") > cut)
+      .select(col("gram"))
+    // new postings survive iff their gram's MERGED df clears the cut
+    val newKeep = newDf.join(index.dfCounts, Seq("gram"), "left")
+      .filter(coalesce(col("df"), lit(0L)) + col("__new") <= cut)
+      .select(col("gram"))
+    CorpusIndex(
+      index.postings.join(crossing, Seq("gram"), "left_anti")
+        .union(newInv.join(newKeep, Seq("gram"), "left_semi")),
+      index.shingles.union(newSh), mergedDf,
+      index.shingleK, cut)
+  }
 
   /** Persist a [[CorpusIndex]] to storage so it outlives the session —
     * the production lifecycle: one job fits the index, every later
@@ -441,6 +475,7 @@ object Dedup {
   def saveCorpusIndex(index: CorpusIndex, dir: String): Unit = {
     index.postings.write.mode("overwrite").parquet(s"$dir/postings")
     index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    index.dfCounts.write.mode("overwrite").parquet(s"$dir/df")
     val spark = index.postings.sparkSession
     import spark.implicits._
     Seq((index.shingleK, index.maxGramDf)).toDF("shingle_k", "max_gram_df")
@@ -448,15 +483,31 @@ object Dedup {
   }
 
   /** Load a [[CorpusIndex]] written by [[saveCorpusIndex]]. Call
-    * [[CorpusIndex.persist]] before probing many batches against it. */
+    * [[CorpusIndex.persist]] before probing many batches against it.
+    * Backward compatible with trees written by earlier format versions:
+    * a meta table without `max_gram_df` loads with the historical
+    * default (100 — the only cut any old index was built with), and a
+    * tree without the `df` dictionary recomputes it from the stored
+    * shingle sets (one regroup, paid once at load — the cost every
+    * extension used to pay). */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String): CorpusIndex = {
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select(col("shingle_k"), col("max_gram_df")).head()
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    val maxGramDf =
+      if (metaDf.columns.contains("max_gram_df"))
+        metaDf.select(col("max_gram_df")).head().getInt(0)
+      else 100
+    val shingleK = metaDf.select(col("shingle_k")).head().getInt(0)
+    val shingles = spark.read.parquet(s"$dir/shingles")
+    val dfPath = new org.apache.hadoop.fs.Path(s"$dir/df")
+    val dfCounts =
+      if (dfPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(dfPath))
+        spark.read.parquet(s"$dir/df")
+      else shingles.select(col("doc_id"), explode(col("sh")).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
     CorpusIndex(
-      spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/shingles"),
-      meta.getInt(0), meta.getInt(1))
+      spark.read.parquet(s"$dir/postings"), shingles, dfCounts,
+      shingleK, maxGramDf)
   }
 
   /**
@@ -545,6 +596,27 @@ object Dedup {
       signBands(corpus, idCol, vecCol, planes, bands),
       corpus.select(col(idCol).as("doc_id"), col(vecCol).as("v")),
       planes, bands)
+
+  /** Grow an [[EmbeddingIndex]] with `newDocs` WITHOUT refitting — the
+    * embedding analog of [[extendCorpusIndex]], completing the
+    * versioning symmetry: bucket the new vectors with the index's OWN
+    * planes/bands (they ride with the index precisely so this is
+    * possible — fresh hyperplanes would silently never match the old
+    * buckets), then union the skinny bucket relation and the vector
+    * table. No df-cut exists on the embedding side, so extension is
+    * exactly O(new vectors) with no crossing-gram bookkeeping, and
+    * extend(build(A), B) ≡ build(A ∪ B) holds bucket-for-bucket
+    * (spec-pinned): the hyperplanes are derived deterministically from
+    * (plane, dim) hashes, so the same vector buckets identically on
+    * both paths. Same append-only id contract as the text form. */
+  def extendEmbeddingIndex(index: EmbeddingIndex, newDocs: DataFrame,
+                           idCol: String, vecCol: String): EmbeddingIndex =
+    EmbeddingIndex(
+      index.buckets.union(
+        signBands(newDocs, idCol, vecCol, index.planes, index.bands)),
+      index.vectors.union(
+        newDocs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))),
+      index.planes, index.bands)
 
   /** Persist an [[EmbeddingIndex]] to storage — the embedding analog of
     * [[saveCorpusIndex]], same production lifecycle: one job fits the

@@ -172,6 +172,19 @@ object NorthStarQueries {
   private val savedIndexDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The saved-index temp trees are normally swept by
+    * [[clearDedupCaches]]; a bench/verify JVM that dies mid-run would
+    * leak them in /tmp, so a shutdown hook sweeps whatever is still
+    * registered at exit (idempotent with the normal sweep — the caches
+    * are cleared as they are deleted). */
+  private val tempDirShutdownHook: Unit =
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      savedIndexDirCache.values.forEach(d =>
+        graft.util.Util.deleteRecursively(new java.io.File(d)))
+      savedEmbIndexDirCache.values.forEach(d =>
+        graft.util.Util.deleteRecursively(new java.io.File(d)))
+    }))
+
   private def savedIndexDir(s: SparkSession, dir: String): String =
     savedIndexDirCache.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
@@ -534,6 +547,28 @@ object NorthStarQueries {
         Dedup.loadEmbeddingIndex(s, savedEmbIndexDir(s, dir)),
         "vec_id", "embedding", threshold = 0.9)
         .select(col("vec_id"))),
+
+    // Embedding-index VERSIONING end to end (the embedding analog of
+    // `dedup_incr_index_extend`, completing the lifecycle symmetry):
+    // fit the index on HALF the corpus, EXTEND it with the other half
+    // (extendEmbeddingIndex buckets the new vectors with the fitted
+    // index's own planes/bands), probe the same planted batch. Must
+    // produce the keep-set a full-corpus index produces (same
+    // float-exact oracle as `dedup_embedding_incr`): extend(build(A),
+    // B) ≡ build(A ∪ B), also bucket-level spec-pinned in DedupSpec.
+    // Uncached by design — warm ≈ cold; the row measures fit-half +
+    // extend + probe.
+    "dedup_emb_index_extend" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val base = Dedup.buildEmbeddingIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        planes = 12, bands = 8)
+      val extended = Dedup.extendEmbeddingIndex(base,
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      Dedup.dedupEmbeddingsAgainstCorpus(embIncrBatch(e), extended,
+        "vec_id", "embedding", threshold = 0.9)
+        .select(col("vec_id"))
+    }),
 
     // Embedding-modality corpus dedup END TO END: sign-LSH pairs ->
     // connected components -> keep-one-per-group. On this fixture the
@@ -939,6 +974,7 @@ object NorthStarQueries {
     // semantically invisible.
     "dedup_embedding_incr" -> EmbeddingIncrSql,
     "dedup_embedding_incr_saved" -> EmbeddingIncrSql,
+    "dedup_emb_index_extend" -> EmbeddingIncrSql,
     // Embedding corpus dedup: keep-set from the recursive-CTE closure
     // over the float-exact planted all-pairs (>= 0.9) — the LSH pair set
     // equals this set on the fixture, so the match is exact.

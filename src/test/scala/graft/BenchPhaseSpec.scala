@@ -18,7 +18,7 @@ class BenchPhaseSpec extends AnyFunSuite {
         s"Bench.phases with its cache release): $bad")
   }
 
-  test("every oracle key is a declared query, and column aliasing is sane") {
+  test("every oracle key is a declared query") {
     // an oracle for a nonexistent query silently checks nothing
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: $orphans")

@@ -224,6 +224,14 @@ class DedupSpec extends AnyFunSuite {
     assert(postingSet(extended) == postingSet(scratch),
       "extended postings must equal the from-scratch build's")
 
+    // the O(new) extension maintains the gram dictionary incrementally
+    // (old counts + new-doc counts); it must equal a from-scratch
+    // regroup or a LATER extension would cut with drifted df
+    def dfMap(ix: Dedup.CorpusIndex) =
+      ix.dfCounts.select("gram", "df").as[(Long, Long)].collect().toMap
+    assert(dfMap(extended) == dfMap(scratch),
+      "extended gram dictionary must equal the from-scratch build's")
+
     // ...and both probe a batch identically
     val batch = Seq((101L, a.as[(Long, String)].head()._2),
       (102L, "totally novel content never seen before anywhere"))
@@ -232,6 +240,61 @@ class DedupSpec extends AnyFunSuite {
       Dedup.dedupAgainstCorpus(batch, ix, "doc_id", "text")
         .select("doc_id").as[Long].collect().toSet
     assert(kept(extended) == kept(scratch))
+
+    // versioning is iterable: a SECOND extension cuts with the merged
+    // dictionary, not the original build's — extend(extend(A,B),C) ≡
+    // build(A∪B∪C)
+    val c = (41L to 50L).map(i => (i, if (i % 3 == 0) "alpha beta gamma delta repeated"
+      else text())).toDF("doc_id", "text")
+    val twice = Dedup.extendCorpusIndex(extended, c, "doc_id", "text")
+    val scratch3 = Dedup.buildCorpusIndex(a.union(b).union(c), "doc_id", "text",
+      maxGramDf = 3)
+    assert(postingSet(twice) == postingSet(scratch3),
+      "chained extension postings must equal a from-scratch build over all three")
+    assert(dfMap(twice) == dfMap(scratch3))
+  }
+
+  test("extendEmbeddingIndex(build(A), B) equals buildEmbeddingIndex(A union B)") {
+    // versioning symmetry with the text form: the extension buckets new
+    // vectors with the index's OWN planes/bands, so the bucket relation
+    // and probe keep-set must match a from-scratch fit over the union
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(8)(rng.nextFloat() * 2 - 1)
+    val a = (1L to 20L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val bRows = (21L to 40L).map(i => (i, vec()))
+    val b = bRows.toDF("vec_id", "embedding")
+
+    val extended = Dedup.extendEmbeddingIndex(
+      Dedup.buildEmbeddingIndex(a, "vec_id", "embedding", planes = 12, bands = 8),
+      b, "vec_id", "embedding")
+    val scratch = Dedup.buildEmbeddingIndex(a.union(b), "vec_id", "embedding",
+      planes = 12, bands = 8)
+    assert(extended.planes == scratch.planes && extended.bands == scratch.bands)
+
+    def bucketSet(ix: Dedup.EmbeddingIndex) =
+      ix.buckets.select("doc_id", "band", "bucket").as[(Long, Int, Long)]
+        .collect().toSet
+    assert(bucketSet(extended) == bucketSet(scratch),
+      "extended buckets must equal the from-scratch fit's")
+    assert(extended.vectors.count() == 40L)
+
+    // ...and both probe a batch identically: a near-copy of an A vector
+    // and of a B vector must both drop (the extension's buckets must be
+    // probe-visible), a fresh vector survives
+    val aCopy = a.as[(Long, Array[Float])].head()._2.clone()
+    aCopy(0) = aCopy(0) + 0.001f
+    val bCopy = bRows.head._2.clone()
+    bCopy(0) = bCopy(0) + 0.001f
+    val batch = Seq((101L, aCopy), (102L, bCopy), (103L, vec()))
+      .toDF("vec_id", "embedding")
+    def kept(ix: Dedup.EmbeddingIndex) =
+      Dedup.dedupEmbeddingsAgainstCorpus(batch, ix, "vec_id", "embedding",
+        threshold = 0.98)
+        .select("vec_id").as[Long].collect().toSet
+    val ke = kept(extended)
+    assert(ke == kept(scratch), "extended and from-scratch must probe identically")
+    assert(!ke.contains(101L) && !ke.contains(102L),
+      "near-copies of both the base and extension vectors must drop")
   }
 
   test("incremental embedding dedup: near-copies drop, orthogonal/negated vectors survive") {
