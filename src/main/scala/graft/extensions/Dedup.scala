@@ -381,11 +381,16 @@ object Dedup {
    * posting) and append-only under the extend contract, since df only
    * grows. The caller owns the lifecycle: [[persist]] before probing
    * batches against it, [[unpersist]] when the corpus version is
-   * retired.
+   * retired — or [[close]] to retire the version in one call.
+   * `savedDir` records the on-disk tree the index was saved to or
+   * loaded from (None for a never-persisted index), so [[close]] can
+   * delete it; an extension is a NEW version and deliberately does not
+   * inherit it.
    */
   final case class CorpusIndex(postings: DataFrame, shingles: DataFrame,
                                dfCounts: DataFrame,
-                               shingleK: Int = 3, maxGramDf: Int = 100) {
+                               shingleK: Int = 3, maxGramDf: Int = 100,
+                               savedDir: Option[String] = None) {
     private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def persist(): CorpusIndex = {
       postings.persist(lvl); shingles.persist(lvl); dfCounts.persist(lvl); this
@@ -393,6 +398,20 @@ object Dedup {
     def unpersist(): Unit = {
       postings.unpersist(false); shingles.unpersist(false)
       dfCounts.unpersist(false); ()
+    }
+    /** Retire this corpus version in ONE call: unpersist the session
+      * pins AND delete the on-disk tree the index was saved to / loaded
+      * from, if any — the lifecycle a long-lived service needs per
+      * version (previously: unpersist + manual dir cleanup, which a
+      * dying JVM skips). After close() the version is gone for every
+      * consumer; don't close a tree other jobs still load from. */
+    def close(): Unit = {
+      unpersist()
+      savedDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(postings.sparkSession.sessionState.newHadoopConf())
+          .delete(p, true)
+      }
     }
   }
 
@@ -471,8 +490,10 @@ object Dedup {
     * ingest job loads it. Plain parquet: the probe join never needs the
     * postings co-partitioned (at scale the batch side broadcasts), so
     * bucketed-table ceremony buys nothing here. shingleK lands in a
-    * one-row meta table so a load can never probe with the wrong k. */
-  def saveCorpusIndex(index: CorpusIndex, dir: String): Unit = {
+    * one-row meta table so a load can never probe with the wrong k.
+    * Returns the index with `savedDir` recorded, so [[CorpusIndex
+    * .close]] on the returned value retires the tree too. */
+  def saveCorpusIndex(index: CorpusIndex, dir: String): CorpusIndex = {
     index.postings.write.mode("overwrite").parquet(s"$dir/postings")
     index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
     index.dfCounts.write.mode("overwrite").parquet(s"$dir/df")
@@ -480,6 +501,7 @@ object Dedup {
     import spark.implicits._
     Seq((index.shingleK, index.maxGramDf)).toDF("shingle_k", "max_gram_df")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    index.copy(savedDir = Some(dir))
   }
 
   /** Load a [[CorpusIndex]] written by [[saveCorpusIndex]]. Call
@@ -507,7 +529,7 @@ object Dedup {
         .groupBy(col("gram")).agg(count(lit(1)).as("df"))
     CorpusIndex(
       spark.read.parquet(s"$dir/postings"), shingles, dfCounts,
-      shingleK, maxGramDf)
+      shingleK, maxGramDf, savedDir = Some(dir))
   }
 
   /**
@@ -569,13 +591,24 @@ object Dedup {
     * different hyperplanes would silently never match, same failure
     * class as a shingle-k mismatch). */
   final case class EmbeddingIndex(buckets: DataFrame, vectors: DataFrame,
-                                  planes: Int, bands: Int) {
+                                  planes: Int, bands: Int,
+                                  savedDir: Option[String] = None) {
     private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def persist(): EmbeddingIndex = {
       buckets.persist(lvl); vectors.persist(lvl); this
     }
     def unpersist(): Unit = {
       buckets.unpersist(false); vectors.unpersist(false); ()
+    }
+    /** Retire this index version in ONE call — unpersist + delete the
+      * saved tree, if any; same contract as [[CorpusIndex.close]]. */
+    def close(): Unit = {
+      unpersist()
+      savedDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(buckets.sparkSession.sessionState.newHadoopConf())
+          .delete(p, true)
+      }
     }
   }
 
@@ -622,14 +655,16 @@ object Dedup {
     * [[saveCorpusIndex]], same production lifecycle: one job fits the
     * index, every later ingest job loads it. planes/bands land in a
     * one-row meta table so a load can never probe with mismatched
-    * hyperplanes (the silent-never-match failure class). */
-  def saveEmbeddingIndex(index: EmbeddingIndex, dir: String): Unit = {
+    * hyperplanes (the silent-never-match failure class). Returns the
+    * index with `savedDir` recorded for [[EmbeddingIndex.close]]. */
+  def saveEmbeddingIndex(index: EmbeddingIndex, dir: String): EmbeddingIndex = {
     index.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
     index.vectors.write.mode("overwrite").parquet(s"$dir/vectors")
     val spark = index.buckets.sparkSession
     import spark.implicits._
     Seq((index.planes, index.bands)).toDF("planes", "bands")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    index.copy(savedDir = Some(dir))
   }
 
   /** Load an [[EmbeddingIndex]] written by [[saveEmbeddingIndex]]. Call
@@ -641,7 +676,7 @@ object Dedup {
     EmbeddingIndex(
       spark.read.parquet(s"$dir/buckets"),
       spark.read.parquet(s"$dir/vectors"),
-      meta.getInt(0), meta.getInt(1))
+      meta.getInt(0), meta.getInt(1), savedDir = Some(dir))
   }
 
   /** INCREMENTAL embedding dedup: drop every batch vector whose exact

@@ -234,6 +234,127 @@ object Scratch {
         time("full pipeline")(full.count())
         time("full pipeline again")(full.count())
 
+      case "scaleprobe" =>
+        // 10x scale probe of the incremental paths (VERDICT r8 item 5):
+        // grow the CORPUS by `mult` while holding the probe BATCH fixed,
+        // and check the probe rows stay ~O(batch), not O(corpus).
+        // Scaled fixture: `mult` replicas of the source corpus mapped
+        // into disjoint gram/bucket spaces — every token of doc replica
+        // r>0 gets an alnum suffix (grams never collide across
+        // replicas, so within-replica dup structure mirrors the
+        // original and candidate volume scales exactly linearly), and
+        // embedding replica r>0 is sign-flipped per dimension by a
+        // splitmix-derived pattern (cross-replica cosine ~N(0, 1/8) —
+        // no planted cross-replica dups at 0.9). Extension is measured
+        // BOTH ways: the round-9 O(new) dictionary-merge path and the
+        // pre-round-9 full-union regroup as the A/B baseline.
+        import org.apache.spark.sql.functions._
+        val srcDir = args(1); val mult = args(2).toInt
+        val work = s"/tmp/graft-scale-x$mult"
+        val fixedBatchDocs = "/tmp/graft-scale-batch-docs"
+        def time3(label: String)(f: => Unit): Unit = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          println(f"    $label: median ${ts.sorted.apply(1)}%.2f s  (reps ${ts.map(t => f"$t%.2f").mkString(" ")})")
+        }
+        val srcDocs = sources.Tables.load(spark, srcDir, "documents")
+        val srcEmbs = sources.Tables.load(spark, srcDir, "embeddings")
+        def docsScaled(m: Int) = (0 until m).map { r =>
+          if (r == 0) srcDocs
+          else srcDocs.select(
+            (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+            array_join(transform(split(col("text"), "\\s+"),
+              t => concat(t, lit(s"q$r"))), " ").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ union _)
+        def signVec(r: Int): Seq[Float] = Seq.tabulate(64) { d =>
+          var z = (r * 64L + d + 0x9E3779B97F4A7C15L) * 0xBF58476D1CE4E5B9L
+          z ^= (z >>> 27)
+          if ((z & 1L) == 0L) 1.0f else -1.0f
+        }
+        def embsScaled(m: Int) = (0 until m).map { r =>
+          if (r == 0) srcEmbs
+          else srcEmbs.select(
+            (col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+            zip_with(col("embedding"), typedlit(signVec(r)),
+              (x, s) => x * s).as("embedding"),
+            col("label"))
+        }.reduce(_ union _)
+        // fixed probe batch: replica 0's id%5==0 docs — also the fixed
+        // "new docs" for the extension probe (ids are NOT in any index:
+        // the corpora exclude id%5==0)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixedBatchDocs)))
+          srcDocs.filter(col("doc_id") % 5 === 0)
+            .write.mode("overwrite").parquet(fixedBatchDocs)
+        val batchDocs = spark.read.parquet(fixedBatchDocs)
+        val batchEmbs = srcEmbs.filter(col("vec_id") % 10 === 0).select(
+            (col("vec_id") + 10000000L).as("vec_id"),
+            concat(array(col("embedding").getItem(0) + lit(0.05f)),
+              slice(col("embedding"), 2, 1000000)).as("embedding"))
+          .union(srcEmbs.filter(col("vec_id") % 7 === 0).select(
+            (col("vec_id") + 20000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+
+        Seq(1, mult).foreach { m =>
+          // materialize the scaled tables once so generation cost never
+          // rides in a probe measurement
+          val dDir = s"$work/docs_m$m"; val eDir = s"$work/embs_m$m"
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dDir))) {
+            docsScaled(m).write.mode("overwrite").parquet(dDir)
+            embsScaled(m).write.mode("overwrite").parquet(eDir)
+          }
+          val d = spark.read.parquet(dDir); val e = spark.read.parquet(eDir)
+          val corpus = d.filter(col("doc_id") % 5 =!= 0)
+          println(s"scale m=$m: corpus_docs=${corpus.count()} embs=${e.count()} " +
+            s"batch_docs=${batchDocs.count()} batch_embs=${batchEmbs.count()}")
+          val ix = extensions.Dedup.buildCorpusIndex(corpus, "doc_id", "text").persist()
+          println(s"    postings=${ix.postings.count()} grams=${ix.dfCounts.count()} " +
+            s"(index build untimed; shingles=${ix.shingles.count()})")
+          time3("text probe (fixed batch)") {
+            extensions.Dedup.dedupAgainstCorpus(batchDocs, ix, "doc_id", "text")
+              .queryExecution.toRdd.count(); ()
+          }
+          time3("extend O(new) dictionary-merge") {
+            val ext = extensions.Dedup.extendCorpusIndex(ix, batchDocs, "doc_id", "text")
+            ext.postings.queryExecution.toRdd.count()
+            ext.dfCounts.queryExecution.toRdd.count(); ()
+          }
+          time3("extend pre-r9 full-union regroup (A/B)") {
+            // the formulation extendCorpusIndex used before round 9:
+            // re-explode EVERY stored shingle set and regroup df over
+            // the union — the full-corpus-gram shuffle per version bump
+            val sh = ix.shingles.union(
+              batchDocs.select(col("doc_id"),
+                functions.HashExpressions.hashed_shingles(
+                  functions.TextFunctions.tokens(col("text")), 3).as("sh")))
+            val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+            val dfc = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+            val keep = dfc.filter(col("df") <= 100).select(col("gram"))
+            inv.join(keep, Seq("gram"), "left_semi").queryExecution.toRdd.count()
+            dfc.queryExecution.toRdd.count(); ()
+          }
+          val eix = extensions.Dedup.buildEmbeddingIndex(e, "vec_id", "embedding",
+            planes = 12, bands = 8).persist()
+          println(s"    emb_buckets=${eix.buckets.count()}")
+          time3("embedding probe (fixed batch)") {
+            extensions.Dedup.dedupEmbeddingsAgainstCorpus(batchEmbs, eix,
+              "vec_id", "embedding", threshold = 0.9)
+              .queryExecution.toRdd.count(); ()
+          }
+          time3("streaming ingest one tick (fixed batch)") {
+            val sink = java.nio.file.Files.createTempDirectory("graft-scale-sink").toString
+            val ckpt = java.nio.file.Files.createTempDirectory("graft-scale-ckpt").toString
+            val q = streaming.CdcStream.startCorpusDedupIngest(
+              spark.readStream.schema(batchDocs.schema).parquet(fixedBatchDocs),
+              ix, "doc_id", "text", sink, ckpt, availableNow = true)
+            q.awaitTermination()
+            graft.util.Util.deleteRecursively(new java.io.File(sink))
+            graft.util.Util.deleteRecursively(new java.io.File(ckpt))
+          }
+          eix.unpersist(); ix.unpersist()
+        }
+
       case "minhash-profile" =>
         import org.apache.spark.sql.functions._
         val dir = args(1)

@@ -162,6 +162,15 @@ class DedupSpec extends AnyFunSuite {
       val keptLoaded = Dedup.dedupAgainstCorpus(batch, loaded, "doc_id", "text")
         .select("doc_id").as[Long].collect().toSet
       assert(keptLoaded == kept, "reloaded index must probe identically")
+
+      // one-call version retirement: close() deletes the saved tree
+      // (the load recorded its dir); a never-saved index has nothing
+      // on disk to delete and close() is just unpersist
+      assert(loaded.savedDir.contains(ixDir))
+      loaded.close()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ixDir)),
+        "close() must delete the saved index tree")
+      assert(index.savedDir.isEmpty)
     } finally index.unpersist()
   }
 
@@ -326,6 +335,11 @@ class DedupSpec extends AnyFunSuite {
         "vec_id", "embedding", threshold = 0.95)
         .select("vec_id").as[Long].collect().toSet
       assert(keptLoaded == kept, "reloaded embedding index must probe identically")
+
+      // one-call retirement, same contract as the text form
+      loaded.close()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ixDir)),
+        "close() must delete the saved embedding index tree")
     } finally index.unpersist()
   }
 
