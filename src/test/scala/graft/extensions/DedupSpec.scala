@@ -306,6 +306,64 @@ class DedupSpec extends AnyFunSuite {
       "near-copies of both the base and extension vectors must drop")
   }
 
+  test("loadCorpusIndex reads pre-round-9 trees: no df dir, one-column meta") {
+    // format compatibility: an index tree written before the gram
+    // dictionary existed (no df/ dir, meta without max_gram_df) must
+    // load with the historical default cut and a dictionary recomputed
+    // from the stored shingle sets — "the index outlives the session"
+    // includes outliving the format change
+    val ixDir = graft.TestSpark.tmpDir("graft-oldfmt-index")
+    val index = Dedup.buildCorpusIndex(docs, "doc_id", "text")
+    Dedup.saveCorpusIndex(index, ixDir)
+    graft.util.Util.deleteRecursively(new java.io.File(s"$ixDir/df"))
+    Seq(3).toDF("shingle_k").write.mode("overwrite").parquet(s"$ixDir/meta")
+
+    val loaded = Dedup.loadCorpusIndex(spark, ixDir)
+    assert(loaded.shingleK == 3 && loaded.maxGramDf == 100)
+    def dfMap(ix: Dedup.CorpusIndex) =
+      ix.dfCounts.select("gram", "df").as[(Long, Long)].collect().toMap
+    assert(dfMap(loaded) == dfMap(index),
+      "recomputed dictionary must equal the build's")
+
+    // ...and the loaded old-format tree probes AND extends like a
+    // modern one (extension needs the dictionary — the recompute is
+    // what makes old trees versionable at all)
+    val batch = Seq((101L, base), (102L, "fresh never seen words")).toDF("doc_id", "text")
+    def kept(ix: Dedup.CorpusIndex) =
+      Dedup.dedupAgainstCorpus(batch, ix, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(loaded) == kept(index))
+    val newDocs = Seq((6L, "entirely novel appended document text")).toDF("doc_id", "text")
+    assert(dfMap(Dedup.extendCorpusIndex(loaded, newDocs, "doc_id", "text")) ==
+      dfMap(Dedup.extendCorpusIndex(index, newDocs, "doc_id", "text")))
+    loaded.close()
+  }
+
+  test("O(new) extension: the plans never re-read the old corpus's shingle sets") {
+    // the 100 TB contract behind extendCorpusIndex: extending a LOADED
+    // index must not re-explode the stored shingle sets (the pre-round-9
+    // full-union regroup) — the dictionary update merges two skinny
+    // relations and the old postings are touched by ONE anti-join. A
+    // regression to the regroup shape shows up as a scan of the saved
+    // shingles tree inside the postings/dictionary plans.
+    val ixDir = graft.TestSpark.tmpDir("graft-extend-plan")
+    Dedup.saveCorpusIndex(Dedup.buildCorpusIndex(docs, "doc_id", "text"), ixDir)
+    val loaded = Dedup.loadCorpusIndex(spark, ixDir)
+    val ext = Dedup.extendCorpusIndex(loaded,
+      Seq((10L, "brand new appended words")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan(ext.dfCounts).contains("shingles"),
+      "dictionary merge must not touch the shingles tree")
+    val postingsPlan = plan(ext.postings)
+    assert(!postingsPlan.contains("shingles"),
+      "postings update must not re-derive from the shingles tree")
+    assert(postingsPlan.contains("LeftAnti"),
+      s"old postings must be touched by one anti-join only:\n${postingsPlan.take(2000)}")
+    loaded.close()
+  }
+
   test("incremental embedding dedup: near-copies drop, orthogonal/negated vectors survive") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
