@@ -144,7 +144,8 @@ object Similarity {
    * persist it as parquet partitioned by cell, so a 100 TB corpus's index
    * is probed with cell-partition pruning and zero rebuild cost.
    */
-  final case class IvfIndex(centers: DataFrame, assigned: DataFrame) {
+  final case class IvfIndex(centers: DataFrame, assigned: DataFrame,
+                            savedDir: Option[String] = None) {
     /** Pin the assignment in executor storage for repeated probing. */
     def cache(): IvfIndex = { assigned.cache(); centers.cache(); this }
 
@@ -154,17 +155,72 @@ object Similarity {
       assigned.unpersist(false); centers.unpersist(false); this
     }
 
-    def save(dir: String): Unit = {
+    /** Returns the index with `savedDir` recorded for [[close]]. */
+    def save(dir: String): IvfIndex = {
       centers.write.mode("overwrite").parquet(s"$dir/centers")
       assigned.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/assigned")
+      copy(savedDir = Some(dir))
+    }
+
+    /** Retire this index version in ONE call — unpersist + delete the
+      * saved tree, if any; same contract as `CorpusIndex.close`. */
+    def close(): Unit = {
+      unpersist()
+      savedDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(centers.sparkSession.sessionState.newHadoopConf())
+          .delete(p, true)
+      }
     }
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
     IvfIndex(
       spark.read.parquet(s"$dir/centers"),
-      spark.read.parquet(s"$dir/assigned"))
+      spark.read.parquet(s"$dir/assigned"),
+      savedDir = Some(dir))
+
+  /** Assign vectors to their nearest cell of an EXISTING centroid table
+    * (squared Euclidean — KMeans' own metric; ties to the lowest cell
+    * id). The centroids are collected to the driver and inlined as
+    * literals — O(nlist × dim) values, the same "model broadcast" shape
+    * `KMeans.transform` has — so assignment is ONE narrow projection
+    * with an `array_min` over per-cell (d2, cell) structs: zero
+    * shuffle, zero ML-pipeline dependency at probe/extend time. */
+  def assignToCells(vecs: DataFrame, centers: DataFrame,
+                    idCol: String, vecCol: String): DataFrame = {
+    val ctrs = centers.select(col("cell"), col("center")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    require(ctrs.nonEmpty, "centroid table is empty")
+    val d2s = ctrs.map { case (cellId, c) =>
+      struct(
+        aggregate(zip_with(col("c_vec"), typedlit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x).as("d2"),
+        lit(cellId).as("cell"))
+    }
+    vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("__best", array_min(array(d2s.toSeq: _*)))
+      .select(col("neighbor_id"), col("c_vec"), col("__best.cell").as("cell"))
+  }
+
+  /** Grow an [[IvfIndex]] with `newVecs` WITHOUT re-training the coarse
+    * quantizer — the IVF leg of the index-versioning symmetry
+    * (`extendCorpusIndex` / `extendEmbeddingIndex` are the text and
+    * LSH analogs): new vectors are assigned to the EXISTING centroids
+    * via [[assignToCells]] and unioned into the cell-assigned corpus.
+    * Extension is exactly O(new vectors), one narrow projection — at
+    * 100 TB the corpus-sized `assigned` relation is untouched. The
+    * centroids deliberately do NOT move (re-clustering would reassign
+    * the whole corpus and invalidate every saved cell partition); as
+    * with any IVF, re-fit when the data distribution drifts enough
+    * that cell occupancy degrades recall. Same append-only id contract
+    * as the other index families. */
+  def extendIvfIndex(index: IvfIndex, newVecs: DataFrame,
+                     idCol: String, vecCol: String): IvfIndex =
+    IvfIndex(index.centers,
+      index.assigned.unionByName(
+        assignToCells(newVecs, index.centers, idCol, vecCol)))
 
   /** Train the coarse quantizer and assign every candidate to its cell. */
   def ivfFit(

@@ -649,6 +649,36 @@ object NorthStarQueries {
           (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
     }),
 
+    // IVF index VERSIONING end to end (the IVF leg of the symmetry
+    // `dedup_incr_index_extend` / `dedup_emb_index_extend` cover for
+    // the text and LSH families): fit the coarse quantizer on HALF the
+    // corpus, extend with the other half (extendIvfIndex assigns the
+    // new vectors to the FROZEN centroids — no re-train, no corpus
+    // reassignment), probe the extended index. Gated on recall vs the
+    // DuckDB-recomputable brute-force top-10 — measured 0.920 / 0.900 /
+    // 0.775 at sf0.001 / 0.01 / 0.1 (deterministic: fixed KMeans seed,
+    // fixed file partitioning), so the 0.7 floor (the sim_ivf_recall
+    // sibling's) passes every SF while a broken assignment or an
+    // extension invisible to the probe lands near 0. Uncached by
+    // design — the row measures fit-half + extend + probe.
+    "sim_ivf_extend_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val ext = Similarity.extendIvfIndex(
+        Similarity.ivfFit(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", nlist = 16),
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfProbe(ext, q, "vec_id", "embedding",
+        k = 10, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
+    }),
+
     "embeddings_stats" -> ((s, dir) =>
       embs(s, dir).groupBy(col("label")).agg(
         count(lit(1)).as("n"),
@@ -1074,6 +1104,9 @@ object NorthStarQueries {
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_090
          |FROM ($BruteForceTopKSql) t""".stripMargin,
     "sim_ivf_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+         |FROM ($BruteForceTopKSql) t""".stripMargin,
+    "sim_ivf_extend_recall" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
          |FROM ($BruteForceTopKSql) t""".stripMargin,
     "dedup_embedding_exact" ->

@@ -355,6 +355,28 @@ object Scratch {
           eix.unpersist(); ix.unpersist()
         }
 
+      case "ivfx-recall" =>
+        // measured recall of the EXTENDED IVF index (fit on half, extend
+        // with the other half) vs brute force — floor evidence for the
+        // sim_ivf_extend_recall gate
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val e = sources.Tables.load(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 100 === 0)
+        val idx = extensions.Similarity.ivfFit(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16)
+        val ext = extensions.Similarity.extendIvfIndex(
+          idx, e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+        val brute = extensions.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = extensions.Similarity.ivfProbe(ext, q, "vec_id", "embedding",
+          k = 10, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+        val r = brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found")).head()
+        println(s"ivfx-recall @ $dir: n_true=${r.getLong(0)} n_found=${r.getLong(1)} " +
+          f"recall=${r.getLong(1).toDouble / r.getLong(0)}%.3f")
+
       case "minhash-profile" =>
         import org.apache.spark.sql.functions._
         val dir = args(1)

@@ -116,5 +116,52 @@ class SimilaritySpec extends AnyFunSuite {
     val probedL = Similarity.ivfProbe(loaded, q, "vec_id", "embedding",
       k = 10, nprobe = 4).select("query_id", "neighbor_id", "rank")
     assert(probedL.except(probed).isEmpty && probed.except(probedL).isEmpty)
+
+    // one-call version retirement, same contract as CorpusIndex.close
+    assert(loaded.savedDir.contains(dir))
+    loaded.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "close() must delete the saved IVF tree")
+  }
+
+  test("extendIvfIndex: frozen centroids, helper matches KMeans assignment, new vectors probe-visible") {
+    val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    val idx = Similarity.ivfFit(a, "vec_id", "embedding", nlist = 8)
+
+    // the literal-centroid argmin helper must reproduce the fitted
+    // model's own cell assignment (same squared-Euclidean metric over
+    // the float centroid table) — the non-circular anchor for the
+    // extension's assignment semantics
+    val modelCells = idx.assigned.select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val helperCells = Similarity.assignToCells(a, idx.centers, "vec_id", "embedding")
+      .select("neighbor_id", "cell").as[(Long, Int)].collect().toMap
+    assert(helperCells == modelCells,
+      "assignToCells must agree with KMeans.transform on the fitted corpus")
+
+    // extension: every corpus vector present exactly once, and the
+    // result equals assigning the UNION with the same frozen centroids
+    val extended = Similarity.extendIvfIndex(idx, b, "vec_id", "embedding")
+    assert(extended.assigned.count() == e.count())
+    val extCells = extended.assigned.select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val unionCells = Similarity.assignToCells(e, idx.centers, "vec_id", "embedding")
+      .select("neighbor_id", "cell").as[(Long, Int)].collect().toMap
+    assert(extCells == unionCells,
+      "extend(fit(A), B) must equal assigning A union B with A's centroids")
+
+    // the extension is probe-visible: a near-copy of an EXTENSION (B)
+    // vector must hit it at rank 1
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val bId = b.orderBy("vec_id").select("vec_id").as[Long].head()
+    val probe = b.filter(col("vec_id") === bId)
+      .select((col("vec_id") + 90000).as("vec_id"),
+        atransform(col("embedding"), x => x * 1.01f + 0.001f).as("embedding"))
+    val top = Similarity.ivfProbe(extended, probe, "vec_id", "embedding",
+      k = 1, nprobe = 2)
+      .select("neighbor_id").as[Long].head()
+    assert(top == bId, s"near-copy of extension vector $bId must be its top-1, got $top")
   }
 }
