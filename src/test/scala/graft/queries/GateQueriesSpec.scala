@@ -43,6 +43,11 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(i.getAs[Long]("n_true") > 0 && i.getAs[Boolean]("recall_ge_070"))
   }
 
+  test("sim_ivf_extend_recall: the half-fit + extend index clears the floor") {
+    val Array(r) = run("sim_ivf_extend_recall")
+    assert(r.getAs[Long]("n_true") > 0 && r.getAs[Boolean]("recall_ge_070"))
+  }
+
   test("q_sketch_accuracy: HLL and quantile estimates inside documented envelopes") {
     val Array(r) = run("q_sketch_accuracy")
     assert(r.getAs[Long]("n_exact") > 0)
