@@ -557,6 +557,17 @@ object Dedup {
   def dedupAgainstCorpus(batch: DataFrame, index: CorpusIndex,
                          idCol: String, textCol: String,
                          threshold: Double = 0.5): DataFrame = {
+    val dupIds = corpusDupMatches(batch, index, idCol, textCol, threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** All (batch_id, corpus_id, jaccard) matches at or above the
+    * threshold — the shared probe core of [[dedupAgainstCorpus]] and
+    * [[corpusDupProvenance]]. */
+  private def corpusDupMatches(batch: DataFrame, index: CorpusIndex,
+                               idCol: String, textCol: String,
+                               threshold: Double): DataFrame = {
     // the batch MUST shingle with the index's k (carried by the index so
     // a mismatch is unrepresentable, not a caller obligation)
     val bsh = hashedShingleSets(batch, idCol, textCol, index.shingleK)
@@ -569,18 +580,43 @@ object Dedup {
     // dominated this probe (4.4 s of 4.3 s at sf0.1) under
     // array_intersect + array_union; the batch re-shingle the candidate
     // and verify joins share is NOT worth caching (measured 0.16 s alone)
-    val dupIds = cand
+    cand
       .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
         Seq("batch_id"))
       .join(index.shingles.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
         Seq("corpus_id"))
       .withColumn("__i", graft.functions.HashExpressions
         .sorted_intersect_count(col("sh_b"), col("sh_c")))
-      .filter((col("__i").cast("double") /
-        (size(col("sh_b")).cast("long") + size(col("sh_c")) - col("__i"))) >= threshold)
-      .select(col("batch_id").as(idCol)).distinct()
-    batch.join(dupIds, Seq(idCol), "left_anti")
+      .select(col("batch_id"), col("corpus_id"),
+        (col("__i").cast("double") /
+          (size(col("sh_b")).cast("long") + size(col("sh_c")) - col("__i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
+
+  /**
+   * The audit surface of the incremental dedup: for every batch doc
+   * [[dedupAgainstCorpus]] would DROP, report WHICH corpus doc it
+   * matched — the best match (highest Jaccard, ties to the lowest
+   * corpus id, so the answer is deterministic) with its similarity.
+   * A production ingest pipeline keeps this next to the drop decision:
+   * "removed as a near-dup of corpus doc X at 0.83" is reviewable and
+   * re-checkable; a bare keep-set is not. Exactly the probe's plan plus
+   * ONE combining max-aggregation on the (already skinny) match
+   * relation — the corpus never reshuffles.
+   *
+   * @return (idCol, corpus_id, jaccard), one row per dropped batch doc
+   */
+  def corpusDupProvenance(batch: DataFrame, index: CorpusIndex,
+                          idCol: String, textCol: String,
+                          threshold: Double = 0.5): DataFrame =
+    corpusDupMatches(batch, index, idCol, textCol, threshold)
+      // max of (jaccard, -corpus_id) = highest jaccard, ties to the
+      // LOWEST corpus id — one combining aggregate, no window sort
+      .groupBy(col("batch_id").as(idCol))
+      .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("__nc"))).as("__m"))
+      .select(col(idCol), (-col("__m.__nc")).as("corpus_id"),
+        col("__m.jaccard").as("jaccard"))
 
   // ----------------------------------- incremental embedding (batch-vs-corpus)
 
@@ -691,21 +727,50 @@ object Dedup {
   def dedupEmbeddingsAgainstCorpus(batch: DataFrame, index: EmbeddingIndex,
                                    idCol: String, vecCol: String,
                                    threshold: Double = 0.95): DataFrame = {
+    val dupIds = embeddingDupMatches(batch, index, idCol, vecCol, threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** All (batch_id, corpus_id, cosine) matches at or above the
+    * threshold — the shared probe core of
+    * [[dedupEmbeddingsAgainstCorpus]] and [[embeddingDupProvenance]]. */
+  private def embeddingDupMatches(batch: DataFrame, index: EmbeddingIndex,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double): DataFrame = {
     val cand = signBands(batch, idCol, vecCol, index.planes, index.bands)
       .withColumnRenamed("doc_id", "batch_id")
       .join(index.buckets.select(col("band"), col("bucket"),
         col("doc_id").as("corpus_id")), Seq("band", "bucket"))
       .select(col("batch_id"), col("corpus_id")).distinct()
-    val dupIds = cand
+    cand
       .join(batch.select(col(idCol).as("batch_id"), col(vecCol).as("v_b")),
         Seq("batch_id"))
       .join(index.vectors.select(col("doc_id").as("corpus_id"), col("v").as("v_c")),
         Seq("corpus_id"))
-      .filter(graft.functions.VectorExpressions
-        .cosine_similarity(col("v_b"), col("v_c")) >= threshold)
-      .select(col("batch_id").as(idCol)).distinct()
-    batch.join(dupIds, Seq(idCol), "left_anti")
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("v_b"), col("v_c")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
+
+  /** The audit surface of the incremental embedding dedup — the
+    * embedding analog of [[corpusDupProvenance]]: for every batch
+    * vector the dedup would drop, the best-matching corpus vector
+    * (highest cosine, ties to the lowest corpus id) and its
+    * similarity. Same plan as the probe plus one combining
+    * max-aggregation on the skinny match relation.
+    *
+    * @return (idCol, corpus_id, cosine), one row per dropped vector
+    */
+  def embeddingDupProvenance(batch: DataFrame, index: EmbeddingIndex,
+                             idCol: String, vecCol: String,
+                             threshold: Double = 0.95): DataFrame =
+    embeddingDupMatches(batch, index, idCol, vecCol, threshold)
+      .groupBy(col("batch_id").as(idCol))
+      .agg(max(struct(col("cosine"), (-col("corpus_id")).as("__nc"))).as("__m"))
+      .select(col(idCol), (-col("__m.__nc")).as("corpus_id"),
+        col("__m.cosine").as("cosine"))
 
   // ------------------------------------------------- embedding cosine dup
 

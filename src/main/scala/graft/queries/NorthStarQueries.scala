@@ -364,6 +364,16 @@ object NorthStarQueries {
         Dedup.loadCorpusIndex(s, savedIndexDir(s, dir)), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
+    // ...and the probe's AUDIT surface: every dropped batch doc with
+    // its best corpus match (highest jaccard, ties to the lowest
+    // corpus id) — the "removed as a near-dup of X at 0.83" record a
+    // production ingest keeps next to the drop decision. Fully
+    // hash-matched: DuckDB recomputes pairwise jaccard and the argmax.
+    "dedup_incremental_prov" -> ((s, dir) =>
+      Dedup.corpusDupProvenance(
+        docs(s, dir).filter(col("doc_id") % 5 === 0),
+        corpusIndex(s, dir), "doc_id", "text")),
+
     // Corpus VERSIONING end to end: build the index on HALF the corpus,
     // EXTEND it with the other half (extendCorpusIndex — shingles the new
     // docs only, re-cuts df over the union), probe the same batch. Must
@@ -547,6 +557,13 @@ object NorthStarQueries {
         Dedup.loadEmbeddingIndex(s, savedEmbIndexDir(s, dir)),
         "vec_id", "embedding", threshold = 0.9)
         .select(col("vec_id"))),
+
+    // ...and the embedding probe's audit surface (the analog of
+    // `dedup_incremental_prov`): best corpus match per dropped vector,
+    // float-exact against DuckDB's cosine + argmax.
+    "dedup_embedding_incr_prov" -> ((s, dir) =>
+      Dedup.embeddingDupProvenance(embIncrBatch(embs(s, dir)),
+        embIndex(s, dir), "vec_id", "embedding", threshold = 0.9)),
 
     // Embedding-index VERSIONING end to end (the embedding analog of
     // `dedup_incr_index_extend`, completing the lifecycle symmetry):
@@ -830,14 +847,13 @@ object NorthStarQueries {
       |FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a JOIN sizes sb ON sb.doc_id = inter.id_b
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin
 
-  /** Incremental-dedup probe oracle, shared by `dedup_incremental` and
-    * its saved-index cold-start sibling (same keep-set by construction).
-    * Same tokenization / shingle convention / df-cut as
-    * [[NgramJaccardSql]], but asymmetric: candidates pair batch docs
-    * with corpus docs only, and the df-cut applies to CORPUS document
-    * frequency (the index is built once against the corpus; batch grams
-    * are never cut). */
-  private val IncrementalDedupSql: String =
+  /** Shared CTE prefix of the incremental-dedup oracles: per-pair exact
+    * Jaccard of batch docs (doc_id % 5 = 0) vs corpus docs, with the
+    * df-cut applied to CORPUS document frequency only (the index is
+    * built once against the corpus; batch grams are never cut). Same
+    * tokenization / shingle convention as [[NgramJaccardSql]]. Ends
+    * with the `m` relation: (batch_id, corpus_id, jaccard >= 0.5). */
+  private val IncrementalDedupCtes: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
       |  FROM documents),
@@ -856,16 +872,32 @@ object NorthStarQueries {
       |          FROM cand JOIN dg x ON x.doc_id = cand.batch_id
       |          JOIN dg y ON y.doc_id = cand.corpus_id AND y.gram = x.gram
       |          GROUP BY cand.batch_id, cand.corpus_id),
-      |dup AS (SELECT DISTINCT inter.batch_id FROM inter
-      |        JOIN sizes sa ON sa.doc_id = inter.batch_id
-      |        JOIN sizes sb ON sb.doc_id = inter.corpus_id
-      |        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
-      |SELECT doc_id, lang, source, n_chars FROM documents
-      |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM dup)""".stripMargin
+      |m AS (SELECT inter.batch_id, inter.corpus_id,
+      |        CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |      FROM inter JOIN sizes sa ON sa.doc_id = inter.batch_id
+      |      JOIN sizes sb ON sb.doc_id = inter.corpus_id
+      |      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)""".stripMargin
 
-  /** Incremental embedding-dedup oracle, shared by `dedup_embedding_incr`
-    * and its saved-index cold-start sibling. */
-  private val EmbeddingIncrSql: String =
+  /** Incremental-dedup probe oracle, shared by `dedup_incremental` and
+    * its saved-index / extend siblings (same keep-set by construction). */
+  private val IncrementalDedupSql: String =
+    s"""$IncrementalDedupCtes
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM m)""".stripMargin
+
+  /** Provenance oracle: the best corpus match per dropped batch doc
+    * (highest jaccard, ties to the lowest corpus id). */
+  private val IncrementalProvSql: String =
+    s"""$IncrementalDedupCtes
+      |SELECT batch_id AS doc_id, corpus_id, jaccard FROM (
+      |  SELECT m.*, row_number() OVER (PARTITION BY batch_id
+      |    ORDER BY jaccard DESC, corpus_id ASC) AS rn FROM m) t
+      |WHERE rn = 1""".stripMargin
+
+  /** Shared CTE prefix of the incremental embedding-dedup oracles: the
+    * planted probe batch plus the `m` relation of (vec_id, corpus_id,
+    * cosine >= 0.9) matches. */
+  private val EmbeddingIncrCtes: String =
     """WITH batch AS (
       |  SELECT vec_id + 10000000 AS vec_id,
       |    list_prepend(
@@ -876,11 +908,27 @@ object NorthStarQueries {
       |  SELECT vec_id + 20000000,
       |    list_transform(embedding, x -> CAST(-x AS FLOAT))
       |  FROM embeddings WHERE vec_id % 7 = 0),
-      |dup AS (
-      |  SELECT DISTINCT b.vec_id FROM batch b JOIN embeddings c
-      |  ON list_cosine_similarity(CAST(b.emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= 0.9)
+      |m AS (
+      |  SELECT b.vec_id, c.vec_id AS corpus_id,
+      |    list_cosine_similarity(CAST(b.emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cosine
+      |  FROM batch b JOIN embeddings c
+      |  ON list_cosine_similarity(CAST(b.emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= 0.9)""".stripMargin
+
+  /** Incremental embedding-dedup oracle, shared by `dedup_embedding_incr`
+    * and its saved-index / extend siblings. */
+  private val EmbeddingIncrSql: String =
+    s"""$EmbeddingIncrCtes
       |SELECT vec_id FROM batch
-      |WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin
+      |WHERE vec_id NOT IN (SELECT vec_id FROM m)""".stripMargin
+
+  /** Embedding provenance oracle: the best corpus match per dropped
+    * vector (highest cosine, ties to the lowest corpus id). */
+  private val EmbeddingProvSql: String =
+    s"""$EmbeddingIncrCtes
+      |SELECT vec_id, corpus_id, cosine FROM (
+      |  SELECT m.*, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, corpus_id ASC) AS rn FROM m) t
+      |WHERE rn = 1""".stripMargin
 
   /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
   private val BruteForceTopKSql: String =
@@ -997,6 +1045,8 @@ object NorthStarQueries {
     "dedup_incremental_saved" -> IncrementalDedupSql,
     // ...as must the extend-vs-from-scratch index equivalence
     "dedup_incr_index_extend" -> IncrementalDedupSql,
+    "dedup_incremental_prov" -> IncrementalProvSql,
+    "dedup_embedding_incr_prov" -> EmbeddingProvSql,
     // Incremental embedding dedup: exact cosine between the constructed
     // batch and the corpus, float-exact (planting arithmetic + float
     // negation are both bit-reproducible across engines). Shared with

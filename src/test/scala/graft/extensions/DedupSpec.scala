@@ -306,6 +306,45 @@ class DedupSpec extends AnyFunSuite {
       "near-copies of both the base and extension vectors must drop")
   }
 
+  test("provenance: dropped docs report their best corpus match, ties to lowest id") {
+    val batch = Seq(
+      (101L, base),                           // exact dup of corpus docs 1 AND 2
+      (102L, base.replace("quick", "rapid")), // near dup of 1 and 2 equally
+      (103L, "entirely novel text about nothing in the corpus at all today")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildCorpusIndex(docs, "doc_id", "text")
+    val prov = Dedup.corpusDupProvenance(batch, index, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // docs 1 and 2 are identical, so both batch dups tie across them —
+    // the winner must be the LOWEST corpus id, deterministically
+    assert(prov(101L)._1 == 1L && prov(101L)._2 == 1.0)
+    assert(prov(102L)._1 == 1L && prov(102L)._2 > 0.5 && prov(102L)._2 < 1.0)
+    assert(!prov.contains(103L), "a kept doc has no provenance row")
+    // provenance ids == the drop set of the dedup itself
+    val dropped = batch.select("doc_id").as[Long].collect().toSet --
+      Dedup.dedupAgainstCorpus(batch, index, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+    assert(prov.keySet == dropped)
+
+    // embedding analog
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)), // identical to 1 -> tie target
+      (3L, Array(0.1f, 0.9f, -0.3f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    val batchE = Seq(
+      (101L, Array(1.0f, 0.01f, 0.5f, 0.2f)), // near-copy of 1 and 2
+      (102L, Array(0.0f, 0.0f, 0.0f, 1.0f))   // unrelated -> kept, no row
+    ).toDF("vec_id", "embedding")
+    val eix = Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      planes = 12, bands = 8)
+    val eProv = Dedup.embeddingDupProvenance(batchE, eix, "vec_id", "embedding",
+      threshold = 0.95)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(eProv.keySet == Set(101L))
+    assert(eProv(101L)._1 == 1L && eProv(101L)._2 > 0.99)
+  }
+
   test("loadCorpusIndex reads pre-round-9 trees: no df dir, one-column meta") {
     // format compatibility: an index tree written before the gram
     // dictionary existed (no df/ dir, meta without max_gram_df) must
