@@ -200,7 +200,8 @@ object CdcStream {
       sinkDir: String, checkpointDir: String,
       threshold: Double = 0.5,
       availableNow: Boolean = true,
-      batchPeriodSecs: Long = 10L): StreamingQuery =
+      batchPeriodSecs: Long = 10L,
+      provenanceDir: Option[String] = None): StreamingQuery =
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -215,6 +216,15 @@ object CdcStream {
         // and with the emptiness probe gone the write is the pipeline's
         // single action, so the round-7 persist guard is obsolete too.
         novel.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        // optional audit sink: the dropped docs' best corpus matches
+        // (see Dedup.corpusDupProvenance), under the SAME per-batch
+        // overwrite contract — a replay reconciles the audit trail with
+        // the keep-set it sits next to, empty-novel swaps included.
+        provenanceDir.foreach { pd =>
+          graft.extensions.Dedup.corpusDupProvenance(
+            batch, index, idCol, textCol, threshold = threshold)
+            .write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+        }
         ()
       }
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
@@ -237,13 +247,21 @@ object CdcStream {
       sinkDir: String, checkpointDir: String,
       threshold: Double = 0.95,
       availableNow: Boolean = true,
-      batchPeriodSecs: Long = 10L): StreamingQuery =
+      batchPeriodSecs: Long = 10L,
+      provenanceDir: Option[String] = None): StreamingQuery =
     vecStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.extensions.Dedup.dedupEmbeddingsAgainstCorpus(
           batch, index, idCol, vecCol, threshold = threshold)
           .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        // optional audit sink, same per-batch overwrite contract as the
+        // text form (see startCorpusDedupIngest)
+        provenanceDir.foreach { pd =>
+          graft.extensions.Dedup.embeddingDupProvenance(
+            batch, index, idCol, vecCol, threshold = threshold)
+            .write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+        }
         ()
       }
       .trigger(batchTrigger(availableNow, batchPeriodSecs))

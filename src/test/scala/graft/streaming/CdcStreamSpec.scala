@@ -77,16 +77,24 @@ class CdcStreamSpec extends AnyFunSuite {
     val sink = TestSpark.tmpDir("graft-corpus-stream-sink")
     val ckpt = TestSpark.tmpDir("graft-corpus-stream-ckpt")
 
+    val prov = TestSpark.tmpDir("graft-corpus-stream-prov")
     try {
       val stream = spark.readStream
         .schema(spark.read.parquet(src).schema).parquet(src)
       val q = CdcStream.startCorpusDedupIngest(stream, index,
-        "doc_id", "text", sink, ckpt)
+        "doc_id", "text", sink, ckpt, provenanceDir = Some(prov))
       q.awaitTermination()
       val kept = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
       assert(kept == expected, "streamed keep-set equals the batch operator's")
       assert(kept.nonEmpty && expected.size < 100,
         "fixture sanity: some batch docs survive, some drop")
+
+      // the audit sink holds exactly the DROPPED ids' best matches —
+      // keep-set and provenance partition the batch between them
+      val batchIds = spark.read.parquet(src).select("doc_id").as[Long].collect().toSet
+      val provIds = spark.read.parquet(prov).select("doc_id").as[Long].collect().toSet
+      assert(provIds == batchIds -- kept,
+        "provenance rows must be exactly the dropped batch docs")
 
       // restart on the same checkpoint: committed batch ids do not re-run
       val q2 = CdcStream.startCorpusDedupIngest(
@@ -118,10 +126,18 @@ class CdcStreamSpec extends AnyFunSuite {
         val q4 = CdcStream.startCorpusDedupIngest(
           spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
           fullIndex, "doc_id", "text", sink,
-          TestSpark.tmpDir("graft-corpus-stream-ckpt3"))
+          TestSpark.tmpDir("graft-corpus-stream-ckpt3"),
+          provenanceDir = Some(prov))
         q4.awaitTermination()
         assert(spark.read.parquet(sink).count() == 0L,
           "empty-novel replay must overwrite the stale batch subdir, not skip it")
+        // ...and the audit sink reconciles WITH it: under the full
+        // index every batch doc is a dup, so the replayed provenance
+        // subdir must now hold one row per batch doc (not the previous
+        // index's smaller set)
+        assert(spark.read.parquet(prov).select("doc_id").as[Long].collect().toSet
+          == spark.read.parquet(src).select("doc_id").as[Long].collect().toSet,
+          "provenance replay must overwrite in lockstep with the keep-set")
       } finally fullIndex.unpersist()
     } finally index.unpersist()
   }
