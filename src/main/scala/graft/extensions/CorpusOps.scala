@@ -1,0 +1,154 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.TextFunctions
+
+/**
+ * Corpus-preparation operators a large-scale training-data pipeline
+ * needs beyond dedup/ANN (north-star, SURVEY §2.11): eval-set
+ * decontamination, sequence packing, and deterministic domain-mix
+ * sampling.
+ *
+ * Scale design (100 TB): the eval set in decontamination is by contract
+ * tiny next to the training corpus, so its gram set broadcasts and the
+ * corpus side streams through a map-side semi/anti-join with no
+ * corpus-wide shuffle; packing shuffles once on the shard key (the same
+ * shuffle any sharded writer pays); sampling is a pure per-row filter
+ * against a broadcast mixing table — no shuffle at all.
+ */
+object CorpusOps {
+
+  // ------------------------------------------------- decontamination
+
+  /** Distinct (doc_id, gram-hash) pairs per document: word k-shingles
+    * ([[TextFunctions.shingles]], whole-doc fallback under k tokens),
+    * deduped WITHIN the doc before exploding, hashed to 64 bits so the
+    * join key is fixed-width instead of a k-word string — the same
+    * gram-hashing convention the dedup index uses ([[Dedup]]'s
+    * `hashedShingleSets`), with the same accepted 64-bit collision
+    * odds. Narrow (no shuffle): distinct-in-doc is an array op. */
+  private def docGramHashes(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), k)))
+          .as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+
+  /** The eval set's distinct gram-hash set — the broadcast side of every
+    * decontamination join. Decontamination k defaults to 8 (not the
+    * dedup k=3): the standard train/test-overlap window is a LONG
+    * n-gram, chosen so common short phrases never count as
+    * contamination, only genuinely shared passages. */
+  private def evalGramHashes(evalSet: DataFrame, textCol: String,
+                             k: Int): DataFrame =
+    broadcast(
+      evalSet.select(explode(array_distinct(
+          TextFunctions.shingles(col(textCol), k))).as("gram"))
+        .select(xxhash64(col("gram")).as("gh")).distinct())
+
+  /** Ids of training docs sharing at least one k-gram with the eval
+    * set. Plan shape at 100 TB: the corpus grams are generated
+    * narrowly per row, semi-joined against the BROADCAST eval gram
+    * set, and only the matching (skinny) id stream reaches the
+    * distinct — the corpus itself is never shuffled. */
+  def contaminatedIds(train: DataFrame, evalSet: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleK: Int = 8): DataFrame =
+    docGramHashes(train, idCol, textCol, shingleK)
+      .join(evalGramHashes(evalSet, textCol, shingleK), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+
+  /** Train/test decontamination: drop every training doc that shares a
+    * k-gram with the eval set (the pretraining hygiene step — eval
+    * passages quoted in the training corpus leak the benchmark).
+    * Returns the surviving training rows with all their columns; the
+    * corpus side streams through one broadcast semi-join plus one
+    * anti-join against the skinny contaminated-id set. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleK: Int = 8): DataFrame =
+    train.join(
+      contaminatedIds(train, evalSet, idCol, textCol, shingleK)
+        .withColumnRenamed("doc_id", idCol),
+      Seq(idCol), "left_anti")
+
+  /** The audit surface of [[decontaminate]]: for each CONTAMINATED
+    * training doc, its distinct-gram count, how many of those grams hit
+    * the eval set, and the hit fraction — the record a pipeline keeps
+    * next to the drop decision ("removed: 12% of its 8-grams appear in
+    * the eval set"). One shuffle, on doc_id of the matching grams. */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleK: Int = 8): DataFrame =
+    docGramHashes(train, idCol, textCol, shingleK)
+      .join(evalGramHashes(evalSet, textCol, shingleK)
+        .withColumn("__hit", lit(1)), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .withColumn("hit_frac",
+        col("n_hit").cast("double") / col("n_grams"))
+
+  // ---------------------------------------------------- sequence packing
+
+  /** GPT-style sequence packing: concatenate each shard's documents in
+    * deterministic id order and chop the token stream at fixed `budget`
+    * boundaries. Emits one row per doc with the pack (sequence) its
+    * FIRST token lands in and the token offset inside that pack — docs
+    * straddle pack boundaries by design, exactly as pretraining
+    * concatenation does; a writer groups by (shard, pack_id) to emit
+    * sequences. Deterministic: no RNG, stable under re-runs and
+    * repartitioning (the shard key and the in-shard order pin every
+    * placement). One shuffle, on the shard key; within a shard the
+    * running total is a window sum. At 100 TB `shard` carries the
+    * parallelism — thousands of shards keep the per-shard sort
+    * executor-sized. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, shard: Column): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), shard.as("shard"),
+        TextFunctions.tokenCountWs(col(textCol)).as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("__cum") / lit(budget)).cast(LongType).as("pack_id"),
+        (col("__cum") % lit(budget)).as("tok_offset"))
+  }
+
+  // ------------------------------------------- domain-mix sampling
+
+  /** Hex threshold for a keep-fraction: the first 4 md5 hex chars of
+    * the key are uniform over 0x0000–0xffff, so `prefix < threshold`
+    * keeps ~fraction of rows. Lowercase-hex string comparison matches
+    * the md5 alphabet; fraction >= 1 maps to "g" (> every hex char),
+    * keeping everything. Same convention as
+    * [[TextFunctions.hashSplit]], widened to 16 bits. */
+  private[extensions] def fractionThreshold(fraction: Double): String =
+    if (fraction >= 1.0) "g"
+    else f"${math.max((fraction * 65536).toInt, 0)}%04x"
+
+  /** Deterministic stratified (domain-mix) sampling: keep each stratum
+    * at its target fraction by content-stable hash — the step that
+    * turns a raw crawl into a training mixture ("web at 30%, code at
+    * 100%, …") reproducibly, with no RNG state, identical across
+    * engines, runs, and cluster sizes. Rows whose stratum is absent
+    * from `fractions` keep at `defaultFraction`. Plan shape: one
+    * broadcast join against the tiny mixing table plus a per-row
+    * filter — no shuffle, fully pushable. */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mix = broadcast(
+      fractions.toSeq.map { case (s, f) => (s, fractionThreshold(f)) }
+        .toDF("__stratum", "__thr"))
+    df.join(mix, strataCol === col("__stratum"), "left")
+      .filter(substring(md5(keyCol.cast("string").cast("binary")), 1, 4) <
+        coalesce(col("__thr"), lit(fractionThreshold(defaultFraction))))
+      .drop("__stratum", "__thr")
+  }
+}

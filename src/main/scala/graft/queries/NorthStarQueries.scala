@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.extensions.{Dedup, Multimodal, Similarity}
+import graft.extensions.{CorpusOps, Dedup, Multimodal, Similarity}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 
@@ -392,6 +392,31 @@ object NorthStarQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // The full PRODUCTION VERSIONING LOOP in one plan: probe batch 1
+    // (doc_id % 10 == 0) against the corpus index (doc_id % 5 != 0),
+    // fold the ACCEPTED novel docs into the index as a version bump
+    // (extendCorpusIndex — the same fold `CdcStream
+    // .compactAcceptedBatches` applies to the streaming sink, spec'd
+    // there with a forced cross-batch replay), then probe batch 2
+    // (doc_id % 10 == 5) against version N+1 — so a batch-2 doc is
+    // dropped when it near-dups the ORIGINAL corpus or a batch-1
+    // SURVIVOR, with the df-cut recomputed over the grown corpus
+    // exactly as a from-scratch build would. Fully hash-matched: DuckDB
+    // recomputes both probe rounds. Uncached by design — the row
+    // measures probe + bump + probe.
+    "dedup_version_bump" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.buildCorpusIndex(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+      val accepted = Dedup.dedupAgainstCorpus(
+        d.filter(col("doc_id") % 10 === 0), idx, "doc_id", "text")
+      val v2 = Dedup.extendCorpusIndex(idx, accepted, "doc_id", "text")
+      Dedup.dedupAgainstCorpus(
+        d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0),
+        v2, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // The LSH-DRIVEN dedup pipeline end to end: minhash pairs -> connected
     // components -> keep-one-per-group anti-join — the full production
     // path (dedup_near_corpus exercises the same tail from EXACT pairs).
@@ -773,6 +798,52 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
     }),
 
+    // Train/test DECONTAMINATION: drop every training doc (doc_id % 11
+    // != 0) sharing an 8-gram with the eval set (doc_id % 11 == 0) —
+    // the pretraining hygiene step. Exact semantics end to end, fully
+    // hash-matched (DuckDB recomputes the 8-gram overlap on strings;
+    // Spark joins on 64-bit gram hashes — identical up to collisions,
+    // the suite-wide convention). The eval gram set broadcasts; the
+    // corpus side never shuffles.
+    "text_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.decontaminate(
+        d.filter(col("doc_id") % 11 =!= 0),
+        d.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // ...and its audit surface: per CONTAMINATED training doc, the
+    // distinct-8-gram count, eval hits, and hit fraction — the record
+    // kept next to the drop decision. Hash-matched (counts + one IEEE
+    // division).
+    "text_decontam_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.contaminationReport(
+        d.filter(col("doc_id") % 11 =!= 0),
+        d.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+    }),
+
+    // GPT-style SEQUENCE PACKING: concatenate each shard's docs in id
+    // order, chop the token stream at 512-token boundaries; one row per
+    // doc with its pack id and in-pack token offset. Deterministic (no
+    // RNG), so DuckDB reproduces every placement exactly via the same
+    // window sum.
+    "text_pack" -> ((s, dir) =>
+      CorpusOps.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 512, shard = pmod(col("doc_id"), lit(8)))),
+
+    // Deterministic DOMAIN-MIX sampling: keep each source at its target
+    // fraction by content-stable md5 threshold (src0 all, src1 75%,
+    // src2 50%, src3 25%, everything else 10%) — the raw-crawl -> training
+    // -mixture step, reproducible across engines/runs/cluster sizes.
+    // Hash-matched: DuckDB applies the same hex-prefix comparison.
+    "text_domain_mix" -> ((s, dir) =>
+      CorpusOps.stratifiedSample(docs(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+        defaultFraction = 0.1)
+        .select(col("doc_id"), col("source"))),
+
     // ---- multimodal plumbing -----------------------------------------
     // Real-file ingest through the `binaryFile` source over a checked-in
     // fixture dir (glob-pruned to *.bin — the .txt fixture must NOT appear),
@@ -893,6 +964,91 @@ object NorthStarQueries {
       |  SELECT m.*, row_number() OVER (PARTITION BY batch_id
       |    ORDER BY jaccard DESC, corpus_id ASC) AS rn FROM m) t
       |WHERE rn = 1""".stripMargin
+
+  /** Shared CTE prefix of the decontamination oracles: distinct word
+    * 8-grams per doc (same tokenization as [[NgramJaccardSql]], longer
+    * window — the train/test-overlap convention), the eval side's gram
+    * set (doc_id % 11 == 0), and per-training-doc eval-hit counts.
+    * DuckDB joins on gram STRINGS; Spark on 64-bit gram hashes —
+    * identical up to collisions, the suite-wide convention. */
+  private val DecontamCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t)-7)] END AS gs
+      |  FROM toks),
+      |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+      |eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 11 = 0),
+      |hits AS (SELECT doc_id, count(*) AS n_hit FROM dg
+      |         WHERE doc_id % 11 <> 0 AND gram IN (SELECT gram FROM eg)
+      |         GROUP BY doc_id)""".stripMargin
+
+  /** Decontamination keep-set oracle: training docs with zero eval-gram
+    * hits, all columns. */
+  private val DecontaminateSql: String =
+    s"""$DecontamCtes
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 11 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
+
+  /** Decontamination audit oracle: per contaminated training doc, its
+    * distinct-gram count, eval hits, and hit fraction. */
+  private val DecontamReportSql: String =
+    s"""$DecontamCtes,
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM dg
+      |          WHERE doc_id % 11 <> 0 GROUP BY doc_id)
+      |SELECT s.doc_id, s.n_grams, h.n_hit,
+      |  CAST(h.n_hit AS DOUBLE) / s.n_grams AS hit_frac
+      |FROM sizes s JOIN hits h USING (doc_id)""".stripMargin
+
+  /** Two-round versioning-loop oracle (`dedup_version_bump`): probe
+    * batch 1 against the corpus, grow the corpus with batch 1's
+    * survivors (extend ≡ build, so the oracle simply rebuilds the df-cut
+    * over the union), probe batch 2 against the grown corpus. Same
+    * 3-gram/df-cut/jaccard conventions as [[NgramJaccardSql]]. */
+  private val VersionBumpSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
+      |  FROM toks),
+      |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+      |cg AS (SELECT * FROM dg WHERE doc_id % 5 <> 0),
+      |b1 AS (SELECT * FROM dg WHERE doc_id % 10 = 0),
+      |kg1 AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) <= 100),
+      |cand1 AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |          FROM b1 b JOIN (SELECT * FROM cg WHERE gram IN (SELECT gram FROM kg1)) c USING (gram)),
+      |inter1 AS (SELECT cand1.batch_id, cand1.corpus_id, count(*) AS i
+      |           FROM cand1 JOIN dg x ON x.doc_id = cand1.batch_id
+      |           JOIN dg y ON y.doc_id = cand1.corpus_id AND y.gram = x.gram
+      |           GROUP BY cand1.batch_id, cand1.corpus_id),
+      |m1 AS (SELECT inter1.batch_id FROM inter1
+      |       JOIN sizes sa ON sa.doc_id = inter1.batch_id
+      |       JOIN sizes sb ON sb.doc_id = inter1.corpus_id
+      |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+      |         AND doc_id NOT IN (SELECT batch_id FROM m1)),
+      |cg2 AS (SELECT * FROM cg UNION ALL
+      |        SELECT * FROM dg WHERE doc_id IN (SELECT doc_id FROM acc1)),
+      |b2 AS (SELECT * FROM dg WHERE doc_id % 5 = 0 AND doc_id % 10 <> 0),
+      |kg2 AS (SELECT gram FROM cg2 GROUP BY gram HAVING count(*) <= 100),
+      |cand2 AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |          FROM b2 b JOIN (SELECT * FROM cg2 WHERE gram IN (SELECT gram FROM kg2)) c USING (gram)),
+      |inter2 AS (SELECT cand2.batch_id, cand2.corpus_id, count(*) AS i
+      |           FROM cand2 JOIN dg x ON x.doc_id = cand2.batch_id
+      |           JOIN dg y ON y.doc_id = cand2.corpus_id AND y.gram = x.gram
+      |           GROUP BY cand2.batch_id, cand2.corpus_id),
+      |m2 AS (SELECT inter2.batch_id FROM inter2
+      |       JOIN sizes sa ON sa.doc_id = inter2.batch_id
+      |       JOIN sizes sb ON sb.doc_id = inter2.corpus_id
+      |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 5 = 0 AND doc_id % 10 <> 0
+      |  AND doc_id NOT IN (SELECT batch_id FROM m2)""".stripMargin
 
   /** Shared CTE prefix of the incremental embedding-dedup oracles: the
     * planted probe batch plus the `m` relation of (vec_id, corpus_id,
@@ -1227,6 +1383,30 @@ object NorthStarQueries {
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
         |  CAST(len(toks) AS BIGINT) AS n_tokens
         |FROM t""".stripMargin,
+    "text_decontaminate" -> DecontaminateSql,
+    "text_decontam_report" -> DecontamReportSql,
+    "dedup_version_bump" -> VersionBumpSql,
+    // Window sum per shard in both engines; integer division/modulo on
+    // the exclusive running total place every doc deterministically.
+    "text_pack" ->
+      """SELECT doc_id, doc_id % 8 AS shard, n AS n_tokens,
+        |  __cum // 512 AS pack_id, __cum % 512 AS tok_offset
+        |FROM (
+        |  SELECT doc_id, n,
+        |    sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS __cum
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |        FROM documents) t) t2""".stripMargin,
+    // Same md5-hex-prefix threshold per source as the Spark side
+    // (fraction f -> first 4 hex chars < floor(f * 65536) in hex; 1.0 ->
+    // 'g', above every hex char).
+    "text_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c000'
+        |       WHEN 'src2' THEN '8000' WHEN 'src3' THEN '4000'
+        |       ELSE '1999' END""".stripMargin,
     "text_hash_split" ->
       """SELECT split, count(*) AS n, min(doc_id) AS min_id FROM (
         |  SELECT doc_id,

@@ -267,6 +267,51 @@ object CdcStream {
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
       .start()
 
+  /** Close the loop between the streaming ingest and index versioning:
+    * read everything the accepted-novel sink
+    * ([[startCorpusDedupIngest]]) collected and fold it into the corpus
+    * index as ONE version bump. The ingest deliberately never
+    * auto-extends per batch — extension double-counts a replayed
+    * batch's gram dfs, so growing the corpus must be an idempotent
+    * offline step, and this is that step: the sink tree is read whole,
+    * deduped by id (a doc the source replayed across a batch boundary —
+    * outside the per-batch overwrite's reach — extends the index
+    * exactly once; rows of one id are identical, so which survives is
+    * immaterial), and handed to [[graft.extensions.Dedup
+    * .extendCorpusIndex]], O(new docs + crossing grams). The production
+    * rhythm: ingests probe version N while accepted batches accumulate;
+    * a periodic compaction calls this, [[graft.extensions.Dedup
+    * .saveCorpusIndex]]s version N+1, swaps it in between triggers, and
+    * `close()`s version N — and because the ingest keeps probing
+    * version N until the swap, replays during compaction still
+    * reconcile against the same index they first ran under. After a
+    * bump, point the ingest at a FRESH sink tree (or clear this one):
+    * compaction consumes the whole tree, and re-compacting already
+    * folded batches into a later version would violate extend's
+    * append-only id contract. */
+  def compactAcceptedBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Dedup.CorpusIndex,
+      idCol: String, textCol: String): graft.extensions.Dedup.CorpusIndex =
+    graft.extensions.Dedup.extendCorpusIndex(index,
+      spark.read.parquet(sinkDir).drop("batch").dropDuplicates(idCol),
+      idCol, textCol)
+
+  /** The embedding analog of [[compactAcceptedBatches]]: fold the
+    * accepted-novel vectors of [[startEmbeddingDedupIngest]]'s sink into
+    * the bucket index as one version bump via [[graft.extensions.Dedup
+    * .extendEmbeddingIndex]] (buckets the new vectors with the SAVED
+    * hyperplanes — no re-fit). Same idempotence contract: dedup by id
+    * absorbs cross-batch source replays, and a compacted sink tree must
+    * not be compacted again. */
+  def compactAcceptedEmbeddingBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Dedup.EmbeddingIndex,
+      idCol: String, vecCol: String): graft.extensions.Dedup.EmbeddingIndex =
+    graft.extensions.Dedup.extendEmbeddingIndex(index,
+      spark.read.parquet(sinkDir).drop("batch").dropDuplicates(idCol),
+      idCol, vecCol)
+
   /** Tumbling/sliding-window aggregation over the change stream with
     * late-data handling — the analytic windows the reference lacks
     * entirely (SURVEY §2.10). */

@@ -1,0 +1,138 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 13 distinct tokens, so it carries real 8-grams
+  private val passage = "the standard benchmark question about widgets appears " +
+    "verbatim in this evaluation set today"
+
+  test("decontamination: docs quoting an eval passage drop, clean docs survive") {
+    val evalSet = Seq((100L, passage)).toDF("doc_id", "text")
+    val train = Seq(
+      // quotes the full eval passage inside longer text -> contaminated
+      (1L, s"some preamble text then $passage and a closing remark"),
+      // shares only a 4-word phrase (under the 8-gram window) -> clean
+      (2L, "the standard benchmark question people ask is entirely " +
+        "unrelated to evaluation leakage concerns here"),
+      // no overlap at all -> clean
+      (3L, "completely different content about spark query engines and " +
+        "columnar execution with shuffles joins and aggregation at scale")
+    ).toDF("doc_id", "text")
+
+    val contaminated = CorpusOps.contaminatedIds(train, evalSet, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(contaminated == Set(1L))
+
+    val kept = CorpusOps.decontaminate(train, evalSet, "doc_id", "text")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(kept.columns.toSeq == train.columns.toSeq,
+      "survivors keep all training columns")
+
+    // the eval gram set must BROADCAST: the corpus side is the 100 TB
+    // side and may never shuffle for the semi-join
+    val plan = CorpusOps.contaminatedIds(train, evalSet, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast, got:\n$plan")
+  }
+
+  test("contamination report: hit counts over distinct grams, hit fraction exact") {
+    // train doc = eval passage + 3 extra leading tokens, all tokens
+    // distinct -> n_grams and n_hit are countable by hand
+    val evalSet = Seq((100L, passage)).toDF("doc_id", "text")
+    val train = Seq((1L, s"alpha beta gamma $passage"),
+      (2L, "no overlap here at all with anything in the evaluation")).toDF("doc_id", "text")
+
+    val r = CorpusOps.contaminationReport(train, evalSet, "doc_id", "text")
+      .select("doc_id", "n_grams", "n_hit", "hit_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.length == 1 && r.head._1 == 1L, "only the quoting doc is reported")
+    val (_, nGrams, nHit, frac) = r.head
+    // 3 + 13 = 16 distinct tokens -> 9 distinct 8-grams; the 6 that land
+    // fully inside the quoted 13-token span are exactly the eval doc's
+    // own 8-grams
+    assert(nGrams == 9L, s"expected 9 distinct 8-grams, got $nGrams")
+    assert(nHit == 6L, s"expected 6 eval hits, got $nHit")
+    assert(math.abs(frac - 6.0 / 9.0) < 1e-15)
+  }
+
+  test("packSequences: greedy concatenation order, boundary straddle, shard isolation") {
+    // one shard (all ids even), token counts 3/4/2 against budget 5:
+    // exclusive cumsums 0,3,7 -> packs 0,0,1 and offsets 0,3,2
+    val docs = Seq((2L, "a b c"), (4L, "d e f g"), (6L, "h i"))
+      .toDF("doc_id", "text")
+    val packed = CorpusOps.packSequences(docs, "doc_id", "text",
+      budget = 5, shard = lit(0))
+      .select("doc_id", "pack_id", "tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == Seq((2L, 0L, 0L), (4L, 0L, 3L), (6L, 1L, 2L)))
+
+    // shards pack independently: same docs split across 2 shards restart
+    // each shard's token stream at offset 0
+    val sharded = CorpusOps.packSequences(docs, "doc_id", "text",
+      budget = 5, shard = pmod(col("doc_id"), lit(4)))
+      .select("shard", "doc_id", "pack_id", "tok_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sharded == Set((2L, 2L, 0L, 0L), (0L, 4L, 0L, 0L), (2L, 6L, 0L, 3L)))
+
+    // placement is deterministic under physical reshuffling: the shard
+    // key + in-shard id order pin it, not partitioning or arrival order
+    val again = CorpusOps.packSequences(docs.repartition(7), "doc_id", "text",
+      budget = 5, shard = lit(0))
+      .select("doc_id", "pack_id", "tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == packed.toSeq)
+  }
+
+  test("stratifiedSample: fraction 1 keeps all, 0 drops all, default applies, deterministic") {
+    val df = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("id", "stratum")
+
+    val full = CorpusOps.stratifiedSample(df, col("id"), col("stratum"),
+      Map("s0" -> 1.0, "s1" -> 0.0), defaultFraction = 0.5)
+    val bySt = full.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(bySt.getOrElse("s0", 0L) == 100L, "fraction 1.0 keeps every row")
+    assert(!bySt.contains("s1"), "fraction 0.0 keeps none")
+    // default 0.5 over 100 uniform md5 prefixes per stratum: loose band
+    assert(bySt("s2") > 25L && bySt("s2") < 75L)
+    assert(bySt("s3") > 25L && bySt("s3") < 75L)
+    assert(full.columns.toSeq == df.columns.toSeq, "helper columns dropped")
+
+    // content-stable: a row's fate depends only on (key, stratum
+    // fraction) — rerun and re-partitioned runs agree row for row
+    val a = full.select("id").as[Long].collect().toSet
+    val b = CorpusOps.stratifiedSample(df.repartition(5), col("id"),
+      col("stratum"), Map("s0" -> 1.0, "s1" -> 0.0), defaultFraction = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+
+    // ...and a stratum's sample at a LOWER fraction is a subset of its
+    // sample at a higher one (threshold monotonicity — growing a
+    // mixture never resamples what was already kept)
+    val half = CorpusOps.stratifiedSample(df, col("id"), col("stratum"),
+      Map("s2" -> 0.3), defaultFraction = 0.0)
+      .select("id").as[Long].collect().toSet
+    val more = CorpusOps.stratifiedSample(df, col("id"), col("stratum"),
+      Map("s2" -> 0.7), defaultFraction = 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(half.subsetOf(more))
+  }
+
+  test("fractionThreshold: hex width, bounds, and the >= 1.0 sentinel") {
+    assert(CorpusOps.fractionThreshold(0.0) == "0000")
+    assert(CorpusOps.fractionThreshold(0.1) == "1999")
+    assert(CorpusOps.fractionThreshold(0.25) == "4000")
+    assert(CorpusOps.fractionThreshold(0.5) == "8000")
+    assert(CorpusOps.fractionThreshold(0.75) == "c000")
+    assert(CorpusOps.fractionThreshold(1.0) == "g")
+    assert(CorpusOps.fractionThreshold(1.5) == "g")
+    // 'g' sorts above every lowercase hex digit, so the sentinel keeps all
+    assert("ffff" < "g")
+  }
+}

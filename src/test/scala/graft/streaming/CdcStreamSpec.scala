@@ -142,6 +142,86 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("compactAcceptedBatches folds the sink into one version bump; cross-batch replays fold once") {
+    import graft.extensions.Dedup
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val index = Dedup.buildCorpusIndex(corpus, "doc_id", "text").persist()
+
+    val src = TestSpark.tmpDir("graft-compact-src")
+    docs.filter(col("doc_id") % 5 === 0).write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-compact-sink")
+    try {
+      val q = CdcStream.startCorpusDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "doc_id", "text", sink, TestSpark.tmpDir("graft-compact-ckpt"))
+      q.awaitTermination()
+
+      // the bump must equal a from-scratch build over corpus + accepted
+      // (extend ≡ build carries through the sink read)
+      val accepted = spark.read.parquet(sink).drop("batch")
+      assert(accepted.count() > 0, "fixture sanity: some batch docs are novel")
+      val bumped = CdcStream.compactAcceptedBatches(
+        spark, sink, index, "doc_id", "text")
+      val scratch = Dedup.buildCorpusIndex(
+        corpus.select("doc_id", "text").union(accepted.select("doc_id", "text")),
+        "doc_id", "text")
+      def postingSet(ix: Dedup.CorpusIndex) =
+        ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+      assert(postingSet(bumped) == postingSet(scratch))
+
+      // a doc the SOURCE replayed across a batch boundary lands in two
+      // batch= subdirs — outside the per-batch overwrite's reach. The
+      // compaction's id-dedup folds it into the version exactly once.
+      val one = spark.createDataFrame(
+        java.util.Arrays.asList(accepted.head()), accepted.schema)
+      one.write.mode("overwrite").parquet(s"$sink/batch=9999")
+      val bumped2 = CdcStream.compactAcceptedBatches(
+        spark, sink, index, "doc_id", "text")
+      assert(postingSet(bumped2) == postingSet(scratch),
+        "a cross-batch duplicate must extend the index exactly once")
+    } finally index.unpersist()
+  }
+
+  test("compactAcceptedEmbeddingBatches folds the vector sink once, with the saved planes") {
+    import graft.extensions.Dedup
+    val embs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val corpus = embs.filter(col("vec_id") % 2 === 0)
+    val index = Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding").persist()
+
+    val src = TestSpark.tmpDir("graft-ecompact-src")
+    embs.filter(col("vec_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-ecompact-sink")
+    try {
+      val q = CdcStream.startEmbeddingDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "vec_id", "embedding", sink, TestSpark.tmpDir("graft-ecompact-ckpt"))
+      q.awaitTermination()
+
+      val accepted = spark.read.parquet(sink).drop("batch")
+      assert(accepted.count() > 0, "fixture sanity: some vectors are novel")
+      val bumped = CdcStream.compactAcceptedEmbeddingBatches(
+        spark, sink, index, "vec_id", "embedding")
+      val scratch = Dedup.buildEmbeddingIndex(
+        corpus.select("vec_id", "embedding")
+          .union(accepted.select("vec_id", "embedding")),
+        "vec_id", "embedding")
+      def bucketSet(ix: Dedup.EmbeddingIndex) =
+        ix.buckets.select("doc_id", "band", "bucket")
+          .as[(Long, Int, Long)].collect().toSet
+      assert(bucketSet(bumped) == bucketSet(scratch),
+        "extension with the saved planes must equal a same-plane rebuild")
+
+      // cross-batch replay folds once here too
+      spark.createDataFrame(
+          java.util.Arrays.asList(accepted.head()), accepted.schema)
+        .write.mode("overwrite").parquet(s"$sink/batch=9999")
+      val bumped2 = CdcStream.compactAcceptedEmbeddingBatches(
+        spark, sink, index, "vec_id", "embedding")
+      assert(bucketSet(bumped2) == bucketSet(scratch))
+    } finally index.unpersist()
+  }
+
   test("streaming embedding-dedup ingest mirrors the batch operator; replay is idempotent") {
     import graft.extensions.Dedup
     val embs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
