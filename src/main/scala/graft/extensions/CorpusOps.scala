@@ -24,19 +24,21 @@ object CorpusOps {
 
   // ------------------------------------------------- decontamination
 
-  /** Distinct (doc_id, gram-hash) pairs per document: word k-shingles
-    * ([[TextFunctions.shingles]], whole-doc fallback under k tokens),
-    * deduped WITHIN the doc before exploding, hashed to 64 bits so the
-    * join key is fixed-width instead of a k-word string — the same
-    * gram-hashing convention the dedup index uses ([[Dedup]]'s
-    * `hashedShingleSets`), with the same accepted 64-bit collision
-    * odds. Narrow (no shuffle): distinct-in-doc is an array op. */
+  /** Distinct (doc_id, gram-hash) pairs per document via the native
+    * [[graft.functions.HashExpressions.hashed_shingles]] kernel: one
+    * pass over the token array per row (sorted + deduped in-kernel,
+    * whole-doc fallback under k tokens), 64-bit join keys instead of
+    * k-word strings — the same gram-hashing convention and accepted
+    * collision odds as the dedup index. The composed string form
+    * (`explode(array_distinct(shingles(...)))`) re-evaluates the
+    * token-split inside the shingle lambda per window and measured
+    * ~20x slower at sf0.1 (5.7 s -> 0.3 s warm for
+    * `text_decontaminate`). Narrow: no shuffle. */
   private def docGramHashes(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), k)))
-          .as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      explode(graft.functions.HashExpressions.hashed_shingles(
+        TextFunctions.tokens(col(textCol)), k)).as("gh"))
 
   /** The eval set's distinct gram-hash set — the broadcast side of every
     * decontamination join. Decontamination k defaults to 8 (not the
@@ -46,9 +48,9 @@ object CorpusOps {
   private def evalGramHashes(evalSet: DataFrame, textCol: String,
                              k: Int): DataFrame =
     broadcast(
-      evalSet.select(explode(array_distinct(
-          TextFunctions.shingles(col(textCol), k))).as("gram"))
-        .select(xxhash64(col("gram")).as("gh")).distinct())
+      evalSet.select(explode(graft.functions.HashExpressions.hashed_shingles(
+          TextFunctions.tokens(col(textCol)), k)).as("gh"))
+        .distinct())
 
   /** Ids of training docs sharing at least one k-gram with the eval
     * set. Plan shape at 100 TB: the corpus grams are generated
