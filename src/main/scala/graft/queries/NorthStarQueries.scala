@@ -612,6 +612,44 @@ object NorthStarQueries {
         .select(col("vec_id"))
     }),
 
+    // The embedding leg of the PRODUCTION VERSIONING LOOP
+    // (`dedup_version_bump`'s sibling — every index family ships the
+    // full lifecycle): probe batch 1 (negated copies of every 7th
+    // vector — novel vs the corpus) against version N, fold its
+    // survivors in via extendEmbeddingIndex (the same fold `CdcStream
+    // .compactAcceptedEmbeddingBatches` applies to the streaming sink),
+    // then probe batch 2 against version N+1. Batch 2 plants
+    // near-copies of the NEGATED batch-1 vectors (+0.05 nudge, ids
+    // +30M) — they near-dup ONLY batch 1's survivors, so they drop iff
+    // the bump is probe-visible — plus the usual near-copies of every
+    // 10th corpus vector (+10M), which drop against version N already.
+    // Float-exact DuckDB oracle (planting arithmetic is
+    // bit-reproducible; float+float equals the double-exact sum rounded
+    // to float). Uncached by design.
+    "dedup_emb_version_bump" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val idx = Dedup.buildEmbeddingIndex(e, "vec_id", "embedding",
+        planes = 12, bands = 8)
+      val b1 = e.filter(col("vec_id") % 7 === 0).select(
+        (col("vec_id") + 20000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      val accepted = Dedup.dedupEmbeddingsAgainstCorpus(b1, idx,
+        "vec_id", "embedding", threshold = 0.9)
+      val v2 = Dedup.extendEmbeddingIndex(idx, accepted, "vec_id", "embedding")
+      val b2 = e.filter(col("vec_id") % 7 === 0).select(
+          (col("vec_id") + 30000000L).as("vec_id"),
+          concat(array(-col("embedding").getItem(0) + lit(0.05f)),
+            transform(slice(col("embedding"), 2, 1000000), x => -x))
+            .as("embedding"))
+        .union(e.filter(col("vec_id") % 10 === 0).select(
+          (col("vec_id") + 10000000L).as("vec_id"),
+          concat(array(col("embedding").getItem(0) + lit(0.05f)),
+            slice(col("embedding"), 2, 1000000)).as("embedding")))
+      Dedup.dedupEmbeddingsAgainstCorpus(b2, v2, "vec_id", "embedding",
+        threshold = 0.9)
+        .select(col("vec_id"))
+    }),
+
     // Embedding-modality corpus dedup END TO END: sign-LSH pairs ->
     // connected components -> keep-one-per-group. On this fixture the
     // LSH pair set EQUALS the exact cosine >= 0.9 set (pinned by
@@ -1211,6 +1249,38 @@ object NorthStarQueries {
     "dedup_embedding_incr" -> EmbeddingIncrSql,
     "dedup_embedding_incr_saved" -> EmbeddingIncrSql,
     "dedup_emb_index_extend" -> EmbeddingIncrSql,
+    // Two-round embedding versioning-loop oracle: batch 1 = negated
+    // copies of every 7th vector; its survivors join the corpus; batch 2
+    // = nudged copies of the negated vectors (match only round-1
+    // survivors) + nudged copies of every 10th corpus vector.
+    "dedup_emb_version_bump" ->
+      """WITH b1 AS (
+        |  SELECT vec_id + 20000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(-x AS FLOAT)) AS emb
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |m1 AS (
+        |  SELECT b.vec_id FROM b1 b JOIN embeddings c
+        |  ON list_cosine_similarity(CAST(b.emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= 0.9),
+        |acc1 AS (SELECT * FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM m1)),
+        |corpus2 AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, emb FROM acc1),
+        |b2 AS (
+        |  SELECT vec_id + 30000000 AS vec_id,
+        |    list_prepend(
+        |      CAST(CAST(-embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+        |      list_transform(embedding[2:], x -> CAST(-x AS FLOAT))) AS emb
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    list_prepend(
+        |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+        |      embedding[2:])
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |m2 AS (
+        |  SELECT b.vec_id FROM b2 b JOIN corpus2 c
+        |  ON list_cosine_similarity(CAST(b.emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) >= 0.9)
+        |SELECT vec_id FROM b2 WHERE vec_id NOT IN (SELECT vec_id FROM m2)""".stripMargin,
     // Embedding corpus dedup: keep-set from the recursive-CTE closure
     // over the float-exact planted all-pairs (>= 0.9) — the LSH pair set
     // equals this set on the fixture, so the match is exact.

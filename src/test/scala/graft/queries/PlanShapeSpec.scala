@@ -94,6 +94,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("domain-mix sampling: zero shuffles — mixing table broadcasts, filter is per-row") {
+    val plan = finalPlan("text_domain_mix")
+    // the mixture step must never shuffle the corpus: the fractions
+    // table broadcasts and the md5-threshold filter evaluates per row —
+    // any Exchange here re-shuffles 100 TB to sample it
+    assert(nodeCount(plan, "Exchange") == 0,
+      s"stratifiedSample must be shuffle-free:\n${plan.take(1500)}")
+    assert(nodeCount(plan, "BroadcastHashJoin") >= 1,
+      s"the mixing table must broadcast:\n${plan.take(1500)}")
+  }
+
+  test("sequence packing: exactly one shuffle (the shard key), one in-shard sort") {
+    val plan = finalPlan("text_pack")
+    // one Exchange on the shard key carries ALL the parallelism; a second
+    // would mean the window re-partitioned on something else
+    assert(nodeCount(plan, "Exchange") == 1,
+      s"packSequences must shuffle once, on the shard key:\n${plan.take(1500)}")
+    assert(nodeCount(plan, "Window") == 1)
+  }
+
+  test("decontamination: eval grams broadcast, the training corpus never shuffles for the join") {
+    val plan = finalPlan("text_decontaminate")
+    // both joins (gram semi-join, id anti-join) must broadcast — the
+    // train side is the 100 TB side; the only Exchanges allowed are the
+    // skinny ones BELOW the broadcasts (eval gram distinct, contaminated
+    // -id distinct), never a repartition of the training rows
+    assert(nodeCount(plan, "SortMergeJoin") == 0 &&
+      nodeCount(plan, "ShuffledHashJoin") == 0,
+      s"decontamination joins must broadcast:\n${plan.take(2000)}")
+    assert(treeCount(plan, "BroadcastHashJoin LeftSemi") >= 1,
+      s"gram probe must be a broadcast semi-join:\n${plan.take(2000)}")
+    assert(treeCount(plan, "BroadcastHashJoin LeftAnti") >= 1,
+      s"the survivor filter must be a broadcast anti-join:\n${plan.take(2000)}")
+  }
+
   test("corpus dedup: the keep-set anti-join broadcasts the loser side") {
     val plan = finalPlan("dedup_near_corpus")
     // the corpus side must stream through a broadcast anti-join — a
