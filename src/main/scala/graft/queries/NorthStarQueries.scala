@@ -882,6 +882,36 @@ object NorthStarQueries {
         defaultFraction = 0.1)
         .select(col("doc_id"), col("source"))),
 
+    // The FULL training-data prep pipeline in ONE Catalyst plan —
+    // text_pipeline's big sibling, chaining every corpus-prep operator
+    // the way a real 100 TB corpus build would: C4-style quality gate ->
+    // eval-set decontamination (vs the raw %11 holdout) -> exact dedup
+    // among the clean survivors -> domain-mix sampling -> sequence
+    // packing -> per-(shard, pack) stats. Every stage is
+    // DuckDB-expressible, so the whole composition is hash-matched end
+    // to end. The narrow stages fuse; the only shuffles are the skinny
+    // decontamination/dedup distincts, the shard-key window, and the
+    // final combining aggregate — each over progressively less data.
+    "text_pipeline_full" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gated = d
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .filter(TextFunctions.qualityGateFromTokens(col("text"), col("__toks")))
+        .drop("__toks")
+      val clean = CorpusOps.decontaminate(
+        gated.filter(col("doc_id") % 11 =!= 0),
+        d.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+      val mixed = CorpusOps.stratifiedSample(
+        Dedup.exactDedup(clean, "doc_id", "text"),
+        col("doc_id"), col("source"),
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+        defaultFraction = 0.1)
+      CorpusOps.packSequences(mixed, "doc_id", "text", budget = 512,
+          shard = pmod(col("doc_id"), lit(8)))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     // ---- multimodal plumbing -----------------------------------------
     // Real-file ingest through the `binaryFile` source over a checked-in
     // fixture dir (glob-pruned to *.bin — the .txt fixture must NOT appear),
@@ -1527,6 +1557,66 @@ object NorthStarQueries {
         |         ELSE 'test' END AS split
         |  FROM kept) x
         |GROUP BY split""".stripMargin,
+    // The composed prep pipeline: gate (text_quality_filter's SQL) ->
+    // decontaminate (DecontamCtes' 8-gram convention, eval = raw %11
+    // holdout) -> exact dedup -> domain mix (text_domain_mix's
+    // thresholds) -> pack (text_pack's window) -> per-(shard, pack)
+    // stats.
+    "text_pipeline_full" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des','dans','que'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','que','por'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不','人','这'], x))) AS s_zh,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','at','by','be'], x))) AS DOUBLE) / len(toks) END AS sw,
+        |  length(text) AS n_len
+        |  FROM t),
+        |gated AS (
+        |  SELECT d.doc_id, d.text, d.source
+        |  FROM documents d JOIN s ON s.doc_id = d.doc_id
+        |  WHERE (CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+        |              WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+        |              WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+        |              WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+        |              WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+        |              ELSE 'de' END) = 'en'
+        |    AND least(n_len / 200.0, 1.0)
+        |        * greatest(0.0, 1.0 - punct * 4.0)
+        |        * (0.5 + least(sw * 5.0, 1.0) * 0.5) >= 0.3
+        |    AND punct <= 0.2),
+        |g8 AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |  ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN generate_series(1, len(toks)-7)] END AS gs
+        |  FROM t),
+        |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM g8),
+        |eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 11 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM dg
+        |         WHERE doc_id % 11 <> 0 AND gram IN (SELECT gram FROM eg)),
+        |clean AS (SELECT * FROM gated
+        |          WHERE doc_id % 11 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        |kept AS (SELECT * FROM clean
+        |         WHERE doc_id IN (SELECT min(doc_id) FROM clean GROUP BY text)),
+        |mixed AS (SELECT doc_id, text FROM kept
+        |          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |            CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c000'
+        |                 WHEN 'src2' THEN '8000' WHEN 'src3' THEN '4000'
+        |                 ELSE '1999' END),
+        |packed AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, n,
+        |    sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |        FROM mixed) x)
+        |SELECT shard, cum // 512 AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY shard, cum // 512""".stripMargin,
     "text_quality_filter" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
