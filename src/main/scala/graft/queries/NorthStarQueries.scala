@@ -674,6 +674,19 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10, planes = 8, bands = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // FILTERED vector search: a metadata predicate composed BEFORE the
+    // similarity ranking (the "where label in (...) order by cosine
+    // limit k" query every vector store serves). The filter prunes the
+    // candidate scan, so k always fills from rows satisfying the
+    // predicate — post-filtering a global top-k would under-fill it. At
+    // scale the predicate reaches the parquet scan (plain pushdown);
+    // the ranking itself is the pinned broadcast-probe shape.
+    "sim_topk_filtered" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
+        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     // index build + probe, measured TOGETHER: fits a FRESH quantizer on
     // every call (fixed seed -> identical cells to the cached index, so
     // results match the probe-only row) — the cached index would otherwise
@@ -1421,6 +1434,18 @@ object NorthStarQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
     "sim_topk_brute" -> BruteForceTopKSql,
+    // Filtered search: same ranking convention (cosine DESC, id ASC),
+    // candidates restricted by the metadata predicate.
+    "sim_topk_filtered" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+        |  WHERE c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
     // langId argmax: score ties resolve to the lexicographically greatest
     // lang tag (Spark struct-max semantics) -> CASE in descending tag
     // order. tokenCountBpe reformulated without lookarounds (RE2): count
