@@ -48,6 +48,34 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_true") > 0 && r.getAs[Boolean]("recall_ge_070"))
   }
 
+  test("version-bump rows discriminate: batch 2's planted twins drop ONLY via the bump") {
+    // dedup_emb_version_bump's teeth, pinned in CI rather than measured
+    // once: the +30M batch-2 vectors are near-copies of batch 1's
+    // survivors, so (a) the bumped probe drops every one of them, and
+    // (b) a probe against the UNBUMPED index keeps every one — an
+    // extension that is not probe-visible flips the whole set.
+    import org.apache.spark.sql.functions._
+    import graft.extensions.Dedup
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    val idx = Dedup.buildEmbeddingIndex(e, "vec_id", "embedding",
+      planes = 12, bands = 8)
+    val b2twins = e.filter(col("vec_id") % 7 === 0).select(
+      (col("vec_id") + 30000000L).as("vec_id"),
+      concat(array(-col("embedding").getItem(0) + lit(0.05f)),
+        transform(slice(col("embedding"), 2, 1000000), x => -x))
+        .as("embedding"))
+    val n = b2twins.count()
+    assert(n > 0)
+    val keptUnbumped = Dedup.dedupEmbeddingsAgainstCorpus(
+      b2twins, idx, "vec_id", "embedding", threshold = 0.9).count()
+    assert(keptUnbumped == n,
+      "the twins must be novel vs version N — else the row can't isolate the bump")
+    val bumpedKeep = run("dedup_emb_version_bump").map(_.getAs[Long]("vec_id")).toSet
+    assert(b2twins.select("vec_id").collect().map(_.getLong(0))
+      .forall(id => !bumpedKeep.contains(id)),
+      "every planted twin must drop against version N+1")
+  }
+
   test("q_sketch_accuracy: HLL and quantile estimates inside documented envelopes") {
     val Array(r) = run("q_sketch_accuracy")
     assert(r.getAs[Long]("n_exact") > 0)

@@ -129,6 +129,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the survivor filter must be a broadcast anti-join:\n${plan.take(2000)}")
   }
 
+  test("full prep pipeline: broadcast-only joins, bounded shuffles, no cartesian") {
+    val plan = finalPlan("text_pipeline_full")
+    // five composed stages must not multiply shuffles: the gate and the
+    // mix are narrow, so only the skinny decontamination/dedup
+    // distincts, the shard window, and the final combining aggregate
+    // may exchange — and every join must broadcast (the corpus side is
+    // the 100 TB side at every stage)
+    assert(nodeCount(plan, "CartesianProduct") == 0)
+    assert(nodeCount(plan, "SortMergeJoin") == 0 &&
+      nodeCount(plan, "ShuffledHashJoin") == 0,
+      s"all pipeline joins must broadcast:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Exchange") <= 5,
+      s"stage composition must not multiply shuffles:\n${plan.take(2000)}")
+  }
+
   test("corpus dedup: the keep-set anti-join broadcasts the loser side") {
     val plan = finalPlan("dedup_near_corpus")
     // the corpus side must stream through a broadcast anti-join — a
