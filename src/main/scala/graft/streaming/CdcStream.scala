@@ -183,7 +183,10 @@ object CdcStream {
    * non-default k probes correctly with no extra plumbing. Accepted
    * batches do NOT auto-join the index: growing the corpus is a
    * versioning decision (when to re-fit, how to compact), owned by the
-   * pipeline, not this operator.
+   * pipeline, not this operator — see [[compactAcceptedBatches]] for
+   * the idempotent offline bump. Quality gates / decontamination
+   * compose UPSTREAM: transform `docStream` (filter, [[graft.extensions
+   * .CorpusOps]] ops) before passing it in; the ingest needs no hook.
    *
    * Exactly-once to the sink: committed batch ids are not re-run
    * (checkpoint), and each batch writes by OVERWRITE into its own
