@@ -3,7 +3,6 @@ package graft.extensions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.functions.TextFunctions
 
@@ -116,7 +115,10 @@ object CorpusOps {
         TextFunctions.tokenCountWs(col(textCol)).as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col(idCol), col("shard"), col("n_tokens"),
-        (col("__cum") / lit(budget)).cast(LongType).as("pack_id"),
+        // exact integer floor division (`div`), NOT double division —
+        // at extreme per-shard cumulative counts a double quotient can
+        // round up and disagree with the exact %-based tok_offset
+        expr(s"__cum div $budget").as("pack_id"),
         (col("__cum") % lit(budget)).as("tok_offset"))
   }
 

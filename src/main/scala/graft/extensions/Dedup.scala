@@ -556,18 +556,38 @@ object Dedup {
    */
   def dedupAgainstCorpus(batch: DataFrame, index: CorpusIndex,
                          idCol: String, textCol: String,
-                         threshold: Double = 0.5): DataFrame = {
-    val dupIds = corpusDupMatches(batch, index, idCol, textCol, threshold)
-      .select(col("batch_id").as(idCol)).distinct()
-    batch.join(dupIds, Seq(idCol), "left_anti")
-  }
+                         threshold: Double = 0.5): DataFrame =
+    keepSetFromMatches(batch,
+      corpusDupMatches(batch, index, idCol, textCol, threshold), idCol)
+
+  /** The batch rows whose id has NO row in a match relation — the
+    * keep-set derivation both dedup forms share. Callers that need the
+    * keep-set AND the provenance of one probe (the auditing streaming
+    * ingest) compute the match relation once, persist it, and derive
+    * both from it instead of running the probe twice. */
+  private[graft] def keepSetFromMatches(batch: DataFrame, matches: DataFrame,
+                                        idCol: String): DataFrame =
+    batch.join(matches.select(col("batch_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Best-match-per-dropped-doc derivation shared by
+    * [[corpusDupProvenance]] and [[embeddingDupProvenance]]: one
+    * combining min-aggregate over (negated score, corpus_id) — highest
+    * score, ties to the lowest corpus id, any orderable id type. */
+  private[graft] def provenanceFromMatches(matches: DataFrame, idCol: String,
+                                           scoreCol: String): DataFrame =
+    matches
+      .groupBy(col("batch_id").as(idCol))
+      .agg(min(struct((-col(scoreCol)).as("__nj"), col("corpus_id"))).as("__m"))
+      .select(col(idCol), col("__m.corpus_id").as("corpus_id"),
+        (-col("__m.__nj")).as(scoreCol))
 
   /** All (batch_id, corpus_id, jaccard) matches at or above the
     * threshold — the shared probe core of [[dedupAgainstCorpus]] and
     * [[corpusDupProvenance]]. */
-  private def corpusDupMatches(batch: DataFrame, index: CorpusIndex,
-                               idCol: String, textCol: String,
-                               threshold: Double): DataFrame = {
+  private[graft] def corpusDupMatches(batch: DataFrame, index: CorpusIndex,
+                                      idCol: String, textCol: String,
+                                      threshold: Double): DataFrame = {
     // the batch MUST shingle with the index's k (carried by the index so
     // a mismatch is unrepresentable, not a caller obligation)
     val bsh = hashedShingleSets(batch, idCol, textCol, index.shingleK)
@@ -610,13 +630,9 @@ object Dedup {
   def corpusDupProvenance(batch: DataFrame, index: CorpusIndex,
                           idCol: String, textCol: String,
                           threshold: Double = 0.5): DataFrame =
-    corpusDupMatches(batch, index, idCol, textCol, threshold)
-      // max of (jaccard, -corpus_id) = highest jaccard, ties to the
-      // LOWEST corpus id — one combining aggregate, no window sort
-      .groupBy(col("batch_id").as(idCol))
-      .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("__nc"))).as("__m"))
-      .select(col(idCol), (-col("__m.__nc")).as("corpus_id"),
-        col("__m.jaccard").as("jaccard"))
+    provenanceFromMatches(
+      corpusDupMatches(batch, index, idCol, textCol, threshold),
+      idCol, "jaccard")
 
   // ----------------------------------- incremental embedding (batch-vs-corpus)
 
@@ -726,18 +742,16 @@ object Dedup {
     * corpus bucket identically with no shared RNG state. */
   def dedupEmbeddingsAgainstCorpus(batch: DataFrame, index: EmbeddingIndex,
                                    idCol: String, vecCol: String,
-                                   threshold: Double = 0.95): DataFrame = {
-    val dupIds = embeddingDupMatches(batch, index, idCol, vecCol, threshold)
-      .select(col("batch_id").as(idCol)).distinct()
-    batch.join(dupIds, Seq(idCol), "left_anti")
-  }
+                                   threshold: Double = 0.95): DataFrame =
+    keepSetFromMatches(batch,
+      embeddingDupMatches(batch, index, idCol, vecCol, threshold), idCol)
 
   /** All (batch_id, corpus_id, cosine) matches at or above the
     * threshold — the shared probe core of
     * [[dedupEmbeddingsAgainstCorpus]] and [[embeddingDupProvenance]]. */
-  private def embeddingDupMatches(batch: DataFrame, index: EmbeddingIndex,
-                                  idCol: String, vecCol: String,
-                                  threshold: Double): DataFrame = {
+  private[graft] def embeddingDupMatches(batch: DataFrame, index: EmbeddingIndex,
+                                         idCol: String, vecCol: String,
+                                         threshold: Double): DataFrame = {
     val cand = signBands(batch, idCol, vecCol, index.planes, index.bands)
       .withColumnRenamed("doc_id", "batch_id")
       .join(index.buckets.select(col("band"), col("bucket"),
@@ -766,11 +780,9 @@ object Dedup {
   def embeddingDupProvenance(batch: DataFrame, index: EmbeddingIndex,
                              idCol: String, vecCol: String,
                              threshold: Double = 0.95): DataFrame =
-    embeddingDupMatches(batch, index, idCol, vecCol, threshold)
-      .groupBy(col("batch_id").as(idCol))
-      .agg(max(struct(col("cosine"), (-col("corpus_id")).as("__nc"))).as("__m"))
-      .select(col(idCol), (-col("__m.__nc")).as("corpus_id"),
-        col("__m.cosine").as("cosine"))
+    provenanceFromMatches(
+      embeddingDupMatches(batch, index, idCol, vecCol, threshold),
+      idCol, "cosine")
 
   // ------------------------------------------------- embedding cosine dup
 

@@ -1515,7 +1515,8 @@ object NorthStarQueries {
     // the exclusive running total place every doc deterministically.
     "text_pack" ->
       """SELECT doc_id, doc_id % 8 AS shard, n AS n_tokens,
-        |  __cum // 512 AS pack_id, __cum % 512 AS tok_offset
+        |  CAST(__cum // 512 AS BIGINT) AS pack_id,
+        |  CAST(__cum % 512 AS BIGINT) AS tok_offset
         |FROM (
         |  SELECT doc_id, n,
         |    sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
@@ -1639,7 +1640,7 @@ object NorthStarQueries {
         |  FROM (SELECT doc_id,
         |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
         |        FROM mixed) x)
-        |SELECT shard, cum // 512 AS pack_id,
+        |SELECT shard, CAST(cum // 512 AS BIGINT) AS pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM packed GROUP BY shard, cum // 512""".stripMargin,
     "text_quality_filter" ->

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.hadoop.fs.{Path => HPath}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -208,25 +210,34 @@ object CdcStream {
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val novel = graft.extensions.Dedup.dedupAgainstCorpus(
-          batch, index, idCol, textCol, threshold = threshold)
         // ALWAYS write the batch subdir, even when novel is empty: a
         // replayed batch whose novel set shrank to empty (the caller
         // swapped in a refreshed index between a crashed attempt and
         // its replay) must still reconcile the subdir, or the crashed
         // attempt's now-stale rows would survive as batch=<id>. The
-        // unconditional overwrite keeps replay idempotent in all cases —
-        // and with the emptiness probe gone the write is the pipeline's
-        // single action, so the round-7 persist guard is obsolete too.
-        novel.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-        // optional audit sink: the dropped docs' best corpus matches
-        // (see Dedup.corpusDupProvenance), under the SAME per-batch
-        // overwrite contract — a replay reconciles the audit trail with
-        // the keep-set it sits next to, empty-novel swaps included.
-        provenanceDir.foreach { pd =>
-          graft.extensions.Dedup.corpusDupProvenance(
-            batch, index, idCol, textCol, threshold = threshold)
-            .write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+        // unconditional overwrite keeps replay idempotent in all cases.
+        provenanceDir match {
+          case None =>
+            graft.extensions.Dedup.dedupAgainstCorpus(
+              batch, index, idCol, textCol, threshold = threshold)
+              .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+          case Some(pd) =>
+            // auditing enabled: run the probe ONCE, persist the skinny
+            // match relation, and derive BOTH the keep-set anti-join and
+            // the provenance aggregate from it — the candidate join +
+            // Jaccard verify is the per-batch cost, and rebuilding it
+            // for the audit sink would double it. Both sinks share the
+            // per-batch overwrite contract, so a replay reconciles the
+            // audit trail with the keep-set it sits next to.
+            val matches = graft.extensions.Dedup.corpusDupMatches(
+              batch, index, idCol, textCol, threshold)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              graft.extensions.Dedup.keepSetFromMatches(batch, matches, idCol)
+                .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+              graft.extensions.Dedup.provenanceFromMatches(matches, idCol, "jaccard")
+                .write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+            } finally { matches.unpersist(false); () }
         }
         ()
       }
@@ -255,15 +266,23 @@ object CdcStream {
     vecStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.extensions.Dedup.dedupEmbeddingsAgainstCorpus(
-          batch, index, idCol, vecCol, threshold = threshold)
-          .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-        // optional audit sink, same per-batch overwrite contract as the
-        // text form (see startCorpusDedupIngest)
-        provenanceDir.foreach { pd =>
-          graft.extensions.Dedup.embeddingDupProvenance(
-            batch, index, idCol, vecCol, threshold = threshold)
-            .write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+        // same single-probe structure as the text ingest: with auditing
+        // on, one persisted match relation feeds both sinks
+        provenanceDir match {
+          case None =>
+            graft.extensions.Dedup.dedupEmbeddingsAgainstCorpus(
+              batch, index, idCol, vecCol, threshold = threshold)
+              .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+          case Some(pd) =>
+            val matches = graft.extensions.Dedup.embeddingDupMatches(
+              batch, index, idCol, vecCol, threshold)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              graft.extensions.Dedup.keepSetFromMatches(batch, matches, idCol)
+                .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+              graft.extensions.Dedup.provenanceFromMatches(matches, idCol, "cosine")
+                .write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+            } finally { matches.unpersist(false); () }
         }
         ()
       }
@@ -288,32 +307,88 @@ object CdcStream {
     * `close()`s version N — and because the ingest keeps probing
     * version N until the swap, replays during compaction still
     * reconcile against the same index they first ran under. After a
-    * bump, point the ingest at a FRESH sink tree (or clear this one):
-    * compaction consumes the whole tree, and re-compacting already
-    * folded batches into a later version would violate extend's
-    * append-only id contract. */
+    * bump, point the ingest at a FRESH sink tree: compaction consumes
+    * the whole tree, and re-compacting already folded batches into a
+    * later version would violate extend's append-only id contract —
+    * which is why a successful fold stamps the tree with a `_FOLDED`
+    * marker and a second compaction of the same tree REFUSES loudly
+    * instead of silently double-counting. A compaction that finds no
+    * committed batch rows (empty or missing tree — a scheduled fold
+    * racing an idle ingest) is a natural no-op: the input index is
+    * returned unchanged and no marker is written, so a later real fold
+    * still runs. Pass the ingest's `provenanceDir` to stamp the audit
+    * trail with the same marker at the same moment — the drop
+    * provenance then versions together with the keep-set it explains,
+    * archived in place alongside the consumed sink. */
   def compactAcceptedBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.CorpusIndex,
-      idCol: String, textCol: String): graft.extensions.Dedup.CorpusIndex =
-    graft.extensions.Dedup.extendCorpusIndex(index,
-      spark.read.parquet(sinkDir).drop("batch").dropDuplicates(idCol),
-      idCol, textCol)
+      idCol: String, textCol: String,
+      provenanceDir: Option[String] = None): graft.extensions.Dedup.CorpusIndex =
+    consumeSinkTree(spark, sinkDir) match {
+      case None => index
+      case Some(accepted) =>
+        val bumped = graft.extensions.Dedup.extendCorpusIndex(index,
+          accepted.dropDuplicates(idCol), idCol, textCol)
+        markFolded(spark, sinkDir)
+        provenanceDir.foreach(markFolded(spark, _))
+        bumped
+    }
 
   /** The embedding analog of [[compactAcceptedBatches]]: fold the
     * accepted-novel vectors of [[startEmbeddingDedupIngest]]'s sink into
     * the bucket index as one version bump via [[graft.extensions.Dedup
     * .extendEmbeddingIndex]] (buckets the new vectors with the SAVED
-    * hyperplanes — no re-fit). Same idempotence contract: dedup by id
-    * absorbs cross-batch source replays, and a compacted sink tree must
-    * not be compacted again. */
+    * hyperplanes — no re-fit). Same contracts end to end: id-dedup
+    * absorbs cross-batch source replays, an empty tree is a no-op, a
+    * consumed tree is `_FOLDED`-stamped and refuses a second fold, and
+    * `provenanceDir` archives the audit trail in lockstep. */
   def compactAcceptedEmbeddingBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
-      idCol: String, vecCol: String): graft.extensions.Dedup.EmbeddingIndex =
-    graft.extensions.Dedup.extendEmbeddingIndex(index,
-      spark.read.parquet(sinkDir).drop("batch").dropDuplicates(idCol),
-      idCol, vecCol)
+      idCol: String, vecCol: String,
+      provenanceDir: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex =
+    consumeSinkTree(spark, sinkDir) match {
+      case None => index
+      case Some(accepted) =>
+        val bumped = graft.extensions.Dedup.extendEmbeddingIndex(index,
+          accepted.dropDuplicates(idCol), idCol, vecCol)
+        markFolded(spark, sinkDir)
+        provenanceDir.foreach(markFolded(spark, _))
+        bumped
+    }
+
+  /** Marker a successful compaction writes at the root of every tree it
+    * consumed; its presence makes a double-fold unrepresentable. */
+  val FoldedMarkerName = "_FOLDED"
+
+  /** Guarded read of an accepted-batch sink tree for compaction:
+    * refuses (loudly) a tree already stamped [[FoldedMarkerName]] —
+    * re-folding consumed batches would double-count gram dfs and break
+    * extend's append-only id contract — and returns None for a tree
+    * with no committed batch rows, turning a compaction that races an
+    * idle ingest into a no-op instead of a schema-inference error. */
+  private def consumeSinkTree(spark: SparkSession,
+                              sinkDir: String): Option[DataFrame] = {
+    val root = new HPath(sinkDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new HPath(root, FoldedMarkerName)),
+      s"sink tree $sinkDir was already compacted ($FoldedMarkerName " +
+        "present): re-folding consumed batches would double-count them " +
+        "in the extended index — point the ingest at a fresh sink tree " +
+        "for the next version")
+    val hasRows = fs.exists(root) &&
+      Option(fs.globStatus(new HPath(root, "batch=*/part-*")))
+        .exists(_.nonEmpty)
+    if (!hasRows) None
+    else Some(spark.read.parquet(sinkDir).drop("batch"))
+  }
+
+  private def markFolded(spark: SparkSession, dir: String): Unit = {
+    val p = new HPath(new HPath(dir), FoldedMarkerName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new HPath(dir))) fs.create(p, true).close()
+  }
 
   /** Tumbling/sliding-window aggregation over the change stream with
     * late-data handling — the analytic windows the reference lacks

@@ -345,6 +345,21 @@ class DedupSpec extends AnyFunSuite {
     assert(eProv(101L)._1 == 1L && eProv(101L)._2 > 0.99)
   }
 
+  test("provenance works with STRING corpus ids (ties to lexicographic min)") {
+    // the tie-break negates the SCORE, not the id, so non-numeric ids —
+    // a URL, a UUID, a shard/path key — are first-class; negating a
+    // string id would nullify it and corrupt the best-match answer
+    val corpus = Seq(("doc-b", base), ("doc-a", base),
+      ("doc-z", "completely different content living here"))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildCorpusIndex(corpus, "doc_id", "text")
+    val batch = Seq(("new-1", base)).toDF("doc_id", "text")
+    val prov = Dedup.corpusDupProvenance(batch, index, "doc_id", "text")
+      .as[(String, String, Double)].collect()
+    assert(prov.toSeq == Seq(("new-1", "doc-a", 1.0)),
+      "identical corpus docs under string ids must tie to the lexicographic min")
+  }
+
   test("loadCorpusIndex reads pre-round-9 trees: no df dir, one-column meta") {
     // format compatibility: an index tree written before the gram
     // dictionary existed (no df/ dir, meta without max_gram_df) must

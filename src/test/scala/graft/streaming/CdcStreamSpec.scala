@@ -161,25 +161,38 @@ class CdcStreamSpec extends AnyFunSuite {
       // (extend ≡ build carries through the sink read)
       val accepted = spark.read.parquet(sink).drop("batch")
       assert(accepted.count() > 0, "fixture sanity: some batch docs are novel")
-      val bumped = CdcStream.compactAcceptedBatches(
-        spark, sink, index, "doc_id", "text")
-      val scratch = Dedup.buildCorpusIndex(
-        corpus.select("doc_id", "text").union(accepted.select("doc_id", "text")),
-        "doc_id", "text")
-      def postingSet(ix: Dedup.CorpusIndex) =
-        ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
-      assert(postingSet(bumped) == postingSet(scratch))
-
       // a doc the SOURCE replayed across a batch boundary lands in two
       // batch= subdirs — outside the per-batch overwrite's reach. The
       // compaction's id-dedup folds it into the version exactly once.
-      val one = spark.createDataFrame(
-        java.util.Arrays.asList(accepted.head()), accepted.schema)
-      one.write.mode("overwrite").parquet(s"$sink/batch=9999")
-      val bumped2 = CdcStream.compactAcceptedBatches(
+      val scratch = Dedup.buildCorpusIndex(
+        corpus.select("doc_id", "text").union(accepted.select("doc_id", "text")),
+        "doc_id", "text")
+      spark.createDataFrame(
+          java.util.Arrays.asList(accepted.head()), accepted.schema)
+        .write.mode("overwrite").parquet(s"$sink/batch=9999")
+      val bumped = CdcStream.compactAcceptedBatches(
         spark, sink, index, "doc_id", "text")
-      assert(postingSet(bumped2) == postingSet(scratch),
+      def postingSet(ix: Dedup.CorpusIndex) =
+        ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+      assert(postingSet(bumped) == postingSet(scratch),
         "a cross-batch duplicate must extend the index exactly once")
+
+      // the fold stamped the tree; a second compaction refuses loudly
+      // instead of double-counting the consumed batches
+      assert(new java.io.File(sink, CdcStream.FoldedMarkerName).exists())
+      val err = intercept[IllegalArgumentException] {
+        CdcStream.compactAcceptedBatches(spark, sink, index, "doc_id", "text")
+      }
+      assert(err.getMessage.contains("already compacted"))
+
+      // an empty/missing tree is a no-op (no marker, same index back) —
+      // a scheduled compaction racing an idle ingest must not throw
+      val idle = TestSpark.tmpDir("graft-compact-idle")
+      val same = CdcStream.compactAcceptedBatches(
+        spark, idle, index, "doc_id", "text")
+      assert(same eq index)
+      assert(!new java.io.File(idle, CdcStream.FoldedMarkerName).exists(),
+        "a no-op fold must not stamp the tree: a later real fold still runs")
     } finally index.unpersist()
   }
 
@@ -200,25 +213,37 @@ class CdcStreamSpec extends AnyFunSuite {
 
       val accepted = spark.read.parquet(sink).drop("batch")
       assert(accepted.count() > 0, "fixture sanity: some vectors are novel")
-      val bumped = CdcStream.compactAcceptedEmbeddingBatches(
-        spark, sink, index, "vec_id", "embedding")
+      // cross-batch replay folds once here too
       val scratch = Dedup.buildEmbeddingIndex(
         corpus.select("vec_id", "embedding")
           .union(accepted.select("vec_id", "embedding")),
         "vec_id", "embedding")
+      spark.createDataFrame(
+          java.util.Arrays.asList(accepted.head()), accepted.schema)
+        .write.mode("overwrite").parquet(s"$sink/batch=9999")
+      // pass the (here: reused-as-fixture) audit dir to check the
+      // lockstep archive: the fold stamps BOTH trees in one call
+      val prov = TestSpark.tmpDir("graft-ecompact-prov")
+      spark.createDataFrame(
+          java.util.Arrays.asList(accepted.head()), accepted.schema)
+        .write.mode("overwrite").parquet(s"$prov/batch=0")
+      val bumped = CdcStream.compactAcceptedEmbeddingBatches(
+        spark, sink, index, "vec_id", "embedding", provenanceDir = Some(prov))
       def bucketSet(ix: Dedup.EmbeddingIndex) =
         ix.buckets.select("doc_id", "band", "bucket")
           .as[(Long, Int, Long)].collect().toSet
       assert(bucketSet(bumped) == bucketSet(scratch),
         "extension with the saved planes must equal a same-plane rebuild")
 
-      // cross-batch replay folds once here too
-      spark.createDataFrame(
-          java.util.Arrays.asList(accepted.head()), accepted.schema)
-        .write.mode("overwrite").parquet(s"$sink/batch=9999")
-      val bumped2 = CdcStream.compactAcceptedEmbeddingBatches(
-        spark, sink, index, "vec_id", "embedding")
-      assert(bucketSet(bumped2) == bucketSet(scratch))
+      // both the sink and the audit trail carry the version stamp, and
+      // the consumed sink refuses a second fold
+      assert(new java.io.File(sink, CdcStream.FoldedMarkerName).exists())
+      assert(new java.io.File(prov, CdcStream.FoldedMarkerName).exists(),
+        "the drop-provenance tree must version together with the keep-set")
+      assertThrows[IllegalArgumentException] {
+        CdcStream.compactAcceptedEmbeddingBatches(
+          spark, sink, index, "vec_id", "embedding")
+      }
     } finally index.unpersist()
   }
 
