@@ -8,6 +8,11 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // same DuckDB version the correctness driver runs: lets a spec
+  // DESCRIBE every oracle and ban result types (HUGEINT) whose hash
+  // rendering diverges between checkers. Test-only — the shipped
+  // library never touches DuckDB.
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true
