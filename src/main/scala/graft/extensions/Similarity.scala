@@ -149,6 +149,18 @@ object Similarity {
     /** Pin the assignment in executor storage for repeated probing. */
     def cache(): IvfIndex = { assigned.cache(); centers.cache(); this }
 
+    /** Metadata-filtered view of this index for FILTERED ANN: the
+      * predicate (over metadata columns carried into `assigned` by
+      * `ivfFit(metaCols = ...)`) restricts the cell-assigned corpus
+      * BEFORE candidate generation, so top-k fills from qualifying rows
+      * only — post-filtering a global top-k would under-fill it. On a
+      * saved index the filter reaches the parquet scan of `assigned`
+      * (plain pushdown, composed with cell-partition pruning); on a
+      * cached one it shares the unfiltered index's executor storage.
+      * The view is cheap — build once per predicate and probe many. */
+    def filtered(predicate: Column): IvfIndex =
+      copy(assigned = assigned.filter(predicate))
+
     /** Release executor storage pinned by [[cache]] (long-lived services
       * must pair every cache with this; short-lived mains may skip it). */
     def unpersist(): IvfIndex = {
@@ -183,25 +195,38 @@ object Similarity {
 
   /** Assign vectors to their nearest cell of an EXISTING centroid table
     * (squared Euclidean — KMeans' own metric; ties to the lowest cell
-    * id). The centroids are collected to the driver and inlined as
-    * literals — O(nlist × dim) values, the same "model broadcast" shape
-    * `KMeans.transform` has — so assignment is ONE narrow projection
-    * with an `array_min` over per-cell (d2, cell) structs: zero
-    * shuffle, zero ML-pipeline dependency at probe/extend time. */
+    * id). The centroids are collected to the driver and inlined as ONE
+    * array-of-structs literal — O(nlist × dim) values, the same "model
+    * broadcast" shape `KMeans.transform` has — and the argmin is a
+    * single `transform` + `array_min` over that literal: zero shuffle,
+    * zero ML-pipeline dependency at probe/extend time, and O(1) plan
+    * NODES in nlist. (The earlier shape built one struct expression per
+    * cell inside the projection — fine at nlist=16, but a production
+    * IVF runs 4k–64k cells, where tens of thousands of expression nodes
+    * break whole-stage codegen and blow up planning time. The per-row
+    * O(nlist × dim) arithmetic is inherent to coarse quantization; the
+    * expression-count blowup was not.) */
   def assignToCells(vecs: DataFrame, centers: DataFrame,
-                    idCol: String, vecCol: String): DataFrame = {
+                    idCol: String, vecCol: String,
+                    metaCols: Seq[String] = Nil): DataFrame = {
     val ctrs = centers.select(col("cell"), col("center")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
     require(ctrs.nonEmpty, "centroid table is empty")
-    val d2s = ctrs.map { case (cellId, c) =>
+    val ctrLit = typedlit(ctrs) // array<struct<_1: cell, _2: center>>
+    // same float-subtract/multiply + double-accumulate per cell as the
+    // per-cell-literal formulation — assignment stays bit-identical to
+    // KMeans.transform (spec-pinned); struct (d2, cell) ordering keeps
+    // ties on the lowest cell id
+    val best = array_min(transform(ctrLit, c =>
       struct(
-        aggregate(zip_with(col("c_vec"), typedlit(c), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col("c_vec"), c.getField("_2"), (x, y) => (x - y) * (x - y)),
           lit(0.0d), (acc, x) => acc + x).as("d2"),
-        lit(cellId).as("cell"))
-    }
-    vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("__best", array_min(array(d2s.toSeq: _*)))
-      .select(col("neighbor_id"), col("c_vec"), col("__best.cell").as("cell"))
+        c.getField("_1").as("cell"))))
+    vecs.select(col(idCol).as("neighbor_id") +: col(vecCol).as("c_vec") +:
+        metaCols.map(col): _*)
+      .withColumn("__best", best)
+      .select(col("neighbor_id") +: col("c_vec") +:
+        col("__best.cell").as("cell") +: metaCols.map(col): _*)
   }
 
   /** Grow an [[IvfIndex]] with `newVecs` WITHOUT re-training the coarse
@@ -215,23 +240,34 @@ object Similarity {
     * the whole corpus and invalidate every saved cell partition); as
     * with any IVF, re-fit when the data distribution drifts enough
     * that cell occupancy degrades recall. Same append-only id contract
-    * as the other index families. */
+    * as the other index families. Metadata columns carried by the index
+    * (`ivfFit(metaCols = ...)`) are preserved: `newVecs` must supply the
+    * same columns, so filtered probes see old and new vectors alike. */
   def extendIvfIndex(index: IvfIndex, newVecs: DataFrame,
-                     idCol: String, vecCol: String): IvfIndex =
+                     idCol: String, vecCol: String): IvfIndex = {
+    val metaCols = index.assigned.columns.toSeq
+      .filterNot(Set("neighbor_id", "c_vec", "cell"))
     IvfIndex(index.centers,
       index.assigned.unionByName(
-        assignToCells(newVecs, index.centers, idCol, vecCol)))
+        assignToCells(newVecs, index.centers, idCol, vecCol, metaCols)))
+  }
 
-  /** Train the coarse quantizer and assign every candidate to its cell. */
+  /** Train the coarse quantizer and assign every candidate to its cell.
+    * `metaCols` names metadata columns of `candidates` to carry into the
+    * cell-assigned relation (and the saved parquet tree) so probes can
+    * pre-filter candidates via [[IvfIndex.filtered]] — the production
+    * filtered-ANN shape, where the predicate prunes INSIDE the index
+    * instead of post-filtering a ranked result. */
   def ivfFit(
       candidates: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, seed: Long = 42L,
-      trainFraction: Double = 1.0): IvfIndex = {
+      trainFraction: Double = 1.0, metaCols: Seq[String] = Nil): IvfIndex = {
 
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val cand = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val cand = candidates.select(col(idCol).as("neighbor_id") +:
+        col(vecCol).as("c_vec") +: metaCols.map(col): _*)
       .withColumn("features", array_to_vector(col("c_vec")))
     val trainSet =
       if (trainFraction >= 1.0) cand else cand.sample(trainFraction, seed)
@@ -243,7 +279,8 @@ object Similarity {
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(trainSet)
     val assigned = model.transform(cand)
-      .select(col("neighbor_id"), col("c_vec"), col("cell"))
+      .select(col("neighbor_id") +: col("c_vec") +: col("cell") +:
+        metaCols.map(col): _*)
 
     // centroid table is tiny: ship it broadcast and rank each query's
     // cells by Euclidean distance (KMeans' own metric).

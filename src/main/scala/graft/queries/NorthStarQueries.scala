@@ -687,6 +687,32 @@ object NorthStarQueries {
         e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // FILTERED ANN on the index path: the same metadata predicate pushed
+    // INSIDE the IVF candidate generation — `ivfFit(metaCols = label)`
+    // carries the filterable column in the cell-assigned relation and
+    // `IvfIndex.filtered` prunes it BEFORE the probe join, so only
+    // qualifying cell members are ever scored (the production
+    // vector-store shape; the brute-force row above pins the exact
+    // semantics). Gated on recall vs the filtered brute-force truth —
+    // the sim_ivf_recall convention and floor. Fresh fit per call
+    // (fixed seed -> same cells as the cached index) so the row prices
+    // fit + filter + probe, uncached.
+    "sim_topk_filtered_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
+        q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val idx = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16,
+        metaCols = Seq("label"))
+      val ivf = Similarity.ivfProbe(idx.filtered(col("label") % 3 === 0), q,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
+    }),
     // index build + probe, measured TOGETHER: fits a FRESH quantizer on
     // every call (fixed seed -> identical cells to the cached index, so
     // results match the probe-only row) — the cached index would otherwise
@@ -1167,6 +1193,20 @@ object NorthStarQueries {
       |    ORDER BY cosine DESC, corpus_id ASC) AS rn FROM m) t
       |WHERE rn = 1""".stripMargin
 
+  /** Filtered brute-force top-k oracle (candidates restricted to
+    * `label % 3 = 0`, same ranking convention), shared by the filtered
+    * search row and the filtered-IVF recall gate. */
+  private val FilteredBruteTopKSql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+      |                    c.vec_id ASC) AS rank
+      |  FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c
+      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+      |  WHERE c.vec_id <> q.vec_id) t
+      |WHERE rank <= 5""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
   private val BruteForceTopKSql: String =
     """SELECT query_id, neighbor_id, rank FROM (
@@ -1436,16 +1476,10 @@ object NorthStarQueries {
     "sim_topk_brute" -> BruteForceTopKSql,
     // Filtered search: same ranking convention (cosine DESC, id ASC),
     // candidates restricted by the metadata predicate.
-    "sim_topk_filtered" ->
-      """SELECT query_id, neighbor_id, rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         row_number() OVER (PARTITION BY q.vec_id
-        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-        |                    c.vec_id ASC) AS rank
-        |  FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c
-        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
-        |  WHERE c.vec_id <> q.vec_id) t
-        |WHERE rank <= 5""".stripMargin,
+    "sim_topk_filtered" -> FilteredBruteTopKSql,
+    "sim_topk_filtered_ivf" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+         |FROM ($FilteredBruteTopKSql) t""".stripMargin,
     // langId argmax: score ties resolve to the lexicographically greatest
     // lang tag (Spark struct-max semantics) -> CASE in descending tag
     // order. tokenCountBpe reformulated without lookarounds (RE2): count

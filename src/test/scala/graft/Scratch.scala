@@ -355,6 +355,66 @@ object Scratch {
           eix.unpersist(); ix.unpersist()
         }
 
+      case "prepprobe" =>
+        // scale probe of the CORPUS-PREP operators (VERDICT r9 item 7):
+        // grow the training corpus by `mult` (same disjoint-gram replica
+        // trick as `scaleprobe`: every token of replica r>0 suffixed, so
+        // eval-gram hits stay confined to replica 0 and the broadcast
+        // gram set never grows) while the EVAL SET stays fixed. Expected
+        // shapes at 100 TB: decontaminate O(corpus scan, broadcast probe
+        // side constant); pack O(corpus) with flat per-shard cost when
+        // shards scale with data (they do in production — the shard key
+        // is a partition count choice); mix flat per-row (zero-shuffle
+        // scan against a broadcast mixing table).
+        import org.apache.spark.sql.functions._
+        val srcDir = args(1); val mult = args(2).toInt
+        val work = s"/tmp/graft-prep-x$mult"
+        def time3(label: String)(f: => Unit): Unit = {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          println(f"    $label: median ${ts.sorted.apply(1)}%.2f s  (reps ${ts.map(t => f"$t%.2f").mkString(" ")})")
+        }
+        val srcDocs = sources.Tables.load(spark, srcDir, "documents")
+        // fixed eval set: replica 0's %11==0 docs (text_decontaminate's)
+        val evalSet = srcDocs.filter(col("doc_id") % 11 === 0)
+        def docsScaled(m: Int) = (0 until m).map { r =>
+          if (r == 0) srcDocs
+          else srcDocs.select(
+            (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+            array_join(transform(split(col("text"), "\\s+"),
+              t => concat(t, lit(s"q$r"))), " ").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ union _)
+        Seq(1, mult).foreach { m =>
+          val dDir = s"$work/docs_m$m"
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dDir)))
+            docsScaled(m).write.mode("overwrite").parquet(dDir)
+          val d = spark.read.parquet(dDir)
+          val train = d.filter(col("doc_id") % 11 =!= 0)
+          println(s"prep m=$m: train_docs=${train.count()} eval_docs=${evalSet.count()}")
+          time3("decontaminate (fixed eval set)") {
+            extensions.CorpusOps.decontaminate(train, evalSet, "doc_id", "text")
+              .queryExecution.toRdd.count(); ()
+          }
+          time3(s"pack budget=512 shards=${8 * m} (scaled with corpus)") {
+            extensions.CorpusOps.packSequences(d, "doc_id", "text",
+              budget = 512, shard = pmod(col("doc_id"), lit(8 * m)))
+              .queryExecution.toRdd.count(); ()
+          }
+          time3("pack budget=512 shards=8 (fixed: per-shard grows)") {
+            extensions.CorpusOps.packSequences(d, "doc_id", "text",
+              budget = 512, shard = pmod(col("doc_id"), lit(8)))
+              .queryExecution.toRdd.count(); ()
+          }
+          time3("domain mix (broadcast mixing table)") {
+            extensions.CorpusOps.stratifiedSample(d, col("doc_id"), col("source"),
+              Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+              defaultFraction = 0.1)
+              .queryExecution.toRdd.count(); ()
+          }
+        }
+
       case "ivfx-recall" =>
         // measured recall of the EXTENDED IVF index (fit on half, extend
         // with the other half) vs brute force — floor evidence for the
@@ -376,6 +436,32 @@ object Scratch {
           .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found")).head()
         println(s"ivfx-recall @ $dir: n_true=${r.getLong(0)} n_found=${r.getLong(1)} " +
           f"recall=${r.getLong(1).toDouble / r.getLong(0)}%.3f")
+
+      case "ivfcells" =>
+        // planning + execution cost of assignToCells as nlist grows —
+        // evidence that the single-literal argmin keeps plan size O(1)
+        // in nlist (the per-cell-expression shape exploded here)
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val e = sources.Tables.load(spark, dir, "embeddings")
+        e.cache(); e.count()
+        for (nlist <- Seq(16, 256, 1024)) {
+          // centers don't need to be trained for a cost probe: first
+          // nlist corpus vectors, deterministic
+          val centers = e.orderBy("vec_id").limit(nlist)
+            .select((col("vec_id") % nlist).cast("int").as("cell"),
+              col("embedding").as("center"))
+          val t0 = System.nanoTime()
+          val assigned = extensions.Similarity.assignToCells(
+            e, centers, "vec_id", "embedding")
+          val planned = assigned.queryExecution.executedPlan // force planning
+          val t1 = System.nanoTime()
+          val n = assigned.count()
+          val t2 = System.nanoTime()
+          println(f"ivfcells nlist=$nlist%5d rows=$n plan=${(t1 - t0) / 1e9}%.2f s " +
+            f"run=${(t2 - t1) / 1e9}%.2f s nodes=${planned.treeString.linesIterator.size}")
+        }
+        e.unpersist()
 
       case "minhash-profile" =>
         import org.apache.spark.sql.functions._

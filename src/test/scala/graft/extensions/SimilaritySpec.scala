@@ -124,6 +124,44 @@ class SimilaritySpec extends AnyFunSuite {
       "close() must delete the saved IVF tree")
   }
 
+  test("filtered IVF: predicate prunes candidates before ranking; metadata survives extension") {
+    val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val pred = col("label") % 3 === 0
+
+    val idx = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16,
+      metaCols = Seq("label"))
+    val hits = Similarity.ivfProbe(idx.filtered(pred), q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    // every neighbor satisfies the predicate (the filter ran INSIDE the
+    // candidate generation, not on a ranked result)
+    val allowed = e.filter(pred).select("vec_id").as[Long].collect().toSet
+    assert(hits.forall { case (_, n) => allowed(n) },
+      "filtered probe returned a neighbor violating the predicate")
+
+    // recall vs the filtered brute-force truth at the sim_ivf_recall floor
+    val brute = Similarity.bruteForceTopK(e.filter(pred), q,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & hits).size.toDouble / brute.size
+    assert(recall >= 0.7, s"filtered-IVF recall $recall below floor")
+
+    // metadata columns ride through extendIvfIndex, so a filtered probe
+    // of an extended index sees old and new vectors alike
+    val half = Similarity.ivfFit(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 16, metaCols = Seq("label"))
+    val ext = Similarity.extendIvfIndex(half,
+      e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+    assert(ext.assigned.columns.contains("label"))
+    val extHits = Similarity.ivfProbe(ext.filtered(pred), q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(extHits.forall(allowed), "extension lost the metadata filter")
+    assert(extHits.exists(_ % 2 != 0), "no extension-half vector in filtered hits")
+  }
+
   test("extendIvfIndex: frozen centroids, helper matches KMeans assignment, new vectors probe-visible") {
     val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
     val a = e.filter(col("vec_id") % 2 === 0)
