@@ -42,6 +42,18 @@ object Bench {
     ("sim", n => n.startsWith("sim_"),
       () => graft.queries.NorthStarQueries.clearSimCaches()))
 
+  /** 1-minute load average from /proc/loadavg (-1 if unreadable) — ambient
+    * load is part of the artifact: same-code full runs measured a 45%
+    * warm-total swing between an idle and a loaded machine (round 9), so
+    * a bench number without its load context cannot be compared across
+    * rounds. The archive convention: record >= 3 runs, archive the
+    * best-load one, and treat any run with load_start > ~8 (a quarter of
+    * the 32 cores already busy) as environment, not code. */
+  private def loadAvg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,6 +66,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val loadStart = loadAvg1()
 
     // warm the JIT + file-listing caches once so per-query numbers measure
     // the queries, not first-touch JVM costs.
@@ -114,10 +127,12 @@ object Bench {
     // must be the LAST line printed (the 4 KB detail line would otherwise
     // push it out of the capture window); the complete artifact also lands
     // in BENCH.json.
+    val loadEnd = loadAvg1()
+    val loads = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f"""
     val totals =
-      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,$loads,"sf":"$sfDir"}"""
     val full =
-      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,"sf":"$sfDir","queries":$warmQs,"queries_cold":$coldQs,"queries_warm_min":$warmMinQs,"queries_warm_max":$warmMaxQs}"""
+      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,$loads,"sf":"$sfDir","queries":$warmQs,"queries_cold":$coldQs,"queries_warm_min":$warmMinQs,"queries_warm_max":$warmMaxQs}"""
     println(full)
     println(totals)
     val out = new java.io.PrintWriter("BENCH.json")
