@@ -160,6 +160,24 @@ class SimilaritySpec extends AnyFunSuite {
       .select("neighbor_id").as[Long].collect().toSet
     assert(extHits.forall(allowed), "extension lost the metadata filter")
     assert(extHits.exists(_ % 2 != 0), "no extension-half vector in filtered hits")
+
+    // ...and through save/load: metadata rides the parquet tree, so the
+    // production path (load a versioned index, filter, probe) gives the
+    // same answer as the in-memory one — with the predicate pushed to
+    // the scan of the saved `assigned` relation
+    val dir = graft.TestSpark.tmpDir("graft-ivf-meta")
+    idx.save(dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val loadedHits = Similarity.ivfProbe(loaded.filtered(pred), q,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(loadedHits == hits, "saved-index filtered probe diverged")
+    // the filtered view is a narrow scan+filter — no shuffle, no join —
+    // so candidate pruning happens AT the index scan, before any probe
+    val scan = loaded.filtered(pred).assigned.queryExecution.executedPlan.toString
+    assert(!scan.contains("Exchange") && scan.toLowerCase.contains("label"),
+      s"filtered assigned must stay a narrow filtered scan:\n$scan")
+    loaded.close()
   }
 
   test("extendIvfIndex: frozen centroids, helper matches KMeans assignment, new vectors probe-visible") {
