@@ -88,24 +88,127 @@ object Similarity {
    * LSH-bucketed ANN top-k: only candidates sharing the query's sign
    * bucket in at least one band are scored. Recall grows with `bands`;
    * cost is bands x bucket-local joins instead of a full scan.
+   * Convenience composition of [[lshFit]] + [[lshProbe]] — a real
+   * pipeline fits once and probes many (same economics as IVF).
    */
   def lshTopK(
       candidates: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10,
-      planes: Int = 12, bands: Int = 4): DataFrame = {
+      planes: Int = 12, bands: Int = 4): DataFrame =
+    lshProbe(lshFit(candidates, idCol, vecCol, planes, bands),
+      queries, idCol, vecCol, k)
 
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+  /**
+   * A fitted sign-LSH search index — the LSH sibling of [[IvfIndex]],
+   * same lifecycle (fit once / probe many / `filtered` for
+   * metadata-predicated ANN / save / load / extend / close). `banded`
+   * is the (neighbor_id, c_vec, band, bucket, meta…) relation — the
+   * bucket key is the shuffle/pruning key at scale. planes/bands ride
+   * with the index (a probe banded with different hyperplanes would
+   * silently never match — same failure class as a shingle-k mismatch,
+   * see `Dedup.EmbeddingIndex`).
+   */
+  final case class LshIndex(banded: DataFrame, planes: Int, bands: Int,
+                            savedDir: Option[String] = None) {
+    /** Pin the banded relation in executor storage for repeated probing. */
+    def cache(): LshIndex = { banded.cache(); this }
+
+    /** Metadata-filtered view for FILTERED ANN — the LSH analog of
+      * [[IvfIndex.filtered]]: the predicate (over metadata columns
+      * carried into `banded` by `lshFit(metaCols = ...)`) prunes the
+      * bucket relation BEFORE the bucket join, so candidate generation
+      * never sees non-qualifying rows and top-k fills from qualifying
+      * rows only — post-filtering a global top-k would under-fill it.
+      * On a saved index the filter reaches the parquet scan of `banded`
+      * (plain pushdown). Build once per predicate, probe many. */
+    def filtered(predicate: Column): LshIndex =
+      copy(banded = banded.filter(predicate))
+
+    def unpersist(): LshIndex = { banded.unpersist(false); this }
+
+    /** Persist; planes/bands land in a one-row meta table so a load can
+      * never probe with mismatched hyperplanes. Returns the index with
+      * `savedDir` recorded for [[close]]. */
+    def save(dir: String): LshIndex = {
+      banded.write.mode("overwrite").parquet(s"$dir/banded")
+      val spark = banded.sparkSession
+      import spark.implicits._
+      Seq((planes, bands)).toDF("planes", "bands")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      copy(savedDir = Some(dir))
+    }
+
+    /** Retire this index version in ONE call — unpersist + delete the
+      * saved tree, if any; same contract as `CorpusIndex.close`. */
+    def close(): Unit = {
+      unpersist()
+      savedDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(banded.sparkSession.sessionState.newHadoopConf())
+          .delete(p, true)
+      }
+    }
+  }
+
+  /** The (id, vec, band, bucket, meta…) banded relation both index fit
+    * and probe use; hyperplanes derive deterministically from
+    * (plane, dim) hashes, so both sides band identically with no shared
+    * RNG state. */
+  private def bandVectors(df: DataFrame, idCol: String, vecCol: String,
+                          idAs: String, vecAs: String,
+                          planes: Int, bands: Int,
+                          metaCols: Seq[String]): DataFrame =
+    df.select((col(idCol).as(idAs) +: col(vecCol).as(vecAs) +:
+        metaCols.map(col)) :+
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             graft.functions.VectorExpressions
               .sign_lsh_bucket(col(vecCol), planes, b * planes).as("bucket"))
-        }: _*)).as("bb"))
-        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+        }: _*)).as("bb"): _*)
+      .select(col(idAs) +: col(vecAs) +: col("bb.band") +: col("bb.bucket") +:
+        metaCols.map(col): _*)
 
-    val c = banded(candidates, "neighbor_id", "c_vec")
-    val q = broadcast(banded(queries, "query_id", "q_vec"))
-    val scored = c.join(q, Seq("band", "bucket"))
+  /** Fit the sign-LSH index: band every candidate. `metaCols` names
+    * metadata columns to carry into the banded relation (and the saved
+    * parquet tree) so probes can pre-filter candidates via
+    * [[LshIndex.filtered]] — the production filtered-ANN shape. */
+  def lshFit(candidates: DataFrame, idCol: String, vecCol: String,
+             planes: Int = 12, bands: Int = 4,
+             metaCols: Seq[String] = Nil): LshIndex =
+    LshIndex(bandVectors(candidates, idCol, vecCol, "neighbor_id", "c_vec",
+      planes, bands, metaCols), planes, bands)
+
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("planes"), col("bands")).head()
+    LshIndex(spark.read.parquet(s"$dir/banded"),
+      meta.getInt(0), meta.getInt(1), savedDir = Some(dir))
+  }
+
+  /** Grow an [[LshIndex]] with `newVecs` WITHOUT refitting — bands the
+    * new vectors with the index's OWN planes/bands and unions, exactly
+    * O(new vectors); the corpus-sized banded relation is untouched.
+    * Metadata columns carried by the index are preserved (`newVecs`
+    * must supply them), so filtered probes see old and new vectors
+    * alike. Same append-only id contract as the other index families. */
+  def extendLshIndex(index: LshIndex, newVecs: DataFrame,
+                     idCol: String, vecCol: String): LshIndex = {
+    val metaCols = index.banded.columns.toSeq
+      .filterNot(Set("neighbor_id", "c_vec", "band", "bucket"))
+    index.copy(banded = index.banded.unionByName(
+      bandVectors(newVecs, idCol, vecCol, "neighbor_id", "c_vec",
+        index.planes, index.bands, metaCols)))
+  }
+
+  /** Probe a fitted [[LshIndex]]: only candidates sharing a query's
+    * bucket in at least one band are scored; the banded probe side is
+    * tiny and broadcast. */
+  def lshProbe(index: LshIndex, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val q = broadcast(bandVectors(queries, idCol, vecCol,
+      "query_id", "q_vec", index.planes, index.bands, Nil))
+    val scored = index.banded
+      .join(q, Seq("band", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorExpressions
@@ -195,35 +298,42 @@ object Similarity {
 
   /** Assign vectors to their nearest cell of an EXISTING centroid table
     * (squared Euclidean — KMeans' own metric; ties to the lowest cell
-    * id). The centroids are collected to the driver and inlined as ONE
-    * array-of-structs literal — O(nlist × dim) values, the same "model
-    * broadcast" shape `KMeans.transform` has — and the argmin is a
-    * single `transform` + `array_min` over that literal: zero shuffle,
-    * zero ML-pipeline dependency at probe/extend time, and O(1) plan
-    * NODES in nlist. (The earlier shape built one struct expression per
-    * cell inside the projection — fine at nlist=16, but a production
-    * IVF runs 4k–64k cells, where tens of thousands of expression nodes
-    * break whole-stage codegen and blow up planning time. The per-row
-    * O(nlist × dim) arithmetic is inherent to coarse quantization; the
-    * expression-count blowup was not.) */
+    * id). The centroid matrix rides as ONE broadcast single-row
+    * relation (the sorted array-of-structs), and the argmin is a single
+    * `transform` + `array_min` over that column: zero shuffle, zero
+    * ML-pipeline dependency at probe/extend time, O(1) plan NODES in
+    * nlist, and — unlike the earlier `typedlit` formulation — O(1)
+    * TASK-BINARY bytes in nlist: a plan literal is serialized into
+    * every task, so a production 64k-cell × 128-dim index would ship
+    * ~32 MB with each of thousands of tasks, while the broadcast
+    * relation ships once per executor through the block manager (the
+    * same transport `KMeans.transform`'s model broadcast uses). The
+    * join is a 1-row BroadcastNestedLoopJoin — each output row
+    * references the broadcast array, no per-row copy. Measured in
+    * `Scratch ivfcells` (PLANS.md): plan-literal payload drops from
+    * O(nlist × dim) floats to zero, plan nodes flat 16→16384. */
   def assignToCells(vecs: DataFrame, centers: DataFrame,
                     idCol: String, vecCol: String,
                     metaCols: Seq[String] = Nil): DataFrame = {
-    val ctrs = centers.select(col("cell"), col("center")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
-    require(ctrs.nonEmpty, "centroid table is empty")
-    val ctrLit = typedlit(ctrs) // array<struct<_1: cell, _2: center>>
+    require(!centers.isEmpty, "centroid table is empty")
+    // struct field order (cell, center): sort_array orders by cell id,
+    // so the argmin scan order — and therefore tie behavior — is
+    // deterministic regardless of the centroid table's partitioning
+    val ctrRow = broadcast(centers
+      .agg(sort_array(collect_list(struct(col("cell"), col("center"))))
+        .as("__ctrs")))
     // same float-subtract/multiply + double-accumulate per cell as the
-    // per-cell-literal formulation — assignment stays bit-identical to
+    // literal formulation — assignment stays bit-identical to
     // KMeans.transform (spec-pinned); struct (d2, cell) ordering keeps
     // ties on the lowest cell id
-    val best = array_min(transform(ctrLit, c =>
+    val best = array_min(transform(col("__ctrs"), c =>
       struct(
-        aggregate(zip_with(col("c_vec"), c.getField("_2"), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col("c_vec"), c.getField("center"), (x, y) => (x - y) * (x - y)),
           lit(0.0d), (acc, x) => acc + x).as("d2"),
-        c.getField("_1").as("cell"))))
+        c.getField("cell").as("cell"))))
     vecs.select(col(idCol).as("neighbor_id") +: col(vecCol).as("c_vec") +:
         metaCols.map(col): _*)
+      .crossJoin(ctrRow)
       .withColumn("__best", best)
       .select(col("neighbor_id") +: col("c_vec") +:
         col("__best.cell").as("cell") +: metaCols.map(col): _*)

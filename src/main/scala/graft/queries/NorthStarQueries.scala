@@ -713,6 +713,32 @@ object NorthStarQueries {
         .select(col("n_true"),
           (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
     }),
+    // FILTERED ANN on the LSH index path — the LSH sibling of
+    // `sim_topk_filtered_ivf`, completing the filtered story across
+    // both ANN families: `lshFit(metaCols = label)` carries the
+    // filterable column in the banded bucket relation and
+    // `LshIndex.filtered` prunes it BEFORE the bucket join, so
+    // candidate generation never touches non-qualifying rows (a
+    // post-filtered global top-k would under-fill k). Recall-oriented
+    // parameterization (2 planes x 16 bands — the sim_lsh_recall
+    // convention; weakest-neighbor miss probability ~1e-3), gated at
+    // the shared >= 0.7 floor vs the filtered brute-force truth.
+    "sim_topk_filtered_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
+        q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val idx = Similarity.lshFit(e, "vec_id", "embedding",
+        planes = 2, bands = 16, metaCols = Seq("label"))
+      val lsh = Similarity.lshProbe(idx.filtered(col("label") % 3 === 0), q,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
+    }),
     // index build + probe, measured TOGETHER: fits a FRESH quantizer on
     // every call (fixed seed -> identical cells to the cached index, so
     // results match the probe-only row) — the cached index would otherwise
@@ -1478,6 +1504,9 @@ object NorthStarQueries {
     // candidates restricted by the metadata predicate.
     "sim_topk_filtered" -> FilteredBruteTopKSql,
     "sim_topk_filtered_ivf" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+         |FROM ($FilteredBruteTopKSql) t""".stripMargin,
+    "sim_topk_filtered_lsh" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
          |FROM ($FilteredBruteTopKSql) t""".stripMargin,
     // langId argmax: score ties resolve to the lexicographically greatest

@@ -46,9 +46,16 @@ object CdcStream {
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
     val df = tuned.parquet(sourceDir)
     nanosCols.foldLeft(df) { (d, c) =>
-      if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
-        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-      else d
+      if (!d.schema.fieldNames.contains(c)) d
+      else d.schema(c).dataType match {
+        case LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // naive micros (newer harness encoding): session tz is UTC, so
+          // the cast to instant micros is exact — mirrors Tables.normalize
+          d.withColumn(c, col(c).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 

@@ -220,4 +220,78 @@ class SimilaritySpec extends AnyFunSuite {
       .select("neighbor_id").as[Long].head()
     assert(top == bId, s"near-copy of extension vector $bId must be its top-1, got $top")
   }
+
+  test("assignToCells ships centroids by broadcast, not as a plan literal") {
+    val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+    val idx = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 8)
+    val assigned = Similarity.assignToCells(e, idx.centers, "vec_id", "embedding")
+    // the centroid matrix must NOT ride the plan as an array literal
+    // (a 64k-cell production index would serialize ~tens of MB into
+    // every task binary); the broadcast-exchange transport ships it
+    // once per executor instead
+    val lits = assigned.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+        if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => l
+    })
+    assert(lits.isEmpty, s"centroid matrix leaked into the plan as a literal: $lits")
+    val phys = assigned.queryExecution.executedPlan.toString
+    assert(phys.contains("Broadcast"),
+      s"centroids must arrive via a broadcast exchange:\n$phys")
+  }
+
+  test("filtered LSH: predicate prunes the bucket relation before the bucket join") {
+    val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val pred = col("label") % 3 === 0
+
+    val idx = Similarity.lshFit(e, "vec_id", "embedding",
+      planes = 2, bands = 16, metaCols = Seq("label"))
+    val hits = Similarity.lshProbe(idx.filtered(pred), q,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    // every neighbor satisfies the predicate — the filter ran INSIDE
+    // candidate generation, not on a ranked result
+    val allowed = e.filter(pred).select("vec_id").as[Long].collect().toSet
+    assert(hits.forall { case (_, n) => allowed(n) },
+      "filtered LSH probe returned a neighbor violating the predicate")
+
+    // recall vs the filtered brute-force truth at the shared 0.7 floor
+    val brute = Similarity.bruteForceTopK(e.filter(pred), q,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & hits).size.toDouble / brute.size
+    assert(recall >= 0.7, s"filtered-LSH recall $recall below floor")
+
+    // metadata rides through extendLshIndex: a filtered probe of an
+    // extended index sees old and new vectors alike
+    val half = Similarity.lshFit(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", planes = 2, bands = 16, metaCols = Seq("label"))
+    val ext = Similarity.extendLshIndex(half,
+      e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+    assert(ext.banded.columns.contains("label"))
+    val extHits = Similarity.lshProbe(ext.filtered(pred), q,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // extend(fit(A), B) ≡ fit(A ∪ B): deterministic hyperplanes band
+    // both halves identically on either path
+    assert(extHits == hits, "extended filtered LSH probe diverged from full fit")
+
+    // ...and through save/load: the production path (load a versioned
+    // index, filter, probe) gives the same answer, with the predicate
+    // reaching the parquet scan of the saved banded relation
+    val dir = graft.TestSpark.tmpDir("graft-lsh-meta")
+    idx.save(dir)
+    val loaded = Similarity.loadLshIndex(spark, dir)
+    val loadedHits = Similarity.lshProbe(loaded.filtered(pred), q,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(loadedHits == hits, "saved-index filtered LSH probe diverged")
+    val scan = loaded.filtered(pred).banded.queryExecution.executedPlan.toString
+    assert(!scan.contains("Exchange") && scan.toLowerCase.contains("label"),
+      s"filtered banded must stay a narrow filtered scan:\n$scan")
+    loaded.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "close() must delete the saved LSH tree")
+  }
 }
