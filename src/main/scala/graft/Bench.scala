@@ -17,6 +17,21 @@ import org.apache.spark.sql.SparkSession
  * memory-pressure failure a shared 100 TB cluster hits. Scoped release
  * is the contract a long-lived service must follow too: drop a corpus
  * version's caches when its last consumer finishes, not at shutdown.
+ *
+ * MULTI-RUN DISCIPLINE (mechanized, not convention): same-code full runs
+ * have measured a 45% warm-total swing between an idle and a loaded
+ * machine, and single-run artifacts twice showed per-query "regressions"
+ * that were pure ambient noise (warm-median > cold — impossible for a
+ * real warm regression). So the main now
+ *   1. GATES on ambient load — waits (bounded) for the 1-min loadavg to
+ *      drop below SPARK_GRAFT_LOAD_GATE before measuring;
+ *   2. runs SPARK_GRAFT_BENCH_RUNS (default 3) full passes in one JVM,
+ *      appending EVERY pass to BENCH_HISTORY.jsonl;
+ *   3. archives the minimum-load pass's warm numbers as BENCH.json, with
+ *      provenance fields ("runs", "picked", "picked_by":"min_load",
+ *      per-pass totals+loads) so a reader can audit the choice.
+ * Cold numbers always come from pass 1 — later passes are JIT-warm, so
+ * their "cold" would not be comparable across rounds.
  */
 object Bench {
 
@@ -43,52 +58,20 @@ object Bench {
       () => graft.queries.NorthStarQueries.clearSimCaches()))
 
   /** 1-minute load average from /proc/loadavg (-1 if unreadable) — ambient
-    * load is part of the artifact: same-code full runs measured a 45%
-    * warm-total swing between an idle and a loaded machine (round 9), so
-    * a bench number without its load context cannot be compared across
-    * rounds. The archive convention: record >= 3 runs, archive the
-    * best-load one, and treat any run with load_start > ~8 (a quarter of
-    * the 32 cores already busy) as environment, not code. */
+    * load is part of the artifact: a bench number without its load context
+    * cannot be compared across rounds. Runs with load_start > the gate
+    * (default 8 — a quarter of the 32 cores already busy) are environment,
+    * not code. */
   private def loadAvg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+").head.toDouble
     catch { case _: Throwable => -1.0 }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val loadStart = loadAvg1()
-
-    // warm the JIT + file-listing caches once so per-query numbers measure
-    // the queries, not first-touch JVM costs.
-    graft.sources.Tables.all.foreach { t =>
-      graft.sources.Tables.load(spark, sfDir, t).count()
-    }
-
-    val allNames = SparkEntry.queries.keys.toSeq.sorted
-    val phased = phases.map { case (p, member, release) =>
-      (p, allNames.filter(member), release)
-    }
-    // a query family the phase table doesn't know yet must not silently
-    // run under another family's cache pressure — run leftovers last,
-    // after every scoped release.
-    val leftovers = allNames.filterNot(n => phases.exists(_._2(n)))
-
-    // Four timed executions per query: the first ("cold") includes codegen
-    // compilation + JIT warmup; then THREE warm reps, reported as their
-    // per-query MEDIAN — same-code full runs spanned ~20% (37.9-46.1 s
-    // warm at r8), and with a 2x bar that noise band decides pass/fail,
-    // so a single warm sample is not an artifact-grade number. The rep
-    // min/max ride along in the full artifact as the spread.
+  /** One full phased pass over every query: per query one cold execution
+    * (codegen + first-touch costs) then three warm reps. */
+  private def fullPass(spark: SparkSession, sfDir: String,
+                       phased: Seq[(String, Seq[String], () => Unit)],
+                       leftovers: Seq[String]): Seq[(String, Double, Seq[Double])] = {
     def run(names: Seq[String]): Seq[(String, Double, Seq[Double])] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
@@ -105,48 +88,110 @@ object Bench {
         val warms = Seq(once(), once(), once())
         (name, cold, warms)
       }
-
-    val results = (phased.flatMap { case (_, names, release) =>
+    (phased.flatMap { case (_, names, release) =>
       val rs = run(names)
       release()
       rs
     } ++ run(leftovers)).sortBy(_._1)
+  }
 
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "8.0").toDouble
+    val gateWaitMaxS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX_S", "600").toLong
+
+    // Load gate: measuring under ambient load produces artifacts that need
+    // an idle re-run to exonerate — wait (bounded) instead of measuring
+    // noise. If the machine never goes idle, proceed and say so: the
+    // artifact records the wait and the per-pass loads for the audit.
+    var gateWaitedS = 0L
+    while (loadAvg1() > loadGate && gateWaitedS < gateWaitMaxS) {
+      System.err.println(f"[bench] load ${loadAvg1()}%.2f > gate $loadGate%.1f — waiting")
+      Thread.sleep(30000); gateWaitedS += 30
+    }
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // warm the JIT + file-listing caches once so per-query numbers measure
+    // the queries, not first-touch JVM costs.
+    graft.sources.Tables.all.foreach { t =>
+      graft.sources.Tables.load(spark, sfDir, t).count()
+    }
+
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val phased = phases.map { case (p, member, release) =>
+      (p, allNames.filter(member), release)
+    }
+    // a query family the phase table doesn't know yet must not silently
+    // run under another family's cache pressure — run leftovers last,
+    // after every scoped release.
+    val leftovers = allNames.filterNot(n => phases.exists(_._2(n)))
+
     def render(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val warmQs = render(results.map(r => (r._1, median(r._3))))
-    val coldQs = render(results.map(r => (r._1, r._2)))
-    val warmMinQs = render(results.map(r => (r._1, r._3.min)))
-    val warmMaxQs = render(results.map(r => (r._1, r._3.max)))
-    val warmTotal = results.map(r => median(r._3)).sum
-    val coldTotal = results.map(_._2).sum
-    // The full artifact (~3 KB with 70+ queries) exceeds the harness's line
-    // capture, which truncated it to unparseable JSON in past runs. The
-    // harness tail-captures stdout, so the short self-contained totals line
-    // must be the LAST line printed (the 4 KB detail line would otherwise
-    // push it out of the capture window); the complete artifact also lands
-    // in BENCH.json.
-    val loadEnd = loadAvg1()
-    val loads = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f"""
+
+    final case class Pass(idx: Int, results: Seq[(String, Double, Seq[Double])],
+                          loadStart: Double, loadEnd: Double) {
+      def warmTotal: Double = results.map(r => median(r._3)).sum
+      def coldTotal: Double = results.map(_._2).sum
+      def maxLoad: Double = math.max(loadStart, loadEnd)
+      def fullLine: String = {
+        val loads = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f"""
+        f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,$loads,"pass":$idx,"sf":"$sfDir","queries":${render(results.map(r => (r._1, median(r._3))))},"queries_cold":${render(results.map(r => (r._1, r._2)))},"queries_warm_min":${render(results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(results.map(r => (r._1, r._3.max)))}}"""
+      }
+    }
+
+    val passes = (1 to nRuns).map { p =>
+      val loadStart = loadAvg1()
+      val results = fullPass(spark, sfDir, phased, leftovers)
+      val loadEnd = loadAvg1()
+      // reset every pinned relation between passes so each pass prices the
+      // same work (phases release their own, this sweeps the rest)
+      SparkEntry.clearCaches()
+      val pass = Pass(p, results, loadStart, loadEnd)
+      // EVERY pass lands in the tracked history — the audit trail the
+      // single-run regime lacked (a noisy row could not be told from a
+      // regression without a re-run)
+      val hist = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
+      try hist.write(
+        "{\"ts\":" + System.currentTimeMillis / 1000 + "," + pass.fullLine.stripPrefix("{") + "\n")
+      finally hist.close()
+      System.err.println(f"[bench] pass $p/$nRuns: warm ${pass.warmTotal}%.1f s, " +
+        f"cold ${pass.coldTotal}%.1f s, load ${pass.loadStart}%.2f -> ${pass.loadEnd}%.2f")
+      pass
+    }
+
+    // Archive the pass measured under the least ambient load (warm map);
+    // cold always from pass 1 — the only true JVM-cold pass.
+    val picked = passes.minBy(_.maxLoad)
+    val first = passes.head
+    val prov =
+      f""""runs":$nRuns,"picked":${picked.idx},"picked_by":"min_load","load_gate":$loadGate%.1f,"gate_waited_s":$gateWaitedS,"pass_totals":${
+        passes.map(p => f"""{"pass":${p.idx},"warm":${p.warmTotal}%.3f,"cold":${p.coldTotal}%.3f,"load_start":${p.loadStart}%.2f,"load_end":${p.loadEnd}%.2f}""").mkString("[", ",", "]")}"""
+    val loads = f""""load_start":${picked.loadStart}%.2f,"load_end":${picked.loadEnd}%.2f"""
     val totals =
-      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,$loads,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${picked.warmTotal}%.3f,"unit":"sec","value_cold":${first.coldTotal}%.3f,$loads,"runs":$nRuns,"picked":${picked.idx},"sf":"$sfDir"}"""
     val full =
-      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,$loads,"sf":"$sfDir","queries":$warmQs,"queries_cold":$coldQs,"queries_warm_min":$warmMinQs,"queries_warm_max":$warmMaxQs}"""
+      f"""{"metric":"total","value":${picked.warmTotal}%.3f,"unit":"sec","value_cold":${first.coldTotal}%.3f,$loads,$prov,"sf":"$sfDir","queries":${render(picked.results.map(r => (r._1, median(r._3))))},"queries_cold":${render(first.results.map(r => (r._1, r._2)))},"queries_warm_min":${render(picked.results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(picked.results.map(r => (r._1, r._3.max)))}}"""
+    // The full artifact (~4 KB with 100+ queries) exceeds the harness's
+    // line capture; the short self-contained totals line must be the LAST
+    // line printed. The complete artifact also lands in BENCH.json.
     println(full)
     println(totals)
     val out = new java.io.PrintWriter("BENCH.json")
     try out.println(full) finally out.close()
-    // ...and append to the tracked history so the per-round WARM map
-    // survives the driver's tail-truncated BENCH_r{N}.json archive — the
-    // round-7 audit could not diff warm per-query numbers because only
-    // the overwritten BENCH.json carried them.
-    val hist = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
-    try hist.write(
-      "{\"ts\":" + System.currentTimeMillis / 1000 + "," + full.stripPrefix("{") + "\n")
-    finally hist.close()
-    // final sweep for anything the phases didn't scope
-    SparkEntry.clearCaches()
     spark.stop()
   }
 }
