@@ -390,7 +390,13 @@ object Dedup {
   final case class CorpusIndex(postings: DataFrame, shingles: DataFrame,
                                dfCounts: DataFrame,
                                shingleK: Int = 3, maxGramDf: Int = 100,
-                               savedDir: Option[String] = None) {
+                               savedDir: Option[String] = None,
+                               /** Version lineage ([[IndexMeta]]): bumped
+                                 * by every extend, stamped into the saved
+                                 * tree, checked before close/compaction. */
+                               version: Long = 1L,
+                               folded: Seq[String] = Nil,
+                               parent: Option[String] = None) {
     private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def persist(): CorpusIndex = {
       postings.persist(lvl); shingles.persist(lvl); dfCounts.persist(lvl); this
@@ -404,12 +410,17 @@ object Dedup {
       * from, if any — the lifecycle a long-lived service needs per
       * version (previously: unpersist + manual dir cleanup, which a
       * dying JVM skips). After close() the version is gone for every
-      * consumer; don't close a tree other jobs still load from. */
+      * consumer; don't close a tree other jobs still load from.
+      * REFUSES a stale handle: if the tree now stamps a different
+      * version (another job saved over it), deleting would destroy the
+      * wrong version. */
     def close(): Unit = {
       unpersist()
       savedDir.foreach { d =>
+        val spark = postings.sparkSession
+        IndexMeta.requireCurrent(spark, d, version, "close()")
         val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(postings.sparkSession.sessionState.newHadoopConf())
+        p.getFileSystem(spark.sessionState.newHadoopConf())
           .delete(p, true)
       }
     }
@@ -482,7 +493,10 @@ object Dedup {
       index.postings.join(crossing, Seq("gram"), "left_anti")
         .union(newInv.join(newKeep, Seq("gram"), "left_semi")),
       index.shingles.union(newSh), mergedDf,
-      index.shingleK, cut)
+      index.shingleK, cut,
+      // a NEW version: no savedDir (close() of the extension must not
+      // delete the parent's tree), version bumped, lineage carried
+      version = index.version + 1, folded = index.folded)
   }
 
   /** Persist a [[CorpusIndex]] to storage so it outlives the session —
@@ -501,6 +515,9 @@ object Dedup {
     import spark.implicits._
     Seq((index.shingleK, index.maxGramDf)).toDF("shingle_k", "max_gram_df")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexMeta.write(spark, dir, IndexMeta.Meta(index.version,
+      parent = index.savedDir.filterNot(_ == dir), folded = index.folded,
+      rows = IndexMeta.rowCounts(spark, dir, Seq("postings", "shingles", "df"))))
     index.copy(savedDir = Some(dir))
   }
 
@@ -527,9 +544,12 @@ object Dedup {
         spark.read.parquet(s"$dir/df")
       else shingles.select(col("doc_id"), explode(col("sh")).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val stamp = IndexMeta.read(spark, dir)
     CorpusIndex(
       spark.read.parquet(s"$dir/postings"), shingles, dfCounts,
-      shingleK, maxGramDf, savedDir = Some(dir))
+      shingleK, maxGramDf, savedDir = Some(dir),
+      version = stamp.map(_.version).getOrElse(1L),
+      folded = stamp.map(_.folded).getOrElse(Nil))
   }
 
   /**
@@ -644,7 +664,10 @@ object Dedup {
     * class as a shingle-k mismatch). */
   final case class EmbeddingIndex(buckets: DataFrame, vectors: DataFrame,
                                   planes: Int, bands: Int,
-                                  savedDir: Option[String] = None) {
+                                  savedDir: Option[String] = None,
+                                  version: Long = 1L,
+                                  folded: Seq[String] = Nil,
+                                  parent: Option[String] = None) {
     private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def persist(): EmbeddingIndex = {
       buckets.persist(lvl); vectors.persist(lvl); this
@@ -653,12 +676,15 @@ object Dedup {
       buckets.unpersist(false); vectors.unpersist(false); ()
     }
     /** Retire this index version in ONE call — unpersist + delete the
-      * saved tree, if any; same contract as [[CorpusIndex.close]]. */
+      * saved tree, if any; same contract as [[CorpusIndex.close]],
+      * including the stale-handle refusal ([[IndexMeta]]). */
     def close(): Unit = {
       unpersist()
       savedDir.foreach { d =>
+        val spark = buckets.sparkSession
+        IndexMeta.requireCurrent(spark, d, version, "close()")
         val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(buckets.sparkSession.sessionState.newHadoopConf())
+        p.getFileSystem(spark.sessionState.newHadoopConf())
           .delete(p, true)
       }
     }
@@ -701,7 +727,8 @@ object Dedup {
         signBands(newDocs, idCol, vecCol, index.planes, index.bands)),
       index.vectors.union(
         newDocs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))),
-      index.planes, index.bands)
+      index.planes, index.bands,
+      version = index.version + 1, folded = index.folded)
 
   /** Persist an [[EmbeddingIndex]] to storage — the embedding analog of
     * [[saveCorpusIndex]], same production lifecycle: one job fits the
@@ -716,6 +743,9 @@ object Dedup {
     import spark.implicits._
     Seq((index.planes, index.bands)).toDF("planes", "bands")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexMeta.write(spark, dir, IndexMeta.Meta(index.version,
+      parent = index.savedDir.filterNot(_ == dir), folded = index.folded,
+      rows = IndexMeta.rowCounts(spark, dir, Seq("buckets", "vectors"))))
     index.copy(savedDir = Some(dir))
   }
 
@@ -725,10 +755,13 @@ object Dedup {
                          dir: String): EmbeddingIndex = {
     val meta = spark.read.parquet(s"$dir/meta")
       .select(col("planes"), col("bands")).head()
+    val stamp = IndexMeta.read(spark, dir)
     EmbeddingIndex(
       spark.read.parquet(s"$dir/buckets"),
       spark.read.parquet(s"$dir/vectors"),
-      meta.getInt(0), meta.getInt(1), savedDir = Some(dir))
+      meta.getInt(0), meta.getInt(1), savedDir = Some(dir),
+      version = stamp.map(_.version).getOrElse(1L),
+      folded = stamp.map(_.folded).getOrElse(Nil))
   }
 
   /** INCREMENTAL embedding dedup: drop every batch vector whose exact

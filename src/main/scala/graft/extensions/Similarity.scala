@@ -109,7 +109,10 @@ object Similarity {
    * see `Dedup.EmbeddingIndex`).
    */
   final case class LshIndex(banded: DataFrame, planes: Int, bands: Int,
-                            savedDir: Option[String] = None) {
+                            savedDir: Option[String] = None,
+                            version: Long = 1L,
+                            folded: Seq[String] = Nil,
+                            parent: Option[String] = None) {
     /** Pin the banded relation in executor storage for repeated probing. */
     def cache(): LshIndex = { banded.cache(); this }
 
@@ -135,16 +138,22 @@ object Similarity {
       import spark.implicits._
       Seq((planes, bands)).toDF("planes", "bands")
         .write.mode("overwrite").parquet(s"$dir/meta")
+      IndexMeta.write(spark, dir, IndexMeta.Meta(version,
+        parent = savedDir.filterNot(_ == dir), folded = folded,
+        rows = IndexMeta.rowCounts(spark, dir, Seq("banded"))))
       copy(savedDir = Some(dir))
     }
 
     /** Retire this index version in ONE call — unpersist + delete the
-      * saved tree, if any; same contract as `CorpusIndex.close`. */
+      * saved tree, if any; same contract as `CorpusIndex.close`,
+      * including the stale-handle refusal ([[IndexMeta]]). */
     def close(): Unit = {
       unpersist()
       savedDir.foreach { d =>
+        val spark = banded.sparkSession
+        IndexMeta.requireCurrent(spark, d, version, "close()")
         val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(banded.sparkSession.sessionState.newHadoopConf())
+        p.getFileSystem(spark.sessionState.newHadoopConf())
           .delete(p, true)
       }
     }
@@ -181,8 +190,11 @@ object Similarity {
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String): LshIndex = {
     val meta = spark.read.parquet(s"$dir/meta")
       .select(col("planes"), col("bands")).head()
+    val stamp = IndexMeta.read(spark, dir)
     LshIndex(spark.read.parquet(s"$dir/banded"),
-      meta.getInt(0), meta.getInt(1), savedDir = Some(dir))
+      meta.getInt(0), meta.getInt(1), savedDir = Some(dir),
+      version = stamp.map(_.version).getOrElse(1L),
+      folded = stamp.map(_.folded).getOrElse(Nil))
   }
 
   /** Grow an [[LshIndex]] with `newVecs` WITHOUT refitting — bands the
@@ -195,9 +207,12 @@ object Similarity {
                      idCol: String, vecCol: String): LshIndex = {
     val metaCols = index.banded.columns.toSeq
       .filterNot(Set("neighbor_id", "c_vec", "band", "bucket"))
+    // a NEW version: savedDir dropped (close() of the extension must not
+    // delete the parent's tree), version bumped, lineage carried
     index.copy(banded = index.banded.unionByName(
       bandVectors(newVecs, idCol, vecCol, "neighbor_id", "c_vec",
-        index.planes, index.bands, metaCols)))
+        index.planes, index.bands, metaCols)),
+      savedDir = None, version = index.version + 1)
   }
 
   /** Probe a fitted [[LshIndex]]: only candidates sharing a query's
@@ -248,7 +263,10 @@ object Similarity {
    * is probed with cell-partition pruning and zero rebuild cost.
    */
   final case class IvfIndex(centers: DataFrame, assigned: DataFrame,
-                            savedDir: Option[String] = None) {
+                            savedDir: Option[String] = None,
+                            version: Long = 1L,
+                            folded: Seq[String] = Nil,
+                            parent: Option[String] = None) {
     /** Pin the assignment in executor storage for repeated probing. */
     def cache(): IvfIndex = { assigned.cache(); centers.cache(); this }
 
@@ -275,26 +293,37 @@ object Similarity {
       centers.write.mode("overwrite").parquet(s"$dir/centers")
       assigned.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/assigned")
+      val spark = centers.sparkSession
+      IndexMeta.write(spark, dir, IndexMeta.Meta(version,
+        parent = savedDir.filterNot(_ == dir), folded = folded,
+        rows = IndexMeta.rowCounts(spark, dir, Seq("centers", "assigned"))))
       copy(savedDir = Some(dir))
     }
 
     /** Retire this index version in ONE call — unpersist + delete the
-      * saved tree, if any; same contract as `CorpusIndex.close`. */
+      * saved tree, if any; same contract as `CorpusIndex.close`,
+      * including the stale-handle refusal ([[IndexMeta]]). */
     def close(): Unit = {
       unpersist()
       savedDir.foreach { d =>
+        val spark = centers.sparkSession
+        IndexMeta.requireCurrent(spark, d, version, "close()")
         val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(centers.sparkSession.sessionState.newHadoopConf())
+        p.getFileSystem(spark.sessionState.newHadoopConf())
           .delete(p, true)
       }
     }
   }
 
-  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val stamp = IndexMeta.read(spark, dir)
     IvfIndex(
       spark.read.parquet(s"$dir/centers"),
       spark.read.parquet(s"$dir/assigned"),
-      savedDir = Some(dir))
+      savedDir = Some(dir),
+      version = stamp.map(_.version).getOrElse(1L),
+      folded = stamp.map(_.folded).getOrElse(Nil))
+  }
 
   /** Assign vectors to their nearest cell of an EXISTING centroid table
     * (squared Euclidean — KMeans' own metric; ties to the lowest cell
@@ -359,7 +388,8 @@ object Similarity {
       .filterNot(Set("neighbor_id", "c_vec", "cell"))
     IvfIndex(index.centers,
       index.assigned.unionByName(
-        assignToCells(newVecs, index.centers, idCol, vecCol, metaCols)))
+        assignToCells(newVecs, index.centers, idCol, vecCol, metaCols)),
+      version = index.version + 1, folded = index.folded)
   }
 
   /** Train the coarse quantizer and assign every candidate to its cell.

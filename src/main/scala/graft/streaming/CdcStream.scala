@@ -331,7 +331,12 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.CorpusIndex,
       idCol: String, textCol: String,
-      provenanceDir: Option[String] = None): graft.extensions.Dedup.CorpusIndex =
+      provenanceDir: Option[String] = None): graft.extensions.Dedup.CorpusIndex = {
+    // stale-handle guard: folding into a handle whose tree another job
+    // already bumped would version the batches against an index the
+    // disk no longer holds
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
     consumeSinkTree(spark, sinkDir) match {
       case None => index
       case Some(accepted) =>
@@ -339,8 +344,11 @@ object CdcStream {
           accepted.dropDuplicates(idCol), idCol, textCol)
         markFolded(spark, sinkDir)
         provenanceDir.foreach(markFolded(spark, _))
-        bumped
+        // the fold is part of the new version's lineage — the next save
+        // stamps it into the tree ([[graft.extensions.IndexMeta]])
+        bumped.copy(folded = bumped.folded :+ sinkDir)
     }
+  }
 
   /** The embedding analog of [[compactAcceptedBatches]]: fold the
     * accepted-novel vectors of [[startEmbeddingDedupIngest]]'s sink into
@@ -354,7 +362,9 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
       idCol: String, vecCol: String,
-      provenanceDir: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex =
+      provenanceDir: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
     consumeSinkTree(spark, sinkDir) match {
       case None => index
       case Some(accepted) =>
@@ -362,8 +372,9 @@ object CdcStream {
           accepted.dropDuplicates(idCol), idCol, vecCol)
         markFolded(spark, sinkDir)
         provenanceDir.foreach(markFolded(spark, _))
-        bumped
+        bumped.copy(folded = bumped.folded :+ sinkDir)
     }
+  }
 
   /** Marker a successful compaction writes at the root of every tree it
     * consumed; its presence makes a double-fold unrepresentable. */

@@ -1,0 +1,144 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The saved-index version/lineage stamp (`_meta.json`): save stamps,
+  * extend bumps, load round-trips, close/compaction refuse stale
+  * handles, compaction records the folded sink tree. */
+class IndexMetaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = graft.sources.Tables
+    .load(spark, TestSpark.Sf0001, "documents")
+
+  test("save stamps version 1 with footer-exact row counts; load round-trips") {
+    val dir = TestSpark.tmpDir("graft-meta-v1")
+    val idx = Dedup.buildCorpusIndex(docs.filter(col("doc_id") < 100),
+      "doc_id", "text")
+    val saved = Dedup.saveCorpusIndex(idx, dir)
+    assert(saved.version == 1L)
+
+    val stamp = IndexMeta.read(spark, dir).get
+    assert(stamp.version == 1L)
+    assert(stamp.parent.isEmpty)
+    assert(stamp.folded.isEmpty)
+    assert(stamp.rows.keySet == Set("postings", "shingles", "df"))
+    assert(stamp.rows("shingles") == idx.shingles.count())
+    assert(stamp.rows("postings") == idx.postings.count())
+
+    val loaded = Dedup.loadCorpusIndex(spark, dir)
+    assert(loaded.version == 1L && loaded.folded.isEmpty)
+    loaded.close()
+  }
+
+  test("extend bumps the version and drops savedDir; save records the parent") {
+    val d1 = TestSpark.tmpDir("graft-meta-p1")
+    val d2 = TestSpark.tmpDir("graft-meta-p2")
+    val v1 = Dedup.saveCorpusIndex(
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") < 100), "doc_id", "text"), d1)
+    val v2 = Dedup.extendCorpusIndex(v1,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), "doc_id", "text")
+    assert(v2.version == 2L)
+    assert(v2.savedDir.isEmpty, "an extension must not inherit the parent's tree")
+
+    val v2saved = Dedup.saveCorpusIndex(v2.copy(savedDir = v1.savedDir), d2)
+    val stamp = IndexMeta.read(spark, d2).get
+    assert(stamp.version == 2L)
+    assert(stamp.parent.contains(d1), "the new tree must name its parent")
+    v2saved.close()
+    v1.close()
+  }
+
+  test("close() refuses a stale handle after the tree was re-saved in place") {
+    val dir = TestSpark.tmpDir("graft-meta-stale")
+    val v1 = Dedup.saveCorpusIndex(
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") < 100), "doc_id", "text"), dir)
+    // another job bumps the SAME tree in place: extend + save over dir.
+    // Materialize the extension's inputs BEFORE overwriting (the lazy
+    // plans read the old files) — in production the jobs are distinct
+    // and the new version is computed from its own inputs.
+    val ext = Dedup.extendCorpusIndex(v1,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), "doc_id", "text")
+    val mat = Dedup.CorpusIndex(
+      ext.postings.localCheckpoint(true), ext.shingles.localCheckpoint(true),
+      ext.dfCounts.localCheckpoint(true), ext.shingleK, ext.maxGramDf,
+      version = ext.version)
+    val v2 = Dedup.saveCorpusIndex(mat, dir)
+    assert(IndexMeta.read(spark, dir).get.version == 2L)
+
+    val e = intercept[IllegalArgumentException](v1.close())
+    assert(e.getMessage.contains("version 2") && e.getMessage.contains("version 1"))
+    assert(IndexMeta.read(spark, dir).nonEmpty, "stale close must not delete the tree")
+    v2.close() // the current handle may retire it
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("ivf/lsh/embedding families carry the same stamp through save/load/extend") {
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 200)
+
+    val ivfDir = TestSpark.tmpDir("graft-meta-ivf")
+    val ivf = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 4).save(ivfDir)
+    assert(IndexMeta.read(spark, ivfDir).get.version == 1L)
+    assert(Similarity.loadIvfIndex(spark, ivfDir).version == 1L)
+    val ivf2 = Similarity.extendIvfIndex(ivf, e.limit(0), "vec_id", "embedding")
+    assert(ivf2.version == 2L && ivf2.savedDir.isEmpty)
+    ivf.close()
+
+    val lshDir = TestSpark.tmpDir("graft-meta-lsh")
+    val lsh = Similarity.lshFit(e, "vec_id", "embedding").save(lshDir)
+    assert(IndexMeta.read(spark, lshDir).get.version == 1L)
+    assert(Similarity.loadLshIndex(spark, lshDir).version == 1L)
+    val lsh2 = Similarity.extendLshIndex(lsh, e.limit(0), "vec_id", "embedding")
+    assert(lsh2.version == 2L && lsh2.savedDir.isEmpty,
+      "an LSH extension must not inherit the parent's tree")
+    lsh.close()
+
+    val embDir = TestSpark.tmpDir("graft-meta-emb")
+    val emb = Dedup.saveEmbeddingIndex(
+      Dedup.buildEmbeddingIndex(e, "vec_id", "embedding"), embDir)
+    assert(IndexMeta.read(spark, embDir).get.version == 1L)
+    assert(Dedup.loadEmbeddingIndex(spark, embDir).version == 1L)
+    assert(Dedup.extendEmbeddingIndex(emb, e.limit(0), "vec_id", "embedding")
+      .version == 2L)
+    emb.close()
+  }
+
+  test("compaction refuses a stale handle and records the folded sink in lineage") {
+    val dir = TestSpark.tmpDir("graft-meta-fold")
+    val sink = TestSpark.tmpDir("graft-meta-sink") + "/accepted"
+    val v1 = Dedup.saveCorpusIndex(
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") < 100), "doc_id", "text"), dir)
+
+    // an accepted-batch sink tree (the streaming ingest's layout)
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").parquet(sink)
+
+    val bumped = graft.streaming.CdcStream.compactAcceptedBatches(
+      spark, sink, v1, "doc_id", "text")
+    assert(bumped.version == 2L)
+    assert(bumped.folded == Seq(sink), "the fold must enter the lineage")
+
+    // the next save stamps the lineage into the tree
+    val d2 = TestSpark.tmpDir("graft-meta-fold2")
+    Dedup.saveCorpusIndex(bumped, d2)
+    val stamp = IndexMeta.read(spark, d2).get
+    assert(stamp.version == 2L && stamp.folded == Seq(sink) &&
+      stamp.parent.contains(dir))
+
+    // a handle made stale by that save chain cannot compact: simulate by
+    // stamping the v1 tree with a newer version (another job re-saved it)
+    IndexMeta.write(spark, dir,
+      IndexMeta.Meta(7L, None, Nil, Map.empty))
+    val err = intercept[IllegalArgumentException](
+      graft.streaming.CdcStream.compactAcceptedBatches(
+        spark, sink, v1, "doc_id", "text"))
+    assert(err.getMessage.contains("compaction"))
+  }
+}
