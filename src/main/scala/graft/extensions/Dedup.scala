@@ -59,11 +59,15 @@ object Dedup {
     transform(TextFunctions.shingles(text, shingleK),
       s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL)))
 
-  /** MinHash signature over a PRE-MATERIALIZED base-hash array column. */
+  /** MinHash signature over a PRE-MATERIALIZED base-hash array column.
+    * The xxhash64 finalizer on each permuted value mirrors the native
+    * kernel ([[graft.functions.HashKernels.minhashSignature]]): the bare
+    * affine map is order-preserving in the base hash, which collapsed
+    * all permutations onto one ordering — see the kernel's doc. */
   def minhashSignature(baseCol: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { i =>
       val (a, b) = permCoeffs(i)
-      array_min(transform(baseCol, h => h * lit(a) + lit(b)))
+      array_min(transform(baseCol, h => xxhash64(h * lit(a) + lit(b))))
     }: _*)
 
   /** splitmix64-derived 31-bit odd multiplier + 31-bit offset per
@@ -495,8 +499,12 @@ object Dedup {
       index.shingles.union(newSh), mergedDf,
       index.shingleK, cut,
       // a NEW version: no savedDir (close() of the extension must not
-      // delete the parent's tree), version bumped, lineage carried
-      version = index.version + 1, folded = index.folded)
+      // delete the parent's tree), version bumped, lineage carried —
+      // the parent's tree (if it ever had one) becomes this version's
+      // `parent`, so the natural save v1 → extend → save v2 chain stamps
+      // v1's path into v2's tree
+      version = index.version + 1, folded = index.folded,
+      parent = index.savedDir.orElse(index.parent))
   }
 
   /** Persist a [[CorpusIndex]] to storage so it outlives the session —
@@ -516,7 +524,8 @@ object Dedup {
     Seq((index.shingleK, index.maxGramDf)).toDF("shingle_k", "max_gram_df")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexMeta.write(spark, dir, IndexMeta.Meta(index.version,
-      parent = index.savedDir.filterNot(_ == dir), folded = index.folded,
+      parent = index.parent.orElse(index.savedDir.filterNot(_ == dir)),
+      folded = index.folded,
       rows = IndexMeta.rowCounts(spark, dir, Seq("postings", "shingles", "df"))))
     index.copy(savedDir = Some(dir))
   }
@@ -549,7 +558,8 @@ object Dedup {
       spark.read.parquet(s"$dir/postings"), shingles, dfCounts,
       shingleK, maxGramDf, savedDir = Some(dir),
       version = stamp.map(_.version).getOrElse(1L),
-      folded = stamp.map(_.folded).getOrElse(Nil))
+      folded = stamp.map(_.folded).getOrElse(Nil),
+      parent = stamp.flatMap(_.parent))
   }
 
   /**
@@ -728,7 +738,8 @@ object Dedup {
       index.vectors.union(
         newDocs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))),
       index.planes, index.bands,
-      version = index.version + 1, folded = index.folded)
+      version = index.version + 1, folded = index.folded,
+      parent = index.savedDir.orElse(index.parent))
 
   /** Persist an [[EmbeddingIndex]] to storage — the embedding analog of
     * [[saveCorpusIndex]], same production lifecycle: one job fits the
@@ -744,7 +755,8 @@ object Dedup {
     Seq((index.planes, index.bands)).toDF("planes", "bands")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexMeta.write(spark, dir, IndexMeta.Meta(index.version,
-      parent = index.savedDir.filterNot(_ == dir), folded = index.folded,
+      parent = index.parent.orElse(index.savedDir.filterNot(_ == dir)),
+      folded = index.folded,
       rows = IndexMeta.rowCounts(spark, dir, Seq("buckets", "vectors"))))
     index.copy(savedDir = Some(dir))
   }
@@ -761,7 +773,8 @@ object Dedup {
       spark.read.parquet(s"$dir/vectors"),
       meta.getInt(0), meta.getInt(1), savedDir = Some(dir),
       version = stamp.map(_.version).getOrElse(1L),
-      folded = stamp.map(_.folded).getOrElse(Nil))
+      folded = stamp.map(_.folded).getOrElse(Nil),
+      parent = stamp.flatMap(_.parent))
   }
 
   /** INCREMENTAL embedding dedup: drop every batch vector whose exact

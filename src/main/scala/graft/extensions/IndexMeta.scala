@@ -44,9 +44,14 @@ object IndexMeta {
     meta.rows.toSeq.sortBy(_._1).foreach { case (k, v) => rn.put(k, v) }
     val p = new HPath(new HPath(dir), FileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // tmp + rename: a crash mid-write must not leave a truncated stamp
+    // where a valid one stood — the rename is the commit point
+    val tmp = new HPath(new HPath(dir), FileName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(om.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"could not move $tmp into place at $p")
   }
 
   def read(spark: SparkSession, dir: String): Option[Meta] = {
@@ -63,15 +68,25 @@ object IndexMeta {
           while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
           buf.toByteArray
         } finally in.close()
-      val node = new ObjectMapper().readTree(bytes)
-      Some(Meta(
-        node.get("version").asLong(),
-        Option(node.get("parent")).map(_.asText()),
-        Option(node.get("folded"))
-          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
-        Option(node.get("rows"))
-          .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
-          .getOrElse(Map.empty)))
+      // a corrupted/truncated stamp degrades to the documented
+      // advisory-absent path (no check fires) instead of bricking every
+      // load/close of an otherwise valid tree with a parse exception
+      scala.util.Try {
+        val node = new ObjectMapper().readTree(bytes)
+        Meta(
+          node.get("version").asLong(),
+          Option(node.get("parent")).map(_.asText()),
+          Option(node.get("folded"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+          Option(node.get("rows"))
+            .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
+            .getOrElse(Map.empty))
+      }.recoverWith { case e =>
+        System.err.println(
+          s"WARN IndexMeta: unreadable $FileName at $dir (${e.getMessage}) " +
+            "— treating the tree as unstamped; version checks will not fire")
+        scala.util.Failure(e)
+      }.toOption
     }
   }
 

@@ -123,15 +123,24 @@ object Similarity {
       * never sees non-qualifying rows and top-k fills from qualifying
       * rows only — post-filtering a global top-k would under-fill it.
       * On a saved index the filter reaches the parquet scan of `banded`
-      * (plain pushdown). Build once per predicate, probe many. */
+      * (plain pushdown). Build once per predicate, probe many. The view
+      * drops `savedDir`: `close()` on a view must not delete the full
+      * index's tree, and `save()` of a view persists the subset as a
+      * NEW unrelated tree rather than silently overwriting the full
+      * one's identity. */
     def filtered(predicate: Column): LshIndex =
-      copy(banded = banded.filter(predicate))
+      copy(banded = banded.filter(predicate), savedDir = None)
 
     def unpersist(): LshIndex = { banded.unpersist(false); this }
 
     /** Persist; planes/bands land in a one-row meta table so a load can
       * never probe with mismatched hyperplanes. Returns the index with
-      * `savedDir` recorded for [[close]]. */
+      * `savedDir` recorded for [[close]]. NOTE the stale-guard's scope:
+      * save stamps the handle's CURRENT version (extend/compact are what
+      * bump), so two different indexes saved in sequence over the same
+      * dir at the same version are indistinguishable to the guard —
+      * in-place re-save at an unchanged version is outside its
+      * protection (same for all index families). */
     def save(dir: String): LshIndex = {
       banded.write.mode("overwrite").parquet(s"$dir/banded")
       val spark = banded.sparkSession
@@ -139,7 +148,7 @@ object Similarity {
       Seq((planes, bands)).toDF("planes", "bands")
         .write.mode("overwrite").parquet(s"$dir/meta")
       IndexMeta.write(spark, dir, IndexMeta.Meta(version,
-        parent = savedDir.filterNot(_ == dir), folded = folded,
+        parent = parent.orElse(savedDir.filterNot(_ == dir)), folded = folded,
         rows = IndexMeta.rowCounts(spark, dir, Seq("banded"))))
       copy(savedDir = Some(dir))
     }
@@ -194,7 +203,8 @@ object Similarity {
     LshIndex(spark.read.parquet(s"$dir/banded"),
       meta.getInt(0), meta.getInt(1), savedDir = Some(dir),
       version = stamp.map(_.version).getOrElse(1L),
-      folded = stamp.map(_.folded).getOrElse(Nil))
+      folded = stamp.map(_.folded).getOrElse(Nil),
+      parent = stamp.flatMap(_.parent))
   }
 
   /** Grow an [[LshIndex]] with `newVecs` WITHOUT refitting — bands the
@@ -208,11 +218,13 @@ object Similarity {
     val metaCols = index.banded.columns.toSeq
       .filterNot(Set("neighbor_id", "c_vec", "band", "bucket"))
     // a NEW version: savedDir dropped (close() of the extension must not
-    // delete the parent's tree), version bumped, lineage carried
+    // delete the parent's tree), version bumped, lineage carried — the
+    // parent's tree becomes this version's `parent` for the next save
     index.copy(banded = index.banded.unionByName(
       bandVectors(newVecs, idCol, vecCol, "neighbor_id", "c_vec",
         index.planes, index.bands, metaCols)),
-      savedDir = None, version = index.version + 1)
+      savedDir = None, version = index.version + 1,
+      parent = index.savedDir.orElse(index.parent))
   }
 
   /** Probe a fitted [[LshIndex]]: only candidates sharing a query's
@@ -278,9 +290,12 @@ object Similarity {
       * saved index the filter reaches the parquet scan of `assigned`
       * (plain pushdown, composed with cell-partition pruning); on a
       * cached one it shares the unfiltered index's executor storage.
-      * The view is cheap — build once per predicate and probe many. */
+      * The view is cheap — build once per predicate and probe many.
+      * The view drops `savedDir`: `close()` on a view must not delete
+      * the full index's tree, and `save()` of a view persists the
+      * subset as a NEW unrelated tree. */
     def filtered(predicate: Column): IvfIndex =
-      copy(assigned = assigned.filter(predicate))
+      copy(assigned = assigned.filter(predicate), savedDir = None)
 
     /** Release executor storage pinned by [[cache]] (long-lived services
       * must pair every cache with this; short-lived mains may skip it). */
@@ -295,7 +310,7 @@ object Similarity {
         .parquet(s"$dir/assigned")
       val spark = centers.sparkSession
       IndexMeta.write(spark, dir, IndexMeta.Meta(version,
-        parent = savedDir.filterNot(_ == dir), folded = folded,
+        parent = parent.orElse(savedDir.filterNot(_ == dir)), folded = folded,
         rows = IndexMeta.rowCounts(spark, dir, Seq("centers", "assigned"))))
       copy(savedDir = Some(dir))
     }
@@ -322,7 +337,8 @@ object Similarity {
       spark.read.parquet(s"$dir/assigned"),
       savedDir = Some(dir),
       version = stamp.map(_.version).getOrElse(1L),
-      folded = stamp.map(_.folded).getOrElse(Nil))
+      folded = stamp.map(_.folded).getOrElse(Nil),
+      parent = stamp.flatMap(_.parent))
   }
 
   /** Assign vectors to their nearest cell of an EXISTING centroid table
@@ -389,7 +405,8 @@ object Similarity {
     IvfIndex(index.centers,
       index.assigned.unionByName(
         assignToCells(newVecs, index.centers, idCol, vecCol, metaCols)),
-      version = index.version + 1, folded = index.folded)
+      version = index.version + 1, folded = index.folded,
+      parent = index.savedDir.orElse(index.parent))
   }
 
   /** Train the coarse quantizer and assign every candidate to its cell.

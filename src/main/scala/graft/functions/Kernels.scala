@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.expressions.{XxHash64Function, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.StringType
 
@@ -89,7 +89,20 @@ object HashKernels {
     })
 
   /** See [[HashExpressions.MinHashSignature]]: `numHashes` running minima
-    * in one pass over the (string or pre-hashed long) shingle array. */
+    * in one pass over the (string or pre-hashed long) shingle array.
+    *
+    * Each permutation is `xxhash64(a_j * h + b_j)`: the affine map alone
+    * (`a_j * h + b_j`, no wraparound — 32-bit base × 31-bit multiplier
+    * stays inside a signed long) is ORDER-PRESERVING in `h`, so all
+    * `numHashes` "permutations" shared one ordering (the globally
+    * smallest base hash won every slot) and the signature collapsed to
+    * ~1 effective permutation — a 0.99-Jaccard pair could disagree on
+    * all 32 slots whenever the one differing shingle held the min base
+    * hash (observed on sf0.1: 9 of 256 true pairs missed at every
+    * banding). The xxhash64 finalizer breaks the monotonicity, giving
+    * each slot an independent ordering — the property banding math
+    * assumes. Same seed-42 xxhash64 as the builtin, so the
+    * Column-composed form (`Dedup.minhashSignature`) stays in lockstep. */
   def minhashSignature(arr: ArrayData, numHashes: Int, elementIsString: Boolean): ArrayData = {
     val (coeffA, coeffB) = coeffs(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -104,7 +117,7 @@ object HashKernels {
         val h = raw & 0xFFFFFFFFL // 32-bit base: products fit a long (ANSI-safe)
         var j = 0
         while (j < numHashes) {
-          val v = h * coeffA(j) + coeffB(j)
+          val v = XXH64.hashLong(h * coeffA(j) + coeffB(j), 42L)
           if (v < mins(j)) mins(j) = v
           j += 1
         }

@@ -1287,6 +1287,15 @@ object NorthStarQueries {
         |         unnest(generate_series(0, greatest((strlen(text) - 1) // 64, 0))) AS f
         |       FROM documents) t""".stripMargin,
     "dedup_ngram_jaccard" -> NgramJaccardSql,
+    // The raw minhash pair row shares the exact-pairs oracle: with the
+    // decorrelated permutations (see HashKernels.minhashSignature) the
+    // banded candidates at 8x4 catch EVERY >= 0.5-Jaccard pair on all
+    // three fixture SFs (Scratch mheq: 28/28, 25/25, 256/256 — the
+    // pre-fix kernel missed 9 of 256 at sf0.1), and the verify step is
+    // the same exact-Jaccard kernel, so the emitted set and values are
+    // bit-identical to the inverted-index SQL. A bucketing, banding, or
+    // verify regression now hash-fails instead of passing rows-only.
+    "dedup_minhash_pairs" -> NgramJaccardSql,
     "dedup_exact_pairs_build" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_pairs
          |FROM ($NgramJaccardSql) t""".stripMargin,

@@ -248,13 +248,30 @@ object RelationalQueries {
           col("__p").getItem(0).as("median_price"),
           col("__p").getItem(1).as("p90_price"))),
 
-    // Sketches: HLL++ distinct + approximate quantiles (rows-only check:
-    // sketch internals are engine-specific, invariants tested in ScalaTest).
+    // GROUPED sketch-envelope gate (oracle-checked — closed the last
+    // rows-only sketch row): per return flag, the HLL++ distinct and the
+    // KLL quantile estimates must land within their documented error
+    // envelopes of DuckDB-recomputable exact values. Distinct from the
+    // global `q_sketch_accuracy` row on two axes: the groupBy exercises
+    // the sketch MERGE path (partial sketches combined across shuffle
+    // partitions per group), and the p99 covers the tail quantile. The
+    // estimates are deterministic given the data (no RNG in HLL++/KLL),
+    // so the envelope booleans are stable across runs and engines.
     "q_approx_sketch" -> ((s, dir) =>
-      t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))),
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_partkey")).as("n_parts_exact"),
+          approx_count_distinct(col("l_partkey")).as("__n_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("__p99"),
+          expr("percentile(l_extendedprice, 0.5)").as("__p50_exact"),
+          expr("percentile(l_extendedprice, 0.99)").as("__p99_exact"))
+        .select(col("l_returnflag"), col("n_parts_exact"),
+          (abs(col("__n_approx") - col("n_parts_exact")).cast("double")
+            / col("n_parts_exact") <= 0.05).as("hll_within_5pct"),
+          (abs(col("__p50") - col("__p50_exact")) / col("__p50_exact")
+            <= 0.02).as("p50_within_2pct"),
+          (abs(col("__p99") - col("__p99_exact")) / col("__p99_exact")
+            <= 0.02).as("p99_within_2pct"))),
 
     // Sketch accuracy gate (derived oracle for the sketch surface): the
     // exact distinct count is DuckDB-recomputable, and the HLL++/KLL
@@ -321,6 +338,11 @@ object RelationalQueries {
         bool_and(col("o_totalprice") > 0.0).as("all_pos"))))
 
   val oracles: Map[String, String] = Map(
+    "q_approx_sketch" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts_exact,
+        | TRUE AS hll_within_5pct, TRUE AS p50_within_2pct,
+        | TRUE AS p99_within_2pct
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_sketch_accuracy" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         | TRUE AS hll_within_5pct, TRUE AS p50_within_2pct

@@ -23,4 +23,32 @@ class BenchPhaseSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
+
+  /** Synthetic-noise sanity check for the archive picker: round 11's
+    * min-load-at-pass-boundaries picker archived a pass with a 9.3 s
+    * mid-pass transient on a 0.4 s query because the spike fell between
+    * the two boundary load samples. Min-warm-total cannot make that
+    * mistake — noise only adds time. */
+  test("pickPass archives the fastest gated pass, not the lowest-boundary-load one") {
+    def pass(idx: Int, warms: Seq[Double], load: Double) =
+      Bench.Pass(idx, warms.zipWithIndex.map { case (w, i) =>
+        (s"q$i", w, Seq(w, w, w))
+      }, loadStart = load, loadEnd = load)
+
+    // pass 2: idle at both boundaries but a mid-pass transient inflated
+    // one query 0.4 -> 9.3 s; pass 3: slightly higher boundary load but
+    // clean. The round-11 picker chose pass 2; the fix must choose 3.
+    val noisy = pass(2, Seq(0.4, 9.3, 0.5), load = 0.1)
+    val clean = pass(3, Seq(0.4, 0.4, 0.5), load = 2.0)
+    val (picked, by) = Bench.pickPass(Seq(noisy, clean), loadGate = 8.0)
+    assert(picked.idx == 3 && by == "min_warm_total_gated")
+
+    // a pass measured OVER the gate is ineligible even if fastest
+    val loaded = pass(4, Seq(0.3, 0.3, 0.3), load = 20.0)
+    assert(Bench.pickPass(Seq(noisy, loaded), 8.0)._1.idx == 2)
+
+    // nothing under the gate: fall back to min warm-total, flagged as such
+    val (p2, by2) = Bench.pickPass(Seq(loaded.copy(idx = 5), pass(6, Seq(9.9), 30.0)), 8.0)
+    assert(p2.idx == 5 && by2 == "min_warm_total_ungated")
+  }
 }

@@ -85,6 +85,54 @@ object Scratch {
         println(s"mhdrop @ $dir: exact=$ex minhash=$mh (${mh.toDouble / ex}) " +
           s"simhash=$sh (${sh.toDouble / ex})")
 
+      case "mheq" =>
+        // Oracle-eligibility check for dedup_minhash_pairs: on these
+        // fixtures, does the minhash-banded + exact-verify pair set EQUAL
+        // the exact n-gram pair set (i.e. banding recall = 1.0 at the
+        // operating threshold)? Both sides are deterministic, so equality
+        // at an SF is a fixed property of the fixture, not a flaky bet.
+        import org.apache.spark.sql.functions._
+        val bands = sys.env.getOrElse("MHEQ_BANDS", "8").toInt
+        val rows = sys.env.getOrElse("MHEQ_ROWS", "4").toInt
+        args.drop(1).foreach { dir =>
+          val docs = sources.Tables.load(spark, dir, "documents")
+          val ex = extensions.Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+          val mh = extensions.Dedup.minhashDupPairs(docs, "doc_id", "text",
+            bands = bands, rows = rows, threshold = 0.5,
+            maxBucketSize = sys.env.getOrElse("MHEQ_MAXBUCKET", "200").toInt)
+          val exOnly = ex.join(mh, Seq("id_a", "id_b"), "left_anti").count()
+          val mhOnly = mh.join(ex, Seq("id_a", "id_b"), "left_anti").count()
+          println(s"mheq @ $dir bands=$bands rows=$rows: " +
+            s"exact=${ex.count()} minhash=${mh.count()} " +
+            s"exact_only=$exOnly minhash_only=$mhOnly " +
+            (if (exOnly == 0 && mhOnly == 0) "EQUAL" else "DIFFER"))
+          if (exOnly > 0)
+            ex.join(mh, Seq("id_a", "id_b"), "left_anti")
+              .orderBy("id_a", "id_b").show(20, truncate = false)
+        }
+
+      case "mhpair" =>
+        // minhash agreement diagnosis for one doc pair
+        import org.apache.spark.sql.functions._
+        val dir = args(1); val ida = args(2).toLong; val idb = args(3).toLong
+        val docs = sources.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") === ida || col("doc_id") === idb)
+        val sig = docs.select(col("doc_id"),
+            functions.HashExpressions.hashed_shingles(
+              functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+          .select(col("doc_id"), size(col("sh")).as("n_sh"),
+            functions.HashExpressions.minhash_signature(col("sh"), 32).as("sig"))
+        val rows = sig.collect().sortBy(_.getLong(0))
+        rows.foreach(r => println(s"doc ${r.getLong(0)} shingles=${r.getInt(1)}"))
+        val s1 = rows(0).getSeq[Long](2); val s2 = rows(1).getSeq[Long](2)
+        val agree = s1.zip(s2).count { case (a, b) => a == b }
+        println(s"minhash agreement: $agree/32")
+        (0 until 8).foreach { b =>
+          val m = (0 until 4).forall(r => s1(b * 4 + r) == s2(b * 4 + r))
+          print(s"band$b=${if (m) "HIT" else "miss"} ")
+        }
+        println()
+
       case "repeat" =>
         // warm-path timing: run each named query N times in one JVM so
         // machine noise and cold JIT don't masquerade as plan cost
@@ -438,28 +486,65 @@ object Scratch {
           f"recall=${r.getLong(1).toDouble / r.getLong(0)}%.3f")
 
       case "ivfcells" =>
-        // planning + execution cost of assignToCells as nlist grows —
-        // evidence that the single-literal argmin keeps plan size O(1)
-        // in nlist (the per-cell-expression shape exploded here)
+        // planning + execution + TASK-BINARY cost of assignToCells as
+        // nlist grows, for BOTH formulations: the current broadcast
+        // single-row centroid relation vs the earlier typedlit plan
+        // literal. The task-binary proxy is the closure-serialized size
+        // of the query's RDD — the object graph Spark ships with every
+        // task — which contains a typedlit's ArrayData but NOT a
+        // broadcast variable's payload (that rides the block manager,
+        // once per executor). Centers are synthetic beyond the fixture's
+        // row count (derived deterministically from the cell id), since
+        // a cost probe needs shapes, not trained centroids.
         import org.apache.spark.sql.functions._
         val dir = args(1)
         val e = sources.Tables.load(spark, dir, "embeddings")
         e.cache(); e.count()
-        for (nlist <- Seq(16, 256, 1024)) {
-          // centers don't need to be trained for a cost probe: first
-          // nlist corpus vectors, deterministic
-          val centers = e.orderBy("vec_id").limit(nlist)
-            .select((col("vec_id") % nlist).cast("int").as("cell"),
-              col("embedding").as("center"))
+        val dim = e.select(size(col("embedding"))).head().getInt(0)
+        def taskBytes(df: org.apache.spark.sql.DataFrame): Long = {
+          val ser = org.apache.spark.SparkEnv.get.closureSerializer.newInstance()
+          ser.serialize(df.queryExecution.toRdd).limit().toLong
+        }
+        for (nlist <- Seq(16, 256, 1024, 4096, 16384)) {
+          val centers = spark.range(nlist).select(
+            col("id").cast("int").as("cell"),
+            transform(sequence(lit(1), lit(dim)),
+              d => pmod(hash(col("id") * lit(31) + d), lit(1000))
+                .cast("float") / 1000f).as("center"))
+          // broadcast-relation formulation (the shipped assignToCells)
           val t0 = System.nanoTime()
-          val assigned = extensions.Similarity.assignToCells(
+          val bc = extensions.Similarity.assignToCells(
             e, centers, "vec_id", "embedding")
-          val planned = assigned.queryExecution.executedPlan // force planning
+          val bcPlanned = bc.queryExecution.executedPlan
           val t1 = System.nanoTime()
-          val n = assigned.count()
+          bc.count()
           val t2 = System.nanoTime()
-          println(f"ivfcells nlist=$nlist%5d rows=$n plan=${(t1 - t0) / 1e9}%.2f s " +
-            f"run=${(t2 - t1) / 1e9}%.2f s nodes=${planned.treeString.linesIterator.size}")
+          // typedlit formulation (the pre-round-11 shape): the whole
+          // centroid matrix as ONE literal in the expression tree
+          val ctrs = centers.orderBy("cell").collect().map(r =>
+            (r.getInt(0), r.getSeq[Float](1)))
+          val lt0 = System.nanoTime()
+          val ctrLit = typedlit(ctrs.toSeq)
+          val best = array_min(transform(ctrLit, c =>
+            struct(
+              aggregate(zip_with(col("c_vec"), c.getField("_2"),
+                (x, y) => (x - y) * (x - y)),
+                lit(0.0d), (acc, x) => acc + x).as("d2"),
+              c.getField("_1").as("cell"))))
+          val lit0 = e.select(col("vec_id").as("neighbor_id"),
+              col("embedding").as("c_vec"))
+            .withColumn("__best", best)
+            .select(col("neighbor_id"), col("c_vec"),
+              col("__best.cell").as("cell"))
+          val litPlanned = lit0.queryExecution.executedPlan
+          val lt1 = System.nanoTime()
+          lit0.count()
+          val lt2 = System.nanoTime()
+          println(f"ivfcells nlist=$nlist%5d  broadcast: " +
+            f"plan=${(t1 - t0) / 1e9}%.2f s run=${(t2 - t1) / 1e9}%.2f s " +
+            f"nodes=${bcPlanned.treeString.linesIterator.size} taskKB=${taskBytes(bc) / 1024}%d" +
+            f"  |  literal: plan=${(lt1 - lt0) / 1e9}%.2f s run=${(lt2 - lt1) / 1e9}%.2f s " +
+            f"nodes=${litPlanned.treeString.linesIterator.size} taskKB=${taskBytes(lit0) / 1024}%d")
         }
         e.unpersist()
 

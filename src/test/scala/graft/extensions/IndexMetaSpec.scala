@@ -45,10 +45,15 @@ class IndexMetaSpec extends AnyFunSuite {
     assert(v2.version == 2L)
     assert(v2.savedDir.isEmpty, "an extension must not inherit the parent's tree")
 
-    val v2saved = Dedup.saveCorpusIndex(v2.copy(savedDir = v1.savedDir), d2)
+    assert(v2.parent.contains(d1),
+      "the extension must carry the parent tree's path")
+
+    val v2saved = Dedup.saveCorpusIndex(v2, d2)
     val stamp = IndexMeta.read(spark, d2).get
     assert(stamp.version == 2L)
     assert(stamp.parent.contains(d1), "the new tree must name its parent")
+    assert(Dedup.loadCorpusIndex(spark, d2).parent.contains(d1),
+      "load must round-trip the lineage")
     v2saved.close()
     v1.close()
   }
@@ -87,6 +92,7 @@ class IndexMetaSpec extends AnyFunSuite {
     assert(Similarity.loadIvfIndex(spark, ivfDir).version == 1L)
     val ivf2 = Similarity.extendIvfIndex(ivf, e.limit(0), "vec_id", "embedding")
     assert(ivf2.version == 2L && ivf2.savedDir.isEmpty)
+    assert(ivf2.parent.contains(ivfDir), "IVF extension must carry lineage")
     ivf.close()
 
     val lshDir = TestSpark.tmpDir("graft-meta-lsh")
@@ -96,6 +102,7 @@ class IndexMetaSpec extends AnyFunSuite {
     val lsh2 = Similarity.extendLshIndex(lsh, e.limit(0), "vec_id", "embedding")
     assert(lsh2.version == 2L && lsh2.savedDir.isEmpty,
       "an LSH extension must not inherit the parent's tree")
+    assert(lsh2.parent.contains(lshDir), "LSH extension must carry lineage")
     lsh.close()
 
     val embDir = TestSpark.tmpDir("graft-meta-emb")
@@ -103,9 +110,30 @@ class IndexMetaSpec extends AnyFunSuite {
       Dedup.buildEmbeddingIndex(e, "vec_id", "embedding"), embDir)
     assert(IndexMeta.read(spark, embDir).get.version == 1L)
     assert(Dedup.loadEmbeddingIndex(spark, embDir).version == 1L)
-    assert(Dedup.extendEmbeddingIndex(emb, e.limit(0), "vec_id", "embedding")
-      .version == 2L)
+    val emb2 = Dedup.extendEmbeddingIndex(emb, e.limit(0), "vec_id", "embedding")
+    assert(emb2.version == 2L)
+    assert(emb2.parent.contains(embDir), "embedding extension must carry lineage")
     emb.close()
+  }
+
+  test("a corrupted stamp degrades to advisory-absent instead of bricking the tree") {
+    val dir = TestSpark.tmpDir("graft-meta-corrupt")
+    val v1 = Dedup.saveCorpusIndex(
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") < 50), "doc_id", "text"), dir)
+    // simulate a crash mid-write of a pre-atomic writer: truncated JSON
+    // (written through the Hadoop FS so its checksum file stays in step)
+    val p = new org.apache.hadoop.fs.Path(dir, IndexMeta.FileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write("""{"version": 1, "fol""".getBytes) finally out.close()
+    assert(IndexMeta.read(spark, dir).isEmpty,
+      "unparseable stamp must read as absent, not throw")
+    // load falls back to the unstamped defaults; close() still retires it
+    val loaded = Dedup.loadCorpusIndex(spark, dir)
+    assert(loaded.version == 1L)
+    loaded.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    v1.unpersist()
   }
 
   test("compaction refuses a stale handle and records the folded sink in lineage") {
