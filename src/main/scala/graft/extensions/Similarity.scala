@@ -355,8 +355,11 @@ object Similarity {
     * same transport `KMeans.transform`'s model broadcast uses). The
     * join is a 1-row BroadcastNestedLoopJoin — each output row
     * references the broadcast array, no per-row copy. Measured in
-    * `Scratch ivfcells` (PLANS.md): plan-literal payload drops from
-    * O(nlist × dim) floats to zero, plan nodes flat 16→16384. */
+    * `Scratch ivfcells` at sf0.1 (PLANS.md round-12 table): closure-
+    * serialized task binary flat at 43 KB from nlist=16 to 16384 vs
+    * 10.9 MB/task for the literal shape at 16384×64; plan nodes flat
+    * for both; run time is the inherent O(nlist × dim) arithmetic
+    * (broadcast ~5-8% slower at fixture scale — the join plumbing). */
   def assignToCells(vecs: DataFrame, centers: DataFrame,
                     idCol: String, vecCol: String,
                     metaCols: Seq[String] = Nil): DataFrame = {

@@ -257,21 +257,30 @@ object RelationalQueries {
     // partitions per group), and the p99 covers the tail quantile. The
     // estimates are deterministic given the data (no RNG in HLL++/KLL),
     // so the envelope booleans are stable across runs and engines.
-    "q_approx_sketch" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-          countDistinct(col("l_partkey")).as("n_parts_exact"),
-          approx_count_distinct(col("l_partkey")).as("__n_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("__p99"),
-          expr("percentile(l_extendedprice, 0.5)").as("__p50_exact"),
-          expr("percentile(l_extendedprice, 0.99)").as("__p99_exact"))
+    // Formulation: the DISTINCT aggregates and the value-buffering
+    // quantile aggregates run as SEPARATE grouped aggregations joined on
+    // the 3-row group key — one agg mixing them plans an Expand that
+    // pushes every row twice through the percentile buffers (measured
+    // 4.3 s warm mixed vs ~2 s split at sf0.1; same Expand economics as
+    // the `Scratch sketch` shoot-out on the global form).
+    "q_approx_sketch" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val distincts = li.groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_partkey")).as("__n_approx"))
+      val quantiles = li.groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("__p99"),
+        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("__px"))
+      distincts.join(quantiles, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_parts_exact"),
           (abs(col("__n_approx") - col("n_parts_exact")).cast("double")
             / col("n_parts_exact") <= 0.05).as("hll_within_5pct"),
-          (abs(col("__p50") - col("__p50_exact")) / col("__p50_exact")
+          (abs(col("__p50") - col("__px").getItem(0)) / col("__px").getItem(0)
             <= 0.02).as("p50_within_2pct"),
-          (abs(col("__p99") - col("__p99_exact")) / col("__p99_exact")
-            <= 0.02).as("p99_within_2pct"))),
+          (abs(col("__p99") - col("__px").getItem(1)) / col("__px").getItem(1)
+            <= 0.02).as("p99_within_2pct"))
+    }),
 
     // Sketch accuracy gate (derived oracle for the sketch surface): the
     // exact distinct count is DuckDB-recomputable, and the HLL++/KLL

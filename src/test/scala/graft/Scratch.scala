@@ -8,10 +8,11 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "plans"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-scratch")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -485,6 +486,78 @@ object Scratch {
         println(s"ivfx-recall @ $dir: n_true=${r.getLong(0)} n_found=${r.getLong(1)} " +
           f"recall=${r.getLong(1).toDouble / r.getLong(0)}%.3f")
 
+      case "corescale" =>
+        // TRUE data-parallel scaling probe: a compute-bound operator
+        // (assignToCells at nlist=2048 — pure per-row arithmetic, no
+        // shuffle) over data pre-split into enough partitions for any
+        // core count. Run with SPARK_GRAFT_CPUS=8 and =32 and compare:
+        // the bench suite's totals CANNOT show this (sf0.1 rows are
+        // overhead-bound — see PLANS.md round-12 A/B), so core-scaling
+        // evidence must come from a row whose work actually dominates.
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val nlist = if (args.length > 2) args(2).toInt else 2048
+        val e = sources.Tables.load(spark, dir, "embeddings")
+          .repartition(64).cache()
+        e.count()
+        val dim = e.select(size(col("embedding"))).head().getInt(0)
+        val centers = spark.range(nlist).select(
+          col("id").cast("int").as("cell"),
+          transform(sequence(lit(1), lit(dim)),
+            d => (pmod(hash(col("id") * lit(31) + d), lit(1000)) / lit(1000.0))
+              .cast("float")).as("center"))
+        val assigned = extensions.Similarity.assignToCells(
+          e, centers, "vec_id", "embedding")
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          assigned.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"corescale @ $dir cores=$cpus nlist=$nlist dim=$dim " +
+          f"partitions=64 reps=${times.map(t => f"$t%.1f").mkString("/")} s")
+
+      case "ivfcurve" =>
+        // TRAINED-centers recall@10 vs nprobe — the tuning guide for the
+        // one IVF knob that trades recall for probe cost. KMeans-fit at
+        // each nlist (not the untrained cost-probe centers of ivfcells),
+        // queries = every 20th vector, truth = brute-force cosine top-10.
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val nlists = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
+          else Seq(64, 256)
+        val e = sources.Tables.load(spark, dir, "embeddings")
+        e.cache(); e.count()
+        val q = e.filter(col("vec_id") % 20 === 0)
+        val brute = extensions.Similarity
+          .bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        brute.cache(); val nTrue = brute.count()
+        for (nlist <- nlists) {
+          val t0 = System.nanoTime()
+          val idx = extensions.Similarity.ivfFit(
+            e, "vec_id", "embedding", nlist = nlist).cache()
+          idx.assigned.count()
+          val fitS = (System.nanoTime() - t0) / 1e9
+          val occ = idx.assigned.groupBy("cell").count()
+            .agg(min("count"), percentile_approx(col("count"), lit(0.5), lit(1000)),
+              max("count")).head()
+          println(f"ivfcurve @ $dir nlist=$nlist fit=${fitS}%.1f s " +
+            s"cells(min/med/max)=${occ.get(0)}/${occ.get(1)}/${occ.get(2)} " +
+            s"queries=${q.count()} n_true=$nTrue")
+          for (nprobe <- Seq(4, 8, 16, 32)) {
+            val p0 = System.nanoTime()
+            val hits = extensions.Similarity.ivfProbe(idx, q, "vec_id",
+              "embedding", k = 10, nprobe = nprobe)
+              .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+            val found = brute.join(hits, Seq("query_id", "neighbor_id"), "left")
+              .agg(count(col("__hit"))).head().getLong(0)
+            val pS = (System.nanoTime() - p0) / 1e9
+            println(f"  nprobe=$nprobe%2d recall@10=${found.toDouble / nTrue}%.3f " +
+              f"probe=${pS}%.2f s")
+          }
+          idx.unpersist()
+        }
+
       case "ivfcells" =>
         // planning + execution + TASK-BINARY cost of assignToCells as
         // nlist grows, for BOTH formulations: the current broadcast
@@ -509,22 +582,37 @@ object Scratch {
           val centers = spark.range(nlist).select(
             col("id").cast("int").as("cell"),
             transform(sequence(lit(1), lit(dim)),
-              d => pmod(hash(col("id") * lit(31) + d), lit(1000))
-                .cast("float") / 1000f).as("center"))
+              d => (pmod(hash(col("id") * lit(31) + d), lit(1000)) / lit(1000.0))
+                .cast("float")).as("center"))
           // broadcast-relation formulation (the shipped assignToCells)
           val t0 = System.nanoTime()
           val bc = extensions.Similarity.assignToCells(
             e, centers, "vec_id", "embedding")
           val bcPlanned = bc.queryExecution.executedPlan
           val t1 = System.nanoTime()
-          bc.count()
+          bc.queryExecution.toRdd.count() // evaluate ALL columns (see Bench)
           val t2 = System.nanoTime()
-          // typedlit formulation (the pre-round-11 shape): the whole
-          // centroid matrix as ONE literal in the expression tree
+          // single-literal formulation (the pre-round-11 shape): the whole
+          // centroid matrix as ONE literal in the expression tree, built
+          // as catalyst data directly (typedlit's column-node validation
+          // rejects nested struct arrays in this Spark build)
           val ctrs = centers.orderBy("cell").collect().map(r =>
-            (r.getInt(0), r.getSeq[Float](1)))
+            (r.getInt(0), r.getSeq[Float](1).toSeq)).toSeq
           val lt0 = System.nanoTime()
-          val ctrLit = typedlit(ctrs.toSeq)
+          val litDt = org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_1",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("_2",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType)))))
+          val litVal = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            ctrs.map { case (c, v) =>
+              org.apache.spark.sql.catalyst.InternalRow(c,
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray))
+            }.toArray[Any])
+          val ctrLit = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.Literal(litVal, litDt))
           val best = array_min(transform(ctrLit, c =>
             struct(
               aggregate(zip_with(col("c_vec"), c.getField("_2"),
@@ -538,7 +626,7 @@ object Scratch {
               col("__best.cell").as("cell"))
           val litPlanned = lit0.queryExecution.executedPlan
           val lt1 = System.nanoTime()
-          lit0.count()
+          lit0.queryExecution.toRdd.count() // evaluate ALL columns
           val lt2 = System.nanoTime()
           println(f"ivfcells nlist=$nlist%5d  broadcast: " +
             f"plan=${(t1 - t0) / 1e9}%.2f s run=${(t2 - t1) / 1e9}%.2f s " +
