@@ -38,6 +38,40 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(pair._1 == viaLongs && pair._1 != pair._2)
   }
 
+  test("minhash permutations are decorrelated: slot agreement tracks Jaccard") {
+    // Regression pin for the correlated-permutation bug: with the bare
+    // affine map (a*h + b, no wraparound — order-preserving in h), the
+    // element with the globally smallest base hash won EVERY slot, so a
+    // pair differing only in that element agreed on 0/32 slots despite
+    // Jaccard ~1 (9 of 256 true pairs at sf0.1 missed every banding).
+    // Construct that adversarial shape directly on pre-hashed longs:
+    // B = A minus A's minimal element. Proper minhash must still agree
+    // on ~|A∩B|/|A∪B| of slots; the broken kernel scores 0.
+    val n = 200
+    val shared = (1 to n).map(i => i * 0x9E3779B9L & 0xFFFFFFFFL).distinct.sorted
+    val a = (0L +: shared).sorted // 0 is the minimal base hash everywhere
+    val b = shared
+    val df = Seq((a, b)).toDF("a", "b")
+    val (sa, sb) = df.select(
+      HashExpressions.minhash_signature(col("a"), 32),
+      HashExpressions.minhash_signature(col("b"), 32))
+      .as[(Seq[Long], Seq[Long])].head()
+    val agree = sa.zip(sb).count(p => p._1 == p._2)
+    // E[agree] = 32 * J = 32 * n/(n+1) ~ 31.8; binomial tail makes < 24
+    // astronomically unlikely for a correct kernel, and the broken one
+    // scored exactly 0 here.
+    assert(agree >= 24, s"minhash slots collapsed to a shared ordering: " +
+      s"agreement $agree/32 for Jaccard ${n.toDouble / (n + 1)}")
+
+    // and two UNRELATED sets must not agree (distinct mins per slot)
+    val c = (1 to n).map(i => (i * 0x517CC1B7L + 99L) & 0xFFFFFFFFL).distinct.sorted
+    val (sa2, sc) = Seq((a, c)).toDF("a", "c").select(
+      HashExpressions.minhash_signature(col("a"), 32),
+      HashExpressions.minhash_signature(col("c"), 32))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(sa2.zip(sc).count(p => p._1 == p._2) <= 8)
+  }
+
   test("codegen path compiles and matches interpreted eval for all five expressions") {
     import graft.functions.{VectorExpressions => VE}
     val docs = Seq(
