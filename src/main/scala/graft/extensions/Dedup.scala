@@ -389,7 +389,8 @@ object Dedup {
    * `savedDir` records the on-disk tree the index was saved to or
    * loaded from (None for a never-persisted index), so [[close]] can
    * delete it; an extension is a NEW version and deliberately does not
-   * inherit it.
+   * inherit it — instead the old tree's path moves into `parent`, so
+   * the next save stamps the lineage chain ([[IndexMeta]]).
    */
   final case class CorpusIndex(postings: DataFrame, shingles: DataFrame,
                                dfCounts: DataFrame,

@@ -18,18 +18,19 @@ import graft.sources.Tables
  * (driver records a rows-only check) and are instead invariant-tested in
  * ScalaTest.
  *
- * The remaining no-oracle tail is exactly 5 rows, each the RAW variant
- * of an operator whose derived gates ARE hash-matched: dedup_simhash_
- * pairs / dedup_embedding_pairs (raw LSH candidate+verify pair lists —
- * gated by dedup_simhash_recall / dedup_embedding_sound+_incr_prov) and
- * sim_topk_{lsh,ivf,ivf_probe} (raw approximate top-k lists — gated by
- * sim_{lsh,ivf,ivf_extend}_recall floors vs the DuckDB-recomputable
- * brute-force truth). The raw rows stay in the inventory because they
- * are what a user calls and what the bench prices; their correctness
- * signal lives in the gates. dedup_minhash_pairs graduated OUT of this
- * tail in round 12: with decorrelated permutations its banded recall at
- * the 0.5 threshold is exactly 1.0 on every fixture SF, so it shares
- * the exact-pairs SQL oracle.
+ * The remaining no-oracle tail is exactly 3 rows: dedup_simhash_pairs
+ * (raw Hamming-cutoff pair list — the simhash values DuckDB cannot
+ * recompute; gated by dedup_simhash_recall) and sim_topk_{ivf,ivf_probe}
+ * (IVF top-k — the KMeans cell assignment DuckDB cannot recompute;
+ * gated by sim_{ivf,ivf_extend}_recall floors vs the brute-force SQL
+ * truth). The raw rows stay in the inventory because they are what a
+ * user calls and what the bench prices; their correctness signal lives
+ * in the gates. Three rows graduated OUT of this tail in round 12, each
+ * by establishing measured-exact recall on every fixture SF so the raw
+ * output equals a DuckDB-computable truth: dedup_minhash_pairs (shares
+ * the exact-pairs SQL after the permutation decorrelation fix),
+ * sim_topk_lsh (equals brute-force top-10 at the gate's 2x16 banding),
+ * and dedup_embedding_pairs (equals planted brute force at 12x8).
  */
 object NorthStarQueries {
 
@@ -310,8 +311,14 @@ object NorthStarQueries {
       // the fixture has no true near-dups at cosine >= 0.9, so plant
       // deterministic near-copies (first component nudged, new ids) —
       // the LSH bucketing + verify join are exercised on real signal.
+      // At 12 planes x 8 bands a 0.9988-cosine pair misses all bands
+      // w.p. ~8e-7, and measured recall is exactly 1.0 on every fixture
+      // SF (Scratch anneq: pair set EQUAL to brute force, 200/200 at
+      // sf0.1), so the row hash-checks against the planted brute-force
+      // SQL — the bands=2 partial-recall regime stays covered by the
+      // dedup_embedding_sound floor gate.
       Dedup.embeddingDupPairs(plantedEmbeddings(embs(s, dir)), "vec_id",
-        "embedding", threshold = 0.9, planes = 12, bands = 2)),
+        "embedding", threshold = 0.9, planes = 12, bands = 8)),
     "dedup_embedding_exact" -> ((s, dir) => {
       // exact all-pairs baseline on the probe-scale slice: the correctness
       // anchor for the LSH path, and DuckDB-reproducible (hash-checked).
@@ -681,10 +688,18 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // Runs at the sim_lsh_recall gate's OWN banding (2 planes x 16
+    // bands), where the bucket candidates provably cover every true
+    // top-10 on all fixture SFs (Scratch anneq: row-for-row EQUAL to
+    // brute force at sf0.001/0.01/0.1, 200/200 rows at sf0.1) — the
+    // ranking convention (cosine DESC, id ASC) is shared, so a superset
+    // candidate pool yields the identical top-k and the row hash-checks
+    // against the brute-force SQL. A banding/scoring regression now
+    // fails the oracle instead of passing rows-only.
     "sim_topk_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", k = 10, planes = 8, bands = 4)
+        "vec_id", "embedding", k = 10, planes = 2, bands = 16)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     // FILTERED vector search: a metadata predicate composed BEFORE the
@@ -1522,6 +1537,26 @@ object NorthStarQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
     "sim_topk_brute" -> BruteForceTopKSql,
+    // LSH top-k at the gate banding returns exactly the brute-force
+    // top-10 (candidates cover every true neighbor; identical
+    // tie-broken ranking) — see the query's comment and Scratch anneq.
+    "sim_topk_lsh" -> BruteForceTopKSql,
+    // Planted-pair brute force (the same float-exact planted CTE as
+    // dedup_embedding_corpus): at 12x8 banding the LSH pair set equals
+    // this exactly on every fixture SF.
+    "dedup_embedding_pairs" ->
+      """WITH pe AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    CAST(list_prepend(
+        |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+        |      embedding[2:]) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.emb, b.emb) AS cosine
+        |FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9""".stripMargin,
     // Filtered search: same ranking convention (cosine DESC, id ASC),
     // candidates restricted by the metadata predicate.
     "sim_topk_filtered" -> FilteredBruteTopKSql,

@@ -486,6 +486,52 @@ object Scratch {
         println(s"ivfx-recall @ $dir: n_true=${r.getLong(0)} n_found=${r.getLong(1)} " +
           f"recall=${r.getLong(1).toDouble / r.getLong(0)}%.3f")
 
+      case "anneq" =>
+        // Oracle-eligibility check for the two remaining convertible raw
+        // rows: (a) does embeddingDupPairs at bands=8 find EVERY planted
+        // >=0.9-cosine pair (set == brute force, which has a SQL
+        // oracle)?  (b) does lshTopK at the recall gate's own 2x16
+        // banding return EXACTLY the brute-force top-10 (superset
+        // candidates + identical tie-broken ranking)?
+        import org.apache.spark.sql.functions._
+        args.drop(1).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings")
+          // (a) planted pair set vs brute
+          val pe = {
+            val planted = e.filter(col("vec_id") % 10 === 0).select(
+              (col("vec_id") + 10000000L).as("vec_id"),
+              concat(array(col("embedding").getItem(0) + lit(0.05f)),
+                slice(col("embedding"), 2, 1000000)).as("embedding"))
+            e.select(col("vec_id"), col("embedding")).union(planted)
+          }
+          val lsh = extensions.Dedup.embeddingDupPairs(pe, "vec_id", "embedding",
+            threshold = 0.9, planes = 12, bands = 8)
+          val a2 = pe.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+          val b2 = pe.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+          val brute = a2.join(b2, col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              functions.VectorExpressions
+                .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
+            .filter(col("cosine") >= 0.9)
+          val bruteOnly = brute.join(lsh, Seq("id_a", "id_b"), "left_anti").count()
+          val lshOnly = lsh.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+          println(s"anneq pairs @ $dir: brute=${brute.count()} lsh8=${lsh.count()} " +
+            s"brute_only=$bruteOnly lsh_only=$lshOnly " +
+            (if (bruteOnly == 0 && lshOnly == 0) "EQUAL" else "DIFFER"))
+          // (b) LSH top-k at 2x16 vs brute top-k, exact row equality
+          val q = e.filter(col("vec_id") % 100 === 0)
+          val bk = extensions.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id"), col("rank"))
+          val lk = extensions.Similarity.lshTopK(e, q, "vec_id", "embedding",
+            k = 10, planes = 2, bands = 16)
+            .select(col("query_id"), col("neighbor_id"), col("rank"))
+          val bOnly = bk.join(lk, Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+          val lOnly = lk.join(bk, Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+          println(s"anneq topk @ $dir: brute=${bk.count()} lsh2x16=${lk.count()} " +
+            s"brute_only=$bOnly lsh_only=$lOnly " +
+            (if (bOnly == 0 && lOnly == 0) "EQUAL" else "DIFFER"))
+        }
+
       case "corescale" =>
         // TRUE data-parallel scaling probe: a compute-bound operator
         // (assignToCells at nlist=2048 — pure per-row arithmetic, no
