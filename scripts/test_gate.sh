@@ -15,15 +15,16 @@
 #      commits it together with the staged work.
 #
 # Audit: at the snapshot commit,
-#   git ls-files -s -- src build.sbt | git hash-object --stdin
+#   git ls-files -s -- src build.sbt project | git hash-object --stdin
 # must reproduce TEST_GATE.json's code_digest — proving the recorded
-# green run saw the committed code, not an earlier draft.
+# green run saw the committed code AND build definition, not an
+# earlier draft.
 set -u
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/.." || exit 1
 msg="${1:?usage: scripts/test_gate.sh \"commit message\"}"
 
 git add -A
-digest=$(git ls-files -s -- src build.sbt | git hash-object --stdin)
+digest=$(git ls-files -s -- src build.sbt project | git hash-object --stdin)
 echo "[gate] code digest $digest — running full suite"
 
 if ! sbt -batch test >/tmp/test_gate.log 2>&1; then

@@ -44,14 +44,25 @@ object IndexMeta {
     meta.rows.toSeq.sortBy(_._1).foreach { case (k, v) => rn.put(k, v) }
     val p = new HPath(new HPath(dir), FileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // tmp + rename: a crash mid-write must not leave a truncated stamp
-    // where a valid one stood — the rename is the commit point
+    // tmp + overwrite-rename: a crash mid-write must not leave a
+    // truncated stamp where a valid one stood, and a crash between the
+    // steps must not leave the tree UNSTAMPED (which the lenient read
+    // degrades to no-version-checks — the exact hazard the stamp
+    // refuses). FileContext.rename(OVERWRITE) replaces in one step; the
+    // delete+rename fallback (FS without FileContext support) keeps a
+    // small unstamped window but never a truncated stamp.
     val tmp = new HPath(new HPath(dir), FileName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(om.writerWithDefaultPrettyPrinter.writeValueAsBytes(root))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"could not move $tmp into place at $p")
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"could not move $tmp into place at $p")
+    }
   }
 
   def read(spark: SparkSession, dir: String): Option[Meta] = {

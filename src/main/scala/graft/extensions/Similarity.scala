@@ -124,12 +124,13 @@ object Similarity {
       * rows only — post-filtering a global top-k would under-fill it.
       * On a saved index the filter reaches the parquet scan of `banded`
       * (plain pushdown). Build once per predicate, probe many. The view
-      * drops `savedDir`: `close()` on a view must not delete the full
-      * index's tree, and `save()` of a view persists the subset as a
-      * NEW unrelated tree rather than silently overwriting the full
-      * one's identity. */
+      * drops `savedDir` AND `parent`: `close()` on a view must not
+      * delete the full index's tree, and `save()` of a view persists
+      * the subset as a NEW unrelated tree — carrying the full index's
+      * lineage would make the subset indistinguishable from a complete
+      * successor of its grandparent. */
     def filtered(predicate: Column): LshIndex =
-      copy(banded = banded.filter(predicate), savedDir = None)
+      copy(banded = banded.filter(predicate), savedDir = None, parent = None)
 
     def unpersist(): LshIndex = { banded.unpersist(false); this }
 
@@ -291,11 +292,12 @@ object Similarity {
       * (plain pushdown, composed with cell-partition pruning); on a
       * cached one it shares the unfiltered index's executor storage.
       * The view is cheap — build once per predicate and probe many.
-      * The view drops `savedDir`: `close()` on a view must not delete
-      * the full index's tree, and `save()` of a view persists the
-      * subset as a NEW unrelated tree. */
+      * The view drops `savedDir` AND `parent`: `close()` on a view must
+      * not delete the full index's tree, and `save()` of a view
+      * persists the subset as a NEW unrelated tree with no inherited
+      * lineage. */
     def filtered(predicate: Column): IvfIndex =
-      copy(assigned = assigned.filter(predicate), savedDir = None)
+      copy(assigned = assigned.filter(predicate), savedDir = None, parent = None)
 
     /** Release executor storage pinned by [[cache]] (long-lived services
       * must pair every cache with this; short-lived mains may skip it). */

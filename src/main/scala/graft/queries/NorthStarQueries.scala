@@ -18,19 +18,24 @@ import graft.sources.Tables
  * (driver records a rows-only check) and are instead invariant-tested in
  * ScalaTest.
  *
- * The remaining no-oracle tail is exactly 3 rows: dedup_simhash_pairs
+ * The remaining no-oracle tail is exactly 4 rows: dedup_simhash_pairs
  * (raw Hamming-cutoff pair list — the simhash values DuckDB cannot
- * recompute; gated by dedup_simhash_recall) and sim_topk_{ivf,ivf_probe}
- * (IVF top-k — the KMeans cell assignment DuckDB cannot recompute;
- * gated by sim_{ivf,ivf_extend}_recall floors vs the brute-force SQL
- * truth). The raw rows stay in the inventory because they are what a
- * user calls and what the bench prices; their correctness signal lives
- * in the gates. Three rows graduated OUT of this tail in round 12, each
- * by establishing measured-exact recall on every fixture SF so the raw
- * output equals a DuckDB-computable truth: dedup_minhash_pairs (shares
- * the exact-pairs SQL after the permutation decorrelation fix),
- * sim_topk_lsh (equals brute-force top-10 at the gate's 2x16 banding),
- * and dedup_embedding_pairs (equals planted brute force at 12x8).
+ * recompute; gated by dedup_simhash_recall), sim_topk_lsh (kept at a
+ * banding that actually prunes — see the row's comment; an oracle was
+ * measurable only at a no-pruning operating point, which would gut the
+ * row's meaning — gated by sim_lsh_recall), and sim_topk_{ivf,
+ * ivf_probe} (IVF top-k — the KMeans cell assignment DuckDB cannot
+ * recompute; gated by sim_{ivf,ivf_extend}_recall floors vs the
+ * brute-force SQL truth). The raw rows stay in the inventory because
+ * they are what a user calls and what the bench prices; their
+ * correctness signal lives in the gates. Two rows graduated OUT of
+ * this tail in round 12, each by establishing measured recall 1.0 at a
+ * STILL-PRUNING operating point on every fixture SF so the raw output
+ * equals a DuckDB-computable truth: dedup_minhash_pairs (shares the
+ * exact-pairs SQL after the permutation decorrelation fix) and
+ * dedup_embedding_pairs (equals planted brute force at 12x8 — 4096
+ * bucket values per band keep candidate generation genuinely
+ * selective).
  */
 object NorthStarQueries {
 
@@ -688,18 +693,18 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
-    // Runs at the sim_lsh_recall gate's OWN banding (2 planes x 16
-    // bands), where the bucket candidates provably cover every true
-    // top-10 on all fixture SFs (Scratch anneq: row-for-row EQUAL to
-    // brute force at sf0.001/0.01/0.1, 200/200 rows at sf0.1) — the
-    // ranking convention (cosine DESC, id ASC) is shared, so a superset
-    // candidate pool yields the identical top-k and the row hash-checks
-    // against the brute-force SQL. A banding/scoring regression now
-    // fails the oracle instead of passing rows-only.
+    // Stays at 8 planes x 4 bands — the operating point where LSH
+    // actually PRUNES (256 bucket values per band; candidates a small
+    // fraction of the corpus). The no-pruning 2x16 banding would equal
+    // brute force exactly (measured, Scratch anneq) and could borrow
+    // its SQL oracle, but an "ANN" row whose candidate set is ~4x the
+    // exhaustive scan demonstrates nothing and would hide pruning
+    // regressions — so this row keeps the rows-only check and its
+    // correctness signal lives in the sim_lsh_recall floor gate.
     "sim_topk_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", k = 10, planes = 2, bands = 16)
+        "vec_id", "embedding", k = 10, planes = 8, bands = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     // FILTERED vector search: a metadata predicate composed BEFORE the
@@ -1537,10 +1542,6 @@ object NorthStarQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
     "sim_topk_brute" -> BruteForceTopKSql,
-    // LSH top-k at the gate banding returns exactly the brute-force
-    // top-10 (candidates cover every true neighbor; identical
-    // tie-broken ranking) — see the query's comment and Scratch anneq.
-    "sim_topk_lsh" -> BruteForceTopKSql,
     // Planted-pair brute force (the same float-exact planted CTE as
     // dedup_embedding_corpus): at 12x8 banding the LSH pair set equals
     // this exactly on every fixture SF.

@@ -272,14 +272,21 @@ object RelationalQueries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("__p99"),
         expr("percentile(l_extendedprice, array(0.5, 0.99))").as("__px"))
+      // Envelope widths: HLL's default rsd 5% is ONE standard deviation,
+      // and this row places three per-group bets on it (plus a tail
+      // quantile) — a 2-3 sigma envelope keeps the gate deterministic
+      // across fixture regenerations and Spark sketch-impl changes,
+      // while any real sketch bug (wrong merge, wrong buffer) misses by
+      // orders of magnitude, not percent. The tighter 1-sigma bet stays
+      // on the single-estimate global q_sketch_accuracy row.
       distincts.join(quantiles, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_parts_exact"),
           (abs(col("__n_approx") - col("n_parts_exact")).cast("double")
-            / col("n_parts_exact") <= 0.05).as("hll_within_5pct"),
+            / col("n_parts_exact") <= 0.10).as("hll_within_10pct"),
           (abs(col("__p50") - col("__px").getItem(0)) / col("__px").getItem(0)
             <= 0.02).as("p50_within_2pct"),
           (abs(col("__p99") - col("__px").getItem(1)) / col("__px").getItem(1)
-            <= 0.02).as("p99_within_2pct"))
+            <= 0.05).as("p99_within_5pct"))
     }),
 
     // Sketch accuracy gate (derived oracle for the sketch surface): the
@@ -358,8 +365,8 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q_approx_sketch" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts_exact,
-        | TRUE AS hll_within_5pct, TRUE AS p50_within_2pct,
-        | TRUE AS p99_within_2pct
+        | TRUE AS hll_within_10pct, TRUE AS p50_within_2pct,
+        | TRUE AS p99_within_5pct
         | FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_sketch_accuracy" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,

@@ -177,6 +177,12 @@ class SimilaritySpec extends AnyFunSuite {
     val scan = loaded.filtered(pred).assigned.queryExecution.executedPlan.toString
     assert(!scan.contains("Exchange") && scan.toLowerCase.contains("label"),
       s"filtered assigned must stay a narrow filtered scan:\n$scan")
+    // a filtered VIEW owns no tree and no lineage: close() must not be
+    // able to delete the full index, and save() of the subset must not
+    // stamp the full index's parent as its own
+    val view = loaded.filtered(pred)
+    assert(view.savedDir.isEmpty && view.parent.isEmpty,
+      "filtered view must drop savedDir and parent")
     loaded.close()
   }
 
@@ -290,6 +296,10 @@ class SimilaritySpec extends AnyFunSuite {
     val scan = loaded.filtered(pred).banded.queryExecution.executedPlan.toString
     assert(!scan.contains("Exchange") && scan.toLowerCase.contains("label"),
       s"filtered banded must stay a narrow filtered scan:\n$scan")
+    // same view contract as IvfIndex.filtered: no tree, no lineage
+    val view = loaded.filtered(pred)
+    assert(view.savedDir.isEmpty && view.parent.isEmpty,
+      "filtered LSH view must drop savedDir and parent")
     loaded.close()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
       "close() must delete the saved LSH tree")
