@@ -114,9 +114,12 @@ object Bench {
     def warmTotal: Double = results.map(r => median(r._3)).sum
     def coldTotal: Double = results.map(_._2).sum
     def maxLoad: Double = math.max(loadStart, loadEnd)
-    def fullLine(sfDir: String): String = {
+    // `cpus` rides every history line: A/B passes at non-default core
+    // counts (the round-12 local[8] run) must be distinguishable from
+    // regression passes when reading BENCH_HISTORY.jsonl later
+    def fullLine(sfDir: String, cpus: String): String = {
       val loads = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f"""
-      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,$loads,"pass":$idx,"sf":"$sfDir","queries":${render(results.map(r => (r._1, median(r._3))))},"queries_cold":${render(results.map(r => (r._1, r._2)))},"queries_warm_min":${render(results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(results.map(r => (r._1, r._3.max)))}}"""
+      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_cold":$coldTotal%.3f,$loads,"pass":$idx,"cpus":$cpus,"sf":"$sfDir","queries":${render(results.map(r => (r._1, median(r._3))))},"queries_cold":${render(results.map(r => (r._1, r._2)))},"queries_warm_min":${render(results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(results.map(r => (r._1, r._3.max)))}}"""
     }
   }
 
@@ -187,7 +190,7 @@ object Bench {
       // regression without a re-run)
       val hist = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
       try hist.write(
-        "{\"ts\":" + System.currentTimeMillis / 1000 + "," + pass.fullLine(sfDir).stripPrefix("{") + "\n")
+        "{\"ts\":" + System.currentTimeMillis / 1000 + "," + pass.fullLine(sfDir, cpus).stripPrefix("{") + "\n")
       finally hist.close()
       System.err.println(f"[bench] pass $p/$nRuns: warm ${pass.warmTotal}%.1f s, " +
         f"cold ${pass.coldTotal}%.1f s, load ${pass.loadStart}%.2f -> ${pass.loadEnd}%.2f")
@@ -205,9 +208,9 @@ object Bench {
         passes.map(p => f"""{"pass":${p.idx},"warm":${p.warmTotal}%.3f,"cold":${p.coldTotal}%.3f,"load_start":${p.loadStart}%.2f,"load_end":${p.loadEnd}%.2f}""").mkString("[", ",", "]")}"""
     val loads = f""""load_start":${picked.loadStart}%.2f,"load_end":${picked.loadEnd}%.2f"""
     val totals =
-      f"""{"metric":"total","value":${picked.warmTotal}%.3f,"unit":"sec","value_cold":${first.coldTotal}%.3f,$loads,"runs":$nRuns,"picked":${picked.idx},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":${picked.warmTotal}%.3f,"unit":"sec","value_cold":${first.coldTotal}%.3f,$loads,"runs":$nRuns,"picked":${picked.idx},"cpus":$cpus,"sf":"$sfDir"}"""
     val full =
-      f"""{"metric":"total","value":${picked.warmTotal}%.3f,"unit":"sec","value_cold":${first.coldTotal}%.3f,"value_cold_picked":${picked.coldTotal}%.3f,$loads,$prov,"sf":"$sfDir","queries":${render(picked.results.map(r => (r._1, median(r._3))))},"queries_cold":${render(first.results.map(r => (r._1, r._2)))},"queries_cold_picked":${render(picked.results.map(r => (r._1, r._2)))},"queries_warm_min":${render(picked.results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(picked.results.map(r => (r._1, r._3.max)))}}"""
+      f"""{"metric":"total","value":${picked.warmTotal}%.3f,"unit":"sec","value_cold":${first.coldTotal}%.3f,"value_cold_picked":${picked.coldTotal}%.3f,$loads,$prov,"cpus":$cpus,"sf":"$sfDir","queries":${render(picked.results.map(r => (r._1, median(r._3))))},"queries_cold":${render(first.results.map(r => (r._1, r._2)))},"queries_cold_picked":${render(picked.results.map(r => (r._1, r._2)))},"queries_warm_min":${render(picked.results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(picked.results.map(r => (r._1, r._3.max)))}}"""
     // The full artifact (~4 KB with 100+ queries) exceeds the harness's
     // line capture; the short self-contained totals line must be the LAST
     // line printed. The complete artifact also lands in BENCH.json.
