@@ -83,6 +83,19 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("p50_within_2pct"))
   }
 
+  test("q_approx_sketch: grouped sketch-merge envelopes hold per group") {
+    val rows = run("q_approx_sketch")
+    assert(rows.length >= 3, "one row per return flag")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_parts_exact") > 0)
+      assert(r.getAs[Boolean]("hll_within_10pct"),
+        s"grouped HLL out of envelope for ${r.get(0)}")
+      assert(r.getAs[Boolean]("p50_within_2pct"))
+      assert(r.getAs[Boolean]("p99_within_5pct"),
+        s"p99 sketch out of envelope for ${r.get(0)}")
+    }
+  }
+
   test("de-zeroed queries return non-degenerate results") {
     for (name <- Seq("q_except", "q_join_anti", "q_like_filter"))
       assert(run(name).nonEmpty, s"$name must return rows")
