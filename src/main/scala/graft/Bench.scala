@@ -137,7 +137,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // cpus is interpolated UNQUOTED into every artifact JSON line, so a
+    // non-numeric value (e.g. "*", which local[*] would happily accept)
+    // would corrupt BENCH_HISTORY.jsonl — fail fast instead.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    require(cpus.forall(_.isDigit) && cpus.nonEmpty && cpus.toInt > 0,
+      s"SPARK_GRAFT_CPUS must be a positive integer, got '$cpus'")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "8.0").toDouble
     val gateWaitMaxS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MAX_S", "600").toLong

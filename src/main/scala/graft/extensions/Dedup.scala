@@ -525,7 +525,7 @@ object Dedup {
     Seq((index.shingleK, index.maxGramDf)).toDF("shingle_k", "max_gram_df")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexMeta.write(spark, dir, IndexMeta.Meta(index.version,
-      parent = index.parent.orElse(index.savedDir.filterNot(_ == dir)),
+      parent = index.parent.orElse(index.savedDir).filterNot(_ == dir),
       folded = index.folded,
       rows = IndexMeta.rowCounts(spark, dir, Seq("postings", "shingles", "df"))))
     index.copy(savedDir = Some(dir))
@@ -756,7 +756,7 @@ object Dedup {
     Seq((index.planes, index.bands)).toDF("planes", "bands")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexMeta.write(spark, dir, IndexMeta.Meta(index.version,
-      parent = index.parent.orElse(index.savedDir.filterNot(_ == dir)),
+      parent = index.parent.orElse(index.savedDir).filterNot(_ == dir),
       folded = index.folded,
       rows = IndexMeta.rowCounts(spark, dir, Seq("buckets", "vectors"))))
     index.copy(savedDir = Some(dir))

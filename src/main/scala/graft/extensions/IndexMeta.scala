@@ -59,16 +59,35 @@ object IndexMeta {
       org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
+      // IOException covers UnsupportedFileSystemException (no
+      // AbstractFileSystem bound for the scheme — getFileContext itself
+      // throws before rename is even attempted) and FileNotFoundException;
+      // UnsupportedOperationException covers an FS whose FileContext
+      // exists but rejects atomic overwrite-rename. All degrade to the
+      // delete+rename fallback rather than failing the save.
+      case _: UnsupportedOperationException | _: java.io.IOException =>
         if (fs.exists(p)) fs.delete(p, false)
         require(fs.rename(tmp, p), s"could not move $tmp into place at $p")
     }
   }
 
-  def read(spark: SparkSession, dir: String): Option[Meta] = {
+  /** The three stamp states a tree can be in. Absent and Corrupt are NOT
+    * interchangeable: absent means a pre-stamp tree (no version checks
+    * ever existed for it — exempt by design), while corrupt means the
+    * stamp was WRITTEN and then damaged — the version it recorded is
+    * unknown, so the stale-close hazard the stamp exists to refuse is
+    * live again and destructive operations must not proceed on it. */
+  sealed trait Stamp
+  object Stamp {
+    case object Absent extends Stamp
+    final case class Corrupt(reason: String) extends Stamp
+    final case class Present(meta: Meta) extends Stamp
+  }
+
+  def readStamp(spark: SparkSession, dir: String): Stamp = {
     val p = new HPath(new HPath(dir), FileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) Stamp.Absent
     else {
       val in = fs.open(p)
       val bytes =
@@ -79,9 +98,6 @@ object IndexMeta {
           while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
           buf.toByteArray
         } finally in.close()
-      // a corrupted/truncated stamp degrades to the documented
-      // advisory-absent path (no check fires) instead of bricking every
-      // load/close of an otherwise valid tree with a parse exception
       scala.util.Try {
         val node = new ObjectMapper().readTree(bytes)
         Meta(
@@ -92,14 +108,46 @@ object IndexMeta {
           Option(node.get("rows"))
             .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
             .getOrElse(Map.empty))
-      }.recoverWith { case e =>
-        System.err.println(
-          s"WARN IndexMeta: unreadable $FileName at $dir (${e.getMessage}) " +
-            "— treating the tree as unstamped; version checks will not fire")
-        scala.util.Failure(e)
-      }.toOption
+      }.fold(e => Stamp.Corrupt(String.valueOf(e.getMessage)),
+        Stamp.Present(_))
     }
   }
+
+  /** Lenient view for NON-destructive paths (loads): a corrupted stamp
+    * degrades to advisory-absent so an otherwise valid tree stays
+    * readable, with a WARN. Destructive paths go through
+    * [[requireCurrent]], which refuses Corrupt outright. */
+  def read(spark: SparkSession, dir: String): Option[Meta] =
+    readStamp(spark, dir) match {
+      case Stamp.Present(m) => Some(m)
+      case Stamp.Corrupt(reason) =>
+        System.err.println(
+          s"WARN IndexMeta: unreadable $FileName at $dir ($reason) " +
+            "— treating the tree as unstamped for this read; " +
+            "close()/compaction will refuse until the stamp is repaired " +
+            "or cleared (IndexMeta.clearCorruptStamp)")
+        None
+      case Stamp.Absent => None
+    }
+
+  /** The audited force path for a tree whose stamp is damaged: deletes
+    * the corrupt stamp so the tree becomes genuinely unstamped and
+    * destructive operations may proceed under the pre-stamp exemption.
+    * Refuses to touch a VALID stamp (that would disable live version
+    * checks) and is a no-op on an unstamped tree. Returns true iff a
+    * corrupt stamp was removed. */
+  def clearCorruptStamp(spark: SparkSession, dir: String): Boolean =
+    readStamp(spark, dir) match {
+      case Stamp.Corrupt(_) =>
+        val p = new HPath(new HPath(dir), FileName)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+        true
+      case Stamp.Present(_) =>
+        throw new IllegalArgumentException(
+          s"clearCorruptStamp refused: $FileName at $dir is VALID — " +
+            "deleting it would disable the version checks it provides")
+      case Stamp.Absent => false
+    }
 
   /** Footer-exact row counts for the named sub-relations of a tree. */
   def rowCounts(spark: SparkSession, dir: String,
@@ -112,13 +160,25 @@ object IndexMeta {
     * a different version there since this handle was created — closing
     * would delete the wrong version; extending/compacting would fold
     * work into an index the disk no longer holds. Trees without a stamp
-    * (pre-stamp format) are exempt. */
+    * (pre-stamp format) are exempt; a stamp that is PRESENT but
+    * unreadable refuses too — the version it recorded is unknown, so
+    * proceeding would re-open exactly the hazard the stamp refuses
+    * (repair it, or force via [[clearCorruptStamp]]). */
   def requireCurrent(spark: SparkSession, dir: String,
                      haveVersion: Long, op: String): Unit =
-    read(spark, dir).foreach { m =>
-      require(m.version == haveVersion,
-        s"$op refused: index tree $dir holds version ${m.version} but this " +
-          s"handle is version $haveVersion — reload the tree (or re-point " +
-          "the handle) before operating on it")
+    readStamp(spark, dir) match {
+      case Stamp.Present(m) =>
+        require(m.version == haveVersion,
+          s"$op refused: index tree $dir holds version ${m.version} but this " +
+            s"handle is version $haveVersion — reload the tree (or re-point " +
+            "the handle) before operating on it")
+      case Stamp.Corrupt(reason) =>
+        throw new IllegalArgumentException(
+          s"$op refused: index tree $dir carries a present but UNREADABLE " +
+            s"$FileName ($reason) — the tree's version is unknown, so this " +
+            "may not be the version this handle believes it holds. Repair " +
+            "the stamp, or force with IndexMeta.clearCorruptStamp after " +
+            "verifying the tree out of band")
+      case Stamp.Absent => ()
     }
 }

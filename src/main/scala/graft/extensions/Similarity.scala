@@ -149,7 +149,7 @@ object Similarity {
       Seq((planes, bands)).toDF("planes", "bands")
         .write.mode("overwrite").parquet(s"$dir/meta")
       IndexMeta.write(spark, dir, IndexMeta.Meta(version,
-        parent = parent.orElse(savedDir.filterNot(_ == dir)), folded = folded,
+        parent = parent.orElse(savedDir).filterNot(_ == dir), folded = folded,
         rows = IndexMeta.rowCounts(spark, dir, Seq("banded"))))
       copy(savedDir = Some(dir))
     }
@@ -312,7 +312,7 @@ object Similarity {
         .parquet(s"$dir/assigned")
       val spark = centers.sparkSession
       IndexMeta.write(spark, dir, IndexMeta.Meta(version,
-        parent = parent.orElse(savedDir.filterNot(_ == dir)), folded = folded,
+        parent = parent.orElse(savedDir).filterNot(_ == dir), folded = folded,
         rows = IndexMeta.rowCounts(spark, dir, Seq("centers", "assigned"))))
       copy(savedDir = Some(dir))
     }

@@ -689,7 +689,7 @@ object NorthStarQueries {
     // ---- similarity search -------------------------------------------
     "sim_topk_brute" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0),
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
@@ -703,7 +703,7 @@ object NorthStarQueries {
     // correctness signal lives in the sim_lsh_recall floor gate.
     "sim_topk_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0),
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 10, planes = 8, bands = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
@@ -717,7 +717,7 @@ object NorthStarQueries {
     "sim_topk_filtered" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
-        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
+        e.filter(col("vec_id") % 20 === 0), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     // FILTERED ANN on the index path: the same metadata predicate pushed
@@ -727,12 +727,13 @@ object NorthStarQueries {
     // qualifying cell members are ever scored (the production
     // vector-store shape; the brute-force row above pins the exact
     // semantics). Gated on recall vs the filtered brute-force truth —
-    // the sim_ivf_recall convention and floor. Fresh fit per call
+    // the sim_ivf_recall convention and 0.75 floor (measured 0.848 /
+    // 0.856 / 0.808 per SF on the 1-in-20 set). Fresh fit per call
     // (fixed seed -> same cells as the cached index) so the row prices
     // fit + filter + probe, uncached.
     "sim_topk_filtered_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = e.filter(col("vec_id") % 20 === 0)
       val brute = Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
         q, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -744,7 +745,7 @@ object NorthStarQueries {
       brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
         .select(col("n_true"),
-          (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
+          (col("n_found") >= col("n_true") * lit(0.75)).as("recall_ge_075"))
     }),
     // FILTERED ANN on the LSH index path — the LSH sibling of
     // `sim_topk_filtered_ivf`, completing the filtered story across
@@ -755,10 +756,12 @@ object NorthStarQueries {
     // post-filtered global top-k would under-fill k). Recall-oriented
     // parameterization (2 planes x 16 bands — the sim_lsh_recall
     // convention; weakest-neighbor miss probability ~1e-3), gated at
-    // the shared >= 0.7 floor vs the filtered brute-force truth.
+    // the shared >= 0.75 floor vs the filtered brute-force truth
+    // (measured 1.000 at every SF on the 1-in-20 probe set —
+    // Scratch recallgates, round 13).
     "sim_topk_filtered_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = e.filter(col("vec_id") % 20 === 0)
       val brute = Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
         q, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -770,7 +773,7 @@ object NorthStarQueries {
       brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
         .select(col("n_true"),
-          (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
+          (col("n_found") >= col("n_true") * lit(0.75)).as("recall_ge_075"))
     }),
     // index build + probe, measured TOGETHER: fits a FRESH quantizer on
     // every call (fixed seed -> identical cells to the cached index, so
@@ -781,7 +784,7 @@ object NorthStarQueries {
       val e = embs(s, dir)
       Similarity.ivfProbe(
         Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16),
-        e.filter(col("vec_id") % 100 === 0),
+        e.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
@@ -789,7 +792,7 @@ object NorthStarQueries {
     // benched separately so the per-query quantizer rebuild cost is visible)
     "sim_topk_ivf_probe" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.ivfProbe(ivfIndex(dir, e), e.filter(col("vec_id") % 100 === 0),
+      Similarity.ivfProbe(ivfIndex(dir, e), e.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
@@ -800,7 +803,7 @@ object NorthStarQueries {
     // and DuckDB-recomputable from the brute-force SQL.
     "sim_lsh_recall" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = e.filter(col("vec_id") % 20 === 0)
       val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"))
       val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10,
@@ -813,9 +816,17 @@ object NorthStarQueries {
     }),
 
     // IVF ANN recall floor vs brute force, probing 8 of 16 cells.
+    // Statistically powered (round 13): the probe set is every 20th
+    // vector — 100 queries x k=10 = 1000 hit-bets at sf0.1 (250 at the
+    // smaller SFs), vs the old 1-in-100 set's 50. Measured 0.820 /
+    // 0.868 / 0.817 at sf0.001 / 0.01 / 0.1 (Scratch recallgates;
+    // deterministic — fixed KMeans seed, fixed file partitioning), so
+    // the 0.75 floor holds everywhere with >= 40-bet margin while any
+    // assignment or probe bug lands near the 50% scanned fraction only
+    // by luck and a broken kernel near 0.
     "sim_ivf_recall" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = e.filter(col("vec_id") % 20 === 0)
       val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"))
       val ivf = Similarity.ivfProbe(ivfIndex(dir, e), q,
@@ -824,7 +835,7 @@ object NorthStarQueries {
       brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
         .select(col("n_true"),
-          (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
+          (col("n_found") >= col("n_true") * lit(0.75)).as("recall_ge_075"))
     }),
 
     // IVF index VERSIONING end to end (the IVF leg of the symmetry
@@ -833,15 +844,16 @@ object NorthStarQueries {
     // corpus, extend with the other half (extendIvfIndex assigns the
     // new vectors to the FROZEN centroids — no re-train, no corpus
     // reassignment), probe the extended index. Gated on recall vs the
-    // DuckDB-recomputable brute-force top-10 — measured 0.920 / 0.900 /
-    // 0.775 at sf0.001 / 0.01 / 0.1 (deterministic: fixed KMeans seed,
-    // fixed file partitioning), so the 0.7 floor (the sim_ivf_recall
+    // DuckDB-recomputable brute-force top-10 — measured 0.812 / 0.816 /
+    // 0.789 at sf0.001 / 0.01 / 0.1 on the 1-in-20 probe set (Scratch
+    // recallgates, round 13; deterministic: fixed KMeans seed, fixed
+    // file partitioning), so the 0.75 floor (the sim_ivf_recall
     // sibling's) passes every SF while a broken assignment or an
     // extension invisible to the probe lands near 0. Uncached by
     // design — the row measures fit-half + extend + probe.
     "sim_ivf_extend_recall" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = e.filter(col("vec_id") % 20 === 0)
       val ext = Similarity.extendIvfIndex(
         Similarity.ivfFit(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", nlist = 16),
@@ -854,7 +866,7 @@ object NorthStarQueries {
       brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
         .select(col("n_true"),
-          (col("n_found") >= col("n_true") * lit(0.7)).as("recall_ge_070"))
+          (col("n_found") >= col("n_true") * lit(0.75)).as("recall_ge_075"))
     }),
 
     "embeddings_stats" -> ((s, dir) =>
@@ -1262,7 +1274,7 @@ object NorthStarQueries {
       |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
       |                    c.vec_id ASC) AS rank
       |  FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c
-      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 20 = 0) q
       |  WHERE c.vec_id <> q.vec_id) t
       |WHERE rank <= 5""".stripMargin
 
@@ -1273,7 +1285,7 @@ object NorthStarQueries {
       |         row_number() OVER (PARTITION BY q.vec_id
       |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
       |                    c.vec_id ASC) AS rank
-      |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+      |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 20 = 0) q
       |  WHERE c.vec_id <> q.vec_id) t
       |WHERE rank <= 10""".stripMargin
 
@@ -1531,10 +1543,10 @@ object NorthStarQueries {
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_090
          |FROM ($BruteForceTopKSql) t""".stripMargin,
     "sim_ivf_recall" ->
-      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_075
          |FROM ($BruteForceTopKSql) t""".stripMargin,
     "sim_ivf_extend_recall" ->
-      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_075
          |FROM ($BruteForceTopKSql) t""".stripMargin,
     "dedup_embedding_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1562,10 +1574,10 @@ object NorthStarQueries {
     // candidates restricted by the metadata predicate.
     "sim_topk_filtered" -> FilteredBruteTopKSql,
     "sim_topk_filtered_ivf" ->
-      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_075
          |FROM ($FilteredBruteTopKSql) t""".stripMargin,
     "sim_topk_filtered_lsh" ->
-      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_075
          |FROM ($FilteredBruteTopKSql) t""".stripMargin,
     // langId argmax: score ties resolve to the lexicographically greatest
     // lang tag (Spark struct-max semantics) -> CASE in descending tag

@@ -532,6 +532,63 @@ object Scratch {
             (if (bOnly == 0 && lOnly == 0) "EQUAL" else "DIFFER"))
         }
 
+      case "recallgates" =>
+        // Measured recall of every ANN gate row at each given SF dir,
+        // on the gates' OWN (widened, round-13) 1-in-20 probe set —
+        // the floor-derivation evidence for sim_lsh_recall /
+        // sim_ivf_recall / sim_ivf_extend_recall /
+        // sim_topk_filtered_{ivf,lsh}. n_true/n_found are the exact
+        // quantities the gate queries aggregate into their booleans.
+        import org.apache.spark.sql.functions._
+        import extensions.Similarity
+        args.drop(1).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings").cache()
+          e.count()
+          val q = e.filter(col("vec_id") % 20 === 0)
+          def ratio(brute: org.apache.spark.sql.DataFrame,
+                    ann: org.apache.spark.sql.DataFrame): (Long, Long) = {
+            val r = brute.join(ann.withColumn("__hit", lit(1)),
+                brute.columns.toSeq, "left")
+              .agg(count(lit(1)), count(col("__hit"))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          def show(name: String, t: (Long, Long)): Unit =
+            println(f"recallgates @ $dir $name%-14s n_true=${t._1}%4d " +
+              f"n_found=${t._2}%4d recall=${t._2.toDouble / t._1}%.3f")
+          val brute10 = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id"))
+          show("lsh_2x16", ratio(brute10,
+            Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10,
+              planes = 2, bands = 16).select(col("query_id"), col("neighbor_id"))))
+          val ivf = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16)
+          show("ivf_p8", ratio(brute10,
+            Similarity.ivfProbe(ivf, q, "vec_id", "embedding", k = 10, nprobe = 8)
+              .select(col("query_id"), col("neighbor_id"))))
+          val ext = Similarity.extendIvfIndex(
+            Similarity.ivfFit(e.filter(col("vec_id") % 2 === 0),
+              "vec_id", "embedding", nlist = 16),
+            e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+          show("ivfx_p8", ratio(brute10,
+            Similarity.ivfProbe(ext, q, "vec_id", "embedding", k = 10, nprobe = 8)
+              .select(col("query_id"), col("neighbor_id"))))
+          val bruteF = Similarity.bruteForceTopK(
+            e.filter(col("label") % 3 === 0), q, "vec_id", "embedding", k = 5)
+            .select(col("query_id"), col("neighbor_id"))
+          val ivfMeta = Similarity.ivfFit(e, "vec_id", "embedding",
+            nlist = 16, metaCols = Seq("label"))
+          show("filt_ivf_p8", ratio(bruteF,
+            Similarity.ivfProbe(ivfMeta.filtered(col("label") % 3 === 0), q,
+              "vec_id", "embedding", k = 5, nprobe = 8)
+              .select(col("query_id"), col("neighbor_id"))))
+          val lshIdx = Similarity.lshFit(e, "vec_id", "embedding",
+            planes = 2, bands = 16, metaCols = Seq("label"))
+          show("filt_lsh_2x16", ratio(bruteF,
+            Similarity.lshProbe(lshIdx.filtered(col("label") % 3 === 0), q,
+              "vec_id", "embedding", k = 5)
+              .select(col("query_id"), col("neighbor_id"))))
+          e.unpersist()
+        }
+
       case "corescale" =>
         // TRUE data-parallel scaling probe: a compute-bound operator
         // (assignToCells at nlist=2048 — pure per-row arithmetic, no

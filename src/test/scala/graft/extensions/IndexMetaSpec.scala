@@ -58,6 +58,30 @@ class IndexMetaSpec extends AnyFunSuite {
     v1.close()
   }
 
+  test("saving an extension back over its own parent tree never stamps a self-referential parent") {
+    val dir = TestSpark.tmpDir("graft-meta-selfref")
+    val v1 = Dedup.saveCorpusIndex(
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") < 100), "doc_id", "text"), dir)
+    // load → extend → save back to the SAME dir: the extension's parent
+    // points at `dir`, but the save overwrites that very tree — a stamp
+    // with parent == dir would name a tree that no longer exists, and a
+    // lineage walker would loop on it forever
+    val ext = Dedup.extendCorpusIndex(Dedup.loadCorpusIndex(spark, dir),
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), "doc_id", "text")
+    assert(ext.parent.contains(dir))
+    val mat = Dedup.CorpusIndex(
+      ext.postings.localCheckpoint(true), ext.shingles.localCheckpoint(true),
+      ext.dfCounts.localCheckpoint(true), ext.shingleK, ext.maxGramDf,
+      version = ext.version, parent = ext.parent)
+    val v2 = Dedup.saveCorpusIndex(mat, dir)
+    val stamp = IndexMeta.read(spark, dir).get
+    assert(stamp.version == 2L)
+    assert(stamp.parent.isEmpty,
+      s"in-place re-save must drop the self-referential parent, got ${stamp.parent}")
+    v2.close()
+    v1.unpersist()
+  }
+
   test("close() refuses a stale handle after the tree was re-saved in place") {
     val dir = TestSpark.tmpDir("graft-meta-stale")
     val v1 = Dedup.saveCorpusIndex(
@@ -116,7 +140,7 @@ class IndexMetaSpec extends AnyFunSuite {
     emb.close()
   }
 
-  test("a corrupted stamp degrades to advisory-absent instead of bricking the tree") {
+  test("a corrupted stamp keeps loads working but BLOCKS close() until cleared") {
     val dir = TestSpark.tmpDir("graft-meta-corrupt")
     val v1 = Dedup.saveCorpusIndex(
       Dedup.buildCorpusIndex(docs.filter(col("doc_id") < 50), "doc_id", "text"), dir)
@@ -126,14 +150,42 @@ class IndexMetaSpec extends AnyFunSuite {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write("""{"version": 1, "fol""".getBytes) finally out.close()
+    assert(IndexMeta.readStamp(spark, dir)
+      .isInstanceOf[IndexMeta.Stamp.Corrupt],
+      "bytes present but unparseable must read as Corrupt, not Absent")
     assert(IndexMeta.read(spark, dir).isEmpty,
-      "unparseable stamp must read as absent, not throw")
-    // load falls back to the unstamped defaults; close() still retires it
+      "the lenient view must degrade Corrupt to None for loads")
+    // NON-destructive load still works (falls back to unstamped defaults)
     val loaded = Dedup.loadCorpusIndex(spark, dir)
     assert(loaded.version == 1L)
+    // ...but close() refuses: the version the damaged stamp recorded is
+    // unknown, so this may not be the tree the handle believes it holds
+    val err = intercept[IllegalArgumentException](loaded.close())
+    assert(err.getMessage.contains("UNREADABLE"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "a refused close must not delete anything")
+    // the audited force path: clear the corrupt stamp, then the tree is
+    // genuinely unstamped and retires under the pre-stamp exemption
+    assert(IndexMeta.clearCorruptStamp(spark, dir))
     loaded.close()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
     v1.unpersist()
+  }
+
+  test("a genuinely unstamped pre-stamp tree still retires; a valid stamp refuses clearing") {
+    val dir = TestSpark.tmpDir("graft-meta-prestamp")
+    val v1 = Dedup.saveCorpusIndex(
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") < 50), "doc_id", "text"), dir)
+    // clearCorruptStamp must not delete a VALID stamp
+    intercept[IllegalArgumentException](IndexMeta.clearCorruptStamp(spark, dir))
+    // delete the stamp entirely: a pre-stamp tree (absent != corrupt)
+    val p = new org.apache.hadoop.fs.Path(dir, IndexMeta.FileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, false)
+    assert(IndexMeta.readStamp(spark, dir) == IndexMeta.Stamp.Absent)
+    assert(!IndexMeta.clearCorruptStamp(spark, dir), "no-op on unstamped")
+    v1.close() // exempt by design: version checks never existed for it
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
   }
 
   test("compaction refuses a stale handle and records the folded sink in lineage") {

@@ -40,12 +40,12 @@ class GateQueriesSpec extends AnyFunSuite {
     val Array(l) = run("sim_lsh_recall")
     assert(l.getAs[Long]("n_true") > 0 && l.getAs[Boolean]("recall_ge_090"))
     val Array(i) = run("sim_ivf_recall")
-    assert(i.getAs[Long]("n_true") > 0 && i.getAs[Boolean]("recall_ge_070"))
+    assert(i.getAs[Long]("n_true") > 0 && i.getAs[Boolean]("recall_ge_075"))
   }
 
   test("sim_ivf_extend_recall: the half-fit + extend index clears the floor") {
     val Array(r) = run("sim_ivf_extend_recall")
-    assert(r.getAs[Long]("n_true") > 0 && r.getAs[Boolean]("recall_ge_070"))
+    assert(r.getAs[Long]("n_true") > 0 && r.getAs[Boolean]("recall_ge_075"))
   }
 
   test("version-bump rows discriminate: batch 2's planted twins drop ONLY via the bump") {
