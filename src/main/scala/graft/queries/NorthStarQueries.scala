@@ -18,24 +18,25 @@ import graft.sources.Tables
  * (driver records a rows-only check) and are instead invariant-tested in
  * ScalaTest.
  *
- * The remaining no-oracle tail is exactly 4 rows: dedup_simhash_pairs
+ * The remaining no-oracle tail is exactly 2 rows: dedup_simhash_pairs
  * (raw Hamming-cutoff pair list — the simhash values DuckDB cannot
- * recompute; gated by dedup_simhash_recall), sim_topk_lsh (kept at a
- * banding that actually prunes — see the row's comment; an oracle was
- * measurable only at a no-pruning operating point, which would gut the
- * row's meaning — gated by sim_lsh_recall), and sim_topk_{ivf,
- * ivf_probe} (IVF top-k — the KMeans cell assignment DuckDB cannot
- * recompute; gated by sim_{ivf,ivf_extend}_recall floors vs the
- * brute-force SQL truth). The raw rows stay in the inventory because
- * they are what a user calls and what the bench prices; their
- * correctness signal lives in the gates. Two rows graduated OUT of
- * this tail in round 12, each by establishing measured recall 1.0 at a
- * STILL-PRUNING operating point on every fixture SF so the raw output
- * equals a DuckDB-computable truth: dedup_minhash_pairs (shares the
- * exact-pairs SQL after the permutation decorrelation fix) and
- * dedup_embedding_pairs (equals planted brute force at 12x8 — 4096
- * bucket values per band keep candidate generation genuinely
- * selective).
+ * recompute; gated by dedup_simhash_recall) and sim_topk_lsh (kept at
+ * a banding that actually prunes — see the row's comment; an oracle
+ * was measurable only at a no-pruning operating point, which would gut
+ * the row's meaning — gated by sim_lsh_recall). The raw rows stay in
+ * the inventory because they are what a user calls and what the bench
+ * prices; their correctness signal lives in the gates. Four rows
+ * graduated OUT of this tail in rounds 12-13, each by establishing a
+ * measured EXACT match at a STILL-PRUNING operating point on every
+ * fixture SF so the raw output equals a DuckDB-computable truth:
+ * dedup_minhash_pairs (round 12 — shares the exact-pairs SQL after the
+ * permutation decorrelation fix), dedup_embedding_pairs (round 12 —
+ * equals planted brute force at 12x8), and sim_topk_{ivf,ivf_probe}
+ * (round 13 — on the [[clusteredEmbeddings]] fixture, probing 4 of 19
+ * cells returns exactly the brute-force top-10, because each query's
+ * true top-10 lives in its own well-separated planted cluster; the
+ * integer-exact fixture arithmetic makes the cross-engine ranking
+ * deterministic).
  */
 object NorthStarQueries {
 
@@ -51,6 +52,13 @@ object NorthStarQueries {
   private def ivfIndex(dir: String, e: DataFrame): Similarity.IvfIndex =
     ivfIndexCache.computeIfAbsent(dir, _ =>
       Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16).cache())
+
+  /** The clustered-fixture sibling of [[ivfIndex]] (sim_topk_ivf_probe's
+    * steady-state index) — same cache map, suffixed key, released by the
+    * same [[clearSimCaches]]. */
+  private def ivfClusteredIndex(dir: String, ce: DataFrame): Similarity.IvfIndex =
+    ivfIndexCache.computeIfAbsent(dir + "#clustered", _ =>
+      Similarity.ivfFit(ce, "vec_id", "embedding", nlist = 19).cache())
 
   /** The exact n-gram-Jaccard pair set, shared by BOTH dedup recall gates
     * (`dedup_minhash_sound`, `dedup_simhash_recall`): persisted per sf dir
@@ -289,6 +297,33 @@ object NorthStarQueries {
       .union(e.filter(col("vec_id") % 7 === 0).select(
         (col("vec_id") + 20000000L).as("vec_id"),
         transform(col("embedding"), x => -x).as("embedding")))
+
+  /** Deterministic CLUSTERED embedding fixture — IVF's favorable regime,
+    * which the near-uniform raw embeddings never exhibit (their recall
+    * tracks the scanned fraction; PLANS.md "IVF trained-centers recall
+    * curve"). One 64-dim vector per corpus row: 19 planted clusters
+    * (19 is coprime with the 1-in-20 probe set, so the queries cover
+    * every cluster), cluster base direction
+    * `b_c[d] = ((c*31 + d*17) % 5 - 2) * 8` with components in
+    * {-16,-8,0,8,16}, plus a per-member offset `vec_id % 11` in the
+    * single dimension `d = c + 1`. Every component is a small integer,
+    * so every dot product and squared norm is an EXACT integer in
+    * double (max |dot| << 2^53 — no rounding anywhere before the final
+    * divide/sqrt of identical operands), making the cosine ranking
+    * (cosine DESC, id ASC) bit-identical between Spark and DuckDB —
+    * the property the sim_topk_ivf hash oracle rides on. Geometry:
+    * within-cluster cosine ≈ 0.99+ (near-parallel vectors), cross-
+    * cluster |cosine| well below it (signed base components), so every
+    * query's true top-10 lives in its own ~26-to-105-member cluster
+    * and a KMeans fit at nlist=19 separates centers ~128 apart against
+    * intra-cluster spread <= 10. */
+  private def clusteredEmbeddings(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), d =>
+        ((pmod(pmod(col("vec_id"), lit(19)) * 31 + d * 17, lit(5)) - 2) * 8 +
+          when(d === pmod(col("vec_id"), lit(19)) + 1,
+            pmod(col("vec_id"), lit(11))).otherwise(lit(0)))
+          .cast("float")).as("embedding"))
 
   /** Embeddings plus deterministic planted near-copies of every 10th
     * vector (id + 10M, first component nudged by +0.05): cosine(v, v') ≈
@@ -779,20 +814,28 @@ object NorthStarQueries {
     // every call (fixed seed -> identical cells to the cached index, so
     // results match the probe-only row) — the cached index would otherwise
     // make this row silently measure probe-only whenever another IVF
-    // query ran first.
+    // query ran first. Runs on the CLUSTERED fixture (IVF's favorable
+    // regime — the near-uniform raw embeddings make recall track the
+    // scanned fraction, PLANS.md curve), where probing 4 of 19 cells
+    // (21% scanned) returns EXACTLY the brute-force top-10 on every
+    // fixture SF, so the row hash-checks against DuckDB brute force —
+    // graduated from rows-only in round 13 by the same
+    // still-pruning-oracle method as dedup_minhash_pairs. The
+    // unclustered operating point stays covered by sim_ivf_recall.
     "sim_topk_ivf" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val ce = clusteredEmbeddings(embs(s, dir))
       Similarity.ivfProbe(
-        Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16),
-        e.filter(col("vec_id") % 20 === 0),
+        Similarity.ivfFit(ce, "vec_id", "embedding", nlist = 19),
+        ce.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     // probe-only steady state: reuses the fitted index (identical results;
     // benched separately so the per-query quantizer rebuild cost is visible)
     "sim_topk_ivf_probe" -> ((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.ivfProbe(ivfIndex(dir, e), e.filter(col("vec_id") % 20 === 0),
+      val ce = clusteredEmbeddings(embs(s, dir))
+      Similarity.ivfProbe(ivfClusteredIndex(dir, ce),
+        ce.filter(col("vec_id") % 20 === 0),
         "vec_id", "embedding", k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
@@ -1278,6 +1321,29 @@ object NorthStarQueries {
       |  WHERE c.vec_id <> q.vec_id) t
       |WHERE rank <= 5""".stripMargin
 
+  /** Brute-force cosine top-10 over the CLUSTERED fixture (the SQL twin
+    * of [[clusteredEmbeddings]] — same integer-exact arithmetic, so the
+    * cosine ranking is bit-identical across engines): the hash oracle
+    * for `sim_topk_ivf` / `sim_topk_ivf_probe`, which return EXACTLY
+    * this set at nprobe=4 of nlist=19 (measured on every fixture SF —
+    * every query's true top-10 lives in its own planted cluster, which
+    * the probe always covers). */
+  private val ClusteredBruteTopKSql: String =
+    """WITH ce AS (
+      |  SELECT vec_id, list_transform(range(1, 65), d ->
+      |    CAST((((((vec_id % 19) * 31 + d * 17) % 5) - 2) * 8
+      |      + CASE WHEN d = (vec_id % 19) + 1 THEN vec_id % 11 ELSE 0 END)
+      |      AS DOUBLE)) AS emb
+      |  FROM embeddings)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+      |                    c.vec_id ASC) AS rank
+      |  FROM ce c CROSS JOIN (SELECT * FROM ce WHERE vec_id % 20 = 0) q
+      |  WHERE c.vec_id <> q.vec_id) t
+      |WHERE rank <= 10""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
   private val BruteForceTopKSql: String =
     """SELECT query_id, neighbor_id, rank FROM (
@@ -1554,6 +1620,8 @@ object NorthStarQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
     "sim_topk_brute" -> BruteForceTopKSql,
+    "sim_topk_ivf" -> ClusteredBruteTopKSql,
+    "sim_topk_ivf_probe" -> ClusteredBruteTopKSql,
     // Planted-pair brute force (the same float-exact planted CTE as
     // dedup_embedding_corpus): at 12x8 banding the LSH pair set equals
     // this exactly on every fixture SF.

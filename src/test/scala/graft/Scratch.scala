@@ -532,6 +532,51 @@ object Scratch {
             (if (bOnly == 0 && lOnly == 0) "EQUAL" else "DIFFER"))
         }
 
+      case "ivfclustered" =>
+        // Oracle-eligibility evidence for sim_topk_ivf{,_probe} on the
+        // round-13 clustered fixture: (a) the IVF top-10 at nprobe=4 of
+        // nlist=19 must EQUAL brute force row-for-row (the hash oracle's
+        // premise), (b) candidate generation must still PRUNE (scored
+        // candidates well under queries x corpus — the operating point
+        // means something), (c) recall at nprobe=1..4 shows the
+        // clustered regime where IVF beats the scanned fraction.
+        import org.apache.spark.sql.functions._
+        import extensions.Similarity
+        args.drop(1).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings")
+          // mirror NorthStarQueries.clusteredEmbeddings (private)
+          val ce = e.select(col("vec_id"),
+            transform(sequence(lit(1), lit(64)), d =>
+              ((pmod(pmod(col("vec_id"), lit(19)) * 31 + d * 17, lit(5)) - 2) * 8 +
+                when(d === pmod(col("vec_id"), lit(19)) + 1,
+                  pmod(col("vec_id"), lit(11))).otherwise(lit(0)))
+                .cast("float")).as("embedding")).cache()
+          val nTotal = ce.count()
+          val q = ce.filter(col("vec_id") % 20 === 0)
+          val nq = q.count()
+          val brute = Similarity.bruteForceTopK(ce, q, "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id"), col("rank")).cache()
+          val idx = Similarity.ivfFit(ce, "vec_id", "embedding", nlist = 19)
+          for (np <- Seq(1, 2, 4)) {
+            val ivf = Similarity.ivfProbe(idx, q, "vec_id", "embedding",
+              k = 10, nprobe = np)
+              .select(col("query_id"), col("neighbor_id"), col("rank")).cache()
+            val bOnly = brute.join(ivf,
+              Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+            val iOnly = ivf.join(brute,
+              Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+            // scored candidates = members of the probed cells per query
+            val scanned = Similarity.ivfProbe(idx, q, "vec_id", "embedding",
+              k = Int.MaxValue, nprobe = np).count()
+            println(f"ivfclustered @ $dir nprobe=$np brute_only=$bOnly " +
+              f"ivf_only=$iOnly scanned=$scanned of ${nq * (nTotal - 1)} " +
+              f"(${scanned.toDouble / (nq * (nTotal - 1)) * 100}%.1f%%) " +
+              (if (bOnly == 0 && iOnly == 0) "EQUAL" else "DIFFER"))
+            ivf.unpersist()
+          }
+          brute.unpersist(); ce.unpersist()
+        }
+
       case "recallgates" =>
         // Measured recall of every ANN gate row at each given SF dir,
         // on the gates' OWN (widened, round-13) 1-in-20 probe set —

@@ -43,6 +43,37 @@ class GateQueriesSpec extends AnyFunSuite {
     assert(i.getAs[Long]("n_true") > 0 && i.getAs[Boolean]("recall_ge_075"))
   }
 
+  test("sim_topk_ivf equals brute force row-for-row on the clustered fixture") {
+    // the premise of the round-13 oracle graduation: on the planted
+    // 19-cluster fixture, probing 4 of 19 cells (~23% of candidates
+    // scored) loses NOTHING — every query's true top-10 lives in its
+    // own cluster. A quantizer/assignment/probe bug breaks equality.
+    import org.apache.spark.sql.functions._
+    import graft.extensions.Similarity
+    val ivf = run("sim_topk_ivf").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probe = run("sim_topk_ivf_probe").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf.nonEmpty && ivf == probe,
+      "fresh-fit and cached-index rows must agree (fixed seed)")
+    // rebuild the SAME deterministic fixture (mirrors the private
+    // clusteredEmbeddings helper) and take brute force as truth
+    val ce = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)), d =>
+          ((pmod(pmod(col("vec_id"), lit(19)) * 31 + d * 17, lit(5)) - 2) * 8 +
+            when(d === pmod(col("vec_id"), lit(19)) + 1,
+              pmod(col("vec_id"), lit(11))).otherwise(lit(0)))
+            .cast("float")).as("embedding"))
+    val brute = Similarity.bruteForceTopK(ce,
+      ce.filter(col("vec_id") % 20 === 0), "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute,
+      s"IVF at nprobe=4/nlist=19 must equal brute force; " +
+        s"missing=${(brute -- ivf).size} extra=${(ivf -- brute).size}")
+  }
+
   test("sim_ivf_extend_recall: the half-fit + extend index clears the floor") {
     val Array(r) = run("sim_ivf_extend_recall")
     assert(r.getAs[Long]("n_true") > 0 && r.getAs[Boolean]("recall_ge_075"))
