@@ -23,6 +23,13 @@ set -u
 cd "$(dirname "$0")/.." || exit 1
 msg="${1:?usage: scripts/test_gate.sh \"commit message\"}"
 
+# `git add -A` below is ALSO the round-artifact sweep (VERDICT r12 ask
+# #1): the driver writes BENCH_r*/CORRECTNESS_r*/LEAKCHECK/VERDICT/
+# ADVICE and appends BENCH_HISTORY lines AFTER the round's final commit,
+# so they are necessarily untracked when the next round opens — the
+# first gated commit of a round picks them all up mechanically. Nothing
+# round-shaped is gitignored except BENCH.json (regenerated per run)
+# and .benchdata/ (locally generated scaled parquet).
 git add -A
 digest=$(git ls-files -s -- src build.sbt project | git hash-object --stdin)
 echo "[gate] code digest $digest — running full suite"

@@ -861,4 +861,112 @@ object Dedup {
           .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ---- substring-window (span-level) dedup ---------------------------
+  //
+  // Doc-level dedup (exact / minhash / simhash above) drops whole
+  // documents; web-scale training corpora additionally need SPAN-level
+  // removal — boilerplate headers, license blocks, navigation chrome —
+  // the "deduplicating training data makes language models better"
+  // operation: find every n-token window shared across documents and
+  // scrub the covered spans, keeping the unique remainder of each doc.
+  // The reference has no analog (its corpus ops stop at row identity);
+  // this family extends the §2.10 north-star dedup suite.
+  //
+  // Scale shape: one Generate (≈ tokens-per-doc rows out per doc, same
+  // order as the shingle explode minhash already pays), ONE combining
+  // shuffle on win_hash for the duplicate census, and — for the per-doc
+  // forms — a win_hash-co-partitioned semi-join (both sides already
+  // hash-partitioned by the census shuffle) plus one combining shuffle
+  // back to doc_id. No driver-side state, no cross-product: a window
+  // shared by k docs contributes k rows, never k^2 pairs.
+
+  /** Rolling n-token windows with start offsets:
+    * array<struct<win_start:int, win_hash:string>>. win_start is
+    * 0-based; the window covers (1-based) token positions
+    * win_start+1 .. win_start+n. Hash = md5 of the space-joined window
+    * (DuckDB-reproducible, collision-safe at corpus scale). Docs
+    * shorter than n yield no windows: the `sequence` upper bound is
+    * clamped to 0 (sequence(0, negative) would DESCEND) and the bound
+    * filter drops the clamped element. */
+  private[graft] def windowHashes(toks: Column, n: Int): Column =
+    transform(
+      filter(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => i <= size(toks) - n),
+      i => struct(i.cast("int").as("win_start"),
+        md5(concat_ws(" ", slice(toks, i + 1, lit(n)))).as("win_hash")))
+
+  /** Exploded (doc, win_start, win_hash) rows for the corpus. */
+  private def windowRows(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    df.select(col(idCol),
+        explode(windowHashes(
+          graft.functions.TextFunctions.tokens(col(textCol)), n)).as("w"))
+      .select(col(idCol), col("w.win_start").as("win_start"),
+        col("w.win_hash").as("win_hash"))
+
+  /** Census of duplicated windows: every n-token window appearing in at
+    * least `minDocs` distinct documents, with its document count, total
+    * occurrence count and first (min-id) document. ONE combining shuffle
+    * on win_hash; the single distinct aggregate plans as a two-level
+    * aggregate, not an Expand. */
+  def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minDocs: Int = 2): DataFrame =
+    windowRows(df, idCol, textCol, n)
+      .groupBy(col("win_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document span-duplication report: how many of the doc's windows
+    * are shared with other documents (the drop/scrub signal). The dup
+    * census and the window rows are both partitioned by win_hash when
+    * they meet, so the semi-join is co-located; the duplicate set is
+    * corpus-sized in the worst case, so it is NOT broadcast. */
+  def windowDupStats(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val wins = windowRows(df, idCol, textCol, n)
+    val dup = duplicatedWindows(df, idCol, textCol, n, minDocs)
+      .select(col("win_hash"))
+    val dupPerDoc = wins.join(dup, Seq("win_hash"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    val totals = df.select(col(idCol),
+      size(windowHashes(graft.functions.TextFunctions.tokens(col(textCol)),
+        n)).cast("long").as("n_windows"))
+    totals.join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_dup_windows").cast("double") / col("n_windows")))
+  }
+
+  /** Scrub duplicated spans: rebuild each document keeping only tokens
+    * not covered by any cross-document duplicated window. Covered
+    * positions per doc aggregate to one array (bounded by the doc's own
+    * token count, so the row stays small however duplicated the corpus
+    * is); the rebuild is a narrow per-row filter over the token list. */
+  def scrubDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val wins = windowRows(df, idCol, textCol, n)
+    val dup = duplicatedWindows(df, idCol, textCol, n, minDocs)
+      .select(col("win_hash"))
+    // 1-based covered token positions per doc; collect_list order is
+    // nondeterministic but only membership is consumed
+    val covered = wins.join(dup, Seq("win_hash"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("win_start") + 1, col("win_start") + n)))).as("__cov"))
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("__toks", toks)
+      .withColumn("__kept",
+        filter(col("__toks"), (t, i) =>
+          col("__cov").isNull || !array_contains(col("__cov"), i + 1)))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("scrubbed"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
 }

@@ -45,6 +45,34 @@ object NorthStarQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Deterministic PII-bearing contact-notes corpus derived from
+    * `customer` — the harness text tables carry no PII, so the redaction
+    * rows plant it with an expression the DuckDB oracle replays verbatim
+    * (ContactNotesSql): an email per row, a dashed phone on every 3rd
+    * key, a dotted-quad on every 5th. Everything derives from c_custkey
+    * / c_name, so the corpus is identical across engines and SFs. */
+  private def contactNotes(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(
+        lit("Reach "), col("c_name"), lit(" at "),
+        lower(translate(col("c_name"), "#", ".")), lit("@example.com"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit(" or call "),
+            lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("c_custkey") % 5 === 0,
+          concat(lit(" from host "),
+            (col("c_custkey") % 223 + 1).cast("string"), lit(".0."),
+            (col("c_custkey") % 256).cast("string"), lit("."),
+            ((col("c_custkey") * 11) % 256).cast("string")))
+          .otherwise(lit("")),
+        lit(" re account "), col("c_custkey").cast("string")).as("note"))
+
   /** One fitted IVF index per sf dir, shared across probe calls. */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
@@ -953,6 +981,41 @@ object NorthStarQueries {
           size(array_distinct(col("__toks"))).cast(LongType).as("n_types"),
           size(col("__toks")).cast(LongType).as("n_tokens"))),
 
+    // ---- span-level (substring-window) dedup -------------------------
+    // The "deduplicating training data makes LMs better" operation:
+    // find every 8-token window shared across documents (the census),
+    // score each doc by its duplicated-span fraction (the drop signal),
+    // and rebuild docs with duplicated spans scrubbed (the removal).
+    // All three are exact and fully hash-matched: md5 window hashes are
+    // recomputable by DuckDB on the same token stream.
+    "text_window_dupes" -> ((s, dir) =>
+      Dedup.duplicatedWindows(docs(s, dir), "doc_id", "text",
+        n = 8, minDocs = 2)),
+    "text_window_dup_stats" -> ((s, dir) =>
+      Dedup.windowDupStats(docs(s, dir), "doc_id", "text",
+        n = 8, minDocs = 2)),
+    "text_window_scrub" -> ((s, dir) =>
+      Dedup.scrubDuplicatedWindows(docs(s, dir), "doc_id", "text",
+        n = 8, minDocs = 2)),
+
+    // ---- PII detection + redaction -----------------------------------
+    // The scrub-before-training hygiene stage. The harness corpus
+    // carries no PII, so the queries run over a DERIVED contact-notes
+    // corpus built deterministically from `customer` with the SAME
+    // expression on both engines — planted emails everywhere, phones on
+    // every 3rd key, dotted-quads on every 5th — giving the detectors
+    // genuinely mixed inputs. Both rows are narrow per-row projections
+    // (zero shuffles; scrubbing 100 TB is embarrassingly parallel) and
+    // stay inside whole-stage codegen (regexp_*, no UDF).
+    "text_pii_stats" -> ((s, dir) =>
+      contactNotes(s, dir).select(col("c_custkey"),
+        graft.functions.Redact.emailCount(col("note")).as("n_emails"),
+        graft.functions.Redact.phoneCount(col("note")).as("n_phones"),
+        graft.functions.Redact.ipv4Count(col("note")).as("n_ips"))),
+    "text_pii_redact" -> ((s, dir) =>
+      contactNotes(s, dir).select(col("c_custkey"),
+        graft.functions.Redact.redactPii(col("note")).as("redacted"))),
+
     // deterministic corpus split + per-split stats (reproducible across
     // engines/runs/cluster sizes — no RNG)
     "text_hash_split" -> ((s, dir) =>
@@ -1205,6 +1268,94 @@ object NorthStarQueries {
       |hits AS (SELECT doc_id, count(*) AS n_hit FROM dg
       |         WHERE doc_id % 11 <> 0 AND gram IN (SELECT gram FROM eg)
       |         GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE stack for the substring-window dedup family: token
+    * stream -> rolling 8-token windows with 0-based starts -> the
+    * cross-document duplicate census. Mirrors
+    * [[graft.extensions.Dedup.windowHashes]] token-for-token (same
+    * tokenizer as every text oracle, same md5 of the space-joined
+    * window), so all three rows hash-match exactly. */
+  private val WindowCtes: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |w AS (SELECT doc_id, i AS win_start,
+      |    md5(array_to_string(toks[i+1:i+8], ' ')) AS win_hash
+      |  FROM t, unnest(range(0, greatest(len(toks)-8+1, 0))) AS u(i)),
+      |dup AS (SELECT win_hash FROM w GROUP BY win_hash
+      |        HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
+
+  private val WindowDupesSql: String =
+    s"""$WindowCtes
+      |SELECT win_hash, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_occ, min(doc_id) AS first_doc
+      |FROM w GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+
+  private val WindowDupStatsSql: String =
+    s"""$WindowCtes,
+      |d AS (SELECT w.doc_id AS ddoc, count(*) AS n_dup_windows
+      |      FROM w JOIN dup USING (win_hash) GROUP BY 1),
+      |tot AS (SELECT doc_id, CAST(greatest(len(toks)-8+1, 0) AS BIGINT) AS n_windows FROM t)
+      |SELECT tot.doc_id, n_windows,
+      |  CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+      |  CASE WHEN n_windows = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(n_dup_windows, 0) AS DOUBLE) / n_windows END AS dup_frac
+      |FROM tot LEFT JOIN d ON tot.doc_id = d.ddoc""".stripMargin
+
+  /** Scrub oracle: covered (1-based) token positions per doc from the
+    * duplicated windows, then a positional list_filter rebuild. The
+    * COALESCE matters: DuckDB's array_to_string of an empty list is
+    * NULL where Spark's concat_ws is '' (a fully-duplicated doc scrubs
+    * to the empty string). */
+  private val WindowScrubSql: String =
+    s"""$WindowCtes,
+      |cov AS (SELECT DISTINCT w.doc_id, p
+      |  FROM w JOIN dup USING (win_hash), unnest(range(win_start+1, win_start+9)) AS c(p)),
+      |covl AS (SELECT doc_id AS cdoc, list(p) AS covlist FROM cov GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  COALESCE(array_to_string(list_filter(toks,
+      |    (tok, pos) -> covlist IS NULL OR NOT list_contains(covlist, pos)), ' '), '') AS scrubbed,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(toks,
+      |    (tok, pos) -> covlist IS NULL OR NOT list_contains(covlist, pos))) AS BIGINT) AS n_kept
+      |FROM t LEFT JOIN covl ON t.doc_id = covl.cdoc""".stripMargin
+
+  /** The planted contact-notes corpus ([[contactNotes]]) in DuckDB —
+    * expression-for-expression the same derivation from customer. */
+  private val ContactNotesSql: String =
+    """WITH notes AS (
+      |  SELECT c_custkey,
+      |    concat('Reach ', c_name, ' at ',
+      |      lower(replace(c_name, '#', '.')), '@example.com',
+      |      CASE WHEN c_custkey % 3 = 0
+      |        THEN concat(' or call ', lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0'),
+      |                    '-', lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'),
+      |                    '-', lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0'))
+      |        ELSE '' END,
+      |      CASE WHEN c_custkey % 5 = 0
+      |        THEN concat(' from host ', CAST(c_custkey % 223 + 1 AS VARCHAR), '.0.',
+      |                    CAST(c_custkey % 256 AS VARCHAR), '.',
+      |                    CAST((c_custkey * 11) % 256 AS VARCHAR))
+      |        ELSE '' END,
+      |      ' re account ', CAST(c_custkey AS VARCHAR)) AS note
+      |  FROM customer)""".stripMargin
+
+  private val PiiStatsSql: String =
+    s"""$ContactNotesSql
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(note, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(note, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips
+      |FROM notes""".stripMargin
+
+  private val PiiRedactSql: String =
+    s"""$ContactNotesSql
+      |SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(note,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+      |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS redacted
+      |FROM notes""".stripMargin
 
   /** Decontamination keep-set oracle: training docs with zero eval-gram
     * hits, all columns. */
@@ -1709,6 +1860,11 @@ object NorthStarQueries {
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
         |  CAST(len(toks) AS BIGINT) AS n_tokens
         |FROM t""".stripMargin,
+    "text_window_dupes" -> WindowDupesSql,
+    "text_window_dup_stats" -> WindowDupStatsSql,
+    "text_window_scrub" -> WindowScrubSql,
+    "text_pii_stats" -> PiiStatsSql,
+    "text_pii_redact" -> PiiRedactSql,
     "text_decontaminate" -> DecontaminateSql,
     "text_decontam_report" -> DecontamReportSql,
     "dedup_version_bump" -> VersionBumpSql,

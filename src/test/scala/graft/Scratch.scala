@@ -784,6 +784,86 @@ object Scratch {
         }
         e.unpersist()
 
+      case "dumpq" =>
+        // targeted Verify: dump named queries' results as parquet for a
+        // local DuckDB compare (same shape the driver's gate performs)
+        val dir = args(1); val out = args(2)
+        args(3).split(",").foreach { n =>
+          SparkEntry.queries(n)(spark, dir).coalesce(1)
+            .write.mode("overwrite").parquet(s"$out/$n")
+          println(s"dumped $n")
+        }
+        def jq(s: String): String = "\"" + s.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        Files.writeString(Paths.get(s"$out/oracle_sql.json"),
+          SparkEntry.oracleSql.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+            .mkString("{", ",", "}"))
+
+      case "gensf" =>
+        // Scale the harness tables by an integer factor for bench-only
+        // runs at sizes the driver doesn't ship (VERDICT r12 ask #6: an
+        // sf1 point between sf0.1 and "100 TB by design").
+        //   gensf <srcDir> <dstDir> <factor>
+        // Method: union `factor` key-shifted copies. Entity keys (custkey,
+        // orderkey, partkey, suppkey, event/user/doc/vec ids) shift by
+        // copy*STRIDE so every FK join keeps its exact cardinality per
+        // copy; nation/region stay fixed dims (their keys never shift),
+        // matching how TPC-H itself scales. Document text gets a per-copy
+        // suffix token (n_chars recomputed) and embeddings a per-copy
+        // first-component nudge, so the scaled corpus is 10x DISTINCT
+        // near-dup-rich content rather than 10 bit-identical copies —
+        // the degenerate case would hand exact-dedup a free 90% kill and
+        // starve the near-dup paths of realistic work.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.DataFrame
+        val src = args(1); val dst = args(2); val factor = args(3).toInt
+        val STRIDE = 100000000L // far above any sf0.1 key (max ~600k)
+        val copies = spark.range(factor).toDF("copy")
+        def shifted(name: String, keys: Seq[String])(extra: DataFrame => DataFrame = identity): Unit = {
+          val base = sources.Tables.load(spark, src, name)
+          val out0 = base.crossJoin(broadcast(copies))
+          val out1 = keys.foldLeft(out0)((d, k) =>
+            d.withColumn(k, col(k) + col("copy") * STRIDE))
+          val out = extra(out1).drop("copy").select(base.columns.map(col): _*)
+          out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+          println(s"  $name: ${base.count()} -> ${spark.read.parquet(s"$dst/$name.parquet").count()}")
+        }
+        def fixed(name: String): Unit = {
+          val base = sources.Tables.load(spark, src, name)
+          base.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+          println(s"  $name: fixed dim (${base.count()})")
+        }
+        fixed("region"); fixed("nation")
+        shifted("customer", Seq("c_custkey"))()
+        shifted("supplier", Seq("s_suppkey"))()
+        shifted("part", Seq("p_partkey"))()
+        shifted("orders", Seq("o_orderkey", "o_custkey"))()
+        shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
+        shifted("events", Seq("event_id", "user_id"))()
+        shifted("documents", Seq("doc_id")) { d =>
+          d.withColumn("text",
+              when(col("copy") === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" copyx"), col("copy"))))
+            .withColumn("n_chars", length(col("text")))
+        }
+        shifted("embeddings", Seq("vec_id")) { d =>
+          // nudge component 0 by copy*1e-3: copies stay near-dups (the
+          // realistic scaled regime) without being bit-identical
+          d.withColumn("embedding",
+            when(col("copy") === 0, col("embedding")).otherwise(
+              concat(
+                array((col("embedding")(0) + col("copy").cast("float") * lit(0.001f)).cast("float")),
+                slice(col("embedding"), 2, 10000))))
+        }
+        println(s"gensf done: $dst (factor $factor)")
+
       case "minhash-profile" =>
         import org.apache.spark.sql.functions._
         val dir = args(1)

@@ -1,0 +1,90 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Substring-window (span-level) dedup: census, per-doc stats, scrub. */
+class WindowDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a and b share the 8-token boilerplate prefix; c is fully unique;
+  // d is shorter than one window; e duplicates a ENTIRELY (every one of
+  // its windows is shared)
+  private val boiler = "all rights reserved contact the site admin team"
+  private lazy val corpus = Seq(
+    (1L, s"$boiler unique alpha beta gamma delta content one"),
+    (2L, s"$boiler other epsilon zeta eta theta content two"),
+    (3L, "completely original prose with no shared spans at all kappa"),
+    (4L, "too short for windows"),
+    (5L, s"$boiler unique alpha beta gamma delta content one")
+  ).toDF("doc_id", "text")
+
+  test("census finds the shared boilerplate window and only cross-doc shares") {
+    val dup = Dedup.duplicatedWindows(corpus, "doc_id", "text", n = 8, minDocs = 2)
+      .collect()
+    assert(dup.nonEmpty, "the boilerplate prefix must surface")
+    // every census row really is cross-document
+    assert(dup.forall(_.getAs[Long]("n_docs") >= 2))
+    // docs 1 and 5 are identical, so at least one window spans 3 docs
+    // (1, 2, 5 share the boilerplate window)
+    assert(dup.exists(_.getAs[Long]("n_docs") == 3L))
+    assert(dup.forall(_.getAs[Long]("n_occ") >= 2L))
+  }
+
+  test("short docs produce no windows (descending-sequence guard)") {
+    val wins = corpus.filter($"doc_id" === 4L)
+      .select(explode(Dedup.windowHashes(
+        graft.functions.TextFunctions.tokens($"text"), 8)))
+    assert(wins.count() === 0L)
+  }
+
+  test("per-doc stats: identical docs fully duplicated, unique doc at zero") {
+    val stats = Dedup.windowDupStats(corpus, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Double]("dup_frac"))).toMap
+    assert(stats(3L)._3 === 0.0)
+    assert(stats(4L) === ((0L, 0L, 0.0)))
+    // docs 1 and 5 are token-identical: every window duplicated
+    assert(stats(1L)._3 === 1.0)
+    assert(stats(5L)._3 === 1.0)
+    // doc 2 shares the prefix but not its tail
+    assert(stats(2L)._2 >= 1L && stats(2L)._3 < 1.0)
+    // window counts: tokens - n + 1
+    assert(stats(1L)._1 === 15L - 8L + 1L)
+  }
+
+  test("scrub removes exactly the covered spans; unique prose untouched") {
+    val scrubbed = Dedup.scrubDuplicatedWindows(corpus, "doc_id", "text",
+        n = 8, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("scrubbed"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_kept"))).toMap
+    // unique doc: rebuilt text == its own token stream, nothing dropped
+    assert(scrubbed(3L)._1 ===
+      "completely original prose with no shared spans at all kappa")
+    assert(scrubbed(3L)._2 === scrubbed(3L)._3)
+    // fully-duplicated docs scrub to the empty string (concat_ws of
+    // nothing — the documented DuckDB COALESCE divergence)
+    assert(scrubbed(1L)._1 === "" && scrubbed(1L)._3 === 0L)
+    assert(scrubbed(5L)._1 === "")
+    // the partial doc keeps SOMETHING (its unique tail survives past the
+    // last duplicated window's coverage)
+    assert(scrubbed(2L)._3 > 0L && scrubbed(2L)._3 < scrubbed(2L)._2)
+    // and what survives never contains the boilerplate span
+    assert(!scrubbed(2L)._1.contains("rights reserved"))
+  }
+
+  test("minDocs=2 means within-doc repetition alone never scrubs") {
+    val selfRep = Seq(
+      (10L, "spark rows spark rows spark rows spark rows spark rows spark rows spark rows spark rows")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatedWindows(selfRep, "doc_id", "text", 8, 2).count() === 0L)
+    val s = Dedup.scrubDuplicatedWindows(selfRep, "doc_id", "text", 8, 2)
+      .head()
+    assert(s.getAs[Long]("n_kept") === s.getAs[Long]("n_tokens"))
+  }
+}

@@ -226,6 +226,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"exactly two shuffles (group-by-text, group-by-split):\n${plan.take(2000)}")
   }
 
+  test("sketch envelopes: split formulation — no Expand in either sketch plan") {
+    // Round 12 reformulated both sketch rows to compute the DISTINCT
+    // aggregates and the value-buffering aggregates (exact percentile
+    // buffers) in SEPARATE subplans joined at the end: mixing them makes
+    // Catalyst plan an Expand that pushes every row through the
+    // percentile buffers twice (measured 4.4 s -> 2.0 s cold in `Scratch
+    // sketch`). At 100 TB the Expand doubles the widest shuffle in the
+    // query. Pin the shape so the regression can't silently return.
+    for (q <- Seq("q_sketch_accuracy", "q_approx_sketch")) {
+      val plan = finalPlan(q)
+      assert(nodeCount(plan, "Expand") == 0,
+        s"$q must keep DISTINCT split from value-buffering aggregates — " +
+          s"an Expand means the mixed formulation is back:\n${plan.take(2000)}")
+    }
+  }
+
   test("multimodal ingest: file-parallel source, no shuffle before projection") {
     val plan = finalPlan("multimodal_ingest")
     assert(nodeCount(plan, "Exchange") == 0,
