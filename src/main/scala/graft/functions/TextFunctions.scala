@@ -147,6 +147,46 @@ object TextFunctions {
     when(size(toks) === 0, 0.0).otherwise(
       size(array_distinct(toks)).cast("double") / size(toks))
 
+  // --- within-document n-gram repetition (Gopher Rep-n) ---------------
+
+  /** Rolling space-joined n-gram strings over a token array (1-based
+    * starts). Docs shorter than n yield an EMPTY list: the sequence
+    * upper bound is clamped to 1 and the clamped element filtered out,
+    * because sequence(1, nonpositive) would DESCEND. */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    transform(
+      filter(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => i <= size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Fraction of n-grams that repeat an earlier occurrence
+    * (1 - distinct/total; n=1 is the duplicate-token fraction) — the
+    * Gopher "duplicate n-gram fraction" repetition signal. Integer
+    * counts divided once in double, so the value is bit-identical
+    * across engines. */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val g = if (n == 1) toks else tokenNgrams(toks, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      (size(g) - size(array_distinct(g))).cast("double")
+        / size(g).cast("double"))
+  }
+
+  /** Greatest character coverage any single n-gram achieves:
+    * max over distinct grams of occurrences x gram-token-chars, over the
+    * doc's total token chars — a deterministic variant of Gopher's
+    * "fraction of characters in the most frequent n-gram" (taking the
+    * max of the products directly needs no tie-break, so no
+    * cross-engine ordering hazard). O(grams^2) per row, but entirely
+    * within-row and codegen'd: zero shuffles at any corpus size. */
+  def topNgramCharFrac(toks: Column, n: Int): Column = {
+    val g = tokenNgrams(toks, n)
+    val totalChars = aggregate(toks, lit(0), (a, t) => a + length(t))
+    val best = array_max(transform(array_distinct(g),
+      d => size(filter(g, x => x === d)) * (length(d) - lit(n - 1))))
+    when(size(g) === 0 || totalChars === 0, lit(0.0))
+      .otherwise(best.cast("double") / totalChars.cast("double"))
+  }
+
   // --- corpus splitting -----------------------------------------------
 
   /** Deterministic train/val/test assignment by content-stable hash: the

@@ -981,6 +981,37 @@ object NorthStarQueries {
           size(array_distinct(col("__toks"))).cast(LongType).as("n_types"),
           size(col("__toks")).cast(LongType).as("n_tokens"))),
 
+    // Gopher Rep-n: duplicate n-gram fractions (n=1,2,3) plus the
+    // top-2-gram character-coverage signal — the repetition battery a
+    // quality pipeline runs alongside TTR. Everything is within-row
+    // array arithmetic (integer counts, ONE double division at the
+    // end), so the rows hash-match DuckDB exactly and the plan is a
+    // zero-shuffle scan projection at any corpus size.
+    "text_rep_ngrams" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          TextFunctions.dupNgramFrac(col("__toks"), 1).as("dup_tok_frac"),
+          TextFunctions.dupNgramFrac(col("__toks"), 2).as("dup_2gram_frac"),
+          TextFunctions.dupNgramFrac(col("__toks"), 3).as("dup_3gram_frac"),
+          TextFunctions.topNgramCharFrac(col("__toks"), 2)
+            .as("top_2gram_char_frac"))),
+    // The repetition GATE: keep docs below both repetition thresholds
+    // (~2/3 of the sf0.01 fixture passes — both cutoffs bite). Same
+    // bit-identical metric values feed the comparisons, so the kept set
+    // is deterministic cross-engine.
+    "text_rep_gate" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("dup_2gram_frac",
+          TextFunctions.dupNgramFrac(col("__toks"), 2))
+        .withColumn("top_2gram_char_frac",
+          TextFunctions.topNgramCharFrac(col("__toks"), 2))
+        .filter(col("dup_2gram_frac") <= 0.05 &&
+          col("top_2gram_char_frac") <= 0.12)
+        .select(col("doc_id"), col("dup_2gram_frac"),
+          col("top_2gram_char_frac"))),
+
     // ---- span-level (substring-window) dedup -------------------------
     // The "deduplicating training data makes LMs better" operation:
     // find every 8-token window shared across documents (the census),
@@ -1268,6 +1299,46 @@ object NorthStarQueries {
       |hits AS (SELECT doc_id, count(*) AS n_hit FROM dg
       |         WHERE doc_id % 11 <> 0 AND gram IN (SELECT gram FROM eg)
       |         GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE stack for the Rep-n repetition battery: token stream ->
+    * rolling 2-/3-gram strings (1-based inclusive list slices; the
+    * greatest(…,0) clamp empties the list for short docs, mirroring
+    * [[graft.functions.TextFunctions.tokenNgrams]]). All metrics are
+    * integer counts divided once in double — bit-identical to Spark. */
+  private val RepNgramCtes: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, toks,
+      |    list_transform(range(1, greatest(len(toks)-1, 0)+1),
+      |      i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+      |    list_transform(range(1, greatest(len(toks)-2, 0)+1),
+      |      i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      |  FROM t),
+      |m AS (SELECT doc_id,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE CAST(len(toks)-len(list_distinct(toks)) AS DOUBLE)/len(toks) END AS dup_tok_frac,
+      |    CASE WHEN len(g2) = 0 THEN 0.0
+      |         ELSE CAST(len(g2)-len(list_distinct(g2)) AS DOUBLE)/len(g2) END AS dup_2gram_frac,
+      |    CASE WHEN len(g3) = 0 THEN 0.0
+      |         ELSE CAST(len(g3)-len(list_distinct(g3)) AS DOUBLE)/len(g3) END AS dup_3gram_frac,
+      |    CASE WHEN len(g2) = 0 OR coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0) = 0 THEN 0.0
+      |         ELSE CAST(list_max(list_transform(list_distinct(g2),
+      |                d -> len(list_filter(g2, x -> x = d)) * (length(d)-1))) AS DOUBLE)
+      |              / CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) END AS top_2gram_char_frac
+      |  FROM g)""".stripMargin
+
+  private val RepNgramsSql: String =
+    s"""$RepNgramCtes
+      |SELECT doc_id, dup_tok_frac, dup_2gram_frac, dup_3gram_frac,
+      |  top_2gram_char_frac
+      |FROM m""".stripMargin
+
+  private val RepGateSql: String =
+    s"""$RepNgramCtes
+      |SELECT doc_id, dup_2gram_frac, top_2gram_char_frac
+      |FROM m
+      |WHERE dup_2gram_frac <= 0.05 AND top_2gram_char_frac <= 0.12""".stripMargin
 
   /** Shared CTE stack for the substring-window dedup family: token
     * stream -> rolling 8-token windows with 0-based starts -> the
@@ -1860,6 +1931,8 @@ object NorthStarQueries {
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
         |  CAST(len(toks) AS BIGINT) AS n_tokens
         |FROM t""".stripMargin,
+    "text_rep_ngrams" -> RepNgramsSql,
+    "text_rep_gate" -> RepGateSql,
     "text_window_dupes" -> WindowDupesSql,
     "text_window_dup_stats" -> WindowDupStatsSql,
     "text_window_scrub" -> WindowScrubSql,
