@@ -485,4 +485,272 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
   }
+
+  // ---- product quantization (PQ) --------------------------------------
+  //
+  // The third classic ANN scale path next to sign-LSH and IVF:
+  // COMPRESSION rather than pruning. Each (L2-normalized) vector is cut
+  // into `m` subvectors; a per-subspace k-means codebook (`ksub` cells)
+  // maps every subvector to one byte-sized code, so a 64-dim float
+  // vector (256 B) becomes m=8 codes (8 B) — 32x less memory traffic on
+  // the scoring scan. A query probe precomputes the m x ksub table of
+  // subspace dot products ONCE (asymmetric distance computation, ADC);
+  // scoring a candidate is then m table lookups + adds instead of `dim`
+  // multiplies. Top `rerank` ADC survivors are re-ranked with the exact
+  // cosine against the stored vectors, so the final ranking error is
+  // only "was a true top-k neighbor outside the ADC top-`rerank`".
+  //
+  // At 100 TB: PQ scans ALL candidates (unlike IVF's cell pruning) but
+  // moves 32x fewer bytes and does 8x less arithmetic per candidate —
+  // the right tool when recall targets rule out aggressive pruning, and
+  // composable with IVF (probe cells, score members by ADC). The
+  // codebook is m*ksub*dsub doubles (8 KB at 8x16x8) embedded as plan
+  // literals — three orders below the 10.9 MB literal the IVF family
+  // had to avoid (see PLANS.md "IVF taskKB"), so no broadcast machinery
+  // is needed. Training is a driver-side loop of `m` (small constant)
+  // sampled KMeans fits; encoding is one codegen'd pass.
+
+  /** Stage the L2-normalized (double) copy of `vecCol` as `__vhat`.
+    * Zero-norm vectors map to all-zeros (ADC and exact cosine both score
+    * them 0 against everything). Norm is computed once per row via a
+    * staged `__n` column — higher-order lambdas share no subexpressions,
+    * so inlining `norm` per element would be O(dim^2)/row. */
+  private def withUnitVec(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__n", norm(col(vecCol)))
+      .withColumn("__vhat",
+        when(col("__n") === 0, transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol),
+            x => x.cast("double") / col("__n"))))
+
+  /** Nearest-codebook-cell codes for a normalized vector: for each of
+    * the `m` subspaces, the argmin-distance cell index (0-based;
+    * strict `<` keeps the LOWEST cell on exact ties — deterministic).
+    * One sequential fold over the ksub cells per subspace, all inside
+    * codegen. */
+  private def encodeCodes(vhat: Column, codebooks: Seq[Seq[Seq[Float]]],
+                          dsub: Int): Column =
+    array(codebooks.indices.map { sub =>
+      val cb = typedlit(codebooks(sub).map(_.map(_.toDouble)))
+      val subvec = slice(vhat, sub * dsub + 1, dsub)
+      aggregate(
+        sequence(lit(0), lit(codebooks(sub).length - 1)),
+        struct(lit(Double.MaxValue).as("d2"), lit(0).as("cell")),
+        (acc, cell) => {
+          val d2 = aggregate(zip_with(subvec, cb(cell),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), cell.as("cell"))).otherwise(acc)
+        },
+        acc => acc.getField("cell"))
+    }: _*)
+
+  /** The per-query ADC lookup table: a flat m*ksub double array where
+    * entry [sub*ksub + cell] = dot(q-subvector, codebook[sub][cell]).
+    * Computed once per QUERY row; candidate scoring only does lookups. */
+  private def adcTable(qhat: Column, codebooks: Seq[Seq[Seq[Float]]],
+                       dsub: Int): Column =
+    concat(codebooks.indices.map { sub =>
+      val cb = typedlit(codebooks(sub).map(_.map(_.toDouble)))
+      val subvec = slice(qhat, sub * dsub + 1, dsub)
+      transform(sequence(lit(0), lit(codebooks(sub).length - 1)),
+        cell => aggregate(zip_with(subvec, cb(cell), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x))
+    }: _*)
+
+  /**
+   * A fitted product-quantization search index — same lifecycle as
+   * [[LshIndex]]/[[IvfIndex]] (fit once / probe many / `filtered` /
+   * save / load / extend / close, with [[IndexMeta]] version lineage).
+   * `codes` is the (neighbor_id, codes, c_vec, meta…) relation; the ADC
+   * scan projects ONLY (neighbor_id, codes) — on a saved index parquet
+   * column pruning means the 256 B/vector `c_vec` column is never read
+   * until the `rerank`-sized exact pass.
+   */
+  final case class PqIndex(codebooks: Seq[Seq[Seq[Float]]], codes: DataFrame,
+                           m: Int, ksub: Int, dim: Int,
+                           savedDir: Option[String] = None,
+                           version: Long = 1L,
+                           folded: Seq[String] = Nil,
+                           parent: Option[String] = None) {
+    def cache(): PqIndex = { codes.cache(); this }
+    def unpersist(): PqIndex = { codes.unpersist(false); this }
+
+    /** Metadata-filtered view for filtered ANN (see [[LshIndex.filtered]]
+      * for the lineage rationale: the view drops `savedDir` AND `parent`
+      * so a subset can't retire or masquerade as the full tree). */
+    def filtered(predicate: Column): PqIndex =
+      copy(codes = codes.filter(predicate), savedDir = None, parent = None)
+
+    /** Persist codes + codebooks + hyperparameters; a load can never
+      * probe with a mismatched codebook. Same stale-guard scope note as
+      * [[LshIndex.save]]. */
+    def save(dir: String): PqIndex = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      codebooks.zipWithIndex.flatMap { case (cells, sub) =>
+        cells.zipWithIndex.map { case (c, cell) => (sub, cell, c) }
+      }.toDF("sub", "cell", "center")
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      IndexMeta.write(spark, dir, IndexMeta.Meta(version,
+        parent = parent.orElse(savedDir).filterNot(_ == dir), folded = folded,
+        rows = IndexMeta.rowCounts(spark, dir, Seq("codes"))))
+      copy(savedDir = Some(dir))
+    }
+
+    /** Retire this index version in ONE call — unpersist + delete the
+      * saved tree, with the stale-handle refusal ([[IndexMeta]]). */
+    def close(): Unit = {
+      unpersist()
+      savedDir.foreach { d =>
+        val spark = codes.sparkSession
+        IndexMeta.requireCurrent(spark, d, version, "close()")
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(p, true)
+      }
+    }
+  }
+
+  /** Fit a PQ index: per-subspace KMeans codebooks (driver loop over the
+    * `m` subspaces — m is a small constant; each fit is distributed and
+    * runs on `trainFraction` of the corpus), then one codegen'd encode
+    * pass over all candidates. `metaCols` ride into the codes relation
+    * for [[PqIndex.filtered]]. */
+  def pqFit(candidates: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+            trainFraction: Double = 1.0,
+            metaCols: Seq[String] = Nil): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = withUnitVec(
+      candidates.select(col(idCol).as("neighbor_id") +:
+        col(vecCol).as("c_vec") +: metaCols.map(col): _*), "c_vec")
+    // dim: one-row driver read (schema metadata, not data volume)
+    val dim = base.select(size(col("c_vec"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+
+    val train = (if (trainFraction >= 1.0) base
+                 else base.sample(trainFraction, seed))
+      .select(col("__vhat")).cache()
+    val codebooks: Seq[Seq[Seq[Float]]] = (0 until m).map { sub =>
+      // per-sub seed: identical-subspace data must not yield identical
+      // codebooks by construction; few iterations + random init as in
+      // ivfFit (cells need to be rough, recall comes from rerank)
+      new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(10)
+        .setInitMode("random")
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(train.select(array_to_vector(
+          slice(col("__vhat"), sub * dsub + 1, dsub)).as("features")))
+        .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+    }
+    train.unpersist()
+
+    val codes = base
+      .withColumn("codes", encodeCodes(col("__vhat"), codebooks, dsub))
+      .select(col("neighbor_id") +: col("codes") +: col("c_vec") +:
+        metaCols.map(col): _*)
+    PqIndex(codebooks, codes, m, ksub, dim)
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): PqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("m"), col("ksub"), col("dim")).head()
+    val (m, ksub, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub"), col("cell"), col("center"))
+      .collect() // m*ksub rows of dsub floats — 8 KB-scale index metadata
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val codebooks = (0 until m).map { sub =>
+      cb.filter(_._1 == sub).sortBy(_._2).map(_._3.toSeq).toSeq
+    }
+    val stamp = IndexMeta.read(spark, dir)
+    PqIndex(codebooks, spark.read.parquet(s"$dir/codes"), m, ksub, dim,
+      savedDir = Some(dir),
+      version = stamp.map(_.version).getOrElse(1L),
+      folded = stamp.map(_.folded).getOrElse(Nil),
+      parent = stamp.flatMap(_.parent))
+  }
+
+  /** Grow a [[PqIndex]] with `newVecs` WITHOUT refitting: encode against
+    * the FROZEN codebooks and union — exactly O(new vectors), the
+    * corpus-sized codes relation untouched. Same version-bump lineage as
+    * the other families. */
+  def extendPqIndex(index: PqIndex, newVecs: DataFrame,
+                    idCol: String, vecCol: String): PqIndex = {
+    val metaCols = index.codes.columns.toSeq
+      .filterNot(Set("neighbor_id", "codes", "c_vec"))
+    val dsub = index.dim / index.m
+    val enc = withUnitVec(
+      newVecs.select(col(idCol).as("neighbor_id") +:
+        col(vecCol).as("c_vec") +: metaCols.map(col): _*), "c_vec")
+      .withColumn("codes", encodeCodes(col("__vhat"), index.codebooks, dsub))
+      .select(col("neighbor_id") +: col("codes") +: col("c_vec") +:
+        metaCols.map(col): _*)
+    index.copy(codes = index.codes.unionByName(enc),
+      savedDir = None, version = index.version + 1,
+      parent = index.savedDir.orElse(index.parent))
+  }
+
+  /** Probe a fitted [[PqIndex]]: ADC-score EVERY candidate's codes
+    * against the query's precomputed lookup table (m adds + lookups per
+    * candidate — the compressed scan), keep the top `rerank` per query,
+    * then re-rank those exactly. Output schema matches [[ivfProbe]]. */
+  def pqProbe(index: PqIndex, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int = 10,
+              rerank: Int = 50): DataFrame = {
+    val dsub = index.dim / index.m
+    val q = withUnitVec(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "q_vec")
+      .withColumn("__dt", adcTable(col("__vhat"), index.codebooks, dsub))
+      .select(col("query_id"), col("q_vec"), col("__dt"))
+
+    // per-sub offsets into the flat ADC table: KMeans may return FEWER
+    // than `ksub` cells when a subspace has few distinct subvectors
+    // (k-means collapses duplicate points), so the stride is each sub's
+    // ACTUAL codebook size, not the requested ksub
+    val offsets = index.codebooks.scanLeft(0)(_ + _.length)
+
+    // compressed scan: codes-only projection (c_vec pruned), queries+
+    // tables broadcast, one bounded partial-top-k shuffle per query;
+    // the m-term lookup sum is unrolled at plan-build time
+    val adc = index.codes.select(col("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc",
+        (0 until index.m).map(sub =>
+          col("__dt")(lit(offsets(sub)) + col("codes")(sub)))
+          .reduce(_ + _))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id").asc)
+    val cands = adc.withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= rerank)
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+
+    // exact pass: rerank*|queries| surviving pairs broadcast against the
+    // stored vectors — the only place c_vec is read
+    val exact = index.codes.select(col("neighbor_id"), col("c_vec"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
+  /** One-shot PQ top-k: fit + probe (the fit-once/probe-many split is
+    * [[pqFit]]/[[pqProbe]]). */
+  def pqTopK(candidates: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int = 10,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 50): DataFrame =
+    pqProbe(pqFit(candidates, idCol, vecCol, m, ksub), queries,
+      idCol, vecCol, k, rerank)
 }

@@ -532,6 +532,66 @@ object Scratch {
             (if (bOnly == 0 && lOnly == 0) "EQUAL" else "DIFFER"))
         }
 
+      case "pqrecall" =>
+        // Floor-derivation + oracle-eligibility evidence for the PQ
+        // rows: (a) uniform embeddings — recall@10 of pqTopK vs brute
+        // at a ksub x rerank sweep on the 1-in-20 probe set (the
+        // quantities the sim_pq_recall gate aggregates); (b) the
+        // PLANTED near-dup fixture — pqProbe top-1 at a pruning rerank
+        // must EQUAL brute-force top-1 row-for-row, i.e. every planted
+        // 0.9988-cosine copy survives compression and wins the exact
+        // re-rank (the sim_topk_pq hash-oracle premise).
+        import org.apache.spark.sql.functions._
+        import extensions.Similarity
+        args.drop(1).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings").cache()
+          e.count()
+          val q = e.filter(col("vec_id") % 20 === 0)
+          val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id")).cache()
+          val nTrue = brute.count()
+          for (ks <- Seq(16, 64)) {
+            val idx = Similarity.pqFit(e, "vec_id", "embedding", m = 8, ksub = ks)
+            idx.cache()
+            for (rr <- Seq(20, 50, 200)) {
+              val found = brute.join(
+                Similarity.pqProbe(idx, q, "vec_id", "embedding", k = 10,
+                  rerank = rr).select(col("query_id"), col("neighbor_id")),
+                Seq("query_id", "neighbor_id"), "left_semi").count()
+              println(f"pqrecall @ $dir uniform ksub=$ks rerank=$rr " +
+                f"n_true=$nTrue n_found=$found recall=${found.toDouble / nTrue}%.3f")
+            }
+            idx.unpersist()
+          }
+          brute.unpersist()
+
+          // planted-fixture leg (mirror NorthStarQueries.plantedEmbeddings)
+          val planted = e.filter(col("vec_id") % 10 === 0).select(
+            (col("vec_id") + 10000000L).as("vec_id"),
+            concat(array(col("embedding").getItem(0) + lit(0.05f)),
+              slice(col("embedding"), 2, 1000000)).as("embedding"))
+          val pe = e.select(col("vec_id"), col("embedding")).union(planted).cache()
+          val pq0 = pe.filter(col("vec_id") % 20 === 0 &&
+            col("vec_id") < 10000000L)
+          val pbrute = Similarity.bruteForceTopK(pe, pq0, "vec_id", "embedding", k = 1)
+            .select(col("query_id"), col("neighbor_id"), col("rank")).cache()
+          val pidx = Similarity.pqFit(pe, "vec_id", "embedding", m = 8, ksub = 16)
+          for (rr <- Seq(20, 50)) {
+            val pq = Similarity.pqProbe(pidx, pq0, "vec_id", "embedding",
+              k = 1, rerank = rr)
+              .select(col("query_id"), col("neighbor_id"), col("rank")).cache()
+            val bOnly = pbrute.join(pq,
+              Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+            val pOnly = pq.join(pbrute,
+              Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+            println(f"pqrecall @ $dir planted-top1 rerank=$rr brute_only=$bOnly " +
+              f"pq_only=$pOnly " +
+              (if (bOnly == 0 && pOnly == 0) "EQUAL" else "DIFFER"))
+            pq.unpersist()
+          }
+          pbrute.unpersist(); pe.unpersist(); e.unpersist()
+        }
+
       case "ivfclustered" =>
         // Oracle-eligibility evidence for sim_topk_ivf{,_probe} on the
         // round-13 clustered fixture: (a) the IVF top-10 at nprobe=4 of

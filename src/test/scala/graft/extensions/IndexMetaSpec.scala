@@ -129,6 +129,17 @@ class IndexMetaSpec extends AnyFunSuite {
     assert(lsh2.parent.contains(lshDir), "LSH extension must carry lineage")
     lsh.close()
 
+    val pqDir = TestSpark.tmpDir("graft-meta-pq")
+    val pq = Similarity.pqFit(e, "vec_id", "embedding", m = 8, ksub = 4)
+      .save(pqDir)
+    assert(IndexMeta.read(spark, pqDir).get.version == 1L)
+    assert(Similarity.loadPqIndex(spark, pqDir).version == 1L)
+    val pq2 = Similarity.extendPqIndex(pq, e.limit(0), "vec_id", "embedding")
+    assert(pq2.version == 2L && pq2.savedDir.isEmpty,
+      "a PQ extension must not inherit the parent's tree")
+    assert(pq2.parent.contains(pqDir), "PQ extension must carry lineage")
+    pq.close()
+
     val embDir = TestSpark.tmpDir("graft-meta-emb")
     val emb = Dedup.saveEmbeddingIndex(
       Dedup.buildEmbeddingIndex(e, "vec_id", "embedding"), embDir)
