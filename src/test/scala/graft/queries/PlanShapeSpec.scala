@@ -247,4 +247,59 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeCount(plan, "Exchange") == 0,
       s"binaryFile ingest + meta projection must be narrow:\n${plan.take(1500)}")
   }
+
+  test("Rep-n battery: zero-shuffle scan projection, no Expand, no Generate") {
+    // the whole within-doc repetition battery is per-row array
+    // arithmetic — any Exchange/Generate here means the n-gram work
+    // left the row and the operator stopped being free at 100 TB
+    val plan = finalPlan("text_rep_ngrams")
+    assert(nodeCount(plan, "Exchange") == 0,
+      s"text_rep_ngrams must be a narrow projection:\n${plan.take(1500)}")
+    assert(nodeCount(plan, "Generate") == 0 && nodeCount(plan, "Expand") == 0,
+      s"n-grams must stay inside the row, not explode:\n${plan.take(1500)}")
+  }
+
+  test("window-dedup census: map-side combine, shuffles only on the window hash") {
+    // the census is one Generate (windows out of each doc) and then
+    // aggregation keyed on win_hash ONLY — the distinct-doc count plans
+    // as a two-level aggregate over (win_hash, doc_id) without an
+    // Expand, and every Exchange hashes on win_hash (the bounded key);
+    // an Exchange keyed on doc_id or a missing partial_ aggregate means
+    // a corpus-sized unaggregated shuffle at scale
+    val plan = finalPlan("text_window_dupes")
+    val tree = plan.split("== Initial Plan ==")(0)
+    assert(nodeCount(plan, "Expand") == 0, s"no Expand:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Generate") == 1,
+      s"exactly one window explode:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"),
+      s"map-side combine must precede the shuffle:\n${plan.take(2000)}")
+    val exchanges = "hashpartitioning\\(([^,)]+)".r
+      .findAllMatchIn(tree).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("win_hash")),
+      s"every shuffle must key on win_hash, got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("PQ probe on a saved index: ADC scan reads codes only (c_vec pruned until re-rank)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 300)
+    val idxDir = TestSpark.tmpDir("graft-pq-planshape")
+    graft.extensions.Similarity.pqFit(e, "vec_id", "embedding",
+      m = 8, ksub = 8).save(idxDir)
+    val loaded = graft.extensions.Similarity.loadPqIndex(spark, idxDir)
+    val df = graft.extensions.Similarity.pqProbe(loaded,
+      e.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 5, rerank = 20)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the compressed scan is PQ's whole point: the corpus-sized pass
+    // reads 8 B of codes per vector, NOT the 256 B c_vec column — the
+    // vectors are read only by the rerank-sized exact join
+    assert(plan.contains("ReadSchema: struct<neighbor_id:bigint,codes:array<int>>"),
+      s"the ADC scan must prune c_vec:\n${plan.take(3000)}")
+    assert(nodeCount(plan, "SortMergeJoin") == 0,
+      s"both probe joins broadcast their small side:\n${plan.take(2000)}")
+    loaded.close()
+  }
 }
