@@ -13,11 +13,20 @@ import sys, json, glob
 import duckdb
 
 
+def norm(v):
+    # mirror the driver's float normalization (%.6g): engines may differ
+    # in the last ulps of an accumulation (e.g. a running-sum order), and
+    # the driver's gate treats those as equal
+    if isinstance(v, float):
+        return "%.6g" % v
+    return v
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(r[i] for i in order))
+        out.append(tuple(norm(r[i]) for i in order))
     out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
     return [sorted(cols), out]
 

@@ -753,4 +753,98 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, rerank: Int = 50): DataFrame =
     pqProbe(pqFit(candidates, idCol, vecCol, m, ksub), queries,
       idCol, vecCol, k, rerank)
+
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style semantic-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): the k-means cells of a fitted [[IvfIndex]] prune
+    * the candidate space, and only WITHIN-cell pairs are cosine-scored —
+    * the embedding-space analog of the minhash band join, with the SAME
+    * index structure the ANN probes use doing double duty (fit / extend /
+    * save once; probe for search, pair for dedup, from one cell-assigned
+    * relation).
+    *
+    * Scale shape: both join sides are the already-assigned skinny
+    * relation, shuffled once each on `cell` (co-partitioned join); the
+    * per-cell pairwise cost is the method's own cost model — pick
+    * `nlist ≈ N / target-cell-size` so cells stay bounded (the dial the
+    * paper turns), and `maxCellSize` hard-caps degenerate cells exactly
+    * like `Dedup.bucketPairs` caps hash buckets (capped cells are
+    * SKIPPED, trading recall for a bounded worst case; the cell-size
+    * census is ≤ nlist rows, computed and broadcast for free).
+    *
+    * Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= eps; each
+    * vector lives in exactly one cell, so pairs are already distinct.
+    */
+  def semanticDupPairs(index: IvfIndex, eps: Double = 0.95,
+                       maxCellSize: Int = 100000): DataFrame = {
+    val okCells = broadcast(
+      index.assigned.groupBy("cell").count()
+        .filter(col("count") <= maxCellSize).select("cell"))
+    val within = index.assigned.join(okCells, Seq("cell"))
+    val a = within.select(col("cell"),
+      col("neighbor_id").as("id_a"), col("c_vec").as("v_a"))
+    val b = within.select(col("cell"),
+      col("neighbor_id").as("id_b"), col("c_vec").as("v_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= eps)
+  }
+
+  /** Cosine of every indexed vector to its own cell centroid — the
+    * priority signal for the paper's keep rule. One broadcast of the
+    * ≤ nlist-row centroid table; no shuffle. */
+  private def centroidCosine(index: IvfIndex): DataFrame =
+    index.assigned
+      .join(broadcast(index.centers), Seq("cell"))
+      .select(col("neighbor_id"), col("cell"),
+        cosine(col("c_vec"), col("center")).as("ctr_cos"))
+
+  /** Semantic dedup keep-set: drops every vector that loses a
+    * `semanticDupPairs` pairing under the keep order, returning the
+    * surviving (neighbor_id, cell) rows. `keepRule`:
+    *
+    *  - `"min_id"` (default): keep the lowest id of each duplicate pair —
+    *    the repo's standard first-wins greedy rule (append-order stable,
+    *    SQL-oracle-able: x is dropped iff some y with y.id < x.id has
+    *    cosine(x, y) >= eps in x's cell).
+    *  - `"far_from_centroid"`: the SemDeDup paper's rule — keep the pair
+    *    member with the LOWER cosine to its cell centroid (retain
+    *    cluster outliers, drop the redundant core; §3 of the paper
+    *    found this slightly beats random/near keeps). Ties fall back to
+    *    the id order so the decision stays deterministic.
+    *
+    * Drop semantics are the pairwise-greedy exists-rule (drop x iff SOME
+    * qualifying pair ranks it second), not iterated graph peeling: one
+    * pair scan + one distinct + one anti-join, no fixpoint — at 100 TB
+    * the drop relation is skinny (ids only) and the corpus never
+    * re-shuffles. */
+  def semanticDedup(index: IvfIndex, eps: Double = 0.95,
+                    keepRule: String = "min_id",
+                    maxCellSize: Int = 100000): DataFrame = {
+    val pairs = semanticDupPairs(index, eps, maxCellSize)
+    val dropped = keepRule match {
+      case "min_id" =>
+        pairs.select(col("id_b").as("neighbor_id"))
+      case "far_from_centroid" =>
+        val cc = centroidCosine(index)
+        pairs
+          .join(cc.select(col("neighbor_id").as("id_a"),
+            col("ctr_cos").as("cos_a")), Seq("id_a"))
+          .join(cc.select(col("neighbor_id").as("id_b"),
+            col("ctr_cos").as("cos_b")), Seq("id_b"))
+          // id_a < id_b, so the id tie-break drops id_b on equal cosines
+          .select(when(col("cos_a") > col("cos_b"), col("id_a"))
+            .otherwise(col("id_b")).as("neighbor_id"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"keepRule must be min_id | far_from_centroid, got '$other'")
+    }
+    index.assigned
+      .join(dropped.distinct(), Seq("neighbor_id"), "left_anti")
+      .select(col("neighbor_id"), col("cell"))
+  }
 }

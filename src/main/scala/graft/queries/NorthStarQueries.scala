@@ -88,6 +88,42 @@ object NorthStarQueries {
     ivfIndexCache.computeIfAbsent(dir + "#clustered", _ =>
       Similarity.ivfFit(ce, "vec_id", "embedding", nlist = 19).cache())
 
+  /** The planted-fixture index the exact-oracle semantic-dedup rows
+    * share (same cache map / release path): an EXPLICIT 4-cell
+    * quantizer — centers at (0, ±2, ±2, 0…) — through the production
+    * [[Similarity.assignToCells]] path, i.e. the bring-your-own-
+    * quantizer composition a 100 TB pipeline uses when it runs SemDeDup
+    * over an existing index's cells instead of re-fitting. The centers
+    * are NUDGE-ORTHOGONAL by construction: assignment depends on
+    * components 2-3, which the planted +0.05-on-component-1 nudge never
+    * touches, and the component-1 term contributes identically to every
+    * center's distance — so each original and its near-copy co-cell
+    * BITWISE, structurally, and the within-cell pair set equals
+    * brute-force all-pairs at eps=0.9 with no sampling luck (KMeans
+    * cells, by contrast, split 1-3 planted pairs at sf0.01/0.1 —
+    * measured, Scratch semcell — which is exactly the recall loss the
+    * dedup_semantic_recall gate prices). Cells still prune: 4 cells
+    * score ~1/4 of the pair space. */
+  private def ivfSemIndex(dir: String, pe: DataFrame): Similarity.IvfIndex =
+    ivfIndexCache.computeIfAbsent(dir + "#sem", _ => {
+      val s = pe.sparkSession
+      import s.implicits._
+      val centers = Seq(
+        (0, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) -2f else 0f)),
+        (1, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) 2f else 0f)),
+        (2, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) -2f else 0f)),
+        (3, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) 2f else 0f))
+      ).toDF("cell", "center")
+      Similarity.IvfIndex(centers,
+        Similarity.assignToCells(pe, centers, "vec_id", "embedding")).cache()
+    })
+
+  /** KMeans-fit sibling (the paper's own quantizer) for the recall gate
+    * row — fit once per sf dir, released with the sim caches. */
+  private def ivfSemKmeansIndex(dir: String, pe: DataFrame): Similarity.IvfIndex =
+    ivfIndexCache.computeIfAbsent(dir + "#semkm", _ =>
+      Similarity.ivfFit(pe, "vec_id", "embedding", nlist = 8).cache())
+
   /** One fitted PQ index per sf dir on the planted fixture
     * (sim_topk_pq_probe's steady state), released by [[clearSimCaches]]. */
   private val pqIndexCache =
@@ -408,6 +444,71 @@ object NorthStarQueries {
           graft.functions.VectorExpressions
             .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
         .filter(col("cosine") >= 0.4)
+    }),
+
+    // SemDeDup (Abbas et al. 2023): cluster cells prune the candidate
+    // space, within-cell cosine pairs are the semantic duplicates. The
+    // exact-oracle rows run over the explicit nudge-orthogonal 4-cell
+    // quantizer (see ivfSemIndex): within-cell pairs are a SUBSET of
+    // all pairs (no false extras possible), and every >= 0.9 pair's
+    // members co-cell BITWISE by construction (assignment ignores the
+    // nudged component), so the row hash-matches brute-force all-pairs
+    // — structural, not sampling luck. The KMeans-fit leg (where cell
+    // boundaries DO cost measured recall) is priced separately by
+    // dedup_semantic_recall.
+    "dedup_semantic_pairs" -> ((s, dir) =>
+      Similarity.semanticDupPairs(
+        ivfSemIndex(dir, plantedEmbeddings(embs(s, dir))), eps = 0.9)
+        .select(col("id_a"), col("id_b"), col("cosine"))),
+
+    // ...and the keep-set those pairs drive (first-wins greedy rule:
+    // drop x iff a smaller-id >= eps partner shares its cell). On this
+    // fixture = originals win, planted copies drop. The oracle re-derives
+    // the same decision from brute-force pairs with NOT EXISTS.
+    "dedup_semantic_keep" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        ivfSemIndex(dir, plantedEmbeddings(embs(s, dir))), eps = 0.9)
+        .select(col("neighbor_id").as("vec_id"))),
+
+    // The paper's own keep rule (retain the pair member FARTHER from its
+    // cell centroid — keep outliers, drop the redundant cluster core),
+    // reduced to an oracle-checkable invariant: the two rules keep the
+    // same NUMBER of vectors (both drop exactly one member of every
+    // planted pair; only WHICH member differs), and every planted pair
+    // loses exactly one member. DuckDB recomputes both counts from
+    // brute-force pairs; the rule-specific member choice is pinned in
+    // SemanticDedupSpec.
+    "dedup_semantic_far" -> ((s, dir) => {
+      val idx = ivfSemIndex(dir, plantedEmbeddings(embs(s, dir)))
+      Similarity.semanticDedup(idx, eps = 0.9,
+          keepRule = "far_from_centroid")
+        .agg(count(lit(1)).as("n_kept"))
+        .crossJoin(Similarity.semanticDupPairs(idx, eps = 0.9)
+          .agg(count(lit(1)).as("n_pairs")))
+    }),
+
+    // ...and the paper's own KMeans quantizer, priced honestly: k-means
+    // cell boundaries LOSE pairs (the copy lands across the boundary —
+    // measured 50/50, 49/50, 197/200 found at sf0.001/0.01/0.1, Scratch
+    // semcell), which is SemDeDup's documented recall/cost trade. The
+    // gate floors recall at 0.95 (>= 2.5x margin to the worst measured
+    // loss); DuckDB supplies the true pair count.
+    "dedup_semantic_recall" -> ((s, dir) => {
+      val pe = plantedEmbeddings(embs(s, dir))
+      val found = Similarity.semanticDupPairs(
+        ivfSemKmeansIndex(dir, pe), eps = 0.9)
+      val a = pe.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = pe.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.VectorExpressions
+            .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
+        .filter(col("cosine") >= 0.9)
+      brute.join(found.select(col("id_a"), col("id_b"), lit(1).as("__hit")),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.95)).as("recall_ge_095"))
     }),
 
     // Near-dup group resolution: pairs -> connected components -> one
@@ -1629,6 +1730,30 @@ object NorthStarQueries {
       |  WHERE c.vec_id <> q.vec_id) t
       |WHERE rank <= 10""".stripMargin
 
+  /** The planted near-dup fixture as a DuckDB CTE — the SQL twin of
+    * [[plantedEmbeddings]] (float-exact: the copy's nudged component is
+    * computed in FLOAT then widened, exactly as Spark does). Shared by
+    * every planted-fixture oracle below. */
+  private val PlantedPeCte: String =
+    """WITH pe AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000,
+      |    CAST(list_prepend(
+      |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+      |      embedding[2:]) AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin
+
+  /** Brute-force >= 0.9-cosine pairs on the planted fixture: the hash
+    * oracle `dedup_embedding_pairs` (LSH path) and
+    * `dedup_semantic_pairs` (SemDeDup path) both bit-match. */
+  private val PlantedPairsSql: String =
+    s"""$PlantedPeCte
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_cosine_similarity(a.emb, b.emb) AS cosine
+       |FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
   /** Brute-force top-1 on the planted near-dup fixture (same `pe` CTE
     * float arithmetic as the dedup_embedding_pairs oracle) — the truth
@@ -1939,19 +2064,34 @@ object NorthStarQueries {
     // Planted-pair brute force (the same float-exact planted CTE as
     // dedup_embedding_corpus): at 12x8 banding the LSH pair set equals
     // this exactly on every fixture SF.
-    "dedup_embedding_pairs" ->
-      """WITH pe AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 10000000,
-        |    CAST(list_prepend(
-        |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
-        |      embedding[2:]) AS DOUBLE[])
-        |  FROM embeddings WHERE vec_id % 10 = 0)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_cosine_similarity(a.emb, b.emb) AS cosine
-        |FROM pe a JOIN pe b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9""".stripMargin,
+    "dedup_embedding_pairs" -> PlantedPairsSql,
+    // SemDeDup family: within-cell pairs are a SUBSET of all pairs and,
+    // under the nudge-orthogonal quantizer, every >= 0.9 pair's members
+    // co-cell bitwise (see ivfSemIndex), so brute-force all-pairs IS
+    // the truth for the pair row, the first-wins keep-set reduces to a
+    // NOT EXISTS over brute pairs, and — the planted pairs being
+    // vertex-disjoint — EVERY one-drop-per-pair keep rule keeps exactly
+    // total - n_pairs vectors (the far-from-centroid row's envelope;
+    // WHICH member survives is rule-specific and pinned in
+    // SemanticDedupSpec). The KMeans leg gates on recall like the other
+    // ANN floors.
+    "dedup_semantic_pairs" -> PlantedPairsSql,
+    "dedup_semantic_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_095
+         |FROM ($PlantedPairsSql) t""".stripMargin,
+    "dedup_semantic_keep" ->
+      s"""$PlantedPeCte
+         |SELECT e.vec_id FROM pe e WHERE NOT EXISTS (
+         |  SELECT 1 FROM pe o WHERE o.vec_id < e.vec_id
+         |    AND list_cosine_similarity(o.emb, e.emb) >= 0.9)""".stripMargin,
+    "dedup_semantic_far" ->
+      s"""$PlantedPeCte,
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9)
+         |SELECT (SELECT count(*) FROM pe) - (SELECT count(*) FROM pairs) AS n_kept,
+         |       (SELECT count(*) FROM pairs) AS n_pairs""".stripMargin,
     // Filtered search: same ranking convention (cosine DESC, id ASC),
     // candidates restricted by the metadata predicate.
     "sim_topk_filtered" -> FilteredBruteTopKSql,

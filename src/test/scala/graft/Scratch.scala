@@ -532,6 +532,71 @@ object Scratch {
             (if (bOnly == 0 && lOnly == 0) "EQUAL" else "DIFFER"))
         }
 
+      case "semcell" =>
+        // Oracle-eligibility + recall evidence for the SemDeDup rows at
+        // eps=0.9 on the planted fixture, per quantizer:
+        //  - "explicit": the shipped exact-oracle operating point — the
+        //    nudge-orthogonal 4-cell quantizer (centers on components
+        //    2-3, which the planted nudge never touches) must make the
+        //    within-cell pair set EQUAL brute-force all-pairs, with the
+        //    min_id keep-set at total - pairs and every planted copy
+        //    dropped;
+        //  - "kmeans": the paper's own quantizer (ivfFit nlist=8, seed
+        //    42) — cell boundaries are EXPECTED to split some planted
+        //    pairs; the split/missed counts here are the measured floor
+        //    evidence for the dedup_semantic_recall gate.
+        import org.apache.spark.sql.functions._
+        args.drop(1).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings")
+          val pe = {
+            val planted = e.filter(col("vec_id") % 10 === 0).select(
+              (col("vec_id") + 10000000L).as("vec_id"),
+              concat(array(col("embedding").getItem(0) + lit(0.05f)),
+                slice(col("embedding"), 2, 1000000)).as("embedding"))
+            e.select(col("vec_id"), col("embedding")).union(planted)
+          }
+          val a2 = pe.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+          val b2 = pe.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+          val brute = a2.join(b2, col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              functions.VectorExpressions
+                .cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
+            .filter(col("cosine") >= 0.9)
+          import spark.implicits._
+          val explicitIdx = {
+            val centers = Seq(
+              (0, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) -2f else 0f)),
+              (1, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) 2f else 0f)),
+              (2, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) -2f else 0f)),
+              (3, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) 2f else 0f))
+            ).toDF("cell", "center")
+            extensions.Similarity.IvfIndex(centers,
+              extensions.Similarity.assignToCells(pe, centers, "vec_id", "embedding"))
+          }
+          val kmIdx = extensions.Similarity.ivfFit(pe, "vec_id", "embedding", nlist = 8)
+          for ((tag, idx) <- Seq(("explicit", explicitIdx), ("kmeans", kmIdx))) {
+            val sem = extensions.Similarity.semanticDupPairs(idx, eps = 0.9)
+            val cells = idx.assigned.select(col("neighbor_id"), col("cell"))
+            val coCell = brute
+              .join(cells.select(col("neighbor_id").as("id_a"), col("cell").as("cell_a")), Seq("id_a"))
+              .join(cells.select(col("neighbor_id").as("id_b"), col("cell").as("cell_b")), Seq("id_b"))
+            val split = coCell.filter(col("cell_a") =!= col("cell_b")).count()
+            val missed = brute.join(sem, Seq("id_a", "id_b"), "left_anti").count()
+            val extra = sem.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+            println(s"semcell pairs/$tag @ $dir: brute=${brute.count()} sem=${sem.count()} " +
+              s"split_cells=$split missed=$missed extra=$extra " +
+              (if (missed == 0 && extra == 0) "EQUAL" else "DIFFER"))
+            val total = pe.count(); val nPairs = brute.count()
+            val keep = extensions.Similarity.semanticDedup(idx, eps = 0.9)
+            val far = extensions.Similarity.semanticDedup(idx, eps = 0.9,
+              keepRule = "far_from_centroid")
+            val copiesKept = keep.filter(col("neighbor_id") >= 10000000L).count()
+            println(s"semcell keep/$tag @ $dir: total=$total pairs=$nPairs " +
+              s"keep=${keep.count()} (expect ${total - nPairs}) " +
+              s"far_keep=${far.count()} copies_surviving_min_id=$copiesKept")
+          }
+        }
+
       case "pqrecall" =>
         // Floor-derivation + oracle-eligibility evidence for the PQ
         // rows: (a) uniform embeddings — recall@10 of pqTopK vs brute

@@ -267,14 +267,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // an Exchange keyed on doc_id or a missing partial_ aggregate means
     // a corpus-sized unaggregated shuffle at scale
     val plan = finalPlan("text_window_dupes")
-    val tree = plan.split("== Initial Plan ==")(0)
     assert(nodeCount(plan, "Expand") == 0, s"no Expand:\n${plan.take(2000)}")
     assert(nodeCount(plan, "Generate") == 1,
       s"exactly one window explode:\n${plan.take(2000)}")
     assert(plan.contains("partial_count"),
       s"map-side combine must precede the shuffle:\n${plan.take(2000)}")
+    // FormattedMode puts partitioning ARGUMENTS in the per-node detail
+    // section (after both trees), so scan the whole output; the initial
+    // plan's exchanges carry the same keys, making the every-shuffle
+    // claim safe to check across both
     val exchanges = "hashpartitioning\\(([^,)]+)".r
-      .findAllMatchIn(tree).map(_.group(1)).toSeq
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("win_hash")),
       s"every shuffle must key on win_hash, got $exchanges:\n${plan.take(2000)}")
   }
