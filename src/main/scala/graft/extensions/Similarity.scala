@@ -847,4 +847,49 @@ object Similarity {
       .join(dropped.distinct(), Seq("neighbor_id"), "left_anti")
       .select(col("neighbor_id"), col("cell"))
   }
+
+  /** Incremental SemDeDup — the O(new) probe of the family, mirroring
+    * `Dedup.dedupEmbeddingsAgainstCorpus` but with cell pruning instead
+    * of LSH bucketing: assign the incoming batch to the EXISTING cells
+    * (one narrow projection over the batch; the corpus-sized `assigned`
+    * relation is never reshuffled — it is already keyed by cell) and
+    * cosine-score each batch vector against its cell's members only.
+    * Returns (idCol, corpus_id, cosine) for every batch/corpus pairing
+    * at >= eps — corpus-wins provenance, ready for an anti-join drop or
+    * an `extendIvfIndex` accept of the novel remainder (the same
+    * accept→bump lifecycle the other index families run). */
+  def semanticDupAgainstIndex(index: IvfIndex, batch: DataFrame,
+                              idCol: String, vecCol: String,
+                              eps: Double = 0.95,
+                              maxCellSize: Int = 100000): DataFrame = {
+    val okCells = broadcast(
+      index.assigned.groupBy("cell").count()
+        .filter(col("count") <= maxCellSize).select("cell"))
+    val probe = assignToCells(batch, index.centers, idCol, vecCol)
+      .select(col("cell"), col("neighbor_id").as("__batch_id"),
+        col("c_vec").as("__batch_vec"))
+      .join(okCells, Seq("cell"))
+    probe
+      .join(index.assigned.select(col("cell"),
+        col("neighbor_id").as("corpus_id"), col("c_vec").as("__corpus_vec")),
+        Seq("cell"))
+      .select(col("__batch_id").as(idCol), col("corpus_id"),
+        graft.functions.VectorExpressions
+          .cosine_similarity(col("__batch_vec"), col("__corpus_vec"))
+          .as("cosine"))
+      .filter(col("cosine") >= eps)
+  }
+
+  /** The drop decision `semanticDupAgainstIndex` feeds: batch rows with
+    * NO >= eps corpus match in their cell survive (corpus-wins, the
+    * same contract as `dedupAgainstCorpus`). One broadcast anti-join of
+    * the skinny match ids against the batch. */
+  def semanticDedupBatch(index: IvfIndex, batch: DataFrame,
+                         idCol: String, vecCol: String,
+                         eps: Double = 0.95,
+                         maxCellSize: Int = 100000): DataFrame =
+    batch.join(
+      broadcast(semanticDupAgainstIndex(index, batch, idCol, vecCol, eps,
+        maxCellSize).select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
 }

@@ -104,18 +104,34 @@ object NorthStarQueries {
     * measured, Scratch semcell — which is exactly the recall loss the
     * dedup_semantic_recall gate prices). Cells still prune: 4 cells
     * score ~1/4 of the pair space. */
+  /** The nudge-orthogonal explicit centroid table (±2 in components 2-3,
+    * 0 elsewhere): 4 cells whose assignment ignores the nudged
+    * component entirely. */
+  private def semCenters(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (0, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) -2f else 0f)),
+      (1, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) 2f else 0f)),
+      (2, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) -2f else 0f)),
+      (3, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) 2f else 0f))
+    ).toDF("cell", "center")
+  }
+
   private def ivfSemIndex(dir: String, pe: DataFrame): Similarity.IvfIndex =
     ivfIndexCache.computeIfAbsent(dir + "#sem", _ => {
-      val s = pe.sparkSession
-      import s.implicits._
-      val centers = Seq(
-        (0, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) -2f else 0f)),
-        (1, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) 2f else 0f)),
-        (2, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) -2f else 0f)),
-        (3, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) 2f else 0f))
-      ).toDF("cell", "center")
+      val centers = semCenters(pe.sparkSession)
       Similarity.IvfIndex(centers,
         Similarity.assignToCells(pe, centers, "vec_id", "embedding")).cache()
+    })
+
+  /** Corpus-only sibling (raw embeddings, no planted rows) — the
+    * existing-index side of the incremental SemDeDup probe. */
+  private def ivfSemCorpusIndex(dir: String, e: DataFrame): Similarity.IvfIndex =
+    ivfIndexCache.computeIfAbsent(dir + "#semcorpus", _ => {
+      val centers = semCenters(e.sparkSession)
+      Similarity.IvfIndex(centers,
+        Similarity.assignToCells(e.select("vec_id", "embedding"), centers,
+          "vec_id", "embedding")).cache()
     })
 
   /** KMeans-fit sibling (the paper's own quantizer) for the recall gate
@@ -412,6 +428,24 @@ object NorthStarQueries {
     e.select(col("vec_id"), col("embedding"), col("label")).union(planted)
   }
 
+  /** Incoming batch for the incremental SemDeDup rows: the planted
+    * near-copies (every one must match its original in the corpus
+    * index) plus NOVEL vectors — negated every-10th-plus-5 originals
+    * (id + 20M; negation is a bitwise-exact sign flip, and a >= 0.9
+    * match for a negated vector would need a <= -0.9 cosine in the raw
+    * corpus, which the fixture does not contain — so they must
+    * survive). */
+  private def semBatch(e: DataFrame): DataFrame = {
+    val copies = e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      concat(array(col("embedding").getItem(0) + lit(0.05f)),
+        slice(col("embedding"), 2, 1000000)).as("embedding"))
+    val novel = e.filter(col("vec_id") % 10 === 5).select(
+      (col("vec_id") + 20000000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    copies.union(novel)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup --------------------------------------------------------
     "dedup_exact_groups" -> ((s, dir) =>
@@ -509,6 +543,32 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
         .select(col("n_true"),
           (col("n_found") >= col("n_true") * lit(0.95)).as("recall_ge_095"))
+    }),
+
+    // INCREMENTAL SemDeDup, the O(new) probe: the batch (planted copies
+    // + novel negated vectors, semBatch) is assigned to the corpus
+    // index's EXISTING cells and scored only against co-celled corpus
+    // members — the corpus relation never reshuffles. Exact oracle by
+    // the same structural argument as dedup_semantic_pairs: probe
+    // matches are a subset of brute batch x corpus pairs, and every
+    // >= 0.9 pair is a (copy, original) pair that co-cells bitwise
+    // under the nudge-orthogonal quantizer.
+    "dedup_semantic_incr" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semanticDupAgainstIndex(
+        ivfSemCorpusIndex(dir, e), semBatch(e), "vec_id", "embedding",
+        eps = 0.9)
+        .select(col("vec_id"), col("corpus_id"), col("cosine"))
+    }),
+
+    // ...and the survivor set (corpus-wins): every planted copy drops,
+    // every novel vector survives — ready for extendIvfIndex to accept.
+    "dedup_semantic_incr_keep" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semanticDedupBatch(
+        ivfSemCorpusIndex(dir, e), semBatch(e), "vec_id", "embedding",
+        eps = 0.9)
+        .select(col("vec_id"))
     }),
 
     // Near-dup group resolution: pairs -> connected components -> one
@@ -1754,6 +1814,23 @@ object NorthStarQueries {
        |FROM pe a JOIN pe b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9""".stripMargin
 
+  /** The incremental-SemDeDup batch + raw corpus as DuckDB CTEs — the
+    * SQL twin of [[semBatch]] (copy nudge float-exact as in
+    * [[PlantedPeCte]]; negation is an exact sign flip). */
+  private val SemBatchCte: String =
+    """WITH batch AS (
+      |  SELECT vec_id + 10000000 AS vec_id,
+      |    CAST(list_prepend(
+      |      CAST(CAST(embedding[1] AS DOUBLE) + CAST(CAST(0.05 AS FLOAT) AS DOUBLE) AS FLOAT),
+      |      embedding[2:]) AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 20000000,
+      |    CAST(list_transform(embedding, x -> CAST(-x AS FLOAT)) AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id % 10 = 5),
+      |corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
   /** Brute-force top-1 on the planted near-dup fixture (same `pe` CTE
     * float arithmetic as the dedup_embedding_pairs oracle) — the truth
@@ -2079,6 +2156,17 @@ object NorthStarQueries {
     "dedup_semantic_recall" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_095
          |FROM ($PlantedPairsSql) t""".stripMargin,
+    "dedup_semantic_incr" ->
+      s"""$SemBatchCte
+         |SELECT b.vec_id, c.vec_id AS corpus_id,
+         |  list_cosine_similarity(b.emb, c.emb) AS cosine
+         |FROM batch b CROSS JOIN corpus c
+         |WHERE list_cosine_similarity(b.emb, c.emb) >= 0.9""".stripMargin,
+    "dedup_semantic_incr_keep" ->
+      s"""$SemBatchCte
+         |SELECT b.vec_id FROM batch b WHERE NOT EXISTS (
+         |  SELECT 1 FROM corpus c
+         |  WHERE list_cosine_similarity(b.emb, c.emb) >= 0.9)""".stripMargin,
     "dedup_semantic_keep" ->
       s"""$PlantedPeCte
          |SELECT e.vec_id FROM pe e WHERE NOT EXISTS (

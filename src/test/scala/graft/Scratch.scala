@@ -957,7 +957,14 @@ object Scratch {
           val out1 = keys.foldLeft(out0)((d, k) =>
             d.withColumn(k, col(k) + col("copy") * STRIDE))
           val out = extra(out1).drop("copy").select(base.columns.map(col): _*)
-          out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+          // PARTITION HYGIENE (measured the hard way): without this the
+          // scaled table inherits the 1-file layout of its source and
+          // every scan runs as ONE task — the first sf1 bench attempt
+          // serialized the per-row text kernels onto a single core for
+          // 20+ min. A 10x fixture needs ~10x the splits, exactly as a
+          // real 10x ingest would produce.
+          out.repartition(factor * 4)
+            .write.mode("overwrite").parquet(s"$dst/$name.parquet")
           println(s"  $name: ${base.count()} -> ${spark.read.parquet(s"$dst/$name.parquet").count()}")
         }
         def fixed(name: String): Unit = {

@@ -108,4 +108,43 @@ class SemanticDedupSpec extends AnyFunSuite {
       Similarity.semanticDedup(idx, eps = 0.98, keepRule = "random")
     }
   }
+
+  test("incremental probe: copies match their originals, novel vectors survive") {
+    val idx = fit(1)
+    // 200 duplicates the filler direction (must match every e1 corpus
+    // vector); 201 is orthogonal to the whole corpus (must survive)
+    val batch = Seq(
+      (200L, Array(1f, 0f, 0f, 0f)),
+      (201L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val matches = Similarity.semanticDupAgainstIndex(idx, batch,
+      "vec_id", "embedding", eps = 0.98)
+    assert(matches.filter(col("vec_id") === 201L).count() === 0)
+    // 200 matches the 21 e1-identical corpus vectors (101 sits at 0.99
+    // > 0.98, so it matches too => 22)
+    assert(matches.filter(col("vec_id") === 200L).count() === 22)
+    val kept = Similarity.semanticDedupBatch(idx, batch,
+      "vec_id", "embedding", eps = 0.98)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(201L))
+  }
+
+  test("extend-then-pair equals pairing the index built on the union (explicit centers)") {
+    // the accept->bump lifecycle: survivors of the batch probe extend
+    // the index O(new); with a fixed quantizer the extended index must
+    // be indistinguishable from one assigned over the union directly
+    val idx = fit(1)
+    val novel = Seq((201L, Array(0f, 0f, 1f, 0f)),
+      (202L, Array(0f, 0f, 1f, 0.01f))).toDF("vec_id", "embedding")
+    val extended = Similarity.extendIvfIndex(idx, novel, "vec_id", "embedding")
+    val direct = Similarity.IvfIndex(idx.centers,
+      Similarity.assignToCells(corpus.unionByName(novel),
+        idx.centers, "vec_id", "embedding"))
+    val pe = Similarity.semanticDupPairs(extended, eps = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pd = Similarity.semanticDupPairs(direct, eps = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pe === pd)
+    // ...and the new near-dup pair (201, 202) is now visible in-index
+    assert(pe.contains((201L, 202L)))
+  }
 }
