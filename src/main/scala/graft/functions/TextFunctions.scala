@@ -176,13 +176,30 @@ object TextFunctions {
     * doc's total token chars — a deterministic variant of Gopher's
     * "fraction of characters in the most frequent n-gram" (taking the
     * max of the products directly needs no tie-break, so no
-    * cross-engine ordering hazard). O(grams^2) per row, but entirely
-    * within-row and codegen'd: zero shuffles at any corpus size. */
+    * cross-engine ordering hazard).
+    *
+    * Shape matters here: the naive distinct x filter formulation is
+    * O(grams^2) per row with a full gram-array REBUILD inside every
+    * probe (higher-order lambdas are interpreted with no subexpression
+    * sharing), which the first sf1 bench measured at 300+ s for the
+    * gate row. This form sorts the gram array once and folds a
+    * run-length scan over it (equal grams are adjacent after the sort,
+    * so the best run x gram-chars IS the best distinct-gram product) —
+    * O(grams log grams) per row, same bit-identical value, still a
+    * zero-shuffle within-row kernel at any corpus size. */
   def topNgramCharFrac(toks: Column, n: Int): Column = {
     val g = tokenNgrams(toks, n)
     val totalChars = aggregate(toks, lit(0), (a, t) => a + length(t))
-    val best = array_max(transform(array_distinct(g),
-      d => size(filter(g, x => x === d)) * (length(d) - lit(n - 1))))
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val best = aggregate(array_sort(g), zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"),
+            run * (length(x) - lit(n - 1))).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(g) === 0 || totalChars === 0, lit(0.0))
       .otherwise(best.cast("double") / totalChars.cast("double"))
   }
