@@ -931,9 +931,11 @@ object Dedup {
       .select(col("win_hash"))
     val dupPerDoc = wins.join(dup, Seq("win_hash"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    // n_windows = max(tokens - n + 1, 0) — pure arithmetic; building the
+    // window array a third time just to size it cost ~1/3 of this row
     val totals = df.select(col(idCol),
-      size(windowHashes(graft.functions.TextFunctions.tokens(col(textCol)),
-        n)).cast("long").as("n_windows"))
+      greatest(size(graft.functions.TextFunctions.tokens(col(textCol)))
+        - (n - 1), lit(0)).cast("long").as("n_windows"))
     totals.join(dupPerDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
@@ -959,11 +961,20 @@ object Dedup {
       .agg(array_distinct(flatten(collect_list(
         sequence(col("win_start") + 1, col("win_start") + n)))).as("__cov"))
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // kept positions via array_except (hash-set difference, O(tokens))
+    // instead of an array_contains probe per token (O(tokens x covered)
+    // — quadratic on heavily-duplicated docs); array_except preserves
+    // the left argument's order, so the rebuilt token order is intact
     df.join(covered, Seq(idCol), "left")
       .withColumn("__toks", toks)
+      .withColumn("__pos",
+        when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("__toks")))))
+      .withColumn("__keptpos",
+        when(col("__cov").isNull, col("__pos"))
+          .otherwise(array_except(col("__pos"), col("__cov"))))
       .withColumn("__kept",
-        filter(col("__toks"), (t, i) =>
-          col("__cov").isNull || !array_contains(col("__cov"), i + 1)))
+        transform(col("__keptpos"), p => element_at(col("__toks"), p)))
       .select(col(idCol),
         concat_ws(" ", col("__kept")).as("scrubbed"),
         size(col("__toks")).cast("long").as("n_tokens"),

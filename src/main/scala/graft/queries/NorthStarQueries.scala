@@ -1224,15 +1224,30 @@ object NorthStarQueries {
     // (~2/3 of the sf0.01 fixture passes — both cutoffs bite). Same
     // bit-identical metric values feed the comparisons, so the kept set
     // is deterministic cross-engine.
+    //
+    // PLAN SHAPE: the metrics are interpreted higher-order kernels, and
+    // predicate pushdown would INLINE them into a filter below BOTH
+    // projections — the optimized plan then re-tokenizes 21x per row
+    // (measured: 46.7 s vs 3.2 s for the 4-metric sibling row at
+    // sf0.1). PushPredicateThroughNonJoin refuses to push through a
+    // projection with ANY non-deterministic field, so `__barrier`
+    // (rand) pins the metric projection below the filter — but only if
+    // it survives ColumnPruning, hence the always-true non-det conjunct
+    // referencing it (rand ∈ [0,1) is never < -1). Values and kept-set
+    // are bit-identical; every metric now evaluates exactly once per
+    // row. Pinned in PlanShapeSpec.
     "text_rep_gate" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("__toks", TextFunctions.tokens(col("text")))
-        .withColumn("dup_2gram_frac",
-          TextFunctions.dupNgramFrac(col("__toks"), 2))
-        .withColumn("top_2gram_char_frac",
-          TextFunctions.topNgramCharFrac(col("__toks"), 2))
+        .select(col("doc_id"),
+          TextFunctions.dupNgramFrac(col("__toks"), 2)
+            .as("dup_2gram_frac"),
+          TextFunctions.topNgramCharFrac(col("__toks"), 2)
+            .as("top_2gram_char_frac"),
+          rand(42).as("__barrier"))
         .filter(col("dup_2gram_frac") <= 0.05 &&
-          col("top_2gram_char_frac") <= 0.12)
+          col("top_2gram_char_frac") <= 0.12 &&
+          col("__barrier") >= lit(-1.0))
         .select(col("doc_id"), col("dup_2gram_frac"),
           col("top_2gram_char_frac"))),
 

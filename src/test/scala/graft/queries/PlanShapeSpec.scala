@@ -259,6 +259,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n-grams must stay inside the row, not explode:\n${plan.take(1500)}")
   }
 
+  test("Rep-n gate: interpreted metrics evaluated once — filter must NOT inline them") {
+    // predicate pushdown through the metric projection inlines the
+    // higher-order kernels into the filter (21 re-tokenizations per row
+    // measured; 15x slower than the sibling projection row). The
+    // non-deterministic barrier column pins the projection below the
+    // filter; this counts the tokenize calls in the optimized plan to
+    // keep it that way.
+    val df = graft.SparkEntry.queries("text_rep_gate")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits <= 2,
+      s"tokenization appears ${splits}x — pushdown re-inlined the metrics:\n${plan.take(2000)}")
+  }
+
   test("window-dedup census: map-side combine, shuffles only on the window hash") {
     // the census is one Generate (windows out of each doc) and then
     // aggregation keyed on win_hash ONLY — the distinct-doc count plans
