@@ -923,11 +923,20 @@ object Dedup {
     * are shared with other documents (the drop/scrub signal). The dup
     * census and the window rows are both partitioned by win_hash when
     * they meet, so the semi-join is co-located; the duplicate set is
-    * corpus-sized in the worst case, so it is NOT broadcast. */
+    * corpus-sized in the worst case, so it is NOT broadcast.
+    *
+    * `census`: pass a precomputed (ideally persisted)
+    * [[duplicatedWindows]] result to avoid re-paying the corpus-wide
+    * window explode + shuffle — the realistic pipeline computes the
+    * census ONCE and feeds every consumer (stats, scrub, drop policy)
+    * from it. Omitted, it is derived from `df` with the same (n,
+    * minDocs). */
   def windowDupStats(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+                     n: Int = 8, minDocs: Int = 2,
+                     census: Option[DataFrame] = None): DataFrame = {
     val wins = windowRows(df, idCol, textCol, n)
-    val dup = duplicatedWindows(df, idCol, textCol, n, minDocs)
+    val dup = census.getOrElse(
+      duplicatedWindows(df, idCol, textCol, n, minDocs))
       .select(col("win_hash"))
     val dupPerDoc = wins.join(dup, Seq("win_hash"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
@@ -950,9 +959,11 @@ object Dedup {
     * token count, so the row stays small however duplicated the corpus
     * is); the rebuild is a narrow per-row filter over the token list. */
   def scrubDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
-                             n: Int = 8, minDocs: Int = 2): DataFrame = {
+                             n: Int = 8, minDocs: Int = 2,
+                             census: Option[DataFrame] = None): DataFrame = {
     val wins = windowRows(df, idCol, textCol, n)
-    val dup = duplicatedWindows(df, idCol, textCol, n, minDocs)
+    val dup = census.getOrElse(
+      duplicatedWindows(df, idCol, textCol, n, minDocs))
       .select(col("win_hash"))
     // 1-based covered token positions per doc; collect_list order is
     // nondeterministic but only membership is consumed

@@ -267,6 +267,18 @@ object NorthStarQueries {
       Dedup.buildEmbeddingIndex(embs(s, dir), "vec_id", "embedding",
         planes = 12, bands = 8).persist())
 
+  /** Span-dedup window census per sf dir (win_hash, n_docs, n_occ,
+    * first_doc at n=8, minDocs=2), persisted: the one corpus-wide
+    * window explode + shuffle every text_window_* row consumes.
+    * Released by [[clearDedupCaches]]. */
+  private val windowCensusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def windowCensus(s: SparkSession, dir: String): DataFrame =
+    windowCensusCache.computeIfAbsent(dir, _ =>
+      Dedup.duplicatedWindows(docs(s, dir), "doc_id", "text",
+        n = 8, minDocs = 2).persist())
+
   /** The incremental-dedup corpus index (docs with doc_id % 5 != 0),
     * persisted per sf dir: the fit side of the fit/probe split —
     * `dedup_incr_index_build` pays its materialization once (first in
@@ -332,6 +344,8 @@ object NorthStarQueries {
   def clearDedupCaches(): Unit = {
     exactPairsCache.values.forEach(df => { df.unpersist(false); () })
     exactPairsCache.clear()
+    windowCensusCache.values.forEach(df => { df.unpersist(false); () })
+    windowCensusCache.clear()
     simPairsCache.values.forEach(df => { df.unpersist(false); () })
     simPairsCache.clear()
     minhashPairsCache.values.forEach(df => { df.unpersist(false); () })
@@ -1258,15 +1272,18 @@ object NorthStarQueries {
     // and rebuild docs with duplicated spans scrubbed (the removal).
     // All three are exact and fully hash-matched: md5 window hashes are
     // recomputable by DuckDB on the same token stream.
-    "text_window_dupes" -> ((s, dir) =>
-      Dedup.duplicatedWindows(docs(s, dir), "doc_id", "text",
-        n = 8, minDocs = 2)),
+    // The census (one window explode + ONE win_hash shuffle) is computed
+    // once per sf dir and persisted ([[windowCensus]]); all three rows
+    // feed from it — the realistic pipeline shape, where stats, scrub
+    // and drop policy consume one census instead of re-paying the
+    // corpus-wide explode each (measured 3x the family's cost before).
+    "text_window_dupes" -> ((s, dir) => windowCensus(s, dir)),
     "text_window_dup_stats" -> ((s, dir) =>
       Dedup.windowDupStats(docs(s, dir), "doc_id", "text",
-        n = 8, minDocs = 2)),
+        n = 8, minDocs = 2, census = Some(windowCensus(s, dir)))),
     "text_window_scrub" -> ((s, dir) =>
       Dedup.scrubDuplicatedWindows(docs(s, dir), "doc_id", "text",
-        n = 8, minDocs = 2)),
+        n = 8, minDocs = 2, census = Some(windowCensus(s, dir)))),
 
     // ---- PII detection + redaction -----------------------------------
     // The scrub-before-training hygiene stage. The harness corpus
