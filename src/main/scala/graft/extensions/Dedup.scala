@@ -979,7 +979,11 @@ object Dedup {
     df.join(covered, Seq(idCol), "left")
       .withColumn("__toks", toks)
       .withColumn("__pos",
-        when(size(col("__toks")) === 0, array().cast("array<int>"))
+        // a NULL text column sizes to -1 (legacy sizeOfNull) or NULL
+        // (ANSI), and sequence(1, -1) DESCENDS to [1, 0, -1] — phantom
+        // kept positions; route null/empty docs to the empty branch
+        when(coalesce(size(col("__toks")), lit(0)) <= 0,
+          array().cast("array<int>"))
           .otherwise(sequence(lit(1), size(col("__toks")))))
       .withColumn("__keptpos",
         when(col("__cov").isNull, col("__pos"))
@@ -988,7 +992,9 @@ object Dedup {
         transform(col("__keptpos"), p => element_at(col("__toks"), p)))
       .select(col(idCol),
         concat_ws(" ", col("__kept")).as("scrubbed"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        size(col("__kept")).cast("long").as("n_kept"))
+        // greatest(…, 0) clamps the null-text -1/NULL size to 0 so a
+        // null doc reports (scrubbed="", 0, 0), not negative counts
+        greatest(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
+        greatest(size(col("__kept")), lit(0)).cast("long").as("n_kept"))
   }
 }

@@ -719,24 +719,30 @@ object Similarity {
 
     // compressed scan: codes-only projection (c_vec pruned), queries+
     // tables broadcast, one bounded partial-top-k shuffle per query;
-    // the m-term lookup sum is unrolled at plan-build time
+    // the m-term lookup sum is unrolled at plan-build time. The rank
+    // exchange carries ONLY (query_id, neighbor_id, __adc) — at N×Q
+    // rows, letting the dim-float q_vec ride the shuffle is the payload
+    // cost, so it is projected away here and re-joined (broadcast, it
+    // is the tiny query table) for the rerank-sized exact pass.
     val adc = index.codes.select(col("neighbor_id"), col("codes"))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__adc",
+      .select(col("query_id"), col("neighbor_id"),
         (0 until index.m).map(sub =>
           col("__dt")(lit(offsets(sub)) + col("codes")(sub)))
-          .reduce(_ + _))
+          .reduce(_ + _).as("__adc"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     val cands = adc.withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerank)
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
 
     // exact pass: rerank*|queries| surviving pairs broadcast against the
-    // stored vectors — the only place c_vec is read
+    // stored vectors — the only place c_vec is read; q_vec re-enters
+    // here via the broadcast query table
     val exact = index.codes.select(col("neighbor_id"), col("c_vec"))
       .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_vec"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorExpressions
           .cosine_similarity(col("q_vec"), col("c_vec")).as("cosine"))

@@ -503,10 +503,16 @@ object NorthStarQueries {
     // nudged component), so the row hash-matches brute-force all-pairs
     // — structural, not sampling luck. The KMeans-fit leg (where cell
     // boundaries DO cost measured recall) is priced separately by
-    // dedup_semantic_recall.
+    // dedup_semantic_recall. Every EXACT-oracle row in this family
+    // passes maxCellSize = Int.MaxValue explicitly: the default cap
+    // SKIPS over-full cells (a documented recall trade), which would
+    // silently break the hash oracle at a fixture scale where any of
+    // the 4 explicit cells exceeded the default (ADVICE r13) —
+    // exactness must never depend on a capacity default.
     "dedup_semantic_pairs" -> ((s, dir) =>
       Similarity.semanticDupPairs(
-        ivfSemIndex(dir, plantedEmbeddings(embs(s, dir))), eps = 0.9)
+        ivfSemIndex(dir, plantedEmbeddings(embs(s, dir))), eps = 0.9,
+        maxCellSize = Int.MaxValue)
         .select(col("id_a"), col("id_b"), col("cosine"))),
 
     // ...and the keep-set those pairs drive (first-wins greedy rule:
@@ -515,7 +521,8 @@ object NorthStarQueries {
     // the same decision from brute-force pairs with NOT EXISTS.
     "dedup_semantic_keep" -> ((s, dir) =>
       Similarity.semanticDedup(
-        ivfSemIndex(dir, plantedEmbeddings(embs(s, dir))), eps = 0.9)
+        ivfSemIndex(dir, plantedEmbeddings(embs(s, dir))), eps = 0.9,
+        maxCellSize = Int.MaxValue)
         .select(col("neighbor_id").as("vec_id"))),
 
     // The paper's own keep rule (retain the pair member FARTHER from its
@@ -529,9 +536,10 @@ object NorthStarQueries {
     "dedup_semantic_far" -> ((s, dir) => {
       val idx = ivfSemIndex(dir, plantedEmbeddings(embs(s, dir)))
       Similarity.semanticDedup(idx, eps = 0.9,
-          keepRule = "far_from_centroid")
+          keepRule = "far_from_centroid", maxCellSize = Int.MaxValue)
         .agg(count(lit(1)).as("n_kept"))
-        .crossJoin(Similarity.semanticDupPairs(idx, eps = 0.9)
+        .crossJoin(Similarity.semanticDupPairs(idx, eps = 0.9,
+            maxCellSize = Int.MaxValue)
           .agg(count(lit(1)).as("n_pairs")))
     }),
 
@@ -571,7 +579,7 @@ object NorthStarQueries {
       val e = embs(s, dir)
       Similarity.semanticDupAgainstIndex(
         ivfSemCorpusIndex(dir, e), semBatch(e), "vec_id", "embedding",
-        eps = 0.9)
+        eps = 0.9, maxCellSize = Int.MaxValue)
         .select(col("vec_id"), col("corpus_id"), col("cosine"))
     }),
 
@@ -581,7 +589,7 @@ object NorthStarQueries {
       val e = embs(s, dir)
       Similarity.semanticDedupBatch(
         ivfSemCorpusIndex(dir, e), semBatch(e), "vec_id", "embedding",
-        eps = 0.9)
+        eps = 0.9, maxCellSize = Int.MaxValue)
         .select(col("vec_id"))
     }),
 

@@ -78,6 +78,24 @@ class WindowDedupSpec extends AnyFunSuite {
     assert(!scrubbed(2L)._1.contains("rights reserved"))
   }
 
+  test("null/empty text scrubs to an empty doc, never phantom positions") {
+    // size(NULL tokens) is -1/NULL, and sequence(1, -1) DESCENDS —
+    // before the guarded branch a null doc reported n_kept=3 phantom
+    // positions [1, 0, -1] (ADVICE r13)
+    val withNull = Seq(
+      (20L, null.asInstanceOf[String]),
+      (21L, ""),
+      (22L, "completely original prose with no shared spans at all kappa")
+    ).toDF("doc_id", "text")
+    val s = Dedup.scrubDuplicatedWindows(withNull, "doc_id", "text", 8, 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("scrubbed"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_kept"))).toMap
+    assert(s(20L) === (("", 0L, 0L)))
+    assert(s(21L) === (("", 0L, 0L)))
+    assert(s(22L)._2 === s(22L)._3 && s(22L)._3 > 0L)
+  }
+
   test("minDocs=2 means within-doc repetition alone never scrubs") {
     val selfRep = Seq(
       (10L, "spark rows spark rows spark rows spark rows spark rows spark rows spark rows spark rows")

