@@ -59,7 +59,8 @@ object Bench {
     ("cdc", n => n.startsWith("cdc_"),
       () => graft.queries.CdcQueries.clearCaches()),
     ("text", n => n.startsWith("text_") || n.startsWith("multimodal_") ||
-      n == "embeddings_stats", () => ()),
+      n == "embeddings_stats",
+      () => graft.queries.NorthStarQueries.clearTextCaches()),
     ("dedup", n => n.startsWith("dedup_"),
       () => graft.queries.NorthStarQueries.clearDedupCaches()),
     ("sim", n => n.startsWith("sim_"),

@@ -267,17 +267,33 @@ object NorthStarQueries {
       Dedup.buildEmbeddingIndex(embs(s, dir), "vec_id", "embedding",
         planes = 12, bands = 8).persist())
 
+  /** Span-dedup EXPLODED WINDOW relation per sf dir (doc_id, win_start,
+    * win_hash at n=8), persisted: the corpus-wide tokenize + explode is
+    * the dominant cost of every text_window_* row, and before this was
+    * shared each consumer re-paid it (r13: stats 11.3 s + scrub 10.6 s
+    * warm while the census row sharing only the CENSUS read in 0.03 s).
+    * One explode now feeds census, stats and scrub alike. Released by
+    * [[clearTextCaches]]. */
+  private val windowRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def windowRowsShared(s: SparkSession, dir: String): DataFrame =
+    windowRowsCache.computeIfAbsent(dir, _ =>
+      Dedup.windowRelation(docs(s, dir), "doc_id", "text", n = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Span-dedup window census per sf dir (win_hash, n_docs, n_occ,
-    * first_doc at n=8, minDocs=2), persisted: the one corpus-wide
-    * window explode + shuffle every text_window_* row consumes.
-    * Released by [[clearDedupCaches]]. */
+    * first_doc at n=8, minDocs=2), persisted and derived from the
+    * shared [[windowRowsShared]] explode. Released by
+    * [[clearTextCaches]]. */
   private val windowCensusCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def windowCensus(s: SparkSession, dir: String): DataFrame =
     windowCensusCache.computeIfAbsent(dir, _ =>
       Dedup.duplicatedWindows(docs(s, dir), "doc_id", "text",
-        n = 8, minDocs = 2).persist())
+        n = 8, minDocs = 2, wins = Some(windowRowsShared(s, dir)))
+        .persist())
 
   /** The incremental-dedup corpus index (docs with doc_id % 5 != 0),
     * persisted per sf dir: the fit side of the fit/probe split —
@@ -341,11 +357,22 @@ object NorthStarQueries {
     * dedup family finishes instead of letting them pressure every later
     * query's heap — round 7 measured untouched relational rows 3-6x
     * slower under the always-pinned regime. */
+  /** Release the text_window_* rows' pinned state (the shared exploded
+    * window relation + census). Scoped separately from the dedup caches
+    * so Bench can drop them when the TEXT phase finishes — pinning them
+    * through the whole dedup family put every dedup row under avoidable
+    * executor-storage pressure (r13's unexplained shared-subset drift's
+    * prime suspect was exactly this class of cross-phase pinning). */
+  def clearTextCaches(): Unit = {
+    windowRowsCache.values.forEach(df => { df.unpersist(false); () })
+    windowRowsCache.clear()
+    windowCensusCache.values.forEach(df => { df.unpersist(false); () })
+    windowCensusCache.clear()
+  }
+
   def clearDedupCaches(): Unit = {
     exactPairsCache.values.forEach(df => { df.unpersist(false); () })
     exactPairsCache.clear()
-    windowCensusCache.values.forEach(df => { df.unpersist(false); () })
-    windowCensusCache.clear()
     simPairsCache.values.forEach(df => { df.unpersist(false); () })
     simPairsCache.clear()
     minhashPairsCache.values.forEach(df => { df.unpersist(false); () })
@@ -386,6 +413,7 @@ object NorthStarQueries {
     * these queries must call it when a corpus version is retired, or
     * executor storage leaks one persisted relation per sf dir forever. */
   def clearCaches(): Unit = {
+    clearTextCaches()
     clearDedupCaches()
     clearSimCaches()
   }
@@ -1288,10 +1316,12 @@ object NorthStarQueries {
     "text_window_dupes" -> ((s, dir) => windowCensus(s, dir)),
     "text_window_dup_stats" -> ((s, dir) =>
       Dedup.windowDupStats(docs(s, dir), "doc_id", "text",
-        n = 8, minDocs = 2, census = Some(windowCensus(s, dir)))),
+        n = 8, minDocs = 2, census = Some(windowCensus(s, dir)),
+        wins = Some(windowRowsShared(s, dir)))),
     "text_window_scrub" -> ((s, dir) =>
       Dedup.scrubDuplicatedWindows(docs(s, dir), "doc_id", "text",
-        n = 8, minDocs = 2, census = Some(windowCensus(s, dir)))),
+        n = 8, minDocs = 2, census = Some(windowCensus(s, dir)),
+        wins = Some(windowRowsShared(s, dir)))),
 
     // ---- PII detection + redaction -----------------------------------
     // The scrub-before-training hygiene stage. The harness corpus
