@@ -454,6 +454,21 @@ object Similarity {
     IvfIndex(centers, assigned)
   }
 
+  /** Each query's `nprobe` nearest cells by squared Euclidean distance
+    * to the centroid (KMeans' own metric, matching the assignment) —
+    * the coarse-pruning step shared by [[ivfProbe]] and [[ivfPqProbe]].
+    * Returns (query_id, q_vec, cell), one row per probed cell. */
+  private def nearestCells(q: DataFrame, centers: DataFrame,
+                           nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(centers))
+      .select(col("query_id"), col("q_vec"), col("cell"),
+        aggregate(zip_with(col("q_vec"), col("center"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x).as("d2"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+
   /** Probe a fitted index: score only the `nprobe` nearest cells' members. */
   def ivfProbe(
       index: IvfIndex, queries: DataFrame,
@@ -461,17 +476,9 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
 
     val assigned = index.assigned
-    val centers = index.centers
-    val qProbes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-        .crossJoin(broadcast(centers))
-        .select(col("query_id"), col("q_vec"), col("cell"),
-          aggregate(zip_with(col("q_vec"), col("center"),
-            (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x).as("d2"))
-        .withColumn("__pr", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)))
-        .filter(col("__pr") <= nprobe)
-        .select(col("query_id"), col("q_vec"), col("cell")))
+    val qProbes = broadcast(nearestCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      index.centers, nprobe))
 
     val scored = assigned.join(qProbes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -619,21 +626,15 @@ object Similarity {
     * runs on `trainFraction` of the corpus), then one codegen'd encode
     * pass over all candidates. `metaCols` ride into the codes relation
     * for [[PqIndex.filtered]]. */
-  def pqFit(candidates: DataFrame, idCol: String, vecCol: String,
-            m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-            trainFraction: Double = 1.0,
-            metaCols: Seq[String] = Nil): PqIndex = {
+  /** Train the `m` per-subspace KMeans codebooks over a relation
+    * carrying the normalized `__vhat` column — the driver-side loop
+    * shared by [[pqFit]] and [[ivfPqFit]] (m is a small constant; each
+    * fit is distributed and runs on `trainFraction` of the corpus). */
+  private def trainCodebooks(base: DataFrame, m: Int, ksub: Int, dsub: Int,
+                             seed: Long,
+                             trainFraction: Double): Seq[Seq[Seq[Float]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
-    val base = withUnitVec(
-      candidates.select(col(idCol).as("neighbor_id") +:
-        col(vecCol).as("c_vec") +: metaCols.map(col): _*), "c_vec")
-    // dim: one-row driver read (schema metadata, not data volume)
-    val dim = base.select(size(col("c_vec"))).head().getInt(0)
-    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
-
     val train = (if (trainFraction >= 1.0) base
                  else base.sample(trainFraction, seed))
       .select(col("__vhat")).cache()
@@ -649,6 +650,22 @@ object Similarity {
         .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
     }
     train.unpersist()
+    codebooks
+  }
+
+  def pqFit(candidates: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+            trainFraction: Double = 1.0,
+            metaCols: Seq[String] = Nil): PqIndex = {
+    val base = withUnitVec(
+      candidates.select(col(idCol).as("neighbor_id") +:
+        col(vecCol).as("c_vec") +: metaCols.map(col): _*), "c_vec")
+    // dim: one-row driver read (schema metadata, not data volume)
+    val dim = base.select(size(col("c_vec"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+
+    val codebooks = trainCodebooks(base, m, ksub, dsub, seed, trainFraction)
 
     val codes = base
       .withColumn("codes", encodeCodes(col("__vhat"), codebooks, dsub))
@@ -697,52 +714,41 @@ object Similarity {
       parent = index.savedDir.orElse(index.parent))
   }
 
-  /** Probe a fitted [[PqIndex]]: ADC-score EVERY candidate's codes
-    * against the query's precomputed lookup table (m adds + lookups per
-    * candidate — the compressed scan), keep the top `rerank` per query,
-    * then re-rank those exactly. Output schema matches [[ivfProbe]]. */
-  def pqProbe(index: PqIndex, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int = 10,
-              rerank: Int = 50): DataFrame = {
-    val dsub = index.dim / index.m
-    val q = withUnitVec(
+  /** The (query_id, q_vec, __dt) probe relation: queries normalized,
+    * each with its precomputed flat ADC lookup table. */
+  private def adcQueries(queries: DataFrame, idCol: String, vecCol: String,
+                         codebooks: Seq[Seq[Seq[Float]]],
+                         dsub: Int): DataFrame =
+    withUnitVec(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "q_vec")
-      .withColumn("__dt", adcTable(col("__vhat"), index.codebooks, dsub))
+      .withColumn("__dt", adcTable(col("__vhat"), codebooks, dsub))
       .select(col("query_id"), col("q_vec"), col("__dt"))
 
-    // per-sub offsets into the flat ADC table: KMeans may return FEWER
-    // than `ksub` cells when a subspace has few distinct subvectors
-    // (k-means collapses duplicate points), so the stride is each sub's
-    // ACTUAL codebook size, not the requested ksub
-    val offsets = index.codebooks.scanLeft(0)(_ + _.length)
-
-    // compressed scan: codes-only projection (c_vec pruned), queries+
-    // tables broadcast, one bounded partial-top-k shuffle per query;
-    // the m-term lookup sum is unrolled at plan-build time. The rank
-    // exchange carries ONLY (query_id, neighbor_id, __adc) — at N×Q
-    // rows, letting the dim-float q_vec ride the shuffle is the payload
-    // cost, so it is projected away here and re-joined (broadcast, it
-    // is the tiny query table) for the rerank-sized exact pass.
-    val adc = index.codes.select(col("neighbor_id"), col("codes"))
-      .crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (0 until index.m).map(sub =>
-          col("__dt")(lit(offsets(sub)) + col("codes")(sub)))
-          .reduce(_ + _).as("__adc"))
+  /** ADC-score a (query_id, neighbor_id, __dt, codes) candidate scan
+    * (full-corpus for [[pqProbe]], cell-pruned for [[ivfPqProbe]]),
+    * keep the top `rerank` per query on a SKINNY
+    * (query_id, neighbor_id, __adc) rank exchange — at N×Q rows a
+    * dim-float q_vec payload would dominate the shuffle — then re-rank
+    * the survivors exactly against the stored vectors (`vectors` =
+    * (neighbor_id, c_vec); the only place c_vec is read; q_vec
+    * re-enters via the broadcast query table). The m-term lookup sum
+    * is unrolled at plan-build time. */
+  private def adcRerankTopK(scan: DataFrame, qVecs: DataFrame,
+                            vectors: DataFrame, m: Int, offsets: Seq[Int],
+                            k: Int, rerank: Int): DataFrame = {
+    val adc = scan.select(col("query_id"), col("neighbor_id"),
+      (0 until m).map(sub =>
+        col("__dt")(lit(offsets(sub)) + col("codes")(sub)))
+        .reduce(_ + _).as("__adc"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     val cands = adc.withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerank)
       .select(col("query_id"), col("neighbor_id"))
-
-    // exact pass: rerank*|queries| surviving pairs broadcast against the
-    // stored vectors — the only place c_vec is read; q_vec re-enters
-    // here via the broadcast query table
-    val exact = index.codes.select(col("neighbor_id"), col("c_vec"))
+    val exact = vectors
       .join(broadcast(cands), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("q_vec"))), Seq("query_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorExpressions
           .cosine_similarity(col("q_vec"), col("c_vec")).as("cosine"))
@@ -752,6 +758,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Probe a fitted [[PqIndex]]: ADC-score EVERY candidate's codes
+    * against the query's precomputed lookup table (m adds + lookups per
+    * candidate — the compressed scan), keep the top `rerank` per query,
+    * then re-rank those exactly. Output schema matches [[ivfProbe]]. */
+  def pqProbe(index: PqIndex, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int = 10,
+              rerank: Int = 50): DataFrame = {
+    val q = adcQueries(queries, idCol, vecCol, index.codebooks,
+      index.dim / index.m)
+
+    // per-sub offsets into the flat ADC table: KMeans may return FEWER
+    // than `ksub` cells when a subspace has few distinct subvectors
+    // (k-means collapses duplicate points), so the stride is each sub's
+    // ACTUAL codebook size, not the requested ksub
+    val offsets = index.codebooks.scanLeft(0)(_ + _.length)
+
+    // compressed scan: codes-only projection (c_vec pruned), queries+
+    // tables broadcast, one bounded partial-top-k shuffle per query
+    val scan = index.codes.select(col("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    adcRerankTopK(scan, q.select(col("query_id"), col("q_vec")),
+      index.codes.select(col("neighbor_id"), col("c_vec")),
+      index.m, offsets, k, rerank)
+  }
+
   /** One-shot PQ top-k: fit + probe (the fit-once/probe-many split is
     * [[pqFit]]/[[pqProbe]]). */
   def pqTopK(candidates: DataFrame, queries: DataFrame,
@@ -759,6 +791,213 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, rerank: Int = 50): DataFrame =
     pqProbe(pqFit(candidates, idCol, vecCol, m, ksub), queries,
       idCol, vecCol, k, rerank)
+
+  // ---- IVF-PQ composition (IVFADC) ------------------------------------
+  //
+  // The standard 100 TB ANN shape (Jégou et al., "Product Quantization
+  // for Nearest Neighbor Search", §IV): the IVF coarse quantizer prunes
+  // the candidate space to `nprobe` cells, and WITHIN those cells the
+  // scan is the PQ compressed one — m table lookups per candidate over
+  // 8 B codes instead of dim multiplies over 256 B floats. PQ-only
+  // ([[pqProbe]]) moves 32x fewer bytes but still touches every row;
+  // IVF-only ([[ivfProbe]]) touches nprobe/nlist of the rows but moves
+  // full vectors; the composition touches nprobe/nlist of the rows AND
+  // moves 32x fewer bytes per touched row — both savings multiply.
+  //
+  // Encoding note: this is the DIRECT-encoding variant (codes quantize
+  // the normalized vector itself); the paper's IVFADC encodes the
+  // RESIDUAL v - centroid(cell), which buys ADC fidelity when cells are
+  // tight. With the exact re-rank pass bounding the final ranking error
+  // to "was a true neighbor outside the ADC top-rerank", the direct
+  // variant keeps one codebook family shared across all cells (residual
+  // codebooks must be retrained if the coarse quantizer moves) — and
+  // the recall gates price the honest difference.
+
+  /**
+   * A fitted IVF-PQ search index — same lifecycle as the other four
+   * families (fit once / probe many / `filtered` / save / load / extend
+   * / close, with [[IndexMeta]] version lineage). `codes` is the
+   * (neighbor_id, cell, codes, c_vec, meta…) relation: `cell` is the
+   * shuffle/pruning key (the saved tree is parquet PARTITIONED by it,
+   * so a probe's nprobe cells prune at the file level), and the ADC
+   * scan projects only (cell, neighbor_id, codes) — c_vec stays
+   * column-pruned until the rerank-sized exact pass.
+   */
+  final case class IvfPqIndex(centers: DataFrame,
+                              codebooks: Seq[Seq[Seq[Float]]],
+                              codes: DataFrame,
+                              m: Int, ksub: Int, dim: Int,
+                              savedDir: Option[String] = None,
+                              version: Long = 1L,
+                              folded: Seq[String] = Nil,
+                              parent: Option[String] = None) {
+    def cache(): IvfPqIndex = { codes.cache(); centers.cache(); this }
+    def unpersist(): IvfPqIndex = {
+      codes.unpersist(false); centers.unpersist(false); this
+    }
+
+    /** Metadata-filtered view for filtered ANN (see [[LshIndex.filtered]]
+      * for the lineage rationale: the view drops `savedDir` AND `parent`
+      * so a subset can't retire or masquerade as the full tree). */
+    def filtered(predicate: Column): IvfPqIndex =
+      copy(codes = codes.filter(predicate), savedDir = None, parent = None)
+
+    /** Persist centers + codes (partitioned by cell) + codebooks +
+      * hyperparameters; a load can never probe with a mismatched
+      * codebook or centroid table. Same stale-guard scope note as
+      * [[LshIndex.save]]. */
+    def save(dir: String): IvfPqIndex = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      centers.write.mode("overwrite").parquet(s"$dir/centers")
+      codes.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/codes")
+      codebooks.zipWithIndex.flatMap { case (cells, sub) =>
+        cells.zipWithIndex.map { case (c, cell) => (sub, cell, c) }
+      }.toDF("sub", "cell", "center")
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      IndexMeta.write(spark, dir, IndexMeta.Meta(version,
+        parent = parent.orElse(savedDir).filterNot(_ == dir), folded = folded,
+        rows = IndexMeta.rowCounts(spark, dir, Seq("codes"))))
+      copy(savedDir = Some(dir))
+    }
+
+    /** Retire this index version in ONE call — unpersist + delete the
+      * saved tree, with the stale-handle refusal ([[IndexMeta]]). */
+    def close(): Unit = {
+      unpersist()
+      savedDir.foreach { d =>
+        val spark = codes.sparkSession
+        IndexMeta.requireCurrent(spark, d, version, "close()")
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(p, true)
+      }
+    }
+  }
+
+  /** Fit an IVF-PQ index: the coarse KMeans quantizer assigns every
+    * candidate to a cell ([[ivfFit]]'s leg), and one shared per-subspace
+    * codebook family compresses every (normalized) vector to m codes
+    * ([[pqFit]]'s leg) — one codegen'd encode pass over the assigned
+    * relation. `metaCols` ride into the codes relation for
+    * [[IvfPqIndex.filtered]].
+    *
+    * `centers`: bring-your-own coarse quantizer — an explicit
+    * (cell, center) table routed through the production
+    * [[assignToCells]] path instead of fitting KMeans, the same
+    * existing-index composition [[semanticDupPairs]] supports: a
+    * 100 TB pipeline that already operates an IVF index PQ-compresses
+    * it without re-clustering (which would reassign the whole corpus
+    * and invalidate every saved cell partition). `nlist` is ignored
+    * when `centers` is given. */
+  def ivfPqFit(candidates: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+               seed: Long = 42L, trainFraction: Double = 1.0,
+               metaCols: Seq[String] = Nil,
+               centers: Option[DataFrame] = None): IvfPqIndex = {
+    val coarse = centers match {
+      case Some(c) => IvfIndex(c,
+        assignToCells(candidates, c, idCol, vecCol, metaCols))
+      case None => ivfFit(candidates, idCol, vecCol, nlist, seed,
+        trainFraction, metaCols)
+    }
+    val base = withUnitVec(coarse.assigned, "c_vec")
+    val dim = base.select(size(col("c_vec"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val codebooks = trainCodebooks(base, m, ksub, dsub, seed, trainFraction)
+    val codes = base
+      .withColumn("codes", encodeCodes(col("__vhat"), codebooks, dsub))
+      .select(col("neighbor_id") +: col("cell") +: col("codes") +:
+        col("c_vec") +: metaCols.map(col): _*)
+    IvfPqIndex(coarse.centers, codebooks, codes, m, ksub, dim)
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("m"), col("ksub"), col("dim")).head()
+    val (m, ksub, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub"), col("cell"), col("center"))
+      .collect() // m*ksub rows of dsub floats — 8 KB-scale index metadata
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val codebooks = (0 until m).map { sub =>
+      cb.filter(_._1 == sub).sortBy(_._2).map(_._3.toSeq).toSeq
+    }
+    val stamp = IndexMeta.read(spark, dir)
+    IvfPqIndex(spark.read.parquet(s"$dir/centers"), codebooks,
+      spark.read.parquet(s"$dir/codes"), m, ksub, dim,
+      savedDir = Some(dir),
+      version = stamp.map(_.version).getOrElse(1L),
+      folded = stamp.map(_.folded).getOrElse(Nil),
+      parent = stamp.flatMap(_.parent))
+  }
+
+  /** Grow an [[IvfPqIndex]] with `newVecs` WITHOUT re-training either
+    * quantizer: assign to the FROZEN cells ([[assignToCells]]) and
+    * encode against the FROZEN codebooks — exactly O(new vectors), the
+    * corpus-sized codes relation untouched. Same version-bump lineage
+    * and append-only id contract as the other families; metadata
+    * columns carried by the index must be supplied by `newVecs`. */
+  def extendIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame,
+                       idCol: String, vecCol: String): IvfPqIndex = {
+    val metaCols = index.codes.columns.toSeq
+      .filterNot(Set("neighbor_id", "cell", "codes", "c_vec"))
+    val dsub = index.dim / index.m
+    val enc = withUnitVec(
+      assignToCells(newVecs, index.centers, idCol, vecCol, metaCols),
+      "c_vec")
+      .withColumn("codes", encodeCodes(col("__vhat"), index.codebooks, dsub))
+      .select(col("neighbor_id") +: col("cell") +: col("codes") +:
+        col("c_vec") +: metaCols.map(col): _*)
+    index.copy(codes = index.codes.unionByName(enc),
+      savedDir = None, version = index.version + 1,
+      parent = index.savedDir.orElse(index.parent))
+  }
+
+  /** Probe a fitted [[IvfPqIndex]]: rank the query's `nprobe` nearest
+    * cells (coarse pruning — the scan never touches the other
+    * nlist - nprobe cells' rows), ADC-score ONLY those cells' codes
+    * against the query's precomputed lookup table, keep the top
+    * `rerank` per query on the skinny rank exchange, then re-rank
+    * exactly. Output schema matches [[ivfProbe]]/[[pqProbe]]. On a
+    * saved index the cell join prunes at the parquet-partition level;
+    * per-query work is (nprobe/nlist) x N x m lookups — the scanned
+    * fraction times the compressed scan. */
+  def ivfPqProbe(index: IvfPqIndex, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int = 10,
+                 nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val q = adcQueries(queries, idCol, vecCol, index.codebooks,
+      index.dim / index.m)
+    val offsets = index.codebooks.scanLeft(0)(_ + _.length)
+    // each probed (query, cell) row carries the query's ADC table; the
+    // relation is nprobe x |queries| rows of m*ksub doubles — tiny, and
+    // broadcast so the codes relation never reshuffles
+    val qCells = broadcast(
+      nearestCells(q.select(col("query_id"), col("q_vec")),
+        index.centers, nprobe)
+        .select(col("query_id"), col("cell"))
+        .join(q.select(col("query_id"), col("__dt")), Seq("query_id")))
+    val scan = index.codes.select(col("cell"), col("neighbor_id"), col("codes"))
+      .join(qCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    adcRerankTopK(scan, q.select(col("query_id"), col("q_vec")),
+      index.codes.select(col("neighbor_id"), col("c_vec")),
+      index.m, offsets, k, rerank)
+  }
+
+  /** One-shot IVF-PQ top-k: fit + probe (the fit-once/probe-many split
+    * is [[ivfPqFit]]/[[ivfPqProbe]]). */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int = 10,
+                nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                nprobe: Int = 4, rerank: Int = 50): DataFrame =
+    ivfPqProbe(ivfPqFit(candidates, idCol, vecCol, nlist, m, ksub),
+      queries, idCol, vecCol, k, nprobe, rerank)
 
   // ------------------------------------------------------ semantic dedup
 

@@ -149,6 +149,19 @@ object NorthStarQueries {
     pqIndexCache.computeIfAbsent(dir + "#planted", _ =>
       Similarity.pqFit(pe, "vec_id", "embedding", m = 8, ksub = 16).cache())
 
+  /** One fitted IVF-PQ index per sf dir on the planted fixture over the
+    * nudge-orthogonal explicit coarse quantizer
+    * (sim_topk_ivfpq_probe's steady state), released by
+    * [[clearSimCaches]]. */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
+
+  private def ivfPqPlantedIndex(s: SparkSession, dir: String,
+                                pe: DataFrame): Similarity.IvfPqIndex =
+    ivfPqIndexCache.computeIfAbsent(dir + "#planted", _ =>
+      Similarity.ivfPqFit(pe, "vec_id", "embedding", m = 8, ksub = 16,
+        centers = Some(semCenters(s))).cache())
+
   /** The exact n-gram-Jaccard pair set, shared by BOTH dedup recall gates
     * (`dedup_minhash_sound`, `dedup_simhash_recall`): persisted per sf dir
     * so the exact pipeline is paid ONCE — by the dedicated
@@ -399,12 +412,15 @@ object NorthStarQueries {
     savedEmbIndexDirCache.clear()
   }
 
-  /** Release the sim_* rows' pinned state (the fitted IVF/PQ indexes). */
+  /** Release the sim_* rows' pinned state (the fitted IVF/PQ/IVF-PQ
+    * indexes). */
   def clearSimCaches(): Unit = {
     ivfIndexCache.values.forEach(ix => { ix.unpersist(); () })
     ivfIndexCache.clear()
     pqIndexCache.values.forEach(ix => { ix.unpersist(); () })
     pqIndexCache.clear()
+    ivfPqIndexCache.values.forEach(ix => { ix.unpersist(); () })
+    ivfPqIndexCache.clear()
   }
 
   /** Release every session cache this object pins (exact pairs, simhash
@@ -1118,6 +1134,66 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 1, rerank = 50)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // IVF-PQ composition (IVFADC) — the 100 TB ANN shape: coarse cells
+    // prune the candidate space to nprobe/nlist of the rows AND the
+    // within-cell scan is the 32x-compressed ADC one (both savings
+    // multiply; PQ-only scans everything, IVF-only moves full vectors).
+    // End to end on the PLANTED fixture through the NUDGE-ORTHOGONAL
+    // explicit 4-cell coarse quantizer (semCenters — the bring-your-own
+    // quantizer composition, same as the SemDeDup oracle rows):
+    // assignment ignores the nudged component, so each query's
+    // 0.9988-cosine copy co-cells with it STRUCTURALLY, and nprobe=1
+    // scans only the query's own cell — measured 25% of the corpus at
+    // every fixture SF with top-1 EQUAL to brute force row-for-row at
+    // rerank=20 AND 50 (Scratch ivfpqplanted, round 14) — so the row
+    // hash-checks against DuckDB brute force: the sim_topk_pq
+    // graduation method with real coarse pruning on top. The
+    // KMeans-everything operating point is priced by sim_ivfpq_recall.
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      val pe = plantedEmbeddings(embs(s, dir)).select("vec_id", "embedding")
+      Similarity.ivfPqProbe(
+        Similarity.ivfPqFit(pe, "vec_id", "embedding", m = 8, ksub = 16,
+          centers = Some(semCenters(s))),
+        pe.filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L),
+        "vec_id", "embedding", k = 1, nprobe = 1, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    // probe-only steady state: reuses the fitted index (identical
+    // results; benched separately so the per-call assign+encode cost
+    // stays visible in the fit+probe row)
+    "sim_topk_ivfpq_probe" -> ((s, dir) => {
+      val pe = plantedEmbeddings(embs(s, dir)).select("vec_id", "embedding")
+      Similarity.ivfPqProbe(ivfPqPlantedIndex(s, dir, pe),
+        pe.filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L),
+        "vec_id", "embedding", k = 1, nprobe = 1, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    // IVF-PQ recall floor vs brute on the (worst-case, near-uniform)
+    // raw embeddings with the FULL KMeans path (coarse nlist=16 +
+    // m=8 x ksub=64 codebooks), probing 8 of 16 cells with exact
+    // re-rank of the ADC top-200. Measured 0.820 / 0.868 / 0.792 at
+    // sf0.001 / 0.01 / 0.1 (Scratch ivfpqrecall; deterministic — fixed
+    // seeds, fixed file partitioning), so the 0.70 floor holds
+    // everywhere with >= 90-bet margin. The honest decomposition: the
+    // coarse nprobe=8/16 pruning costs ~0.18 (sim_ivf_recall measures
+    // that leg alone) and the ADC cut a further ~0.03 — compression is
+    // nearly free once the rerank pass is exact; a broken composition
+    // (cell join, ADC stride, codebook mismatch) lands near
+    // rerank/N (~0.1).
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 20 === 0)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 10,
+        nlist = 16, m = 8, ksub = 64, nprobe = 8, rerank = 200)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.70)).as("recall_ge_070"))
+    }),
+
     // PQ ANN recall floor vs brute on the (worst-case, near-uniform)
     // raw embeddings: m=8 x ksub=64 codebooks, exact re-rank of the ADC
     // top-200 (10% of the sf0.1 corpus). Measured 0.996 / 1.000 / 0.922
@@ -2205,6 +2281,16 @@ object NorthStarQueries {
     "sim_topk_ivf_probe" -> ClusteredBruteTopKSql,
     "sim_topk_pq" -> PlantedBruteTop1Sql,
     "sim_topk_pq_probe" -> PlantedBruteTop1Sql,
+    // IVF-PQ planted rows: nprobe=1 over the nudge-orthogonal explicit
+    // cells scans only the query's own cell, which structurally holds
+    // the true top-1 (the planted copy) — measured EQUAL to brute
+    // force at every fixture SF (Scratch ivfpqplanted), so the same
+    // brute-force top-1 truth applies.
+    "sim_topk_ivfpq" -> PlantedBruteTop1Sql,
+    "sim_topk_ivfpq_probe" -> PlantedBruteTop1Sql,
+    "sim_ivfpq_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+         |FROM ($BruteForceTopKSql) t""".stripMargin,
     "sim_pq_recall" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_085
          |FROM ($BruteForceTopKSql) t""".stripMargin,

@@ -702,6 +702,134 @@ object Scratch {
           brute.unpersist(); ce.unpersist()
         }
 
+      case "ivfpqeq" =>
+        // Oracle-eligibility evidence for sim_topk_ivfpq{,_probe}: on
+        // the clustered fixture (nlist=19 KMeans separates the planted
+        // clusters), the IVF-PQ top-10 at nprobe=4 must EQUAL brute
+        // force row-for-row at a still-pruning rerank, with the
+        // composed scanned-fraction reported (coarse pruning x 32x
+        // compression is the operating point the row prices). Sweeps
+        // rerank to find the smallest safe value at each SF.
+        import org.apache.spark.sql.functions._
+        import extensions.Similarity
+        val eqKsub = args(1).toInt
+        args.drop(2).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings")
+          // mirror NorthStarQueries.clusteredEmbeddings (private)
+          val ce = e.select(col("vec_id"),
+            transform(sequence(lit(1), lit(64)), d =>
+              ((pmod(pmod(col("vec_id"), lit(19)) * 31 + d * 17, lit(5)) - 2) * 8 +
+                when(d === pmod(col("vec_id"), lit(19)) + 1,
+                  pmod(col("vec_id"), lit(11))).otherwise(lit(0)))
+                .cast("float")).as("embedding")).cache()
+          val nTotal = ce.count()
+          val q = ce.filter(col("vec_id") % 20 === 0)
+          val nq = q.count()
+          val brute = Similarity.bruteForceTopK(ce, q, "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id"), col("rank")).cache()
+          val idx = Similarity.ivfPqFit(ce, "vec_id", "embedding",
+            nlist = 19, m = 8, ksub = eqKsub)
+          // scanned candidates (cell members at nprobe=4), for the
+          // pruning evidence: rerank=corpus disables only the ADC cut
+          val scanned = Similarity.ivfPqProbe(idx, q, "vec_id", "embedding",
+            k = Int.MaxValue, nprobe = 4, rerank = Int.MaxValue).count()
+          for (rr <- Seq(20, 50, 100)) {
+            val pq = Similarity.ivfPqProbe(idx, q, "vec_id", "embedding",
+              k = 10, nprobe = 4, rerank = rr)
+              .select(col("query_id"), col("neighbor_id"), col("rank")).cache()
+            val bOnly = brute.join(pq,
+              Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+            val pOnly = pq.join(brute,
+              Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+            println(f"ivfpqeq @ $dir rerank=$rr brute_only=$bOnly " +
+              f"ivfpq_only=$pOnly scanned=$scanned of ${nq * (nTotal - 1)} " +
+              f"(${scanned.toDouble / (nq * (nTotal - 1)) * 100}%.1f%%) " +
+              (if (bOnly == 0 && pOnly == 0) "EQUAL" else "DIFFER"))
+            pq.unpersist()
+          }
+          brute.unpersist(); ce.unpersist()
+        }
+
+      case "ivfpqplanted" =>
+        // Oracle-eligibility evidence for sim_topk_ivfpq{,_probe}: the
+        // PLANTED near-dup fixture probed through an IVF-PQ index whose
+        // coarse quantizer is the nudge-orthogonal explicit 4-cell
+        // table (assignment ignores the nudged component, so each
+        // query's 0.9988-cosine copy co-cells with it STRUCTURALLY).
+        // At nprobe=1 the scan covers only the query's own cell (~1/4
+        // of the corpus) in compressed codes; top-1 must EQUAL
+        // brute-force top-1 row-for-row at a pruning rerank.
+        import org.apache.spark.sql.functions._
+        import extensions.Similarity
+        args.drop(1).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings").cache()
+          val planted = e.filter(col("vec_id") % 10 === 0).select(
+            (col("vec_id") + 10000000L).as("vec_id"),
+            concat(array(col("embedding").getItem(0) + lit(0.05f)),
+              slice(col("embedding"), 2, 1000000)).as("embedding"))
+          val pe = e.select(col("vec_id"), col("embedding")).union(planted).cache()
+          val nTotal = pe.count()
+          // mirror NorthStarQueries.semCenters (private)
+          import spark.implicits._
+          val ctrs = Seq(
+            (0, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) -2f else 0f)),
+            (1, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) 2f else 0f)),
+            (2, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) -2f else 0f)),
+            (3, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) 2f else 0f))
+          ).toDF("cell", "center")
+          val pq0 = pe.filter(col("vec_id") % 20 === 0 &&
+            col("vec_id") < 10000000L)
+          val nq = pq0.count()
+          val pbrute = Similarity.bruteForceTopK(pe, pq0, "vec_id", "embedding", k = 1)
+            .select(col("query_id"), col("neighbor_id"), col("rank")).cache()
+          val pidx = Similarity.ivfPqFit(pe, "vec_id", "embedding",
+            m = 8, ksub = 16, centers = Some(ctrs))
+          val scanned = Similarity.ivfPqProbe(pidx, pq0, "vec_id", "embedding",
+            k = Int.MaxValue, nprobe = 1, rerank = Int.MaxValue).count()
+          for (rr <- Seq(20, 50)) {
+            val pq = Similarity.ivfPqProbe(pidx, pq0, "vec_id", "embedding",
+              k = 1, nprobe = 1, rerank = rr)
+              .select(col("query_id"), col("neighbor_id"), col("rank")).cache()
+            val bOnly = pbrute.join(pq,
+              Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+            val pOnly = pq.join(pbrute,
+              Seq("query_id", "neighbor_id", "rank"), "left_anti").count()
+            println(f"ivfpqplanted @ $dir top1 rerank=$rr brute_only=$bOnly " +
+              f"ivfpq_only=$pOnly scanned=$scanned of ${nq * (nTotal - 1)} " +
+              f"(${scanned.toDouble / (nq * (nTotal - 1)) * 100}%.1f%%) " +
+              (if (bOnly == 0 && pOnly == 0) "EQUAL" else "DIFFER"))
+            pq.unpersist()
+          }
+          pbrute.unpersist(); pe.unpersist(); e.unpersist()
+        }
+
+      case "ivfpqrecall" =>
+        // Floor-derivation evidence for the sim_ivfpq_recall gate: the
+        // UNFAVORABLE regime (near-uniform raw embeddings, where recall
+        // tracks the scanned fraction) at the gate's own operating
+        // point, swept over (nprobe, rerank).
+        import org.apache.spark.sql.functions._
+        import extensions.Similarity
+        args.drop(1).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings").cache()
+          val q = e.filter(col("vec_id") % 20 === 0)
+          val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id")).cache()
+          val nTrue = brute.count()
+          val idx = Similarity.ivfPqFit(e, "vec_id", "embedding",
+            nlist = 16, m = 8, ksub = 64)
+          for (np <- Seq(4, 8); rr <- Seq(100, 200)) {
+            val found = brute.join(
+              Similarity.ivfPqProbe(idx, q, "vec_id", "embedding",
+                k = 10, nprobe = np, rerank = rr)
+                .select(col("query_id"), col("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_semi").count()
+            println(f"ivfpqrecall @ $dir nprobe=$np rerank=$rr " +
+              f"recall=${found.toDouble / nTrue}%.3f ($found/$nTrue)")
+          }
+          e.unpersist(); brute.unpersist()
+        }
+
       case "recallgates" =>
         // Measured recall of every ANN gate row at each given SF dir,
         // on the gates' OWN (widened, round-13) 1-in-20 probe set —

@@ -74,6 +74,45 @@ class GateQueriesSpec extends AnyFunSuite {
         s"missing=${(brute -- ivf).size} extra=${(ivf -- brute).size}")
   }
 
+  test("sim_topk_ivfpq equals brute-force top-1 on the planted fixture while pruning AND compressing") {
+    // the premise of the round-14 oracle graduation: nprobe=1 over the
+    // nudge-orthogonal explicit 4-cell quantizer scans ~25% of the
+    // corpus (measured, Scratch ivfpqplanted) in 32x-compressed codes,
+    // and each query's 0.9988-cosine planted copy co-cells with it
+    // STRUCTURALLY (assignment ignores the nudged component) — so the
+    // true top-1 survives the ADC cut and wins the exact re-rank. A
+    // cell-join, codebook, or ADC-stride bug breaks equality.
+    import org.apache.spark.sql.functions._
+    import graft.extensions.Similarity
+    val ivfpq = run("sim_topk_ivfpq").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probe = run("sim_topk_ivfpq_probe").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfpq.nonEmpty && ivfpq == probe,
+      "fresh-fit and cached-index rows must agree (fixed seed)")
+    // rebuild the SAME planted fixture (mirrors plantedEmbeddings) and
+    // take brute-force top-1 as truth
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    val planted = e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      concat(array(col("embedding").getItem(0) + lit(0.05f)),
+        slice(col("embedding"), 2, 1000000)).as("embedding"))
+    val pe = e.select(col("vec_id"), col("embedding")).union(planted)
+    val brute = Similarity.bruteForceTopK(pe,
+      pe.filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L),
+      "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfpq == brute,
+      s"IVF-PQ at nprobe=1/4 cells + rerank=50 must equal brute top-1; " +
+        s"missing=${(brute -- ivfpq).size} extra=${(ivfpq -- brute).size}")
+  }
+
+  test("sim_ivfpq_recall: the full-KMeans IVF-PQ composition clears its floor") {
+    val Array(r) = run("sim_ivfpq_recall")
+    assert(r.getAs[Long]("n_true") > 0 && r.getAs[Boolean]("recall_ge_070"))
+  }
+
   test("sim_ivf_extend_recall: the half-fit + extend index clears the floor") {
     val Array(r) = run("sim_ivf_extend_recall")
     assert(r.getAs[Long]("n_true") > 0 && r.getAs[Boolean]("recall_ge_075"))

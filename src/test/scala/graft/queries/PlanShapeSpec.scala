@@ -332,4 +332,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ADC rank window must see only the skinny triple:\n${winBlock.get}")
     loaded.close()
   }
+
+  test("IVF-PQ probe on a saved index: codes-only ADC scan over the cell-partitioned tree") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 300)
+    val idxDir = TestSpark.tmpDir("graft-ivfpq-planshape")
+    graft.extensions.Similarity.ivfPqFit(e, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 8).save(idxDir)
+    val loaded = graft.extensions.Similarity.loadIvfPqIndex(spark, idxDir)
+    val df = graft.extensions.Similarity.ivfPqProbe(loaded,
+      e.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 5, nprobe = 2, rerank = 20)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the composed scan reads codes only — `cell` is a PARTITION column
+    // of the saved tree (file-level pruning key), so the data-file
+    // ReadSchema must be exactly (neighbor_id, codes): c_vec pruned
+    // until the rerank-sized exact join, vectors never ride the scan
+    assert(plan.contains("ReadSchema: struct<neighbor_id:bigint,codes:array<int>>"),
+      s"the ADC scan must prune c_vec:\n${plan.take(3000)}")
+    assert(nodeCount(plan, "SortMergeJoin") == 0,
+      s"cell join + both probe joins broadcast their small side:\n${plan.take(2000)}")
+    // same skinny-rank-exchange contract as pqProbe
+    val winBlock = plan.split("\\(\\d+\\) ")
+      .find(b => b.startsWith("Window") && b.contains("__ar"))
+    assert(winBlock.isDefined, s"no __ar Window node:\n${plan.take(2000)}")
+    assert(winBlock.get.linesIterator
+      .find(_.startsWith("Input")).exists(l =>
+        l.contains("Input [3]") && !l.contains("q_vec")),
+      s"ADC rank window must see only the skinny triple:\n${winBlock.get}")
+    loaded.close()
+  }
 }
