@@ -296,6 +296,58 @@ object CdcStream {
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
       .start()
 
+  /** Streaming SEMANTIC dedup ingest — the SemDeDup leg of the ingest
+    * symmetry ([[startCorpusDedupIngest]] text / n-gram Jaccard,
+    * [[startEmbeddingDedupIngest]] sign-LSH buckets, this one IVF
+    * cells): each micro-batch is assigned to the FROZEN cells of the
+    * corpus [[graft.extensions.Similarity.IvfIndex]] and cosine-scored
+    * against co-celled corpus members only
+    * ([[graft.extensions.Similarity.semanticDedupBatch]], O(batch) —
+    * the corpus-sized assigned relation never reshuffles); only
+    * corpus-novel vectors land in the sink. Same contract end to end:
+    * the index is resolved by reference per trigger (hot-swappable
+    * between triggers), each batch OVERWRITES its own `batch=<id>`
+    * subdir so replay after any crash point reconciles instead of
+    * duplicating, and `provenanceDir` runs the probe ONCE and derives
+    * both the keep-set and the best-match drop audit from the same
+    * persisted match relation. */
+  def startSemanticDedupIngest(
+      vecStream: DataFrame,
+      index: graft.extensions.Similarity.IvfIndex,
+      idCol: String, vecCol: String,
+      sinkDir: String, checkpointDir: String,
+      eps: Double = 0.95,
+      maxCellSize: Int = 100000,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L,
+      provenanceDir: Option[String] = None): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        provenanceDir match {
+          case None =>
+            graft.extensions.Similarity.semanticDedupBatch(
+              index, batch, idCol, vecCol, eps, maxCellSize)
+              .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+          case Some(pd) =>
+            // the probe's (idCol, corpus_id, cosine) matches under the
+            // shared (batch_id, corpus_id, score) audit contract
+            val matches = graft.extensions.Similarity.semanticDupAgainstIndex(
+              index, batch, idCol, vecCol, eps, maxCellSize)
+              .withColumnRenamed(idCol, "batch_id")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              graft.extensions.Dedup.keepSetFromMatches(batch, matches, idCol)
+                .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+              graft.extensions.Dedup.provenanceFromMatches(matches, idCol, "cosine")
+                .write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+            } finally { matches.unpersist(false); () }
+        }
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
   /** Close the loop between the streaming ingest and index versioning:
     * read everything the accepted-novel sink
     * ([[startCorpusDedupIngest]]) collected and fold it into the corpus
@@ -369,6 +421,35 @@ object CdcStream {
       case None => index
       case Some(accepted) =>
         val bumped = graft.extensions.Dedup.extendEmbeddingIndex(index,
+          accepted.dropDuplicates(idCol), idCol, vecCol)
+        markFolded(spark, sinkDir)
+        provenanceDir.foreach(markFolded(spark, _))
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
+  /** The semantic analog of [[compactAcceptedBatches]]: fold the
+    * accepted-novel vectors of [[startSemanticDedupIngest]]'s sink into
+    * the IVF index as one version bump via [[graft.extensions
+    * .Similarity.extendIvfIndex]] (assigns the new vectors to the
+    * FROZEN cells — the centroids never move, so every saved cell
+    * partition stays valid). Same contracts end to end: the
+    * stale-handle guard, id-dedup absorbing cross-batch source
+    * replays, an empty tree as a no-op, the `_FOLDED` stamp refusing a
+    * second fold, and `provenanceDir` archiving the audit trail in
+    * lockstep. The bumped index serves both consumers of the shared
+    * structure — ANN probes AND the next trigger's semantic dedup. */
+  def compactAcceptedSemanticBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.IvfIndex,
+      idCol: String, vecCol: String,
+      provenanceDir: Option[String] = None): graft.extensions.Similarity.IvfIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir) match {
+      case None => index
+      case Some(accepted) =>
+        val bumped = graft.extensions.Similarity.extendIvfIndex(index,
           accepted.dropDuplicates(idCol), idCol, vecCol)
         markFolded(spark, sinkDir)
         provenanceDir.foreach(markFolded(spark, _))

@@ -291,6 +291,118 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  /** The nudge-orthogonal explicit 4-cell quantizer (mirrors the
+    * NorthStarQueries oracle fixture): assignment ignores the planted
+    * nudge component, so copies co-cell with their originals. */
+  private def semCenters = {
+    Seq(
+      (0, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) -2f else 0f)),
+      (1, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) 2f else 0f)),
+      (2, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) -2f else 0f)),
+      (3, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) 2f else 0f))
+    ).toDF("cell", "center")
+  }
+
+  test("streaming semantic-dedup ingest mirrors the batch operator; replay is idempotent") {
+    import graft.extensions.Similarity
+    val embs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val index = Similarity.IvfIndex(semCenters,
+      Similarity.assignToCells(embs, semCenters, "vec_id", "embedding")).cache()
+    // batch: planted near-copies (drop) + negated vectors (survive) —
+    // the same probe shape the oracle-checked dedup_semantic_incr uses
+    val batch = embs.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 10000000L).as("vec_id"),
+        concat(array(col("embedding").getItem(0) + lit(0.05f)),
+          slice(col("embedding"), 2, 1000000)).as("embedding"))
+      .union(embs.filter(col("vec_id") % 10 === 5).select(
+        (col("vec_id") + 20000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding")))
+    val expected = Similarity.semanticDedupBatch(index, batch,
+      "vec_id", "embedding", eps = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+
+    val src = TestSpark.tmpDir("graft-sem-stream-src")
+    batch.write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-sem-stream-sink")
+    val prov = TestSpark.tmpDir("graft-sem-stream-prov")
+    try {
+      val q = CdcStream.startSemanticDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "vec_id", "embedding", sink,
+        TestSpark.tmpDir("graft-sem-stream-ckpt"), eps = 0.9,
+        provenanceDir = Some(prov))
+      q.awaitTermination()
+      val kept = spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+      assert(kept == expected, "streamed keep-set equals the batch operator's")
+      assert(kept.nonEmpty && kept.size < batch.count(),
+        "fixture sanity: some vectors survive, some drop")
+      // the audit trail explains exactly the dropped rows, corpus-wins:
+      // every dropped copy's best match is a real corpus id
+      val audited = spark.read.parquet(prov)
+      val droppedIds = batch.select("vec_id").as[Long].collect().toSet -- kept
+      assert(audited.select("vec_id").as[Long].collect().toSet == droppedIds,
+        "drop provenance must cover exactly the dropped batch rows")
+      assert(audited.filter(col("cosine") < 0.9).count() == 0L)
+
+      // crash-replay idempotence: a fresh checkpoint replays every batch;
+      // the per-batch-id OVERWRITE leaves no duplicates
+      val q2 = CdcStream.startSemanticDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "vec_id", "embedding", sink,
+        TestSpark.tmpDir("graft-sem-stream-ckpt2"), eps = 0.9)
+      q2.awaitTermination()
+      assert(spark.read.parquet(sink).select("vec_id").as[Long].collect().toSet
+        == expected, "full replay must overwrite, not duplicate")
+    } finally { index.unpersist(); () }
+  }
+
+  test("compactAcceptedSemanticBatches folds the vector sink once into the FROZEN cells") {
+    import graft.extensions.Similarity
+    val embs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = embs.filter(col("vec_id") % 2 === 0)
+    val index = Similarity.IvfIndex(semCenters,
+      Similarity.assignToCells(corpus, semCenters, "vec_id", "embedding")).cache()
+
+    val src = TestSpark.tmpDir("graft-scompact-src")
+    embs.filter(col("vec_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-scompact-sink")
+    try {
+      val q = CdcStream.startSemanticDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "vec_id", "embedding", sink,
+        TestSpark.tmpDir("graft-scompact-ckpt"), eps = 0.9)
+      q.awaitTermination()
+
+      val accepted = spark.read.parquet(sink).drop("batch")
+      assert(accepted.count() > 0, "fixture sanity: some vectors are novel")
+      // cross-batch replay folds once; frozen centroids mean the
+      // extension must equal assigning the union from scratch
+      spark.createDataFrame(
+          java.util.Arrays.asList(accepted.head()), accepted.schema)
+        .write.mode("overwrite").parquet(s"$sink/batch=9999")
+      val bumped = CdcStream.compactAcceptedSemanticBatches(
+        spark, sink, index, "vec_id", "embedding")
+      val scratch = Similarity.assignToCells(
+        corpus.union(accepted.select("vec_id", "embedding")),
+        semCenters, "vec_id", "embedding")
+      def cellSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("neighbor_id", "cell").as[(Long, Int)].collect().toSet
+      assert(cellSet(bumped.assigned) == cellSet(scratch),
+        "a cross-batch duplicate must extend the index exactly once")
+      assert(bumped.version == index.version + 1 &&
+        bumped.folded.contains(sink))
+
+      // the fold stamped the tree; a second compaction refuses loudly
+      assert(new java.io.File(sink, CdcStream.FoldedMarkerName).exists())
+      assertThrows[IllegalArgumentException] {
+        CdcStream.compactAcceptedSemanticBatches(
+          spark, sink, index, "vec_id", "embedding")
+      }
+    } finally { index.unpersist(); () }
+  }
+
   test("streaming MERGE compaction tracks the dedup view across batches and replays") {
     val src = stageSource()
     val sink = TestSpark.tmpDir("graft-stream-compact-sink")
