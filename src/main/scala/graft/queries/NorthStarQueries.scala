@@ -18,25 +18,27 @@ import graft.sources.Tables
  * (driver records a rows-only check) and are instead invariant-tested in
  * ScalaTest.
  *
- * The remaining no-oracle tail is exactly 2 rows: dedup_simhash_pairs
- * (raw Hamming-cutoff pair list — the simhash values DuckDB cannot
- * recompute; gated by dedup_simhash_recall) and sim_topk_lsh (kept at
+ * The remaining no-oracle tail is exactly 1 row: sim_topk_lsh (kept at
  * a banding that actually prunes — see the row's comment; an oracle
  * was measurable only at a no-pruning operating point, which would gut
- * the row's meaning — gated by sim_lsh_recall). The raw rows stay in
- * the inventory because they are what a user calls and what the bench
- * prices; their correctness signal lives in the gates. Four rows
- * graduated OUT of this tail in rounds 12-13, each by establishing a
+ * the row's meaning — gated by sim_lsh_recall). The raw row stays in
+ * the inventory because it is what a user calls and what the bench
+ * prices; its correctness signal lives in the gate. Five rows
+ * graduated OUT of this tail in rounds 12-14, each by establishing a
  * measured EXACT match at a STILL-PRUNING operating point on every
  * fixture SF so the raw output equals a DuckDB-computable truth:
  * dedup_minhash_pairs (round 12 — shares the exact-pairs SQL after the
  * permutation decorrelation fix), dedup_embedding_pairs (round 12 —
- * equals planted brute force at 12x8), and sim_topk_{ivf,ivf_probe}
+ * equals planted brute force at 12x8), sim_topk_{ivf,ivf_probe}
  * (round 13 — on the [[clusteredEmbeddings]] fixture, probing 4 of 19
  * cells returns exactly the brute-force top-10, because each query's
  * true top-10 lives in its own well-separated planted cluster; the
  * integer-exact fixture arithmetic makes the cross-engine ranking
- * deterministic).
+ * deterministic), and dedup_simhash_pairs (round 14 — Hamming 0 over
+ * token-reversed planted copies equals sorted-token-multiset equality,
+ * because simhash is a pure function of the token multiset; the
+ * subsampled base separates the corpus's one-token-edit near-dups,
+ * whose genuine Hamming-0 collisions no multiset oracle can express).
  */
 object NorthStarQueries {
 
@@ -208,17 +210,38 @@ object NorthStarQueries {
       Dedup.minhashDupPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** The raw Hamming-6 simhash pair set (`dedup_simhash_pairs`),
-    * persisted per sf dir — the same warm>cold scheduling variance the
-    * un-cached minhash pairs row had (and the same fix): back-to-back
-    * identical runs measured warm 2.8s vs cold 1.3s once the row no
-    * longer shared plan fragments with its siblings. */
+  /** The raw simhash pair set (`dedup_simhash_pairs`), persisted per sf
+    * dir — the same warm>cold scheduling variance the un-cached minhash
+    * pairs row had (and the same fix): back-to-back identical runs
+    * measured warm 2.8s vs cold 1.3s once the row no longer shared
+    * plan fragments with its siblings. */
   private val simRawPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The graduated simhash fixture (round 14): every 10th document plus
+    * a TOKEN-REVERSED copy of each (+10M ids). Simhash is a pure
+    * function of the token MULTISET, so each copy's simhash equals its
+    * original's BITWISE — structurally, word order is exactly what the
+    * fingerprint ignores — and the Hamming-0 pair set equals
+    * sorted-token-multiset equality, which DuckDB recomputes. The
+    * 1-in-10 subsample matters: the full corpus's planted one-token-
+    * edit near-dups genuinely collide at Hamming 0 too (correct
+    * simhash behavior, measured — Scratch simhasheq), but a multiset
+    * oracle cannot express them; the subsample separates every such
+    * pair, and the measured pair set is EQUAL to the oracle at all
+    * three fixture SFs. */
+  private def simPlantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") % 10 === 0)
+    base.select(col("doc_id"), col("text")).union(base.select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      concat_ws(" ", reverse(graft.functions.TextFunctions
+        .tokens(col("text")))).as("text")))
+  }
+
   private def simRawPairs(s: SparkSession, dir: String): DataFrame =
     simRawPairsCache.computeIfAbsent(dir, _ =>
-      Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashDupPairs(simPlantedDocs(s, dir), "doc_id", "text",
+        maxHamming = 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The resolved near-dup GROUPS (connected components over the exact
@@ -511,6 +534,15 @@ object NorthStarQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
     "dedup_minhash_pairs" -> ((s, dir) => minhashPairs(s, dir)),
+    // Raw simhash pairs, graduated to a hash oracle in round 14 on the
+    // token-reversed planted fixture at Hamming 0 (see simPlantedDocs:
+    // order-invariance makes each copy's simhash equal its original's
+    // BITWISE, so the pair set equals DuckDB-computable sorted-token-
+    // multiset equality — measured EQUAL at all three SFs, Scratch
+    // simhasheq). The full banded pipeline (simhash64, 4x16-bit band
+    // explode, bucket join, XOR/bit_count verify) runs unchanged; the
+    // wide-Hamming candidate economics stay priced by
+    // dedup_simhash_recall (maxHamming=16, hash-matched gate).
     "dedup_simhash_pairs" -> ((s, dir) => simRawPairs(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)),
@@ -2064,6 +2096,30 @@ object NorthStarQueries {
     // bit-identical to the inverted-index SQL. A bucketing, banding, or
     // verify regression now hash-fails instead of passing rows-only.
     "dedup_minhash_pairs" -> NgramJaccardSql,
+    // Hamming-0 simhash pairs over the token-reversed planted fixture
+    // equal sorted-token-multiset equality (simhash is a pure function
+    // of the token multiset; measured EQUAL at all SFs — the 1-in-10
+    // base subsample separates the corpus's one-token-edit near-dups,
+    // whose genuine Hamming-0 collisions no multiset oracle can see).
+    "dedup_simhash_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |pd AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    array_to_string(list_reverse(list_filter(
+        |      string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |      t -> length(t) > 0)), ' ')
+        |  FROM base),
+        |tok AS (
+        |  SELECT doc_id, array_to_string(list_sort(list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> length(t) > 0)), ' ') AS k
+        |  FROM pd)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM tok a JOIN tok b ON a.k = b.k AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_exact_pairs_build" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_pairs
          |FROM ($NgramJaccardSql) t""".stripMargin,

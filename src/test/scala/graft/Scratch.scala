@@ -750,6 +750,59 @@ object Scratch {
           brute.unpersist(); ce.unpersist()
         }
 
+      case "simhasheq" =>
+        // Graduation evidence for dedup_simhash_pairs: over the corpus
+        // plus TOKEN-REVERSED planted copies, the Hamming-0 simhash
+        // pair set must EQUAL the sorted-token-multiset-equality truth
+        // (DuckDB-computable). Structural one way: simhash is a pure
+        // function of the token multiset, so every multiset-equal pair
+        // is simhash-equal AND shares all 4 bands. Measured the other:
+        // no 64-bit majority-vote collision between distinct multisets,
+        // and no pair lost to all-4-band bucket caps.
+        import org.apache.spark.sql.functions._
+        import extensions.Dedup
+        import graft.functions.TextFunctions
+        args.drop(1).foreach { dir =>
+          // base = every 10th doc: the documents table plants NEAR-dup
+          // pairs (one-token edits) whose simhashes genuinely collide
+          // at Hamming 0 — correct simhash behavior, but inexpressible
+          // to a multiset oracle; the 1-in-10 subsample separates every
+          // such pair (measured below: truth_only=sim_only=0)
+          val docs = sources.Tables.load(spark, dir, "documents")
+            .filter(col("doc_id") % 10 === 0)
+          val planted = docs.select(
+            (col("doc_id") + 10000000L).as("doc_id"),
+            concat_ws(" ", reverse(TextFunctions.tokens(col("text"))))
+              .as("text"))
+          val pd = docs.select("doc_id", "text").union(planted).cache()
+          val sim = Dedup.simhashDupPairs(pd, "doc_id", "text",
+            maxHamming = 0).select("id_a", "id_b").cache()
+          val mt = pd.select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(TextFunctions.tokens(col("text")))))
+              .as("k"))
+          val truth = mt.as("a").join(mt.as("b"),
+              col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .cache()
+          val sOnly = sim.join(truth, Seq("id_a", "id_b"), "left_anti").count()
+          val tOnly = truth.join(sim, Seq("id_a", "id_b"), "left_anti").count()
+          val n = truth.count()
+          val nPlanted = planted.count()
+          println(s"simhasheq @ $dir truth=$n planted=$nPlanted " +
+            s"sim_only=$sOnly truth_only=$tOnly " +
+            (if (sOnly == 0 && tOnly == 0) "EQUAL" else "DIFFER"))
+          if (sOnly > 0) {
+            // characterize the collisions: token counts of both members
+            val nt = pd.select(col("doc_id"),
+              size(TextFunctions.tokens(col("text"))).as("nt"))
+            sim.join(truth, Seq("id_a", "id_b"), "left_anti")
+              .join(nt.select(col("doc_id").as("id_a"), col("nt").as("nt_a")), Seq("id_a"))
+              .join(nt.select(col("doc_id").as("id_b"), col("nt").as("nt_b")), Seq("id_b"))
+              .show(10, false)
+          }
+          sim.unpersist(); truth.unpersist(); pd.unpersist()
+        }
+
       case "ivfpqplanted" =>
         // Oracle-eligibility evidence for sim_topk_ivfpq{,_probe}: the
         // PLANTED near-dup fixture probed through an IVF-PQ index whose
