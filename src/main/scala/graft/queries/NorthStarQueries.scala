@@ -760,14 +760,33 @@ object NorthStarQueries {
     // dropped when it near-dups the ORIGINAL corpus or a batch-1
     // SURVIVOR, with the df-cut recomputed over the grown corpus
     // exactly as a from-scratch build would. Fully hash-matched: DuckDB
-    // recomputes both probe rounds. Uncached by design — the row
-    // measures probe + bump + probe.
+    // recomputes both probe rounds. The row re-prices the LOOP (probe 1
+    // + fold + probe 2) on every execution; version N itself is the
+    // shared persisted index, and `accepted` crosses an eager
+    // checkpoint — the two materialization boundaries the production
+    // lifecycle has (see the in-row comment).
     "dedup_version_bump" -> ((s, dir) => {
       val d = docs(s, dir)
-      val idx = Dedup.buildCorpusIndex(d.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text")
+      // Production materialization boundaries, priced where production
+      // pays them (round 14 — the sf1 pass exposed the old fully-lazy
+      // composition at ~40x super-linear, 82-105 s at sf1 vs 2.2 s at
+      // sf0.1, because one job re-evaluated the unpersisted v1 subtree
+      // AND the whole first probe 3-4x):
+      //  - v1 is the SHARED persisted corpus index ([[corpusIndex]] —
+      //    byte-identical corpus filter), the same fit-once index the
+      //    incremental family probes; a production versioning loop
+      //    never refits version N to run it.
+      //  - `accepted` crosses an EAGER localCheckpoint exactly where
+      //    production has the ingest-sink write/read
+      //    (startCorpusDedupIngest -> compactAcceptedBatches), so the
+      //    fold and the second probe consume it as data instead of
+      //    re-running probe 1 per reference. The checkpoint executes
+      //    inside the row's timing, so probe 1 is still priced.
+      // The probe-fold-probe loop itself re-executes per call.
+      val idx = corpusIndex(s, dir)
       val accepted = Dedup.dedupAgainstCorpus(
         d.filter(col("doc_id") % 10 === 0), idx, "doc_id", "text")
+        .localCheckpoint(true)
       val v2 = Dedup.extendCorpusIndex(idx, accepted, "doc_id", "text")
       Dedup.dedupAgainstCorpus(
         d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0),
