@@ -39,6 +39,14 @@ object CorpusOps {
       explode(graft.functions.HashExpressions.hashed_shingles(
         TextFunctions.tokens(col(textCol)), k)).as("gh"))
 
+  /** The eval set's distinct gram-hash set (unhinted — the bloom path
+    * shuffle-joins it, the broadcast path wraps it). */
+  private def evalGramHashesRaw(evalSet: DataFrame, textCol: String,
+                                k: Int): DataFrame =
+    evalSet.select(explode(graft.functions.HashExpressions.hashed_shingles(
+        TextFunctions.tokens(col(textCol)), k)).as("gh"))
+      .distinct()
+
   /** The eval set's distinct gram-hash set — the broadcast side of every
     * decontamination join. Decontamination k defaults to 8 (not the
     * dedup k=3): the standard train/test-overlap window is a LONG
@@ -46,10 +54,7 @@ object CorpusOps {
     * contamination, only genuinely shared passages. */
   private def evalGramHashes(evalSet: DataFrame, textCol: String,
                              k: Int): DataFrame =
-    broadcast(
-      evalSet.select(explode(graft.functions.HashExpressions.hashed_shingles(
-          TextFunctions.tokens(col(textCol)), k)).as("gh"))
-        .distinct())
+    broadcast(evalGramHashesRaw(evalSet, textCol, k))
 
   /** Ids of training docs sharing at least one k-gram with the eval
     * set. Plan shape at 100 TB: the corpus grams are generated
@@ -93,6 +98,72 @@ object CorpusOps {
       .filter(col("n_hit") > 0)
       .withColumn("hit_frac",
         col("n_hit").cast("double") / col("n_grams"))
+
+  // ------------------------------------- bloom-prefilter decontamination
+
+  /** [[contaminatedIds]] for the scale where the EVAL gram set itself
+    * outgrows a broadcast hash relation (a large eval battery is ~10^8
+    * distinct 8-grams — ~6 GB as a broadcast hash set, but ~120 MB as a
+    * 1%-fpp Bloom filter): a compact bloom over the eval gram hashes
+    * prunes the corpus gram stream MAP-SIDE, and only the surviving
+    * suspect stream (true hits + false positives, a vanishing fraction
+    * of the corpus) pays a join against the real eval gram set for
+    * exact confirmation. The result is therefore IDENTICAL to
+    * [[contaminatedIds]] — the bloom only ever changes how much work the
+    * exact join sees, never the answer — while the corpus side still
+    * never shuffles and the per-executor payload shrinks ~50x.
+    *
+    * Spark-native composition: the filter is built by the public
+    * `stat.bloomFilter` sketch aggregate and probed by the codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * — the same pair Spark's own runtime-filter injection uses, driven
+    * here explicitly because the eval relation is a derived gram stream,
+    * not a join side the optimizer can see. The driver-side bloom is an
+    * O(eval) sketch (the codebook convention: bounded bytes, annotated,
+    * never corpus-sized). The eval gram stream is evaluated three times
+    * (sizing count, bloom build, confirm join) — by contract it is the
+    * small side, and keeping it lazy beats leaking a persist from inside
+    * an operator. */
+  def contaminatedIdsBloom(train: DataFrame, evalSet: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleK: Int = 8, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val evalG = evalGramHashesRaw(evalSet, textCol, shingleK)
+    // size the bloom from the exact distinct-gram count (one extra pass
+    // over the eval side only; at 100 TB an approx count would do — the
+    // final answer never depends on the sizing, only the fp rate does)
+    val nGrams = math.max(evalG.count(), 1L)
+    val bloom = evalG.stat.bloomFilter("gh", nGrams, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(os)
+      os.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), ColumnBridge.expression(col("gh"))))
+    // map-side prune: the corpus gram stream shrinks to suspects before
+    // anything shuffles; the confirm join then carries only suspects
+    // (the planner is left free to broadcast evalG when it IS small)
+    docGramHashes(train, idCol, textCol, shingleK)
+      .filter(mightContain)
+      .join(evalG, Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** [[decontaminate]] served by the bloom-prefilter pipeline: identical
+    * keep-set (the bloom's false positives die in the exact confirm
+    * join), built for eval sets too large to broadcast as a hash
+    * relation. */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleK: Int = 8, fpp: Double = 0.01): DataFrame =
+    train.join(
+      contaminatedIdsBloom(train, evalSet, idCol, textCol, shingleK, fpp)
+        .withColumnRenamed("doc_id", idCol),
+      Seq(idCol), "left_anti")
 
   // ---------------------------------------------------- sequence packing
 
