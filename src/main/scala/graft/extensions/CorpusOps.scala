@@ -115,42 +115,45 @@ object CorpusOps {
     *
     * Spark-native composition: the filter is built by the public
     * `stat.bloomFilter` sketch aggregate and probed by the codegen'd
-    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
-    * — the same pair Spark's own runtime-filter injection uses, driven
-    * here explicitly because the eval relation is a derived gram stream,
-    * not a join side the optimizer can see. The driver-side bloom is an
-    * O(eval) sketch (the codebook convention: bounded bytes, annotated,
-    * never corpus-sized). The eval gram stream is evaluated three times
+    * [[graft.functions.HashExpressions.BloomMightContain]] over a Spark
+    * BROADCAST VARIABLE — not the plan-embedded `Literal(bytes)` shape
+    * Spark's own runtime-filter injection uses (sized there to ≤8 MB):
+    * at this operator's motivating scale the serialized filter is
+    * ~120 MB, and a plan literal is re-deserialized with the task binary
+    * by every task, where the broadcast is deserialized once per
+    * executor and shared. The driver-side bloom is an O(eval) sketch
+    * (the codebook convention: bounded bytes, annotated, never
+    * corpus-sized). The eval gram stream is evaluated three times
     * (sizing count, bloom build, confirm join) — by contract it is the
     * small side, and keeping it lazy beats leaking a persist from inside
     * an operator. */
   def contaminatedIdsBloom(train: DataFrame, evalSet: DataFrame,
                            idCol: String, textCol: String,
-                           shingleK: Int = 8, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
+                           shingleK: Int = 8, fpp: Double = 0.01): DataFrame =
+    // confirm join: only the surviving suspect stream (true hits + false
+    // positives) pays it; the planner is left free to broadcast evalG
+    // when it IS small
+    bloomSuspectGrams(train, evalSet, idCol, textCol, shingleK, fpp)
+      .join(evalGramHashesRaw(evalSet, textCol, shingleK), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
 
+  /** The map-side leg of [[contaminatedIdsBloom]]: the corpus gram
+    * stream pruned to bloom suspects BEFORE anything shuffles — factored
+    * out so the no-shuffle-before-the-bloom-probe contract is directly
+    * plan-pinnable (PlanShapeSpec). */
+  private[graft] def bloomSuspectGrams(train: DataFrame, evalSet: DataFrame,
+                                       idCol: String, textCol: String,
+                                       shingleK: Int, fpp: Double): DataFrame = {
     val evalG = evalGramHashesRaw(evalSet, textCol, shingleK)
     // size the bloom from the exact distinct-gram count (one extra pass
     // over the eval side only; at 100 TB an approx count would do — the
     // final answer never depends on the sizing, only the fp rate does)
     val nGrams = math.max(evalG.count(), 1L)
     val bloom = evalG.stat.bloomFilter("gh", nGrams, fpp)
-    val bytes = {
-      val os = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(os)
-      os.toByteArray
-    }
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType), ColumnBridge.expression(col("gh"))))
-    // map-side prune: the corpus gram stream shrinks to suspects before
-    // anything shuffles; the confirm join then carries only suspects
-    // (the planner is left free to broadcast evalG when it IS small)
+    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
     docGramHashes(train, idCol, textCol, shingleK)
-      .filter(mightContain)
-      .join(evalG, Seq("gh"), "left_semi")
-      .select(col("doc_id")).distinct()
+      .filter(graft.functions.HashExpressions
+        .bloom_might_contain(bloomBc, col("gh")))
   }
 
   /** [[decontaminate]] served by the bloom-prefilter pipeline: identical

@@ -22,6 +22,13 @@ private[functions] object ExprChecks {
             s" input, got ${other.simpleString}")
     }
 
+  /** Child must be exactly one of `types`. */
+  def requireType(fn: String, actual: DataType, types: DataType*): TypeCheckResult =
+    if (types.contains(actual)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires ${types.map(_.simpleString).mkString(" or ")} input, " +
+        s"got ${actual.simpleString}")
+
   /** Static (non-column) parameter must satisfy `ok`. */
   def requireParam(fn: String, ok: Boolean, msg: String): TypeCheckResult =
     if (ok) TypeCheckResult.TypeCheckSuccess

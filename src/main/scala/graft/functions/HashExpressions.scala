@@ -145,7 +145,59 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Bloom-filter membership probe against an EXECUTOR-SHARED filter: the
+    * sketch ships once per executor as a Spark broadcast variable and is
+    * deserialized once (TorrentBroadcast caches the deserialized object in
+    * the local block manager), where a plan-embedded `Literal(bytes)` —
+    * the shape Spark's own runtime-filter injection uses, sized there to
+    * ≤8 MB — is re-deserialized with the task binary by EVERY task. At
+    * the decontamination operating point (~10^8 eval grams → ~120 MB at
+    * 1% fpp) the per-task literal cost dominates the probe, so this
+    * expression is the Literal shape's big-filter sibling: same codegen'd
+    * per-row `mightContainLong`, broadcast-variable delivery. The
+    * deserialized filter is cached in a codegen mutable slot / transient
+    * lazy val, so the per-row cost is one array index + two hashes. */
+  case class BloomMightContain(
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_might_contain"
+
+    override def checkInputDataTypes(): TypeCheckResult = ExprChecks.all(
+      ExprChecks.requireType(prettyName, child.dataType, LongType),
+      ExprChecks.requireParam(prettyName, bloom != null,
+        "broadcast bloom filter must not be null"))
+
+    @transient private lazy val filter = bloom.value
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(
+        filter.mightContainLong(input.asInstanceOf[Long]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+        "org.apache.spark.broadcast.Broadcast")
+      // deserialize once per generated-class instance, not per row
+      val filterVar = ctx.addMutableState(
+        "org.apache.spark.util.sketch.BloomFilter", "bloomFilter",
+        v => s"$v = (org.apache.spark.util.sketch.BloomFilter)$bcRef.value();")
+      defineCodeGen(ctx, ev, c => s"$filterVar.mightContainLong($c)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column + SQL surfaces ----------------------------------------
+
+  def bloom_might_contain(
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      hash: Column): Column =
+    ColumnBridge.column(BloomMightContain(bloom, ColumnBridge.expression(hash)))
 
   def hashed_shingles(tokens: Column, k: Int): Column =
     ColumnBridge.column(HashedShingles(ColumnBridge.expression(tokens), k))

@@ -1519,6 +1519,22 @@ object NorthStarQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // ...the SAME decontamination served by the bloom-prefilter path
+    // (eval gram sets too large to broadcast as a hash relation): the
+    // corpus gram stream is pruned map-side by a ~bounded-byte bloom
+    // over the eval grams, and only suspects pay the exact confirm
+    // join. The bloom only ever changes how much work the confirm join
+    // sees, never the answer, so this row shares text_decontaminate's
+    // oracle VERBATIM — identical output is the operator's contract
+    // (CorpusOps.decontaminateBloom), checked here at hash level.
+    "text_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.decontaminateBloom(
+        d.filter(col("doc_id") % 11 =!= 0),
+        d.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // ...and its audit surface: per CONTAMINATED training doc, the
     // distinct-8-gram count, eval hits, and hit fraction — the record
     // kept next to the drop decision. Hash-matched (counts + one IEEE
@@ -2490,6 +2506,9 @@ object NorthStarQueries {
     "text_pii_stats" -> PiiStatsSql,
     "text_pii_redact" -> PiiRedactSql,
     "text_decontaminate" -> DecontaminateSql,
+    // the bloom path's contract is IDENTICAL output to the broadcast
+    // path — same oracle, verbatim
+    "text_decontam_bloom" -> DecontaminateSql,
     "text_decontam_report" -> DecontamReportSql,
     "dedup_version_bump" -> VersionBumpSql,
     // Window sum per shard in both engines; integer division/modulo on

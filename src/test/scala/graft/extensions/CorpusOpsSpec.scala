@@ -63,6 +63,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(frac - 6.0 / 9.0) < 1e-15)
   }
 
+  test("bloom decontamination: identical keep-set to the broadcast path on real docs") {
+    // the operator's whole contract is IDENTITY — the bloom only prunes
+    // work for the exact confirm join, never changes the answer. Checked
+    // on the real documents table (planted near-dup clusters, so the
+    // %11 split genuinely contaminates), not a toy fixture.
+    val d = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val train = d.filter(col("doc_id") % 11 =!= 0)
+    val evalSet = d.filter(col("doc_id") % 11 === 0)
+    val exact = CorpusOps.decontaminate(train, evalSet, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = CorpusOps.decontaminateBloom(train, evalSet, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == exact, "bloom path must be a pure work optimization")
+    assert(exact.nonEmpty && exact.size < train.count(),
+      "fixture sanity: the split contaminates some docs and spares others")
+    assert(bloomed.subsetOf(
+      train.select("doc_id").as[Long].collect().toSet))
+  }
+
+  test("bloom decontamination: answer invariant under fpp (false positives die in the confirm join)") {
+    val d = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .limit(200)
+    val train = d.filter(col("doc_id") % 11 =!= 0)
+    val evalSet = d.filter(col("doc_id") % 11 === 0)
+    // fpp 0.5 floods the suspect stream with false positives; fpp 0.01
+    // barely any — the keep-set must not move by a single row
+    val loose = CorpusOps.decontaminateBloom(train, evalSet, "doc_id", "text",
+      fpp = 0.5).select("doc_id").as[Long].collect().toSet
+    val tight = CorpusOps.decontaminateBloom(train, evalSet, "doc_id", "text",
+      fpp = 0.01).select("doc_id").as[Long].collect().toSet
+    assert(loose == tight, "fpp is a work dial, not a semantics dial")
+    // and a loose bloom really does pass MORE suspects through — the
+    // dial moves the pruned stream, proving the filter is in the plan
+    val nLoose = CorpusOps.bloomSuspectGrams(train, evalSet, "doc_id", "text",
+      shingleK = 8, fpp = 0.5).count()
+    val nTight = CorpusOps.bloomSuspectGrams(train, evalSet, "doc_id", "text",
+      shingleK = 8, fpp = 0.01).count()
+    assert(nLoose >= nTight,
+      s"fpp 0.5 must admit at least as many suspects as 0.01 ($nLoose vs $nTight)")
+  }
+
   test("packSequences: greedy concatenation order, boundary straddle, shard isolation") {
     // one shard (all ids even), token counts 3/4/2 against budget 5:
     // exclusive cumsums 0,3,7 -> packs 0,0,1 and offsets 0,3,2

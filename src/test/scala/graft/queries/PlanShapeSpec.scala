@@ -130,6 +130,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the survivor filter must be a broadcast anti-join:\n${plan.take(2000)}")
   }
 
+  test("bloom decontamination: corpus grams pruned map-side, no shuffle before the bloom probe") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val train = d.filter(col("doc_id") % 11 =!= 0)
+    val evalSet = d.filter(col("doc_id") % 11 === 0)
+    // the factored map-side leg IS the scale contract: shingle → hash →
+    // bloom probe with ZERO Exchange — the 100 TB corpus never shuffles
+    // to discover its suspects
+    val suspects = graft.extensions.CorpusOps.bloomSuspectGrams(
+      train, evalSet, "doc_id", "text", shingleK = 8, fpp = 0.01)
+    suspects.queryExecution.toRdd.count()
+    val sPlan = suspects.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(treeCount(sPlan, "bloom_might_contain") >= 1,
+      s"the broadcast bloom probe must be in the plan:\n${sPlan.take(2000)}")
+    assert(nodeCount(sPlan, "Exchange") == 0,
+      s"no shuffle before the bloom filter on the corpus side:\n${sPlan.take(2000)}")
+
+    // and the full operator keeps the composition honest: bloom probe
+    // present, survivor filter still a broadcast anti-join of the skinny
+    // contaminated-id set against the training rows
+    val plan = finalPlan("text_decontam_bloom")
+    // condition text lives in the detail blocks (after the AQE tree
+    // sections), so search the whole formatted string for the probe
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from the registered query:\n${plan.take(2000)}")
+    assert(treeCount(plan, "BroadcastHashJoin LeftAnti") >= 1,
+      s"the survivor filter must be a broadcast anti-join:\n${plan.take(2000)}")
+  }
+
   test("full prep pipeline: broadcast-only joins, bounded shuffles, no cartesian") {
     val plan = finalPlan("text_pipeline_full")
     // five composed stages must not multiply shuffles: the gate and the
