@@ -905,10 +905,44 @@ object Dedup {
     * scale-killer, but a 2-3x constant-factor leak at any scale (r13
     * judge item #2; at sf0.1 the repeated explode was 22% of the whole
     * bench). Must be built from the SAME (df, idCol, textCol, n) the
-    * consumer runs over — a mismatched n would silently mis-join. */
+    * consumer runs over — a mismatched n would silently mis-join
+    * (`sequence(win_start+1, win_start+n)` expands with the CONSUMER's
+    * n, corrupting scrub coverage), so the relation carries (n, idCol)
+    * as column metadata and every consumer REFUSES a mismatch at plan
+    * time instead of mis-joining at run time. */
   def windowRelation(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 8): DataFrame =
+                     n: Int = 8): DataFrame = {
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(WinStampN, n.toLong).putString(WinStampId, idCol).build()
     windowRows(df, idCol, textCol, n)
+      .select(col(idCol), col("win_start"),
+        col("win_hash").as("win_hash", stamp))
+  }
+
+  private val WinStampN = "graft.window.n"
+  private val WinStampId = "graft.window.idCol"
+
+  /** Enforce [[windowRelation]]'s threading contract on a caller-supplied
+    * `wins` relation: the stamped (n, idCol) must equal the consumer's
+    * parameters. An UNSTAMPED relation is refused outright — the only
+    * sanctioned producer is `windowRelation`, and accepting a bare
+    * explode would reopen the silent-mis-join hole the stamp closes. */
+  private def requireWinStamp(wins: DataFrame, idCol: String, n: Int,
+                              fn: String): DataFrame = {
+    val field = wins.schema.fields.find(_.name == "win_hash").getOrElse(
+      throw new IllegalArgumentException(
+        s"$fn: wins relation has no win_hash column — build it with windowRelation"))
+    require(field.metadata.contains(WinStampN),
+      s"$fn: wins relation carries no (n, idCol) stamp — build it with " +
+        s"windowRelation(df, idCol, textCol, n), not a hand-rolled explode")
+    val (sn, sid) = (field.metadata.getLong(WinStampN),
+      field.metadata.getString(WinStampId))
+    require(sn == n.toLong && sid == idCol,
+      s"$fn: wins relation was built with (idCol=$sid, n=$sn) but this " +
+        s"consumer runs with (idCol=$idCol, n=$n) — the spans would " +
+        s"silently mis-join; rebuild the relation with matching parameters")
+    wins
+  }
 
   /** Exploded (doc, win_start, win_hash) rows for the corpus. */
   private def windowRows(df: DataFrame, idCol: String, textCol: String,
@@ -927,7 +961,8 @@ object Dedup {
   def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 8, minDocs: Int = 2,
                         wins: Option[DataFrame] = None): DataFrame =
-    wins.getOrElse(windowRows(df, idCol, textCol, n))
+    wins.map(requireWinStamp(_, idCol, n, "duplicatedWindows"))
+      .getOrElse(windowRows(df, idCol, textCol, n))
       .groupBy(col("win_hash"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occ"),
@@ -951,7 +986,8 @@ object Dedup {
                      n: Int = 8, minDocs: Int = 2,
                      census: Option[DataFrame] = None,
                      wins: Option[DataFrame] = None): DataFrame = {
-    val winRows = wins.getOrElse(windowRows(df, idCol, textCol, n))
+    val winRows = wins.map(requireWinStamp(_, idCol, n, "windowDupStats"))
+      .getOrElse(windowRows(df, idCol, textCol, n))
     val dup = census.getOrElse(
       duplicatedWindows(df, idCol, textCol, n, minDocs, wins))
       .select(col("win_hash"))
@@ -979,7 +1015,8 @@ object Dedup {
                              n: Int = 8, minDocs: Int = 2,
                              census: Option[DataFrame] = None,
                              wins: Option[DataFrame] = None): DataFrame = {
-    val winRows = wins.getOrElse(windowRows(df, idCol, textCol, n))
+    val winRows = wins.map(requireWinStamp(_, idCol, n, "scrubDuplicatedWindows"))
+      .getOrElse(windowRows(df, idCol, textCol, n))
     val dup = census.getOrElse(
       duplicatedWindows(df, idCol, textCol, n, minDocs, wins))
       .select(col("win_hash"))

@@ -47,6 +47,38 @@ object NorthStarQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Planted-copy id offset, hard-coded identically in the Spark
+    * fixtures AND their DuckDB oracle SQL (`id + 10000000`). */
+  private val PlantedIdOffset = 10000000L
+
+  private val plantedHeadroomOk =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+
+  /** Guard every planted fixture against id aliasing: if a fixture
+    * table's real id range ever reaches [[PlantedIdOffset]] (a larger SF
+    * than the offset was sized for), a planted copy id would COLLIDE
+    * with a real id and the oracle would silently compare a corrupted
+    * fixture. The offset cannot be derived from max(id)+1 instead — it
+    * is baked as a literal into every oracle's SQL — so scale-up must
+    * fail LOUDLY here. One max() scan per distinct source plan per JVM
+    * (cached by semantic hash; trivial next to any fixture row's own
+    * cost). */
+  private def requirePlantedHeadroom(df: DataFrame, idCol: String): DataFrame = {
+    plantedHeadroomOk.computeIfAbsent(
+      df.queryExecution.logical.semanticHash() * 31 + idCol.hashCode, _ => {
+        val mx = Option(df.agg(max(col(idCol))).head().get(0))
+          .map(_.toString.toLong).getOrElse(0L)
+        require(mx < PlantedIdOffset,
+          s"planted-fixture id headroom exhausted: max($idCol) = $mx reaches " +
+            s"the +$PlantedIdOffset copy offset hard-coded in both engines' " +
+            "fixtures — planted ids would alias real ids and the oracles " +
+            "would compare corrupted fixtures; re-derive the fixtures with " +
+            "a larger offset before scaling past 10M ids")
+        java.lang.Boolean.TRUE
+      })
+    df
+  }
+
   /** Deterministic PII-bearing contact-notes corpus derived from
     * `customer` — the harness text tables carry no PII, so the redaction
     * rows plant it with an expression the DuckDB oracle replays verbatim
@@ -231,7 +263,8 @@ object NorthStarQueries {
     * pair, and the measured pair set is EQUAL to the oracle at all
     * three fixture SFs. */
   private def simPlantedDocs(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).filter(col("doc_id") % 10 === 0)
+    val base = requirePlantedHeadroom(
+      docs(s, dir).filter(col("doc_id") % 10 === 0), "doc_id")
     base.select(col("doc_id"), col("text")).union(base.select(
       (col("doc_id") + 10000000L).as("doc_id"),
       concat_ws(" ", reverse(graft.functions.TextFunctions
@@ -461,7 +494,8 @@ object NorthStarQueries {
     * and saved-index rows: planted near-copies of every 10th vector
     * (drop targets) plus NEGATED copies of every 7th (guaranteed-novel
     * survivors). */
-  private def embIncrBatch(e: DataFrame): DataFrame =
+  private def embIncrBatch(e0: DataFrame): DataFrame = {
+    val e = requirePlantedHeadroom(e0, "vec_id")
     e.filter(col("vec_id") % 10 === 0).select(
         (col("vec_id") + 10000000L).as("vec_id"),
         concat(array(col("embedding").getItem(0) + lit(0.05f)),
@@ -469,6 +503,7 @@ object NorthStarQueries {
       .union(e.filter(col("vec_id") % 7 === 0).select(
         (col("vec_id") + 20000000L).as("vec_id"),
         transform(col("embedding"), x => -x).as("embedding")))
+  }
 
   /** Deterministic CLUSTERED embedding fixture — IVF's favorable regime,
     * which the near-uniform raw embeddings never exhibit (their recall
@@ -500,7 +535,8 @@ object NorthStarQueries {
   /** Embeddings plus deterministic planted near-copies of every 10th
     * vector (id + 10M, first component nudged by +0.05): cosine(v, v') ≈
     * 0.9988 on this fixture, giving the near-dup detectors real targets. */
-  private def plantedEmbeddings(e: DataFrame): DataFrame = {
+  private def plantedEmbeddings(e0: DataFrame): DataFrame = {
+    val e = requirePlantedHeadroom(e0, "vec_id")
     val planted = e.filter(col("vec_id") % 10 === 0).select(
       (col("vec_id") + 10000000L).as("vec_id"),
       concat(array(col("embedding").getItem(0) + lit(0.05f)),
@@ -516,7 +552,8 @@ object NorthStarQueries {
     * match for a negated vector would need a <= -0.9 cosine in the raw
     * corpus, which the fixture does not contain — so they must
     * survive). */
-  private def semBatch(e: DataFrame): DataFrame = {
+  private def semBatch(e0: DataFrame): DataFrame = {
+    val e = requirePlantedHeadroom(e0, "vec_id")
     val copies = e.filter(col("vec_id") % 10 === 0).select(
       (col("vec_id") + 10000000L).as("vec_id"),
       concat(array(col("embedding").getItem(0) + lit(0.05f)),
@@ -1004,7 +1041,7 @@ object NorthStarQueries {
     // bit-reproducible; float+float equals the double-exact sum rounded
     // to float). Uncached by design.
     "dedup_emb_version_bump" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = requirePlantedHeadroom(embs(s, dir), "vec_id")
       val idx = Dedup.buildEmbeddingIndex(e, "vec_id", "embedding",
         planes = 12, bands = 8)
       val b1 = e.filter(col("vec_id") % 7 === 0).select(

@@ -96,6 +96,54 @@ class WindowDedupSpec extends AnyFunSuite {
     assert(s(22L)._2 === s(22L)._3 && s(22L)._3 > 0L)
   }
 
+  test("wins threading contract: stamped (n, idCol) enforced, mismatch refused at plan time") {
+    val rel = Dedup.windowRelation(corpus, "doc_id", "text", n = 8)
+    // matching parameters: same census as the self-derived path
+    val viaRel = Dedup.duplicatedWindows(corpus, "doc_id", "text",
+      n = 8, minDocs = 2, wins = Some(rel)).collect().map(_.toString).sorted
+    val direct = Dedup.duplicatedWindows(corpus, "doc_id", "text",
+      n = 8, minDocs = 2).collect().map(_.toString).sorted
+    assert(viaRel.sameElements(direct))
+
+    // a wins built with a DIFFERENT n silently mis-joined before the
+    // stamp (sequence(win_start+1, win_start+n) expands with the
+    // consumer's n) — now it must refuse before any join runs
+    val rel4 = Dedup.windowRelation(corpus, "doc_id", "text", n = 4)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.windowDupStats(corpus, "doc_id", "text", n = 8, wins = Some(rel4))
+    }
+    assert(e1.getMessage.contains("n=4") && e1.getMessage.contains("n=8"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.scrubDuplicatedWindows(corpus, "doc_id", "text", n = 8,
+        wins = Some(rel4))
+    }
+    assert(e2.getMessage.contains("mis-join"))
+    // a different idCol is the same failure class
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.duplicatedWindows(corpus.withColumnRenamed("doc_id", "id"),
+        "id", "text", n = 8, wins = Some(rel))
+    }
+    assert(e3.getMessage.contains("idCol=doc_id"))
+
+    // an UNSTAMPED hand-rolled explode is refused outright — only
+    // windowRelation's stamp proves the parameters
+    val bare = corpus.select(col("doc_id"),
+        explode(Dedup.windowHashes(
+          graft.functions.TextFunctions.tokens(col("text")), 8)).as("w"))
+      .select(col("doc_id"), col("w.win_start").as("win_start"),
+        col("w.win_hash").as("win_hash"))
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.windowDupStats(corpus, "doc_id", "text", n = 8, wins = Some(bare))
+    }
+    assert(e4.getMessage.contains("stamp"))
+    // and the stamp survives persistence — the realistic threading shape
+    val pinned = rel.persist()
+    try {
+      assert(Dedup.windowDupStats(corpus, "doc_id", "text", n = 8,
+        wins = Some(pinned)).count() > 0)
+    } finally { pinned.unpersist(false); () }
+  }
+
   test("minDocs=2 means within-doc repetition alone never scrubs") {
     val selfRep = Seq(
       (10L, "spark rows spark rows spark rows spark rows spark rows spark rows spark rows spark rows")

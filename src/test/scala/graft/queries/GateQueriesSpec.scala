@@ -171,6 +171,23 @@ class GateQueriesSpec extends AnyFunSuite {
       assert(run(name).nonEmpty, s"$name must return rows")
   }
 
+  test("planted-fixture headroom guard trips when real ids reach the +10M offset") {
+    // the +10_000_000 planted-copy offset is a literal in BOTH engines'
+    // fixtures; a corpus whose real id range reaches it would silently
+    // alias planted ids. Build a doctored sf dir whose documents table
+    // crosses the offset and assert the fixture builder fails LOUDLY.
+    val dir = graft.TestSpark.tmpDir("graft-headroom")
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    import org.apache.spark.sql.functions.{col, lit}
+    d.withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("dedup_simhash_pairs")(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("headroom"),
+      s"expected the headroom guard, got: ${e.getMessage}")
+  }
+
   test("q_sessionize emits BIGINT session_seq with deterministic ordering") {
     val df = SparkEntry.queries("q_sessionize")(spark, sf)
     assert(df.schema("session_seq").dataType ==
