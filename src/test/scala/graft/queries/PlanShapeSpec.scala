@@ -385,6 +385,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the ADC scan must prune c_vec:\n${plan.take(3000)}")
     assert(nodeCount(plan, "SortMergeJoin") == 0,
       s"cell join + both probe joins broadcast their small side:\n${plan.take(2000)}")
+    // the exact re-rank read must be cell-pruned too (ADVICE r14): both
+    // the codes scan AND the c_vec scan carry a live dynamic-partition-
+    // pruning filter on `cell` — without it every probe row-scans every
+    // cell's vector files for the rerank join
+    val scanBlocks = plan.split("\\(\\d+\\) ").filter(_.startsWith("Scan parquet"))
+    def livePruned(schema: String) = scanBlocks.exists(b =>
+      b.contains(s"ReadSchema: struct<$schema") &&
+        b.linesIterator.exists(l => l.startsWith("PartitionFilters") &&
+          l.contains(" IN dynamicpruning#")))
+    assert(livePruned("neighbor_id:bigint,codes:array<int>"),
+      s"ADC codes scan must be DPP-pruned by the probed cells:\n${plan.take(3000)}")
+    assert(livePruned("neighbor_id:bigint,c_vec:array<float>"),
+      s"rerank c_vec scan must be DPP-pruned by the probed cells:\n${plan.take(3000)}")
     // same skinny-rank-exchange contract as pqProbe
     val winBlock = plan.split("\\(\\d+\\) ")
       .find(b => b.startsWith("Window") && b.contains("__ar"))
