@@ -457,6 +457,38 @@ object CdcStream {
     }
   }
 
+  /** The IVF-PQ analog of [[compactAcceptedBatches]], completing the
+    * accept→bump lifecycle for the fifth index family: fold the
+    * accepted-novel vectors of a dedup ingest's sink (e.g.
+    * [[startSemanticDedupIngest]] running over the same coarse cells)
+    * into the IVFADC index as one version bump via [[graft.extensions
+    * .Similarity.extendIvfPqIndex]] — new vectors are assigned to the
+    * FROZEN cells and encoded with the FROZEN codebooks, so neither
+    * quantizer moves and every saved cell partition, ADC table and
+    * previously-issued probe plan stays valid. Same contracts end to
+    * end: the stale-handle guard, id-dedup absorbing cross-batch source
+    * replays, an empty tree as a no-op, the `_FOLDED` stamp refusing a
+    * second fold, and `provenanceDir` archiving the audit trail in
+    * lockstep. The bump extends `codes` AND the rerank-only `vectors`
+    * relation together, preserving the split-tree invariant. */
+  def compactAcceptedIvfPqBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.IvfPqIndex,
+      idCol: String, vecCol: String,
+      provenanceDir: Option[String] = None): graft.extensions.Similarity.IvfPqIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir) match {
+      case None => index
+      case Some(accepted) =>
+        val bumped = graft.extensions.Similarity.extendIvfPqIndex(index,
+          accepted.dropDuplicates(idCol), idCol, vecCol)
+        markFolded(spark, sinkDir)
+        provenanceDir.foreach(markFolded(spark, _))
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
   /** Marker a successful compaction writes at the root of every tree it
     * consumed; its presence makes a double-fold unrepresentable. */
   val FoldedMarkerName = "_FOLDED"

@@ -403,6 +403,78 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally { index.unpersist(); () }
   }
 
+  test("compactAcceptedIvfPqBatches folds the vector sink into frozen cells AND frozen codebooks") {
+    import graft.extensions.Similarity
+    val embs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = embs.filter(col("vec_id") % 2 === 0)
+    // the fifth family's corpus index, over the SAME coarse cells the
+    // ingest leg dedups against — the shared-structure production shape
+    val ivfpq = Similarity.ivfPqFit(corpus, "vec_id", "embedding",
+      m = 8, ksub = 8, centers = Some(semCenters)).cache()
+    val ivf = Similarity.IvfIndex(semCenters,
+      Similarity.assignToCells(corpus, semCenters, "vec_id", "embedding")).cache()
+
+    val src = TestSpark.tmpDir("graft-ivfpqcompact-src")
+    embs.filter(col("vec_id") % 2 =!= 0).write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-ivfpqcompact-sink")
+    try {
+      val q = CdcStream.startSemanticDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        ivf, "vec_id", "embedding", sink,
+        TestSpark.tmpDir("graft-ivfpqcompact-ckpt"), eps = 0.9)
+      q.awaitTermination()
+
+      val accepted = spark.read.parquet(sink).drop("batch")
+      assert(accepted.count() > 0, "fixture sanity: some vectors are novel")
+      // cross-batch replay (outside the per-batch overwrite's reach)
+      // must fold exactly once
+      spark.createDataFrame(
+          java.util.Arrays.asList(accepted.head()), accepted.schema)
+        .write.mode("overwrite").parquet(s"$sink/batch=9999")
+      val bumped = CdcStream.compactAcceptedIvfPqBatches(
+        spark, sink, ivfpq, "vec_id", "embedding")
+
+      // neither quantizer moved
+      assert(bumped.codebooks == ivfpq.codebooks, "PQ codebooks are frozen")
+      assert(bumped.centers eq ivfpq.centers, "coarse centroids are frozen")
+      assert(bumped.version == ivfpq.version + 1 &&
+        bumped.folded.contains(sink))
+
+      // folded once: one codes row per id, ids = corpus ∪ accepted, and
+      // cells equal a from-scratch assignment of the union (frozen
+      // centers make that deterministic)
+      val acceptedIds = accepted.select("vec_id").as[Long].collect().toSet
+      val corpusIds = corpus.select("vec_id").as[Long].collect().toSet
+      def cellSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("neighbor_id", "cell").as[(Long, Int)].collect().toSet
+      val bumpedCells = cellSet(bumped.codes)
+      assert(bumpedCells.map(_._1) == corpusIds ++ acceptedIds)
+      assert(bumpedCells.size == (corpusIds ++ acceptedIds).size,
+        "a cross-batch duplicate must extend the index exactly once")
+      assert(bumpedCells == cellSet(Similarity.assignToCells(
+        corpus.union(accepted.select("vec_id", "embedding")),
+        semCenters, "vec_id", "embedding")))
+      // the split-tree invariant: the rerank-only vectors relation grew
+      // in lockstep with codes
+      assert(cellSet(bumped.vectors) == bumpedCells)
+      // and the folded vectors are probe-visible through the ADC path
+      val probeQ = accepted.limit(1).select(
+        col("vec_id"), col("embedding"))
+      val seen = Similarity.ivfPqProbe(bumped, probeQ, "vec_id", "embedding",
+        k = 5, nprobe = 4, rerank = 50)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(seen.nonEmpty, "bumped index must serve probes")
+
+      // the fold stamped the tree; a second compaction refuses loudly
+      assert(new java.io.File(sink, CdcStream.FoldedMarkerName).exists())
+      assertThrows[IllegalArgumentException] {
+        CdcStream.compactAcceptedIvfPqBatches(
+          spark, sink, ivfpq, "vec_id", "embedding")
+      }
+    } finally { ivf.unpersist(); ivfpq.unpersist(); () }
+  }
+
   test("streaming MERGE compaction tracks the dedup view across batches and replays") {
     val src = stageSource()
     val sink = TestSpark.tmpDir("graft-stream-compact-sink")
