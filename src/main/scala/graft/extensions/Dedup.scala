@@ -394,6 +394,15 @@ object Dedup {
    */
   final case class CorpusIndex(postings: DataFrame, shingles: DataFrame,
                                dfCounts: DataFrame,
+                               /** One skinny row per indexed doc:
+                                 * (doc_id, n_grams, n_indexed) — the
+                                 * doc's distinct-gram count and how many
+                                 * of those survive the df cut. Feeds the
+                                 * probe's LOSSLESS candidate bound (see
+                                 * [[corpusDupMatches]]) so the exact
+                                 * verify join touches only pairs whose
+                                 * Jaccard CAN clear the threshold. */
+                               docStats: DataFrame,
                                shingleK: Int = 3, maxGramDf: Int = 100,
                                savedDir: Option[String] = None,
                                /** Version lineage ([[IndexMeta]]): bumped
@@ -404,11 +413,12 @@ object Dedup {
                                parent: Option[String] = None) {
     private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def persist(): CorpusIndex = {
-      postings.persist(lvl); shingles.persist(lvl); dfCounts.persist(lvl); this
+      postings.persist(lvl); shingles.persist(lvl); dfCounts.persist(lvl)
+      docStats.persist(lvl); this
     }
     def unpersist(): Unit = {
       postings.unpersist(false); shingles.unpersist(false)
-      dfCounts.unpersist(false); ()
+      dfCounts.unpersist(false); docStats.unpersist(false); ()
     }
     /** Retire this corpus version in ONE call: unpersist the session
       * pins AND delete the on-disk tree the index was saved to / loaded
@@ -448,9 +458,21 @@ object Dedup {
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
     val dfc = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val keep = dfc.filter(col("df") <= maxGramDf).select(col("gram"))
-    CorpusIndex(inv.join(keep, Seq("gram"), "left_semi"), sh, dfc,
+    val postings = inv.join(keep, Seq("gram"), "left_semi")
+    CorpusIndex(postings, sh, dfc, docStatsFrom(sh, postings),
       shingleK, maxGramDf)
   }
+
+  /** (doc_id, n_grams, n_indexed) from a shingle relation and its
+    * df-cut postings — one combining count over the postings, paid at
+    * BUILD time so every probe's candidate bound is a skinny join, not
+    * a per-probe corpus aggregation. */
+  private def docStatsFrom(sh: DataFrame, postings: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(postings.groupBy(col("doc_id")).agg(count(lit(1)).as("__ni")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("__ni"), lit(0L)).as("n_indexed"))
 
   /** Grow a [[CorpusIndex]] with `newDocs` WITHOUT re-tokenizing the
     * existing corpus — the versioning step the streaming ingest's
@@ -494,10 +516,20 @@ object Dedup {
     val newKeep = newDf.join(index.dfCounts, Seq("gram"), "left")
       .filter(coalesce(col("df"), lit(0L)) + col("__new") <= cut)
       .select(col("gram"))
+    val newPostings = newInv.join(newKeep, Seq("gram"), "left_semi")
+    // doc stats stay in lockstep at O(crossing + new): old docs lose
+    // exactly their postings on crossing grams (the same skinny set the
+    // postings anti-join removes), new docs get a from-scratch count
+    val dec = index.postings.join(crossing, Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__dec"))
+    val adjustedStats = index.docStats.join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_indexed") - coalesce(col("__dec"), lit(0L))).as("n_indexed"))
     CorpusIndex(
       index.postings.join(crossing, Seq("gram"), "left_anti")
-        .union(newInv.join(newKeep, Seq("gram"), "left_semi")),
+        .union(newPostings),
       index.shingles.union(newSh), mergedDf,
+      adjustedStats.union(docStatsFrom(newSh, newPostings)),
       index.shingleK, cut,
       // a NEW version: no savedDir (close() of the extension must not
       // delete the parent's tree), version bumped, lineage carried —
@@ -520,6 +552,7 @@ object Dedup {
     index.postings.write.mode("overwrite").parquet(s"$dir/postings")
     index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
     index.dfCounts.write.mode("overwrite").parquet(s"$dir/df")
+    index.docStats.write.mode("overwrite").parquet(s"$dir/stats")
     val spark = index.postings.sparkSession
     import spark.implicits._
     Seq((index.shingleK, index.maxGramDf)).toDF("shingle_k", "max_gram_df")
@@ -527,7 +560,8 @@ object Dedup {
     IndexMeta.write(spark, dir, IndexMeta.Meta(index.version,
       parent = index.parent.orElse(index.savedDir).filterNot(_ == dir),
       folded = index.folded,
-      rows = IndexMeta.rowCounts(spark, dir, Seq("postings", "shingles", "df"))))
+      rows = IndexMeta.rowCounts(spark, dir,
+        Seq("postings", "shingles", "df", "stats"))))
     index.copy(savedDir = Some(dir))
   }
 
@@ -548,15 +582,22 @@ object Dedup {
       else 100
     val shingleK = metaDf.select(col("shingle_k")).head().getInt(0)
     val shingles = spark.read.parquet(s"$dir/shingles")
-    val dfPath = new org.apache.hadoop.fs.Path(s"$dir/df")
+    val hconf = spark.sessionState.newHadoopConf()
+    def subtreeExists(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      p.getFileSystem(hconf).exists(p)
+    }
     val dfCounts =
-      if (dfPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(dfPath))
-        spark.read.parquet(s"$dir/df")
+      if (subtreeExists("df")) spark.read.parquet(s"$dir/df")
       else shingles.select(col("doc_id"), explode(col("sh")).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val postings = spark.read.parquet(s"$dir/postings")
+    val docStats =
+      if (subtreeExists("stats")) spark.read.parquet(s"$dir/stats")
+      else docStatsFrom(shingles, postings)
     val stamp = IndexMeta.read(spark, dir)
     CorpusIndex(
-      spark.read.parquet(s"$dir/postings"), shingles, dfCounts,
+      postings, shingles, dfCounts, docStats,
       shingleK, maxGramDf, savedDir = Some(dir),
       version = stamp.map(_.version).getOrElse(1L),
       folded = stamp.map(_.folded).getOrElse(Nil),
@@ -622,16 +663,46 @@ object Dedup {
     // the batch MUST shingle with the index's k (carried by the index so
     // a mismatch is unrepresentable, not a caller obligation)
     val bsh = hashedShingleSets(batch, idCol, textCol, index.shingleK)
+    // candidate pairs WITH their shared-indexed-gram count: the same
+    // single shuffle the old pair-distinct paid (gram rows are distinct
+    // per doc, so COUNT(*) per pair = |A ∩ B ∩ keptGrams| exactly)
     val cand = bsh
       .select(col("doc_id").as("batch_id"), explode(col("sh")).as("gram"))
       .join(index.postings.select(col("gram"), col("doc_id").as("corpus_id")),
         Seq("gram"))
-      .select(col("batch_id"), col("corpus_id")).distinct()
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__s"))
+    // LOSSLESS candidate bound (the PPJoin family's size/positional
+    // filter, adapted to the df-cut index): the true intersection is the
+    // shared KEPT grams (__s, exact) plus shared CUT grams, and a doc
+    // can share at most its own cut-gram count (n_grams - n_indexed,
+    // stamped per corpus doc in the index's docStats at build time) —
+    //   i <= min(__s + (nB - nB_idx), nA, nB)
+    // so pairs whose Jaccard upper bound i_max/(nA+nB-i_max) cannot
+    // reach the threshold never touch a shingle array. Without this the
+    // candidate set scales ~quadratically in corpus density below the
+    // df cut (measured 363k pairs at sf0.1 -> 27.3M at sf1, 75x for 10x
+    // data, verify 110 s) while true matches stay linear; the bound
+    // prunes map-side of the verify join and changes NO answer — the
+    // verify would reject every pruned pair anyway.
+    val pruned = cand
+      .join(index.docStats.select(col("doc_id").as("corpus_id"),
+        col("n_grams").as("__nb"), col("n_indexed").as("__nbi")),
+        Seq("corpus_id"))
+      .join(bsh.select(col("doc_id").as("batch_id"),
+        size(col("sh")).cast("long").as("__na")), Seq("batch_id"))
+      .withColumn("__imax",
+        least(col("__s") + (col("__nb") - col("__nbi")), col("__na"), col("__nb")))
+      // integer-exact at the usual thresholds; the epsilon only ever
+      // lets a boundary pair THROUGH to the exact verify (safe side)
+      .filter(col("__imax").cast("double") >=
+        lit(threshold) * (col("__na") + col("__nb") - col("__imax")) - lit(1e-9))
+      .select(col("batch_id"), col("corpus_id"))
     // same merge-count Jaccard as [[verifyJaccard]] — the verify stage
     // dominated this probe (4.4 s of 4.3 s at sf0.1) under
     // array_intersect + array_union; the batch re-shingle the candidate
     // and verify joins share is NOT worth caching (measured 0.16 s alone)
-    cand
+    pruned
       .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
         Seq("batch_id"))
       .join(index.shingles.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),

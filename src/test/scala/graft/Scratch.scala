@@ -259,6 +259,48 @@ object Scratch {
         time("full probe")(full.queryExecution.toRdd.count())
         time("full probe again")(full.queryExecution.toRdd.count())
 
+      case "incr-scale" =>
+        // dedup_incremental sf1 super-linearity hunt (VERDICT r14 #3):
+        // stage timings AND cardinalities, so sf0.1 vs sf1 shows which
+        // stage (and which intermediate) grows faster than the data.
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val docs = sources.Tables.load(spark, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        println(s"docs=${docs.count()} corpus=${corpus.count()} batch=${batch.count()}")
+        val index = extensions.Dedup.buildCorpusIndex(corpus, "doc_id", "text").persist()
+        time("index materialize")(index.postings.count() + index.shingles.count() +
+          index.dfCounts.count())
+        println(s"  postings=${index.postings.count()} " +
+          s"shingles=${index.shingles.count()} dfc=${index.dfCounts.count()}")
+        val bsh = batch.select(col("doc_id"),
+          functions.HashExpressions.hashed_shingles(
+            functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+        val bGrams = bsh.select(col("doc_id").as("batch_id"),
+          explode(col("sh")).as("gram"))
+        println(s"  batch gram rows=${time("batch grams")(bGrams.count())}")
+        val candRaw = bGrams.join(
+          index.postings.select(col("gram"), col("doc_id").as("corpus_id")),
+          Seq("gram"))
+        println(s"  candidate JOIN rows (pre-distinct)=" +
+          s"${time("cand raw")(candRaw.count())}")
+        val cand = candRaw.select(col("batch_id"), col("corpus_id")).distinct()
+        println(s"  candidate pairs=${time("cand distinct")(cand.count())}")
+        val matches = extensions.Dedup.corpusDupMatches(batch, index,
+          "doc_id", "text", 0.5)
+        println(s"  matches=${time("matches (cand+verify)")(matches.count())}")
+        val full = extensions.Dedup.dedupAgainstCorpus(batch, index, "doc_id", "text")
+        time("full probe")(full.queryExecution.toRdd.count())
+        time("full probe warm")(full.queryExecution.toRdd.count())
+        val prov = extensions.Dedup.corpusDupProvenance(batch, index, "doc_id", "text")
+        time("provenance")(prov.queryExecution.toRdd.count())
+        index.unpersist()
+
       case "ngram-profile" =>
         import org.apache.spark.sql.functions._
         val dir = args(1)

@@ -250,6 +250,16 @@ class DedupSpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().toSet
     assert(kept(extended) == kept(scratch))
 
+    // the candidate-bound doc stats are maintained incrementally too
+    // (old stats decremented by crossing-gram postings, new docs counted
+    // from scratch) — drifted stats would make the probe's lossless
+    // bound WRONG, i.e. silently drop true matches
+    def statsMap(ix: Dedup.CorpusIndex) =
+      ix.docStats.select("doc_id", "n_grams", "n_indexed")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(statsMap(extended) == statsMap(scratch),
+      "extended doc stats must equal the from-scratch build's")
+
     // versioning is iterable: a SECOND extension cuts with the merged
     // dictionary, not the original build's — extend(extend(A,B),C) ≡
     // build(A∪B∪C)
@@ -261,6 +271,47 @@ class DedupSpec extends AnyFunSuite {
     assert(postingSet(twice) == postingSet(scratch3),
       "chained extension postings must equal a from-scratch build over all three")
     assert(dfMap(twice) == dfMap(scratch3))
+    assert(statsMap(twice) == statsMap(scratch3))
+  }
+
+  test("candidate bound is lossless: pruned probe equals the unpruned formulation") {
+    // real docs table (planted near-dup clusters): the bound may only
+    // remove pairs the exact verify would reject anyway, so the match
+    // relation must be IDENTICAL to the pre-bound verify-everything
+    // formulation, row for row and score for score
+    val d = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val batch = d.filter(col("doc_id") % 5 === 0)
+    val index = Dedup.buildCorpusIndex(corpus, "doc_id", "text").persist()
+    try {
+      val pruned = Dedup.corpusDupMatches(batch, index, "doc_id", "text", 0.5)
+        .select("batch_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // the pre-bound formulation, inlined: every candidate pair goes
+      // straight to the exact verify
+      val bsh = batch.select(col("doc_id"),
+        graft.functions.HashExpressions.hashed_shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+      val unpruned = bsh
+        .select(col("doc_id").as("batch_id"), explode(col("sh")).as("gram"))
+        .join(index.postings.select(col("gram"), col("doc_id").as("corpus_id")),
+          Seq("gram"))
+        .select(col("batch_id"), col("corpus_id")).distinct()
+        .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+          Seq("batch_id"))
+        .join(index.shingles.select(col("doc_id").as("corpus_id"),
+          col("sh").as("sh_c")), Seq("corpus_id"))
+        .withColumn("__i", graft.functions.HashExpressions
+          .sorted_intersect_count(col("sh_b"), col("sh_c")))
+        .select(col("batch_id"), col("corpus_id"),
+          (col("__i").cast("double") /
+            (size(col("sh_b")).cast("long") + size(col("sh_c")) - col("__i")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned == unpruned, "the bound must never change the match set")
+      assert(pruned.nonEmpty, "fixture sanity: the split plants real matches")
+    } finally index.unpersist()
   }
 
   test("extendEmbeddingIndex(build(A), B) equals buildEmbeddingIndex(A union B)") {

@@ -26,9 +26,10 @@ class IndexMetaSpec extends AnyFunSuite {
     assert(stamp.version == 1L)
     assert(stamp.parent.isEmpty)
     assert(stamp.folded.isEmpty)
-    assert(stamp.rows.keySet == Set("postings", "shingles", "df"))
+    assert(stamp.rows.keySet == Set("postings", "shingles", "df", "stats"))
     assert(stamp.rows("shingles") == idx.shingles.count())
     assert(stamp.rows("postings") == idx.postings.count())
+    assert(stamp.rows("stats") == idx.docStats.count())
 
     val loaded = Dedup.loadCorpusIndex(spark, dir)
     assert(loaded.version == 1L && loaded.folded.isEmpty)
@@ -71,7 +72,8 @@ class IndexMetaSpec extends AnyFunSuite {
     assert(ext.parent.contains(dir))
     val mat = Dedup.CorpusIndex(
       ext.postings.localCheckpoint(true), ext.shingles.localCheckpoint(true),
-      ext.dfCounts.localCheckpoint(true), ext.shingleK, ext.maxGramDf,
+      ext.dfCounts.localCheckpoint(true), ext.docStats.localCheckpoint(true),
+      ext.shingleK, ext.maxGramDf,
       version = ext.version, parent = ext.parent)
     val v2 = Dedup.saveCorpusIndex(mat, dir)
     val stamp = IndexMeta.read(spark, dir).get
@@ -94,7 +96,8 @@ class IndexMetaSpec extends AnyFunSuite {
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), "doc_id", "text")
     val mat = Dedup.CorpusIndex(
       ext.postings.localCheckpoint(true), ext.shingles.localCheckpoint(true),
-      ext.dfCounts.localCheckpoint(true), ext.shingleK, ext.maxGramDf,
+      ext.dfCounts.localCheckpoint(true), ext.docStats.localCheckpoint(true),
+      ext.shingleK, ext.maxGramDf,
       version = ext.version)
     val v2 = Dedup.saveCorpusIndex(mat, dir)
     assert(IndexMeta.read(spark, dir).get.version == 2L)
