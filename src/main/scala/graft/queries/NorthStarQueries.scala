@@ -47,33 +47,45 @@ object NorthStarQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Planted-copy id offset, hard-coded identically in the Spark
-    * fixtures AND their DuckDB oracle SQL (`id + 10000000`). */
-  private val PlantedIdOffset = 10000000L
+  /** Planted-copy id offsets, hard-coded identically in the Spark
+    * fixtures AND their DuckDB oracle SQL (`id + 10000000` etc.). */
+  private val PlantedIdOffsets = Seq(10000000L, 20000000L, 30000000L)
 
   private val plantedHeadroomOk =
     new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
 
-  /** Guard every planted fixture against id aliasing: if a fixture
-    * table's real id range ever reaches [[PlantedIdOffset]] (a larger SF
-    * than the offset was sized for), a planted copy id would COLLIDE
-    * with a real id and the oracle would silently compare a corrupted
-    * fixture. The offset cannot be derived from max(id)+1 instead — it
-    * is baked as a literal into every oracle's SQL — so scale-up must
-    * fail LOUDLY here. One max() scan per distinct source plan per JVM
-    * (cached by semantic hash; trivial next to any fixture row's own
-    * cost). */
+  /** Guard every planted fixture against id ALIASING: if some real id
+    * plus a planted-copy offset lands on another real id, a planted
+    * copy would collide and the oracle would silently compare a
+    * corrupted fixture. The offsets cannot be derived from max(id)+1
+    * instead — they are baked as literals into every oracle's SQL — so
+    * a colliding id range must fail LOUDLY here. The check is the
+    * actual collision predicate (ids ∩ (ids + offset) = ∅ for every
+    * offset), NOT a max(id) ceiling: sparse ranges far past the offset
+    * are safe (the gensf bench fixture key-shifts copies by 1e8, so its
+    * max is ~9e8 with zero collisions — a ceiling guard would
+    * false-positive the entire sf1 measurement). Fast path: a max under
+    * the smallest offset is trivially collision-free. One bounded scan
+    * per distinct source plan per JVM (cached by semantic hash). */
   private def requirePlantedHeadroom(df: DataFrame, idCol: String): DataFrame = {
     plantedHeadroomOk.computeIfAbsent(
       df.queryExecution.logical.semanticHash() * 31 + idCol.hashCode, _ => {
         val mx = Option(df.agg(max(col(idCol))).head().get(0))
           .map(_.toString.toLong).getOrElse(0L)
-        require(mx < PlantedIdOffset,
-          s"planted-fixture id headroom exhausted: max($idCol) = $mx reaches " +
-            s"the +$PlantedIdOffset copy offset hard-coded in both engines' " +
-            "fixtures — planted ids would alias real ids and the oracles " +
-            "would compare corrupted fixtures; re-derive the fixtures with " +
-            "a larger offset before scaling past 10M ids")
+        if (mx >= PlantedIdOffsets.min) {
+          val ids = df.select(col(idCol).cast("long").as("__id"))
+          val shifted = ids.select(explode(
+            array(PlantedIdOffsets.map(o => col("__id") + lit(o)): _*))
+            .as("__id"))
+          val clash = ids.join(shifted, Seq("__id"), "left_semi").limit(1).count()
+          require(clash == 0L,
+            s"planted-fixture id aliasing: some $idCol plus a planted-copy " +
+              s"offset (${PlantedIdOffsets.mkString("/")}) equals another " +
+              "real id — the offsets are hard-coded in both engines' " +
+              "fixtures, so the oracles would compare corrupted fixtures; " +
+              "re-derive the fixtures with offsets outside the id range " +
+              "(headroom exhausted)")
+        }
         java.lang.Boolean.TRUE
       })
     df

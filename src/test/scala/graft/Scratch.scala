@@ -259,6 +259,66 @@ object Scratch {
         time("full probe")(full.queryExecution.toRdd.count())
         time("full probe again")(full.queryExecution.toRdd.count())
 
+      case "pctl-isolate" =>
+        // q_percentile drift isolation (VERDICT r14 #6): the row moved
+        // 0.88 s (r12) -> 1.14-1.42 s (r13/r14) while running in the
+        // cache-free relational phase, before any fixture exists — so
+        // cache pressure is excluded and the suspect is JVM-state growth
+        // (JIT/code-cache) with 19 more queries compiled into the
+        // session. Measure the SAME row (a) in a fresh session, then
+        // (b) after one full relational-phase pass has been compiled
+        // and run in this JVM. If (b) reproduces the bench-observed
+        // number while (a) reproduces r12's, the drift is environmental
+        // accumulation, not a regression in the query.
+        val dir = args(1)
+        sources.Tables.load(spark, dir, "lineitem").count()
+        def timeQ(label: String): Unit = {
+          val ts = (1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries("q_percentile")(spark, dir)
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"  q_percentile $label: ${ts.map(t => f"$t%.2f").mkString(" ")} s" +
+            f" (median ${ts.sorted.apply(2)}%.2f)")
+        }
+        timeQ("fresh JVM      ")
+        val relational = SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => n.startsWith("q_") || n.startsWith("cdc_"))
+        relational.foreach { n =>
+          SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+        }
+        println(s"  (ran ${relational.size} relational/cdc rows in this JVM)")
+        timeQ("after full phase")
+
+      case "decontam-scale" =>
+        // Bloom-vs-broadcast decontamination crossover (VERDICT r14
+        // stretch #8): inflate the eval side by unioning k token-
+        // prefixed copies (every copy's grams are DISTINCT, so the eval
+        // gram set scales by k exactly) and time both paths on the same
+        // train side. The broadcast hash relation grows linearly with
+        // the eval battery; the bloom stays ~bounded bytes — the
+        // crossover the decontaminateBloom docstring promises.
+        import org.apache.spark.sql.functions._
+        val dir = args(1)
+        val d = sources.Tables.load(spark, dir, "documents")
+        val train = d.filter(col("doc_id") % 11 =!= 0)
+        train.count()
+        for (k <- args.drop(2).map(_.toInt)) {
+          val evalK = (0 until k).map(i =>
+            d.filter(col("doc_id") % 11 === 0).select(
+              regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text")))
+            .reduce(_ union _)
+          def t(f: => Long): Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          val nb = t(extensions.CorpusOps.contaminatedIds(
+            train, evalK, "doc_id", "text").count())
+          val bl = t(extensions.CorpusOps.contaminatedIdsBloom(
+            train, evalK, "doc_id", "text").count())
+          println(f"  k=$k%3d  broadcast=$nb%7.2f s  bloom=$bl%7.2f s")
+        }
+
       case "incr-scale" =>
         // dedup_incremental sf1 super-linearity hunt (VERDICT r14 #3):
         // stage timings AND cardinalities, so sf0.1 vs sf1 shows which

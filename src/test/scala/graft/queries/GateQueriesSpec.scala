@@ -171,21 +171,34 @@ class GateQueriesSpec extends AnyFunSuite {
       assert(run(name).nonEmpty, s"$name must return rows")
   }
 
-  test("planted-fixture headroom guard trips when real ids reach the +10M offset") {
-    // the +10_000_000 planted-copy offset is a literal in BOTH engines'
-    // fixtures; a corpus whose real id range reaches it would silently
-    // alias planted ids. Build a doctored sf dir whose documents table
-    // crosses the offset and assert the fixture builder fails LOUDLY.
-    val dir = graft.TestSpark.tmpDir("graft-headroom")
-    val d = graft.sources.Tables.load(spark, sf, "documents")
+  test("planted-fixture guard trips on real id ALIASING, passes sparse far ranges") {
+    // the +10_000_000 planted-copy offsets are literals in BOTH engines'
+    // fixtures; a corpus where id + offset lands on another REAL id
+    // silently aliases planted copies. The guard must be the collision
+    // predicate, not a max(id) ceiling — the gensf sf1 bench fixture
+    // key-shifts copies by 1e8 (max ~9e8, zero collisions) and must
+    // still pass.
     import org.apache.spark.sql.functions.{col, lit}
-    d.withColumn("doc_id", col("doc_id") + lit(10000000L))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+
+    // genuinely colliding fixture: ids {x} ∪ {x + 10M} — planting +10M
+    // on x collides with the real id x + 10M
+    val clashDir = graft.TestSpark.tmpDir("graft-headroom-clash")
+    d.union(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      .write.mode("overwrite").parquet(s"$clashDir/documents.parquet")
     val e = intercept[IllegalArgumentException] {
-      SparkEntry.queries("dedup_simhash_pairs")(spark, dir).collect()
+      SparkEntry.queries("dedup_simhash_pairs")(spark, clashDir).collect()
     }
     assert(e.getMessage.contains("headroom"),
-      s"expected the headroom guard, got: ${e.getMessage}")
+      s"expected the aliasing guard, got: ${e.getMessage}")
+
+    // sparse far range (the gensf shape): ids shifted to ~1e8, far past
+    // every offset but collision-free — the fixture must run
+    val sparseDir = graft.TestSpark.tmpDir("graft-headroom-sparse")
+    d.withColumn("doc_id", col("doc_id") + lit(100000000L))
+      .write.mode("overwrite").parquet(s"$sparseDir/documents.parquet")
+    assert(SparkEntry.queries("dedup_simhash_pairs")(spark, sparseDir)
+      .count() >= 0L, "collision-free sparse ids must not trip the guard")
   }
 
   test("q_sessionize emits BIGINT session_seq with deterministic ordering") {
