@@ -59,6 +59,7 @@ object Bench {
     ("cdc", n => n.startsWith("cdc_"),
       () => graft.queries.CdcQueries.clearCaches()),
     ("text", n => n.startsWith("text_") || n.startsWith("multimodal_") ||
+      n.startsWith("pipeline_") || n.startsWith("corpus_") ||
       n == "embeddings_stats",
       () => graft.queries.NorthStarQueries.clearTextCaches()),
     ("dedup", n => n.startsWith("dedup_"),

@@ -229,4 +229,100 @@ object CorpusOps {
         coalesce(col("__thr"), lit(fractionThreshold(defaultFraction))))
       .drop("__stratum", "__thr")
   }
+
+  // ------------------------------------------- exact-quota sampling
+
+  /** The deterministic per-row sampling order shared by [[quotaSample]]'s
+    * two rank levels and its oracle: md5 over a salted key ("quota:" +
+    * key — salted so the quota order is DECORRELATED from hashSplit /
+    * stratifiedSample, which hash the bare key; without the salt, quota
+    * sampling would systematically prefer the same rows those operators
+    * keep). */
+  private def quotaOrder(keyCol: Column): Column =
+    md5(concat(lit("quota:"), keyCol.cast("string")).cast("binary"))
+
+  /** Deterministic EXACT-COUNT stratified sampling: keep exactly
+    * min(quota, |stratum|) rows per stratum — the "2M docs of code,
+    * 500k of math" curation step where a target is a COUNT, not a rate
+    * (the fraction form, [[stratifiedSample]], only hits a count in
+    * expectation). Selection is by content-stable hash order, so the
+    * kept set is reproducible across engines, runs, and cluster sizes,
+    * and `rank` (1-based within the stratum, in that same order) rides
+    * along so downstream stages can take nested prefixes ("first 100k
+    * of the 2M") without re-ranking.
+    *
+    * Scale shape (100 TB): a single per-stratum window would sort every
+    * stratum through ONE task — a multi-TB stratum dies there. Instead,
+    * exact tree top-k: level 1 ranks within (stratum × `fanout`
+    * hash-buckets) — `fanout`-way parallel per stratum, and any row in
+    * the global per-stratum top-`quota` is necessarily within the
+    * top-`quota` of its own bucket — then level 2 ranks the ≤
+    * fanout×quota survivors per stratum exactly. Both levels shuffle
+    * only (key, stratum, rank-order) width; the final join back to the
+    * full rows is a semi-join on the key, so full-width rows are never
+    * sorted at all. For quotas so large that fanout×quota itself
+    * overwhelms one task, add a middle level (same argument) — quota
+    * and fanout are plan constants, so the composition is static. */
+  def quotaSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                  quotas: Map[String, Int], defaultQuota: Int = 0,
+                  fanout: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = broadcast(quotas.toSeq.toDF("__stratum", "__quota"))
+    // the bucket key only BOUNDS work — the result never depends on it
+    // (level 2 re-ranks globally per stratum), so any deterministic
+    // spread function is fine and it never appears in an oracle
+    val skinny = df
+      .select(keyCol.as("__key"), strataCol.as("__strat"),
+        quotaOrder(keyCol).as("__ord"),
+        pmod(xxhash64(keyCol), lit(fanout)).as("__bucket"))
+      .join(qt, col("__strat") === col("__stratum"), "left")
+      .withColumn("__q", coalesce(col("__quota"), lit(defaultQuota)))
+    val w1 = Window.partitionBy(col("__strat"), col("__bucket"))
+      .orderBy(col("__ord"), col("__key"))
+    val w2 = Window.partitionBy(col("__strat"))
+      .orderBy(col("__ord"), col("__key"))
+    val kept = skinny
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= col("__q"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= col("__q"))
+      .select(col("__key"), col("rank"))
+    df.join(kept, keyCol === col("__key"), "inner")
+      .drop("__key")
+  }
+
+  // --------------------------------------------- mixture planning
+
+  /** Token-budget mixture planning: given per-stratum availability and
+    * target mixture weights, compute the per-stratum sampling rate that
+    * fills a global token budget at those weights — the planning step
+    * BEFORE [[stratifiedSample]] runs ("we want 100B tokens at web .5 /
+    * code .3 / books .2 — what rate does each source sample at, and
+    * which source runs out?"). A stratum whose availability can't cover
+    * its share caps at rate 1.0 and is flagged `exhausted` (the signal
+    * to re-weight or up-sample elsewhere). One aggregation (O(strata)
+    * groups) + a broadcast join against the weight table; the output is
+    * strata-sized, consumable directly as [[stratifiedSample]]
+    * fractions. */
+  def mixPlan(df: DataFrame, strataCol: Column, tokensCol: Column,
+              targetWeights: Map[String, Double],
+              budgetTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = broadcast(targetWeights.toSeq.toDF("__stratum", "__w"))
+    df.groupBy(strataCol.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("avail_tokens"))
+      .join(tgt, col("stratum") === col("__stratum"), "left")
+      .withColumn("target_frac", coalesce(col("__w"), lit(0.0)))
+      .withColumn("sample_rate",
+        least(col("target_frac") * budgetTokens / col("avail_tokens"),
+          lit(1.0)))
+      .withColumn("planned_tokens", col("sample_rate") * col("avail_tokens"))
+      .withColumn("exhausted",
+        col("avail_tokens") < col("target_frac") * budgetTokens)
+      .select(col("stratum"), col("n_docs"), col("avail_tokens"),
+        col("target_frac"), col("sample_rate"), col("planned_tokens"),
+        col("exhausted"))
+  }
 }

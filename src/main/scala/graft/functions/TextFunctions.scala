@@ -253,4 +253,39 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(0), size(t) - k),
         i => concat_ws(" ", slice(t, i + 1, lit(k)))))
   }
+
+  // --- hashed linear model scoring ------------------------------------
+
+  /** Feature bucket for the hashing trick: first 24 bits of md5(token)
+    * mod `numBuckets` — cross-engine reproducible (any SQL engine can
+    * parse 6 hex chars), uniform, and independent of JVM string hashing. */
+  private[graft] def featureBucket(tok: Column, numBuckets: Int): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 6), 16, 10)
+      .cast("long") % numBuckets
+
+  /** Deterministic per-bucket weight standing in for a TRAINED weight
+    * vector: w(b) = ((b*37 mod 21) - 10) / 16 ∈ [-10/16, 10/16]. Every
+    * value is an exact binary fraction (denominator 16), so the score
+    * sum is EXACT double arithmetic — addition order cannot perturb it,
+    * which is what lets the score hash-match an oracle that folds the
+    * token list in a different order. In production the weights come
+    * from a trained model shipped as one broadcast array (numBuckets
+    * doubles — 2 MB at 2^18 buckets) read by `element_at`; the plumbing
+    * (tokenize → bucket → gather → sum, zero shuffles) is identical. */
+  private[graft] def bucketWeight(bucket: Column): Column =
+    (bucket * 37 % 21 - 10).cast("double") / 16.0
+
+  /** Hashed-feature linear text scorer (the fasttext-style quality-
+    * classifier head every corpus pipeline runs at scale): distinct
+    * tokens → hash buckets → sum of bucket weights. Binary
+    * presence features over DISTINCT tokens; two tokens sharing a
+    * bucket both add its weight — standard hashing-trick collision
+    * semantics. Zero shuffles: one whole-stage-codegen'd pass per row
+    * (md5 + conv + a fold over the token array), embarrassingly
+    * parallel at any corpus size. Empty/NULL token arrays score 0. */
+  def hashedLinearScore(toks: Column, numBuckets: Int = 256): Column =
+    coalesce(
+      aggregate(array_distinct(toks), lit(0.0),
+        (acc, t) => acc + bucketWeight(featureBucket(t, numBuckets))),
+      lit(0.0))
 }

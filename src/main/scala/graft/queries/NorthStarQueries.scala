@@ -289,6 +289,25 @@ object NorthStarQueries {
         maxHamming = 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Planted-duplicate curation corpus (`pipeline_funnel` /
+    * `pipeline_curate`): documents plus a VERBATIM copy (+10M ids, text
+    * unchanged) of every doc_id % 7 == 3. The fixture corpus's planted
+    * near-dups are never byte-identical after normalization (zero
+    * exact-fingerprint groups at ANY fixture SF — measured), so without
+    * planting, a pipeline's exact-dedup stage can never show attrition
+    * at an oracle-checked SF — the existing composed-pipeline rows
+    * carry a dedup stage that the data never fires. A copy survives
+    * every text gate iff its original does (identical text ⇒ identical
+    * metrics), so the dedup stage's drop count is exactly the surviving
+    * planted ids — real, deterministic attrition both engines
+    * reproduce. Headroom-guarded like every planted fixture. */
+  private def curateDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = requirePlantedHeadroom(docs(s, dir), "doc_id")
+      .select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 7 === 3).select(
+      (col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+
   /** The resolved near-dup GROUPS (connected components over the exact
     * pair set), cached per sf dir: `resolveDupGroups` returns a persisted
     * label relation (its iterative loop needs the pin), so one resolution
@@ -1645,6 +1664,115 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     }),
 
+    // ---- curation funnel + planted-dup dedup stage -------------------
+
+    // The curation FUNNEL report — per-stage survivor counts for the
+    // langid -> quality -> repetition -> exact-dedup pipeline, the
+    // attrition record every corpus build publishes next to its output
+    // ("5.7M in, 3.8M after language ID, ... 2.5M unique"). Over the
+    // planted-duplicate corpus (see curateDocs) so the DEDUP stage has
+    // real attrition to count — at every fixture SF each stage strictly
+    // shrinks the survivor set, so a broken gate shows as two equal
+    // neighbors. ONE pass: every stage flag evaluates in a single
+    // projection (each metric computed once), then one aggregate; the
+    // only shuffles are the distinct-fingerprint Expand pair.
+    "pipeline_funnel" -> ((s, dir) => {
+      val flags = curateDocs(s, dir)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(
+          TextFunctions.langIdFromTokens(col("__toks")).as("__lang"),
+          TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
+            .as("__q"),
+          TextFunctions.dupNgramFrac(col("__toks"), 2).as("__dup2"),
+          TextFunctions.topNgramCharFrac(col("__toks"), 2).as("__top2"),
+          TextFunctions.fingerprintMd5(col("text")).as("__fp"))
+        .select(col("__fp"),
+          (col("__lang") === "en").as("__ok_lang"),
+          (col("__lang") === "en" && col("__q") >= 0.5).as("__ok_q"),
+          (col("__lang") === "en" && col("__q") >= 0.5 &&
+            col("__dup2") <= 0.05 && col("__top2") <= 0.12).as("__ok_rep"))
+      flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__ok_lang"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("__ok_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("__ok_rep"), 1L).otherwise(0L)).as("n_rep"),
+        countDistinct(when(col("__ok_rep"), col("__fp"))).as("n_kept"))
+    }),
+
+    // The same pipeline's row-level OUTPUT: gated survivors, exact-
+    // deduped keep-first (min doc_id per fingerprint), with the
+    // metadata a curated shard carries (quality, token budget,
+    // fingerprint). `__barrier` pins the metric projection below the
+    // gate exactly as in text_rep_gate (pushdown would otherwise inline
+    // the interpreted kernels into the filter and re-tokenize per
+    // metric reference). Keep-first is PER-COLUMN min — equal to the
+    // min-id ROW by construction (a fingerprint group is byte-identical
+    // text, so every metric is identical within it; only doc_id varies)
+    // and, unlike a struct-min (which plans as SortAggregate: a sort on
+    // both sides of the shuffle), it hash-aggregates: ONE map-side-
+    // combining shuffle on the fingerprint, no Sort, no self-join. The
+    // oracle computes the same per-column mins.
+    "pipeline_curate" -> ((s, dir) => {
+      val kept = curateDocs(s, dir)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          TextFunctions.langIdFromTokens(col("__toks")).as("__lang"),
+          TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
+            .as("quality"),
+          TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+          TextFunctions.dupNgramFrac(col("__toks"), 2).as("__dup2"),
+          TextFunctions.topNgramCharFrac(col("__toks"), 2).as("__top2"),
+          TextFunctions.fingerprintMd5(col("text")).as("fingerprint"),
+          rand(42).as("__barrier"))
+        .filter(col("__lang") === "en" && col("quality") >= 0.5 &&
+          col("__dup2") <= 0.05 && col("__top2") <= 0.12 &&
+          col("__barrier") >= lit(-1.0))
+      kept.groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("quality")).as("quality"),
+          min(col("n_tokens_bpe")).as("n_tokens_bpe"))
+        .select(col("doc_id"), col("quality"), col("n_tokens_bpe"),
+          col("fingerprint"))
+    }),
+
+    // ---- exact-quota sampling + mixture planning ---------------------
+
+    // EXACT-count stratified sampling (CorpusOps.quotaSample): exactly
+    // min(quota, |stratum|) rows per language, content-stable order —
+    // en binds (100 of ~218), zh binds (50 of ~75), fr only binds at
+    // sf0.1 (80 vs ~64/742), es/de take the default (25). The oracle
+    // recomputes the same salted-md5 rank; the two-level tree rank is
+    // plan-internal and invisible to it.
+    "corpus_quota_sample" -> ((s, dir) =>
+      CorpusOps.quotaSample(docs(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 100, "zh" -> 50, "fr" -> 80), defaultQuota = 25)
+        .select(col("doc_id"), col("lang"), col("rank").cast(LongType).as("rank"))),
+
+    // Token-budget mixture PLANNING (CorpusOps.mixPlan): per-language
+    // availability vs target weights at a 20k-token budget — zh's share
+    // (6k) exceeds its supply at sf0.01/0.001 so it caps at rate 1.0
+    // and flags `exhausted`; absent strata (es/de) plan to zero. The
+    // output is strata-sized and feeds stratifiedSample directly.
+    "corpus_mix_plan" -> ((s, dir) =>
+      CorpusOps.mixPlan(docs(s, dir), col("lang"),
+        TextFunctions.tokenCountWs(col("text")),
+        Map("en" -> 0.5, "zh" -> 0.3, "fr" -> 0.15),
+        budgetTokens = 20000L)),
+
+    // Hashed-feature linear scorer (TextFunctions.hashedLinearScore) —
+    // the fasttext-style quality-classifier head: distinct tokens ->
+    // md5 buckets -> summed bucket weights, zero shuffles, one codegen
+    // pass per row. The stand-in weight function is exact-binary-
+    // fraction-valued so the score is order-independent EXACT double
+    // arithmetic (see bucketWeight); `label` thresholds at the corpus
+    // median (~3.0), so both classes are populated at every SF.
+    "text_classifier_score" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          TextFunctions.hashedLinearScore(col("__toks")).as("score"))
+        .withColumn("label", col("score") >= 3.0)),
+
     // ---- multimodal plumbing -----------------------------------------
     // Real-file ingest through the `binaryFile` source over a checked-in
     // fixture dir (glob-pruned to *.bin — the .txt fixture must NOT appear),
@@ -2127,6 +2255,65 @@ object NorthStarQueries {
       |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 20 = 0) q
       |  WHERE c.vec_id <> q.vec_id) t
       |WHERE rank <= 10""".stripMargin
+
+  /** Shared CTE stack for the curation-funnel family: the planted-dup
+    * corpus (mirroring curateDocs — base docs plus verbatim +10M copies
+    * of doc_id % 7 == 3), then per-doc lang/quality/repetition metrics
+    * and the normalized fingerprint, all reusing the battle-tested
+    * expressions of the text_langid / text_rep_gate / text_fingerprint
+    * oracles so every metric hash-matches bit-for-bit. */
+  private val CurateCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3),
+      |t AS (SELECT doc_id, text,
+      |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+      |  FROM base),
+      |s AS (SELECT doc_id, text, toks,
+      |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
+      |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS s_de,
+      |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des','dans','que'], x))) AS s_fr,
+      |  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','que','por'], x))) AS s_es,
+      |  len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不','人','这'], x))) AS s_zh,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+      |  CASE WHEN len(toks) = 0 THEN 0.0
+      |       ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','at','by','be'], x))) AS DOUBLE) / len(toks) END AS sw
+      |  FROM t),
+      |l AS (SELECT doc_id, text, toks,
+      |  CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+      |       WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+      |       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+      |       WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+      |       WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+      |       ELSE 'de' END AS lang_pred,
+      |  least(length(text) / 200.0, 1.0) * greatest(0.0, 1.0 - punct * 4.0)
+      |    * (0.5 + least(sw * 5.0, 1.0) * 0.5) AS quality
+      |  FROM s),
+      |g AS (SELECT doc_id, text, toks, lang_pred, quality,
+      |    list_transform(range(1, greatest(len(toks)-1, 0)+1),
+      |      i -> array_to_string(toks[i:i+1], ' ')) AS g2
+      |  FROM l),
+      |m AS (SELECT doc_id, lang_pred, quality,
+      |    CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+')) + len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT) AS n_tokens_bpe,
+      |    CASE WHEN len(g2) = 0 THEN 0.0
+      |         ELSE CAST(len(g2)-len(list_distinct(g2)) AS DOUBLE)/len(g2) END AS dup_2gram_frac,
+      |    CASE WHEN len(g2) = 0 OR coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0) = 0 THEN 0.0
+      |         ELSE CAST(list_max(list_transform(list_distinct(g2),
+      |                d -> len(list_filter(g2, x -> x = d)) * (length(d)-1))) AS DOUBLE)
+      |              / CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) END AS top_2gram_char_frac,
+      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM g)""".stripMargin
+
+  /** The classifier-score expression (`text_classifier_score`), shared
+    * by the score and label columns: md5-bucketed hashing trick over
+    * DISTINCT tokens, exact-binary-fraction weights (see
+    * TextFunctions.bucketWeight — order-independent EXACT sums, so the
+    * DuckDB fold order vs Spark's is immaterial). */
+  private val ClassifierScoreExpr: String =
+    """coalesce(list_sum(list_transform(list_distinct(toks),
+      |    tk -> CAST((((CAST(('0x' || substring(md5(tk), 1, 6)) AS BIGINT) % 256) * 37 % 21) - 10) AS DOUBLE) / 16.0)), 0.0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_groups" ->
@@ -2692,6 +2879,53 @@ object NorthStarQueries {
         |SELECT shard, CAST(cum // 512 AS BIGINT) AS pack_id,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM packed GROUP BY shard, cum // 512""".stripMargin,
+    "pipeline_funnel" ->
+      s"""$CurateCtes
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (lang_pred = 'en') AS BIGINT) AS n_lang,
+        |  CAST(count(*) FILTER (lang_pred = 'en' AND quality >= 0.5) AS BIGINT) AS n_quality,
+        |  CAST(count(*) FILTER (lang_pred = 'en' AND quality >= 0.5
+        |    AND dup_2gram_frac <= 0.05 AND top_2gram_char_frac <= 0.12) AS BIGINT) AS n_rep,
+        |  CAST(count(DISTINCT fingerprint) FILTER (lang_pred = 'en' AND quality >= 0.5
+        |    AND dup_2gram_frac <= 0.05 AND top_2gram_char_frac <= 0.12) AS BIGINT) AS n_kept
+        |FROM m""".stripMargin,
+    // per-column min == the min-id ROW: a fingerprint group is
+    // byte-identical text, so every metric is identical within it
+    "pipeline_curate" ->
+      s"""$CurateCtes,
+        |kept AS (SELECT * FROM m
+        |  WHERE lang_pred = 'en' AND quality >= 0.5
+        |    AND dup_2gram_frac <= 0.05 AND top_2gram_char_frac <= 0.12)
+        |SELECT min(doc_id) AS doc_id, min(quality) AS quality,
+        |  min(n_tokens_bpe) AS n_tokens_bpe, fingerprint
+        |FROM kept GROUP BY fingerprint""".stripMargin,
+    "corpus_quota_sample" ->
+      """SELECT doc_id, lang, rank FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 50
+        |                        WHEN 'fr' THEN 80 ELSE 25 END""".stripMargin,
+    "corpus_mix_plan" ->
+      """WITH a AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, n_docs, avail_tokens,
+        |    CAST(CASE stratum WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3
+        |                      WHEN 'fr' THEN 0.15 ELSE 0.0 END AS DOUBLE) AS target_frac
+        |  FROM a)
+        |SELECT stratum, n_docs, avail_tokens, target_frac,
+        |  least(target_frac * 20000 / avail_tokens, 1.0) AS sample_rate,
+        |  least(target_frac * 20000 / avail_tokens, 1.0) * avail_tokens AS planned_tokens,
+        |  avail_tokens < target_frac * 20000 AS exhausted
+        |FROM w""".stripMargin,
+    "text_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, $ClassifierScoreExpr AS score,
+        |  $ClassifierScoreExpr >= 3.0 AS label
+        |FROM t""".stripMargin,
     "text_quality_filter" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks

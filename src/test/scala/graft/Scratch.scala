@@ -38,6 +38,20 @@ object Scratch {
         Files.writeString(Paths.get(out), sb.toString)
         println(s"wrote $out")
 
+      case "optplan" =>
+        // dump a named query's OPTIMIZED logical plan (what the
+        // PlanShapeSpec barrier/inlining assertions string-match)
+        val dir = args(1); val out = args(2)
+        val names = args(3).split(",").toSeq
+        val sb = new StringBuilder
+        names.foreach { n =>
+          sb.append(s"\n=================== $n ===================\n")
+          sb.append(SparkEntry.queries(n)(spark, dir)
+            .queryExecution.optimizedPlan.toString)
+        }
+        Files.writeString(Paths.get(out), sb.toString)
+        println(s"wrote $out")
+
       case "show" =>
         // print a named query's rows (gate-value spot checks across SFs)
         val dir = args(1)

@@ -176,4 +176,76 @@ class CorpusOpsSpec extends AnyFunSuite {
     // 'g' sorts above every lowercase hex digit, so the sentinel keeps all
     assert("ffff" < "g")
   }
+
+  test("quotaSample: exact counts, tree rank == naive global rank, fanout-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    // strata sized around their quotas: s0 binds (quota < size), s1
+    // keeps all (quota > size), s2 takes the default
+    val df = ((1L to 200L).map(i => (i, "s0")) ++
+      (201L to 215L).map(i => (i, "s1")) ++
+      (216L to 275L).map(i => (i, "s2"))).toDF("id", "stratum")
+    val quotas = Map("s0" -> 40, "s1" -> 50)
+
+    // the REFERENCE semantics: one global per-stratum rank over the
+    // same salted-md5 order the operator documents
+    val ord = md5(concat(lit("quota:"), col("id").cast("string")).cast("binary"))
+    val naive = df
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(ord, col("id"))))
+      .filter(col("r") <= when(col("stratum") === "s0", 40)
+        .when(col("stratum") === "s1", 50).otherwise(10))
+      .select(col("id"), col("r").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+    for (fanout <- Seq(1, 4, 64)) {
+      val got = CorpusOps.quotaSample(df, col("id"), col("stratum"),
+        quotas, defaultQuota = 10, fanout = fanout)
+        .select(col("id"), col("rank").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == naive, s"fanout=$fanout must not change the kept set")
+    }
+
+    val counts = CorpusOps.quotaSample(df, col("id"), col("stratum"),
+      quotas, defaultQuota = 10)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("s0" -> 40L, "s1" -> 15L, "s2" -> 10L),
+      "exactly min(quota, |stratum|) per stratum")
+
+    // physical layout must not leak into the kept set or the ranks
+    val rep = CorpusOps.quotaSample(df.repartition(7), col("id"),
+      col("stratum"), quotas, defaultQuota = 10)
+      .select(col("id"), col("rank").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(rep == naive)
+
+    // ranks are a clean 1..n prefix per stratum — downstream "first k
+    // of the quota" slices need no re-rank
+    val ranks = CorpusOps.quotaSample(df, col("id"), col("stratum"),
+      quotas, defaultQuota = 10)
+      .select(col("stratum"), col("rank").cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    ranks.foreach { case (s, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"stratum $s ranks must be a contiguous 1..n prefix")
+    }
+  }
+
+  test("mixPlan: rates hit the budget share, short strata cap and flag exhausted") {
+    // s0: 1000 tokens avail, wants .6 * 1500 = 900  -> rate .9
+    // s1:  200 tokens avail, wants .4 * 1500 = 600  -> caps at 1.0, exhausted
+    // s2:  300 tokens avail, no weight             -> rate 0, planned 0
+    val df = Seq(
+      ("s0", 400L), ("s0", 600L),
+      ("s1", 200L),
+      ("s2", 300L)).toDF("stratum", "n_tok")
+    val plan = CorpusOps.mixPlan(df, col("stratum"), col("n_tok"),
+      Map("s0" -> 0.6, "s1" -> 0.4), budgetTokens = 1500L)
+      .select("stratum", "n_docs", "avail_tokens", "target_frac",
+        "sample_rate", "planned_tokens", "exhausted")
+      .as[(String, Long, Long, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(plan("s0") == (("s0", 2L, 1000L, 0.6, 0.9, 900.0, false)))
+    assert(plan("s1") == (("s1", 1L, 200L, 0.4, 1.0, 200.0, true)))
+    assert(plan("s2") == (("s2", 1L, 300L, 0.0, 0.0, 0.0, false)))
+  }
 }

@@ -118,4 +118,30 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select("tag").as[String].collect().toSet
     assert(kept == Set("good"))
   }
+
+  test("hashedLinearScore: presence semantics, additivity, exact arithmetic") {
+    def score(texts: String*): Seq[Double] = texts.toDF("t")
+      .select(TextFunctions.hashedLinearScore(
+        TextFunctions.tokens(col("t"))).as("s"))
+      .as[Double].collect().toSeq
+
+    // empty / punctuation-only -> zero (no features)
+    assert(score("", "!!! ???") == Seq(0.0, 0.0))
+
+    // PRESENCE features: token multiplicity never changes the score
+    assert(score("alpha alpha alpha") == score("alpha"))
+
+    // additivity over distinct tokens (holds whether or not the tokens
+    // share a bucket — the fold just sums each distinct token's weight)
+    val Seq(a, b, ab) = score("alpha", "bravo", "alpha bravo")
+    assert(ab == a + b, "exact-fraction weights: sum must be EXACT")
+
+    // every weight is a multiple of 1/16 in [-10/16, 10/16], so any
+    // score is a multiple of 1/16 — the order-independence guarantee
+    val s = score("the quick brown fox jumped over a lazy dog today")
+    assert(s.head == math.rint(s.head * 16.0) / 16.0)
+
+    // word order can't matter (set-of-tokens semantics + exact sums)
+    assert(score("gamma delta epsilon") == score("epsilon gamma delta"))
+  }
 }

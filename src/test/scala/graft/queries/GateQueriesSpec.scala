@@ -201,6 +201,21 @@ class GateQueriesSpec extends AnyFunSuite {
       .count() >= 0L, "collision-free sparse ids must not trip the guard")
   }
 
+  test("pipeline_funnel: every stage strictly fires (no no-op gate)") {
+    // the oracle hash-matches WHATEVER the counts are — this gate pins
+    // that each stage actually removes documents at the fixture SF
+    // (equal neighbors == a gate wired to a constant), and that the
+    // dedup stage's attrition is exactly the planted duplicates that
+    // survived the text gates (n_rep > n_kept)
+    val Array(r) = run("pipeline_funnel")
+    val seq = Seq("n_docs", "n_lang", "n_quality", "n_rep", "n_kept")
+      .map(r.getAs[Long])
+    assert(seq.last > 0, "the funnel must keep something")
+    seq.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      assert(a > b, s"stage ${i + 1} dropped nothing ($a -> $b): $seq")
+    }
+  }
+
   test("q_sessionize emits BIGINT session_seq with deterministic ordering") {
     val df = SparkEntry.queries("q_sessionize")(spark, sf)
     assert(df.schema("session_seq").dataType ==

@@ -408,4 +408,79 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ADC rank window must see only the skinny triple:\n${winBlock.get}")
     loaded.close()
   }
+
+  test("classifier score: pure scan projection, zero shuffles") {
+    // tokenize -> bucket -> weight-sum is all within-row arithmetic;
+    // ANY Exchange here means a 100 TB corpus shuffles to be scored
+    val plan = finalPlan("text_classifier_score")
+    assert(nodeCount(plan, "Exchange") == 0,
+      s"classifier scoring must not shuffle:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "BroadcastExchange") == 0)
+    assert(nodeCount(plan, "Sort") == 0)
+  }
+
+  test("pipeline_curate: one combining shuffle, no sort, tokens staged once") {
+    // keep-first dedup is per-column min (identical within a
+    // fingerprint group), which hash-aggregates — a struct-min would
+    // plan as SortAggregate and sort BOTH sides of the shuffle
+    val plan = finalPlan("pipeline_curate")
+    assert(nodeCount(plan, "Exchange") == 1,
+      s"exactly one shuffle (on the fingerprint):\n${plan.take(2000)}")
+    assert(nodeCount(plan, "HashAggregate") == 2,
+      "partial (map-side) + final aggregate — the combining shape")
+    assert(nodeCount(plan, "Sort") == 0, "hash aggregation, never a sort")
+    assert(nodeCount(plan, "SortMergeJoin") == 0 &&
+      nodeCount(plan, "BroadcastHashJoin") == 0, "dedup by agg, not self-join")
+    // the rep_gate barrier contract: pushdown must not re-inline the
+    // metric kernels into the gate (each inlining re-tokenizes the doc).
+    // Exactly 3 split( sites are intrinsic: the staged __toks tokenize
+    // appears once PER UNION LEG (base + planted copies — each row
+    // tokenizes once, in its own leg) and tokenCountBpe carries its own
+    // split over the raw text; re-inlining would add one per metric
+    // reference (~6+)
+    val opt = graft.SparkEntry.queries("pipeline_curate")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(opt).size
+    assert(splits <= 3,
+      s"tokenization appears ${splits}x — pushdown re-inlined the metrics:\n${opt.take(2000)}")
+  }
+
+  test("pipeline_funnel: one pass over the corpus, skinny distinct") {
+    // all four stage flags evaluate in ONE projection over one scan
+    // pair (base + planted union); the only shuffles carry the
+    // (fingerprint, flags) skinny stream into the distinct/final agg
+    val plan = finalPlan("pipeline_funnel")
+    assert(nodeCount(plan, "Exchange") <= 2,
+      s"at most the distinct-agg exchange pair:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Expand") == 0,
+      s"single-distinct plans without Expand:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "SortMergeJoin") == 0 &&
+      nodeCount(plan, "CartesianProduct") == 0)
+  }
+
+  test("quota sample: bounded tree ranks, full rows never sorted") {
+    // two Window levels = two skinny exchanges; the quota table and the
+    // kept-key set join back by broadcast — the full-width corpus rows
+    // are never sorted or shuffled (at 100 TB the sort is the killer:
+    // level-1 sorts are per (stratum x bucket), level 2 sorts <=
+    // fanout x quota survivors)
+    val plan = finalPlan("corpus_quota_sample")
+    assert(nodeCount(plan, "Exchange") == 2,
+      s"two skinny rank exchanges only:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Window") == 2)
+    assert(nodeCount(plan, "SortMergeJoin") == 0,
+      "kept-key set must broadcast back, never sort-merge")
+    assert(nodeCount(plan, "BroadcastHashJoin") == 2,
+      s"quota table + kept-key set both broadcast:\n${plan.take(2000)}")
+  }
+
+  test("mix plan: one combining aggregate over O(strata) groups") {
+    val plan = finalPlan("corpus_mix_plan")
+    assert(nodeCount(plan, "Exchange") == 1,
+      s"one shuffle, on the stratum key:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "HashAggregate") == 2,
+      "partial (map-side) + final — the corpus combines before moving")
+    assert(nodeCount(plan, "BroadcastHashJoin") == 1,
+      "the weight table broadcasts")
+  }
 }
