@@ -292,6 +292,90 @@ object CorpusOps {
       .drop("__key")
   }
 
+  // -------------------------------------- corpus vocabulary + rarity
+
+  /** Corpus token-frequency table — the first artifact every tokenizer
+    * build and rarity filter needs: (token, n) over the whole corpus.
+    * One explode + one map-side-combining aggregation; the intermediate
+    * is VOCABULARY-sized, not corpus-sized, as soon as the partial agg
+    * combines within each scan partition. At 100 TB the long tail of
+    * near-unique junk tokens is the hazard (the partial agg stops
+    * combining and the shuffle carries ~every token occurrence) —
+    * `minCount` prunes the tail AFTER the exact count (lossless for
+    * every reported row), which bounds the OUTPUT, and the shuffle
+    * itself stays one skinny (token, partial-n) stream. */
+  def wordFreq(df: DataFrame, textCol: Column, minCount: Long = 1L): DataFrame =
+    df.select(explode(TextFunctions.tokens(textCol)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  /** Corpus-frequency rarity scoring (the CCNet-style "how ordinary is
+    * this document's vocabulary" filter, with EXACT arithmetic): mean
+    * corpus count of the document's tokens, from a fitted [[wordFreq]]
+    * table. Fit/score are split so a frequency table fitted on corpus A
+    * scores corpus B (OOV tokens count 0 via the left join). All sums
+    * are INTEGER (token counts), with one double division at the end —
+    * both engines round that division identically, so scores
+    * hash-match with no float-accumulation-order hazard (the reason
+    * this is counts, not log-probs: sum order of doubles is
+    * plan-dependent, sum order of longs is immaterial).
+    *
+    * Scale shape: explode → broadcast join on token (the freq table is
+    * vocabulary-sized — prune with minCount to keep it broadcastable;
+    * rare tokens pruned to OOV-0 only LOWER a doc's score, the
+    * conservative direction for a keep-if-ordinary gate) → one
+    * combining shuffle on doc_id of a skinny (doc_id, n) stream. */
+  def rarityScore(df: DataFrame, idCol: Column, textCol: Column,
+                  freq: DataFrame): DataFrame =
+    df.select(idCol.as("doc_id"),
+        explode(TextFunctions.tokens(textCol)).as("token"))
+      .join(broadcast(freq), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("n"), lit(0L))).as("sum_count"))
+      .withColumn("mean_count",
+        col("sum_count").cast("double") / col("n_tokens"))
+
+  // ---------------------------------------------- table profiling
+
+  /** Per-column data-profiling report: (column, n_rows, n_nulls,
+    * n_distinct, min_str, max_str) for every column of `df` — the
+    * sanity sweep a pipeline runs on any new corpus drop before
+    * spending compute on it. min/max aggregate on the NATIVE type and
+    * cast the RESULT to string (casting first would rank "10" < "9").
+    *
+    * ONE pass over the data: a single aggregation computes every
+    * column's stats, then a driver-free `stack` melts the 1-row result.
+    * `exact = true` plans the multi-distinct via Expand — one data copy
+    * per column, the honest price of exact cardinalities, fine for a
+    * deliberate profiling run; `exact = false` swaps in HLL
+    * `approx_count_distinct` sketches (±2% default), no Expand, one
+    * combining pass — the default posture at 100 TB. Everything else is
+    * identical between the modes. */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val fields = df.schema.fields
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c))
+          .as(s"__dist_${f.name}"),
+        min(c).cast("string").as(s"__min_${f.name}"),
+        max(c).cast("string").as(s"__max_${f.name}"))
+    } :+ count(lit(1)).as("__n")
+    val stackArgs = fields.map { f =>
+      s"'${f.name}', `__nulls_${f.name}`, `__dist_${f.name}`," +
+        s" `__min_${f.name}`, `__max_${f.name}`"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("__n",
+        s"stack(${fields.length}, $stackArgs)" +
+          " as (column, n_nulls, n_distinct, min_str, max_str)")
+      .select(col("column"), col("__n").as("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
+
   // --------------------------------------------- mixture planning
 
   /** Token-budget mixture planning: given per-stratum availability and

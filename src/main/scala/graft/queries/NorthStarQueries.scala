@@ -1773,6 +1773,35 @@ object NorthStarQueries {
           TextFunctions.hashedLinearScore(col("__toks")).as("score"))
         .withColumn("label", col("score") >= 3.0)),
 
+    // ---- corpus vocabulary, rarity scoring, table profiling ----------
+
+    // Corpus token-frequency table (CorpusOps.wordFreq), top 30 by
+    // count — the tokenizer-training / stopword-discovery artifact.
+    // Ties break by token, so the reported SET is deterministic; the
+    // vocabulary-sized intermediate combines map-side before the one
+    // skinny shuffle, and the top-k is TakeOrdered (per-partition heads
+    // merged), never a global sort.
+    "corpus_word_freq" -> ((s, dir) =>
+      CorpusOps.wordFreq(docs(s, dir), col("text"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)),
+
+    // Corpus-frequency rarity scoring (CorpusOps.rarityScore), self-
+    // fitted: mean corpus count of each doc's tokens. Exact by
+    // construction — integer count sums with ONE final division (see
+    // the operator doc for why this is counts, not log-probs).
+    "text_rarity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.rarityScore(d, col("doc_id"), col("text"),
+        CorpusOps.wordFreq(d, col("text")))
+    }),
+
+    // Per-column profiling report (CorpusOps.profile) over the raw
+    // documents table — exact cardinalities (the oracle-checkable
+    // mode; `exact = false` is the same plan minus the Expand, gated
+    // vs this row in GateQueriesSpec).
+    "corpus_profile" -> ((s, dir) => CorpusOps.profile(docs(s, dir))),
+
     // ---- multimodal plumbing -----------------------------------------
     // Real-file ingest through the `binaryFile` source over a checked-in
     // fixture dir (glob-pruned to *.bin — the .txt fixture must NOT appear),
@@ -2926,6 +2955,31 @@ object NorthStarQueries {
         |SELECT doc_id, $ClassifierScoreExpr AS score,
         |  $ClassifierScoreExpr >= 3.0 AS label
         |FROM t""".stripMargin,
+    "corpus_word_freq" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    // integer count sums + ONE final division: both engines round the
+    // division identically, so mean_count hash-matches exactly
+    "text_rarity" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |f AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(f.n) AS BIGINT) AS sum_count,
+        |  CAST(sum(f.n) AS DOUBLE) / count(*) AS mean_count
+        |FROM t JOIN f USING (token) GROUP BY t.doc_id""".stripMargin,
+    "corpus_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", ""),
     "text_quality_filter" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks

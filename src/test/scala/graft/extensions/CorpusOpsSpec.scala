@@ -230,6 +230,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordFreq: exact counts under the shared token convention, minCount prunes losslessly") {
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry! APPLE"),
+      (3L, "")).toDF("id", "text")
+    // tokens() lowercases and strips punctuation — APPLE and cherry!
+    // must land on the same counters as their clean forms
+    val freq = CorpusOps.wordFreq(df, col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(freq == Map("apple" -> 3L, "banana" -> 2L, "cherry" -> 1L))
+    val pruned = CorpusOps.wordFreq(df, col("text"), minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(pruned == Map("apple" -> 3L, "banana" -> 2L),
+      "minCount prunes AFTER the exact count — surviving rows unchanged")
+  }
+
+  test("rarityScore: exact integer sums, OOV contributes zero, cross-corpus fit") {
+    val corpus = Seq((1L, "the the cat"), (2L, "the dog")).toDF("id", "text")
+    val freq = CorpusOps.wordFreq(corpus, col("text")) // the->3 cat->1 dog->1
+    val scored = CorpusOps.rarityScore(corpus, col("id"), col("text"), freq)
+      .select("doc_id", "n_tokens", "sum_count", "mean_count")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(scored(1L) == ((1L, 3L, 7L, 7.0 / 3.0))) // the(3)+the(3)+cat(1)
+    assert(scored(2L) == ((2L, 2L, 4L, 2.0)))       // the(3)+dog(1)
+    // a freq table fitted on corpus A scores corpus B; unseen tokens
+    // count 0 (the conservative direction for a keep-if-ordinary gate)
+    val other = Seq((9L, "the zebra")).toDF("id", "text")
+    val x = CorpusOps.rarityScore(other, col("id"), col("text"), freq)
+      .select("doc_id", "n_tokens", "sum_count", "mean_count")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(x == Seq((9L, 2L, 3L, 1.5)))
+  }
+
+  test("profile: nulls, exact distincts, native-type min/max, approx mode agrees") {
+    val df = Seq[(Option[Long], Option[String])](
+      (Some(9L), Some("b")), (Some(10L), None), (None, Some("a")),
+      (Some(10L), Some("a"))).toDF("num", "s")
+    def byCol(exact: Boolean) = CorpusOps.profile(df, exact)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = byCol(exact = true)
+    assert(p("num").getLong(1) == 4L && p("num").getLong(2) == 1L &&
+      p("num").getLong(3) == 2L)
+    assert(p("num").getString(4) == "9" && p("num").getString(5) == "10",
+      "min/max must aggregate on the NATIVE type — string order says 10 < 9")
+    assert((p("s").getLong(2), p("s").getLong(3),
+      p("s").getString(4), p("s").getString(5)) == ((1L, 2L, "a", "b")))
+    // approx mode: identical report except n_distinct, which is a sketch
+    val a = byCol(exact = false)
+    for (c <- Seq("num", "s")) {
+      assert(a(c).getLong(1) == p(c).getLong(1) &&
+        a(c).getLong(2) == p(c).getLong(2))
+      assert(a(c).getString(4) == p(c).getString(4) &&
+        a(c).getString(5) == p(c).getString(5))
+      assert(math.abs(a(c).getLong(3) - p(c).getLong(3)) <= 1)
+    }
+  }
+
   test("mixPlan: rates hit the budget share, short strata cap and flag exhausted") {
     // s0: 1000 tokens avail, wants .6 * 1500 = 900  -> rate .9
     // s1:  200 tokens avail, wants .4 * 1500 = 600  -> caps at 1.0, exhausted

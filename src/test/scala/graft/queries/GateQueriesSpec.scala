@@ -216,6 +216,24 @@ class GateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_profile: approx mode tracks exact cardinalities without the Expand") {
+    import graft.extensions.CorpusOps
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    def dist(exact: Boolean) = CorpusOps.profile(d, exact).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = dist(exact = true)
+    val approx = dist(exact = false)
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$c: approx ${approx(c)} vs exact $n")
+    }
+    // the scale posture: the sketch path must not pay the Expand data copy
+    val approxPlan = CorpusOps.profile(d, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must plan without Expand:\n${approxPlan.take(1500)}")
+  }
+
   test("q_sessionize emits BIGINT session_seq with deterministic ordering") {
     val df = SparkEntry.queries("q_sessionize")(spark, sf)
     assert(df.schema("session_seq").dataType ==

@@ -474,6 +474,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"quota table + kept-key set both broadcast:\n${plan.take(2000)}")
   }
 
+  test("word freq: map-side combine then TakeOrdered — never a global sort") {
+    val plan = finalPlan("corpus_word_freq")
+    assert(nodeCount(plan, "Exchange") == 1,
+      s"one skinny (token, partial-n) shuffle:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "HashAggregate") == 2,
+      "partial (map-side) + final — vocabulary-sized before it moves")
+    assert(nodeCount(plan, "TakeOrderedAndProject") == 1,
+      s"top-k must be TakeOrdered (per-partition heads), not a sort:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Sort") == 0)
+  }
+
+  test("rarity: freq broadcasts back to the exploded stream, skinny shuffles only") {
+    val plan = finalPlan("text_rarity")
+    assert(nodeCount(plan, "BroadcastHashJoin") == 1,
+      s"the vocabulary-sized freq table must broadcast:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "SortMergeJoin") == 0)
+    assert(nodeCount(plan, "Exchange") == 2,
+      "vocab combining agg + per-doc combining agg — nothing else moves")
+    assert(nodeCount(plan, "Sort") == 0)
+  }
+
+  test("profile: one pass over the table, no joins, exactly one Expand for exact distincts") {
+    val plan = finalPlan("corpus_profile")
+    assert(nodeCount(plan, "Expand") == 1,
+      s"exact multi-distinct pays ONE Expand (its documented price):\n${plan.take(2000)}")
+    assert(nodeCount(plan, "BroadcastHashJoin") == 0 &&
+      nodeCount(plan, "SortMergeJoin") == 0, "profile never joins")
+    assert(nodeCount(plan, "Exchange") <= 2,
+      s"single aggregation cascade:\n${plan.take(2000)}")
+  }
+
   test("mix plan: one combining aggregate over O(strata) groups") {
     val plan = finalPlan("corpus_mix_plan")
     assert(nodeCount(plan, "Exchange") == 1,
