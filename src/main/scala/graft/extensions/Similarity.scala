@@ -736,11 +736,16 @@ object Similarity {
     * is unrolled at plan-build time. */
   private def adcRerankTopK(scan: DataFrame, qVecs: DataFrame,
                             vectors: DataFrame, m: Int, offsets: Seq[Int],
-                            k: Int, rerank: Int): DataFrame = {
+                            k: Int, rerank: Int,
+                            adcExtra: Option[Column] = None): DataFrame = {
+    // adcExtra: a per-scan-row additive score term (the residual
+    // variant's coarse dot(qhat, chat)); None leaves the direct plan
+    // byte-identical
+    val lookups = (0 until m).map(sub =>
+      col("__dt")(lit(offsets(sub)) + col("codes")(sub)))
+      .reduce(_ + _)
     val adc = scan.select(col("query_id"), col("neighbor_id"),
-      (0 until m).map(sub =>
-        col("__dt")(lit(offsets(sub)) + col("codes")(sub)))
-        .reduce(_ + _).as("__adc"))
+      adcExtra.fold(lookups)(lookups + _).as("__adc"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     val cands = adc.withColumn("__ar", row_number().over(wA))
@@ -804,14 +809,26 @@ object Similarity {
   // full vectors; the composition touches nprobe/nlist of the rows AND
   // moves 32x fewer bytes per touched row — both savings multiply.
   //
-  // Encoding note: this is the DIRECT-encoding variant (codes quantize
-  // the normalized vector itself); the paper's IVFADC encodes the
-  // RESIDUAL v - centroid(cell), which buys ADC fidelity when cells are
-  // tight. With the exact re-rank pass bounding the final ranking error
-  // to "was a true neighbor outside the ADC top-rerank", the direct
-  // variant keeps one codebook family shared across all cells (residual
-  // codebooks must be retrained if the coarse quantizer moves) — and
-  // the recall gates price the honest difference.
+  // Encoding note: BOTH published variants are implemented, selected by
+  // `residual` at fit time. Direct encoding (default) quantizes the
+  // normalized vector itself — one codebook family valid independent of
+  // the coarse quantizer, so a bring-your-own-centers composition can
+  // PQ-compress an existing IVF without any coupling. Residual encoding
+  // (`residual = true`) is the paper's IVFADC proper: codes quantize
+  // r = vhat - chat(cell) (chat = the NORMALIZED cell centroid, so the
+  // decomposition lives in the same unit space the ADC scores), which
+  // buys ADC fidelity because within-cell residuals are far tighter
+  // than the raw vectors — the codebook's ksub cells model a smaller
+  // ball. The probe then scores dot(qhat, vhat) = dot(qhat, chat) +
+  // dot(qhat, r): the first term is one per-(query, probed-cell)
+  // constant computed with the centroid table (nprobe x |queries| rows
+  // — free), the second is the SAME m-lookup ADC sum, against the
+  // residual codebooks. The price: residual codebooks are coupled to
+  // the coarse quantizer (if the centers move, re-encode), which is why
+  // direct stays the default for bring-your-own-centers composition.
+  // Exact re-rank bounds the final ranking error of both variants to
+  // "was a true neighbor outside the ADC top-rerank"; the recall gates
+  // price each honestly.
 
   /**
    * A fitted IVF-PQ search index — same lifecycle as the other four
@@ -831,6 +848,7 @@ object Similarity {
                               codes: DataFrame,
                               vectors: DataFrame,
                               m: Int, ksub: Int, dim: Int,
+                              residual: Boolean = false,
                               savedDir: Option[String] = None,
                               version: Long = 1L,
                               folded: Seq[String] = Nil,
@@ -875,7 +893,7 @@ object Similarity {
         cells.zipWithIndex.map { case (c, cell) => (sub, cell, c) }
       }.toDF("sub", "cell", "center")
         .write.mode("overwrite").parquet(s"$dir/codebooks")
-      Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
+      Seq((m, ksub, dim, residual)).toDF("m", "ksub", "dim", "residual")
         .write.mode("overwrite").parquet(s"$dir/meta")
       IndexMeta.write(spark, dir, IndexMeta.Meta(version,
         parent = parent.orElse(savedDir).filterNot(_ == dir), folded = folded,
@@ -911,19 +929,29 @@ object Similarity {
     * 100 TB pipeline that already operates an IVF index PQ-compresses
     * it without re-clustering (which would reassign the whole corpus
     * and invalidate every saved cell partition). `nlist` is ignored
-    * when `centers` is given. */
+    * when `centers` is given.
+    *
+    * `residual = true` selects the paper's IVFADC-proper residual
+    * encoding (see the section note): codebooks train on and codes
+    * quantize vhat - chat(cell) instead of vhat. The subtraction is one
+    * broadcast join against the nlist-row normalized-centroid table +
+    * a zip_with — same narrow shape as the encode itself. */
   def ivfPqFit(candidates: DataFrame, idCol: String, vecCol: String,
                nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                seed: Long = 42L, trainFraction: Double = 1.0,
                metaCols: Seq[String] = Nil,
-               centers: Option[DataFrame] = None): IvfPqIndex = {
+               centers: Option[DataFrame] = None,
+               residual: Boolean = false): IvfPqIndex = {
     val coarse = centers match {
       case Some(c) => IvfIndex(c,
         assignToCells(candidates, c, idCol, vecCol, metaCols))
       case None => ivfFit(candidates, idCol, vecCol, nlist, seed,
         trainFraction, metaCols)
     }
-    val base = withUnitVec(coarse.assigned, "c_vec")
+    val base0 = withUnitVec(coarse.assigned, "c_vec")
+    val base =
+      if (!residual) base0
+      else subtractCellCenter(base0, coarse.centers)
     val dim = base.select(size(col("c_vec"))).head().getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
@@ -936,13 +964,35 @@ object Similarity {
     val codes = encoded.select(col("neighbor_id") +: col("cell") +:
       col("codes") +: metaCols.map(col): _*)
     val vectors = encoded.select(col("neighbor_id"), col("cell"), col("c_vec"))
-    IvfPqIndex(coarse.centers, codebooks, codes, vectors, m, ksub, dim)
+    IvfPqIndex(coarse.centers, codebooks, codes, vectors, m, ksub, dim,
+      residual = residual)
   }
+
+  /** The NORMALIZED (unit, double) centroid table (cell, __chat) — the
+    * space residual encoding decomposes in: vhat = chat + r must hold in
+    * the same unit space the ADC scores, and the raw KMeans centers are
+    * not unit vectors. */
+  private def centersUnit(centers: DataFrame): DataFrame =
+    withUnitVec(centers.select(col("cell"), col("center")), "center")
+      .select(col("cell"), col("__vhat").as("__chat"))
+
+  /** Replace `__vhat` with the cell residual vhat - chat(cell): one
+    * broadcast join against the nlist-row normalized-centroid table +
+    * one zip_with — narrow, no shuffle of the corpus side. */
+  private def subtractCellCenter(assigned: DataFrame,
+                                 centers: DataFrame): DataFrame =
+    assigned.join(broadcast(centersUnit(centers)), Seq("cell"))
+      .withColumn("__vhat",
+        zip_with(col("__vhat"), col("__chat"), (x, y) => x - y))
+      .drop("__chat")
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): IvfPqIndex = {
-    val meta = spark.read.parquet(s"$dir/meta")
-      .select(col("m"), col("ksub"), col("dim")).head()
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    // pre-residual trees carry no flag — they are direct-encoded
+    val residual = metaDf.schema.fieldNames.contains("residual") &&
+      metaDf.select(col("residual")).head().getBoolean(0)
+    val meta = metaDf.select(col("m"), col("ksub"), col("dim")).head()
     val (m, ksub, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val cb = spark.read.parquet(s"$dir/codebooks")
       .select(col("sub"), col("cell"), col("center"))
@@ -961,7 +1011,7 @@ object Similarity {
         spark.read.parquet(s"$dir/vectors")
       else codes.select(col("neighbor_id"), col("cell"), col("c_vec"))
     IvfPqIndex(spark.read.parquet(s"$dir/centers"), codebooks,
-      codes.drop("c_vec"), vectors, m, ksub, dim,
+      codes.drop("c_vec"), vectors, m, ksub, dim, residual = residual,
       savedDir = Some(dir),
       version = stamp.map(_.version).getOrElse(1L),
       folded = stamp.map(_.folded).getOrElse(Nil),
@@ -979,9 +1029,15 @@ object Similarity {
     val metaCols = index.codes.columns.toSeq
       .filterNot(Set("neighbor_id", "cell", "codes"))
     val dsub = index.dim / index.m
-    val enc = withUnitVec(
+    val assigned0 = withUnitVec(
       assignToCells(newVecs, index.centers, idCol, vecCol, metaCols),
       "c_vec")
+    // a residual index encodes residuals against the SAME frozen centers
+    // the assignment used — the coupling the section note documents
+    val assigned =
+      if (!index.residual) assigned0
+      else subtractCellCenter(assigned0, index.centers)
+    val enc = assigned
       .withColumn("codes", encodeCodes(col("__vhat"), index.codebooks, dsub))
     index.copy(
       codes = index.codes.unionByName(enc.select(col("neighbor_id") +:
@@ -1009,12 +1065,22 @@ object Similarity {
     val offsets = index.codebooks.scanLeft(0)(_ + _.length)
     // each probed (query, cell) row carries the query's ADC table; the
     // relation is nprobe x |queries| rows of m*ksub doubles — tiny, and
-    // broadcast so the codes relation never reshuffles
+    // broadcast so the codes relation never reshuffles. A residual index
+    // additionally carries the per-(query, cell) constant
+    // __qc = dot(qhat, chat) — the coarse term of the score
+    // decomposition; the ADC lookups supply the residual term.
+    val probed = nearestCells(q.select(col("query_id"), col("q_vec")),
+      index.centers, nprobe)
+    val probedCells =
+      if (!index.residual) probed.select(col("query_id"), col("cell"))
+      else withUnitVec(
+          probed.join(broadcast(centersUnit(index.centers)), Seq("cell")),
+          "q_vec")
+        .select(col("query_id"), col("cell"),
+          aggregate(zip_with(col("__vhat"), col("__chat"), (x, y) => x * y),
+            lit(0.0d), (acc, x) => acc + x).as("__qc"))
     val qCells = broadcast(
-      nearestCells(q.select(col("query_id"), col("q_vec")),
-        index.centers, nprobe)
-        .select(col("query_id"), col("cell"))
-        .join(q.select(col("query_id"), col("__dt")), Seq("query_id")))
+      probedCells.join(q.select(col("query_id"), col("__dt")), Seq("query_id")))
     val scan = index.codes.select(col("cell"), col("neighbor_id"), col("codes"))
       .join(qCells, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -1032,7 +1098,8 @@ object Similarity {
         Seq("cell"), "left_semi")
       .select(col("neighbor_id"), col("c_vec"))
     adcRerankTopK(scan, q.select(col("query_id"), col("q_vec")),
-      rerankVecs, index.m, offsets, k, rerank)
+      rerankVecs, index.m, offsets, k, rerank,
+      adcExtra = if (index.residual) Some(col("__qc")) else None)
   }
 
   /** One-shot IVF-PQ top-k: fit + probe (the fit-once/probe-many split
@@ -1040,8 +1107,10 @@ object Similarity {
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int = 10,
                 nlist: Int = 16, m: Int = 8, ksub: Int = 16,
-                nprobe: Int = 4, rerank: Int = 50): DataFrame =
-    ivfPqProbe(ivfPqFit(candidates, idCol, vecCol, nlist, m, ksub),
+                nprobe: Int = 4, rerank: Int = 50,
+                residual: Boolean = false): DataFrame =
+    ivfPqProbe(ivfPqFit(candidates, idCol, vecCol, nlist, m, ksub,
+      residual = residual),
       queries, idCol, vecCol, k, nprobe, rerank)
 
   // ------------------------------------------------------ semantic dedup

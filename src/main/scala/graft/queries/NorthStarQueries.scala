@@ -1287,6 +1287,23 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 1, nprobe = 1, rerank = 50)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // RESIDUAL-encoded IVFADC (the paper's proper variant) at the same
+    // planted operating point as sim_topk_ivfpq: co-celling is
+    // structural in the ASSIGNMENT (encoding plays no part in it), the
+    // exact re-rank is shared, and the residual ADC is at least as
+    // faithful as the direct one within a cell — so the same
+    // brute-force top-1 truth hash-checks this row while it exercises
+    // the residual codebooks, the per-(query, cell) coarse term, and
+    // the frozen-centers encode path end to end.
+    "sim_topk_ivfpq_res" -> ((s, dir) => {
+      val pe = plantedEmbeddings(embs(s, dir)).select("vec_id", "embedding")
+      Similarity.ivfPqProbe(
+        Similarity.ivfPqFit(pe, "vec_id", "embedding", m = 8, ksub = 16,
+          centers = Some(semCenters(s)), residual = true),
+        pe.filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L),
+        "vec_id", "embedding", k = 1, nprobe = 1, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     // IVF-PQ recall floor vs brute on the (worst-case, near-uniform)
     // raw embeddings with the FULL KMeans path (coarse nlist=16 +
     // m=8 x ksub=64 codebooks), probing 8 of 16 cells with exact
@@ -1308,6 +1325,31 @@ object NorthStarQueries {
         nlist = 16, m = 8, ksub = 64, nprobe = 8, rerank = 200)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
       brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+        .select(col("n_true"),
+          (col("n_found") >= col("n_true") * lit(0.70)).as("recall_ge_070"))
+    }),
+    // Residual-encoding recall at the SAME operating point as
+    // sim_ivfpq_recall — prices the paper's fidelity claim (residual
+    // codebooks model the tighter within-cell ball) on the worst-case
+    // near-uniform raw embeddings. Measured 0.820 / 0.868 / 0.740 at
+    // sf0.001 / 0.01 / 0.1 (Scratch ivfpqrecall, residual=true sweep) —
+    // on THIS fixture residual matches direct at small SFs and trails
+    // it at sf0.1 (0.740 vs 0.792): near-uniform data has no tight
+    // cells, so residuals are not smaller than the vectors and the
+    // paper's fidelity gain has nothing to bite on (it needs clustered
+    // corpora — PLANS.md round 15). The 0.70 floor holds everywhere;
+    // a broken coarse term or residual encode lands near rerank/N.
+    "sim_ivfpq_res_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 20 === 0)
+      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val res = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 10,
+        nlist = 16, m = 8, ksub = 64, nprobe = 8, rerank = 200,
+        residual = true)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(res, Seq("query_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
         .select(col("n_true"),
           (col("n_found") >= col("n_true") * lit(0.70)).as("recall_ge_070"))
@@ -2644,7 +2686,11 @@ object NorthStarQueries {
     // brute-force top-1 truth applies.
     "sim_topk_ivfpq" -> PlantedBruteTop1Sql,
     "sim_topk_ivfpq_probe" -> PlantedBruteTop1Sql,
+    "sim_topk_ivfpq_res" -> PlantedBruteTop1Sql,
     "sim_ivfpq_recall" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
+         |FROM ($BruteForceTopKSql) t""".stripMargin,
+    "sim_ivfpq_res_recall" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
          |FROM ($BruteForceTopKSql) t""".stripMargin,
     "sim_pq_recall" ->

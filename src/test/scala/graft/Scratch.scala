@@ -985,16 +985,20 @@ object Scratch {
           val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
             .select(col("query_id"), col("neighbor_id")).cache()
           val nTrue = brute.count()
-          val idx = Similarity.ivfPqFit(e, "vec_id", "embedding",
-            nlist = 16, m = 8, ksub = 64)
-          for (np <- Seq(4, 8); rr <- Seq(100, 200)) {
-            val found = brute.join(
-              Similarity.ivfPqProbe(idx, q, "vec_id", "embedding",
-                k = 10, nprobe = np, rerank = rr)
-                .select(col("query_id"), col("neighbor_id")),
-              Seq("query_id", "neighbor_id"), "left_semi").count()
-            println(f"ivfpqrecall @ $dir nprobe=$np rerank=$rr " +
-              f"recall=${found.toDouble / nTrue}%.3f ($found/$nTrue)")
+          // direct vs residual side by side: same coarse quantizer
+          // family, same sweep — the fidelity delta the paper claims
+          for (res <- Seq(false, true)) {
+            val idx = Similarity.ivfPqFit(e, "vec_id", "embedding",
+              nlist = 16, m = 8, ksub = 64, residual = res)
+            for (np <- Seq(4, 8); rr <- Seq(100, 200)) {
+              val found = brute.join(
+                Similarity.ivfPqProbe(idx, q, "vec_id", "embedding",
+                  k = 10, nprobe = np, rerank = rr)
+                  .select(col("query_id"), col("neighbor_id")),
+                Seq("query_id", "neighbor_id"), "left_semi").count()
+              println(f"ivfpqrecall @ $dir residual=$res nprobe=$np rerank=$rr " +
+                f"recall=${found.toDouble / nTrue}%.3f ($found/$nTrue)")
+            }
           }
           e.unpersist(); brute.unpersist()
         }

@@ -116,6 +116,75 @@ class IvfPqSpec extends AnyFunSuite {
     half.close()
   }
 
+  test("residual encoding: no pruning + full rerank equals brute force exactly") {
+    // isolates the residual composition — the per-(query, cell) coarse
+    // term dot(qhat, chat) + the residual-codebook ADC + the shared
+    // exact re-rank — from quantization quality, exactly like the
+    // direct-variant test above
+    val e = embs.filter(col("vec_id") < 300)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val n = e.count().toInt
+    val res = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+      nlist = 4, m = 8, ksub = 8, nprobe = 4, rerank = n, residual = true)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(res === brute)
+  }
+
+  test("residual encoding: planted dups at rank 1; ADC cut is tight enough at rerank=20") {
+    val e = embs
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val planted = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        atransform(col("embedding"), x => x * 1.01f + 0.001f).as("embedding"))
+    val withPlanted = e.select("vec_id", "embedding").union(planted)
+    val q = e.filter(col("vec_id") < 5)
+    val top = Similarity.ivfPqTopK(withPlanted, q, "vec_id", "embedding",
+      k = 3, nlist = 4, m = 8, ksub = 16, nprobe = 2, rerank = 20,
+      residual = true)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(top.get(id).contains(id + 10000),
+        s"query $id missed its planted dup: $top")
+    }
+  }
+
+  test("residual encoding: flag round-trips through save/load; extend keeps the residual space") {
+    val e = embs.filter(col("vec_id") < 300)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val dir = TestSpark.tmpDir("graft-ivfpq-res-roundtrip")
+    val idx = Similarity.ivfPqFit(e.filter(col("vec_id") < 150),
+      "vec_id", "embedding", nlist = 4, m = 8, ksub = 8, residual = true)
+    assert(idx.residual)
+    val saved = idx.save(dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    assert(loaded.residual,
+      "a loaded residual tree must keep decoding in residual space — " +
+        "a dropped flag silently mis-scores every ADC probe")
+    def rows(i: Similarity.IvfPqIndex) =
+      Similarity.ivfPqProbe(i, q, "vec_id", "embedding", k = 5,
+        nprobe = 2, rerank = 30)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(rows(loaded) === rows(idx))
+    // extend: residuals of the NEW vectors are taken against the same
+    // frozen centers the assignment used, encoded with frozen codebooks
+    val ext = Similarity.extendIvfPqIndex(loaded,
+      e.filter(col("vec_id") >= 150), "vec_id", "embedding")
+    assert(ext.residual && ext.codebooks == loaded.codebooks)
+    val seen = Similarity.ivfPqProbe(ext,
+      e.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 300, nprobe = 4, rerank = 300)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(seen.exists(_ >= 150), "extended vectors must be probe-visible")
+    assert(seen.size == 299, "every other vector ranks within k=300")
+    saved.close()
+  }
+
   test("filtered view prunes candidates before the cell scan and drops lineage") {
     val e = embs.filter(col("vec_id") < 300)
       .withColumn("domain",
