@@ -310,6 +310,30 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
 
+  /** Vocabulary coverage curve: the top-`topK` tokens by corpus count,
+    * each with its rank and the CUMULATIVE fraction of all token
+    * occurrences the vocabulary covers up to it — the artifact that
+    * sizes a tokenizer vocabulary ("the top 30 tokens cover 92% of the
+    * corpus"). Built on [[wordFreq]]; the ranking window runs AFTER the
+    * top-K cut, so it orders only K rows (bounded — never the
+    * vocabulary), and the one-row total broadcasts. cum_frac is an
+    * integer prefix sum divided once — exact in both engines. A
+    * full-vocabulary curve (unbounded K) would need range-partitioned
+    * prefix sums instead; every real use asks for a bounded prefix. */
+  def vocabCoverage(df: DataFrame, textCol: Column,
+                    topK: Int = 30): DataFrame = {
+    val freq = wordFreq(df, textCol)
+    val total = freq.agg(sum(col("n")).as("__total"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+    freq.orderBy(col("n").desc, col("token")).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_frac",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("__total"))
+      .select(col("rank"), col("token"), col("n"), col("cum_frac"))
+  }
+
   /** Corpus-frequency rarity scoring (the CCNet-style "how ordinary is
     * this document's vocabulary" filter, with EXACT arithmetic): mean
     * corpus count of the document's tokens, from a fitted [[wordFreq]]

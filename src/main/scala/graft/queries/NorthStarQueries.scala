@@ -1844,6 +1844,12 @@ object NorthStarQueries {
     // vs this row in GateQueriesSpec).
     "corpus_profile" -> ((s, dir) => CorpusOps.profile(docs(s, dir))),
 
+    // Vocabulary coverage curve (CorpusOps.vocabCoverage): cumulative
+    // occurrence fraction of the top-30 tokens — the tokenizer-sizing
+    // artifact. Integer prefix sums + one division: exact.
+    "corpus_vocab_coverage" -> ((s, dir) =>
+      CorpusOps.vocabCoverage(docs(s, dir), col("text"), topK = 30)),
+
     // ---- multimodal plumbing -----------------------------------------
     // Real-file ingest through the `binaryFile` source over a checked-in
     // fixture dir (glob-pruned to *.bin — the .txt fixture must NOT appear),
@@ -3017,6 +3023,18 @@ object NorthStarQueries {
         |  CAST(sum(f.n) AS BIGINT) AS sum_count,
         |  CAST(sum(f.n) AS DOUBLE) / count(*) AS mean_count
         |FROM t JOIN f USING (token) GROUP BY t.doc_id""".stripMargin,
+    // cum_frac: integer prefix sum / integer total, divided ONCE — both
+    // engines round the single division identically
+    "corpus_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |f AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+        |top AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM f ORDER BY n DESC, token LIMIT 30)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE)
+        |    / (SELECT count(*) FROM t) AS cum_frac
+        |FROM top""".stripMargin,
     "corpus_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map { c =>
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

@@ -244,6 +244,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       "minCount prunes AFTER the exact count — surviving rows unchanged")
   }
 
+  test("vocabCoverage: bounded prefix, exact cumulative fractions") {
+    val df = Seq((1L, "a a a b b c")).toDF("id", "text")
+    // tokens a(3) b(2) c(1), total 6 occurrences
+    val rows = CorpusOps.vocabCoverage(df, col("text"), topK = 2)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a", 3L, 0.5), (2L, "b", 2L, 5.0 / 6.0)))
+  }
+
   test("rarityScore: exact integer sums, OOV contributes zero, cross-corpus fit") {
     val corpus = Seq((1L, "the the cat"), (2L, "the dog")).toDF("id", "text")
     val freq = CorpusOps.wordFreq(corpus, col("text")) // the->3 cat->1 dog->1

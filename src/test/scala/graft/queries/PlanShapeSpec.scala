@@ -495,6 +495,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeCount(plan, "Sort") == 0)
   }
 
+  test("vocab coverage: ranks only the bounded top-k, never the vocabulary") {
+    // the cumulative window must run AFTER the TakeOrdered cut — a
+    // window over the full vocabulary is a single-task sort of every
+    // distinct token at 100 TB
+    val plan = finalPlan("corpus_vocab_coverage")
+    assert(nodeCount(plan, "TakeOrderedAndProject") == 1,
+      s"the vocabulary cut must be TakeOrdered:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Window") == 1)
+    assert(nodeCount(plan, "SortMergeJoin") == 0)
+    assert(nodeCount(plan, "Exchange") <= 3,
+      s"freq agg + total agg + the K-row window stage only:\n${plan.take(2000)}")
+  }
+
   test("profile: one pass over the table, no joins, exactly one Expand for exact distincts") {
     val plan = finalPlan("corpus_profile")
     assert(nodeCount(plan, "Expand") == 1,
