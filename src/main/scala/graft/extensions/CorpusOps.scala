@@ -292,6 +292,92 @@ object CorpusOps {
       .drop("__key")
   }
 
+  // ------------------------------------------------ curation battery
+
+  /** The one-pass curation projection shared by the batch funnel
+    * queries and the streaming ingest leg: per-document language,
+    * quality, repetition metrics, BPE-ish token count and normalized
+    * fingerprint, all from ONE staged tokenization (every kernel is a
+    * zero-shuffle within-row pass). Emits
+    * (doc_id, lang_pred, quality, n_tokens_bpe, __dup2, __top2,
+    * fingerprint) plus a `__barrier` column — the same
+    * pushdown-barrier trick as text_rep_gate: without it a gate filter
+    * composed on top gets pushed below this projection and re-inlines
+    * (re-tokenizes) the kernels once per metric reference. */
+  def curationMetrics(df: DataFrame, idCol: Column,
+                      textCol: Column): DataFrame =
+    df.withColumn("__toks", TextFunctions.tokens(textCol))
+      .select(idCol.as("doc_id"),
+        TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"),
+        TextFunctions.qualityScoreFromTokens(textCol, col("__toks"))
+          .as("quality"),
+        TextFunctions.tokenCountBpe(textCol).as("n_tokens_bpe"),
+        TextFunctions.dupNgramFrac(col("__toks"), 2).as("__dup2"),
+        TextFunctions.topNgramCharFrac(col("__toks"), 2).as("__top2"),
+        TextFunctions.fingerprintMd5(textCol).as("fingerprint"),
+        rand(42).as("__barrier"))
+
+  /** The curated OUTPUT of the langid → quality → repetition →
+    * exact-dedup pipeline: gated survivors, keep-first deduped
+    * (min doc_id per fingerprint — a fingerprint group is
+    * byte-identical text, so per-column min IS the min-id row, and it
+    * hash-aggregates: ONE combining shuffle, no Sort, no self-join).
+    * Returns (doc_id, quality, n_tokens_bpe, fingerprint). */
+  def curate(df: DataFrame, idCol: Column, textCol: Column,
+             lang: String = "en", minQuality: Double = 0.5,
+             maxDup2: Double = 0.05, maxTop2: Double = 0.12): DataFrame =
+    curateFromMetrics(curationMetrics(df, idCol, textCol),
+      lang, minQuality, maxDup2, maxTop2)
+
+  /** [[curate]] from an already-built [[curationMetrics]] relation —
+    * lets a caller with TWO consumers (the streaming leg's data + stats
+    * sinks) pay the kernel battery once behind a persist. */
+  private[graft] def curateFromMetrics(metrics: DataFrame,
+      lang: String, minQuality: Double,
+      maxDup2: Double, maxTop2: Double): DataFrame =
+    metrics
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
+        col("__dup2") <= maxDup2 && col("__top2") <= maxTop2 &&
+        col("__barrier") >= lit(-1.0))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("quality")).as("quality"),
+        min(col("n_tokens_bpe")).as("n_tokens_bpe"))
+      .select(col("doc_id"), col("quality"), col("n_tokens_bpe"),
+        col("fingerprint"))
+
+  /** The funnel's per-stage survivor counts over the SAME gate battery
+    * — the attrition record every corpus build publishes
+    * (n_docs → n_lang → n_quality → n_rep → n_kept). One aggregate
+    * over the one-pass metrics projection. */
+  def curationFunnel(df: DataFrame, idCol: Column, textCol: Column,
+                     lang: String = "en", minQuality: Double = 0.5,
+                     maxDup2: Double = 0.05,
+                     maxTop2: Double = 0.12): DataFrame =
+    funnelFromMetrics(curationMetrics(df, idCol, textCol),
+      lang, minQuality, maxDup2, maxTop2)
+
+  /** [[curationFunnel]] from an already-built metrics relation — see
+    * [[curateFromMetrics]]. */
+  private[graft] def funnelFromMetrics(metrics: DataFrame,
+      lang: String, minQuality: Double,
+      maxDup2: Double, maxTop2: Double): DataFrame =
+    metrics
+      .select(col("fingerprint"),
+        (col("lang_pred") === lang).as("__ok_lang"),
+        (col("lang_pred") === lang && col("quality") >= minQuality)
+          .as("__ok_q"),
+        (col("lang_pred") === lang && col("quality") >= minQuality &&
+          col("__dup2") <= maxDup2 && col("__top2") <= maxTop2)
+          .as("__ok_rep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__ok_lang"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("__ok_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("__ok_rep"), 1L).otherwise(0L)).as("n_rep"),
+        countDistinct(when(col("__ok_rep"), col("fingerprint")))
+          .as("n_kept"))
+
   // -------------------------------------- corpus vocabulary + rarity
 
   /** Corpus token-frequency table — the first artifact every tokenizer

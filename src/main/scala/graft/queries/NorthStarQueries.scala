@@ -1718,28 +1718,9 @@ object NorthStarQueries {
     // neighbors. ONE pass: every stage flag evaluates in a single
     // projection (each metric computed once), then one aggregate; the
     // only shuffles are the distinct-fingerprint Expand pair.
-    "pipeline_funnel" -> ((s, dir) => {
-      val flags = curateDocs(s, dir)
-        .withColumn("__toks", TextFunctions.tokens(col("text")))
-        .select(
-          TextFunctions.langIdFromTokens(col("__toks")).as("__lang"),
-          TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
-            .as("__q"),
-          TextFunctions.dupNgramFrac(col("__toks"), 2).as("__dup2"),
-          TextFunctions.topNgramCharFrac(col("__toks"), 2).as("__top2"),
-          TextFunctions.fingerprintMd5(col("text")).as("__fp"))
-        .select(col("__fp"),
-          (col("__lang") === "en").as("__ok_lang"),
-          (col("__lang") === "en" && col("__q") >= 0.5).as("__ok_q"),
-          (col("__lang") === "en" && col("__q") >= 0.5 &&
-            col("__dup2") <= 0.05 && col("__top2") <= 0.12).as("__ok_rep"))
-      flags.agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("__ok_lang"), 1L).otherwise(0L)).as("n_lang"),
-        sum(when(col("__ok_q"), 1L).otherwise(0L)).as("n_quality"),
-        sum(when(col("__ok_rep"), 1L).otherwise(0L)).as("n_rep"),
-        countDistinct(when(col("__ok_rep"), col("__fp"))).as("n_kept"))
-    }),
+    "pipeline_funnel" -> ((s, dir) =>
+      CorpusOps.curationFunnel(curateDocs(s, dir),
+        col("doc_id"), col("text"))),
 
     // The same pipeline's row-level OUTPUT: gated survivors, exact-
     // deduped keep-first (min doc_id per fingerprint), with the
@@ -1754,28 +1735,8 @@ object NorthStarQueries {
     // both sides of the shuffle), it hash-aggregates: ONE map-side-
     // combining shuffle on the fingerprint, no Sort, no self-join. The
     // oracle computes the same per-column mins.
-    "pipeline_curate" -> ((s, dir) => {
-      val kept = curateDocs(s, dir)
-        .withColumn("__toks", TextFunctions.tokens(col("text")))
-        .select(col("doc_id"),
-          TextFunctions.langIdFromTokens(col("__toks")).as("__lang"),
-          TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
-            .as("quality"),
-          TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
-          TextFunctions.dupNgramFrac(col("__toks"), 2).as("__dup2"),
-          TextFunctions.topNgramCharFrac(col("__toks"), 2).as("__top2"),
-          TextFunctions.fingerprintMd5(col("text")).as("fingerprint"),
-          rand(42).as("__barrier"))
-        .filter(col("__lang") === "en" && col("quality") >= 0.5 &&
-          col("__dup2") <= 0.05 && col("__top2") <= 0.12 &&
-          col("__barrier") >= lit(-1.0))
-      kept.groupBy(col("fingerprint"))
-        .agg(min(col("doc_id")).as("doc_id"),
-          min(col("quality")).as("quality"),
-          min(col("n_tokens_bpe")).as("n_tokens_bpe"))
-        .select(col("doc_id"), col("quality"), col("n_tokens_bpe"),
-          col("fingerprint"))
-    }),
+    "pipeline_curate" -> ((s, dir) =>
+      CorpusOps.curate(curateDocs(s, dir), col("doc_id"), col("text"))),
 
     // ---- exact-quota sampling + mixture planning ---------------------
 

@@ -205,6 +205,61 @@ object CdcStream {
    * rows. Readers `spark.read.parquet(sinkDir)` and see `batch` as a
    * partition column.
    */
+  /** Streaming CURATION ingest — the text-funnel analog of the dedup
+    * ingest legs: each micro-batch runs the langid → quality →
+    * repetition → within-batch-exact-dedup battery
+    * ([[graft.extensions.CorpusOps.curate]]: zero-shuffle within-row
+    * kernels + ONE keep-first combining shuffle, O(batch) per trigger)
+    * and only curated survivors land in the sink, carrying the
+    * metadata a curated shard carries (quality, token budget,
+    * fingerprint). Cross-batch dedup is deliberately NOT this leg's
+    * job — chain the sink into [[startCorpusDedupIngest]] for that;
+    * gating the firehose BEFORE the index probe is the production
+    * composition (the gates are the cheap stage). `statsDir`
+    * additionally records each batch's funnel attrition
+    * ([[graft.extensions.CorpusOps.curationFunnel]]) next to the data;
+    * when enabled, the kernel battery runs ONCE behind a persisted
+    * metrics relation shared by both sinks. Both sinks use the
+    * per-batch `batch=<id>` OVERWRITE, so replay after any crash point
+    * reconciles the audit trail with the rows it describes; the gates
+    * are stateless (row-local), so replay is trivially idempotent. */
+  def startCurationIngest(
+      docStream: DataFrame,
+      idCol: String, textCol: String,
+      sinkDir: String, checkpointDir: String,
+      lang: String = "en", minQuality: Double = 0.5,
+      maxDup2: Double = 0.05, maxTop2: Double = 0.12,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L,
+      statsDir: Option[String] = None): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.extensions.CorpusOps
+        statsDir match {
+          case None =>
+            CorpusOps.curate(batch, col(idCol), col(textCol),
+              lang, minQuality, maxDup2, maxTop2)
+              .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+          case Some(sd) =>
+            val metrics = CorpusOps.curationMetrics(
+              batch, col(idCol), col(textCol))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              CorpusOps.curateFromMetrics(metrics,
+                lang, minQuality, maxDup2, maxTop2)
+                .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+              CorpusOps.funnelFromMetrics(metrics,
+                lang, minQuality, maxDup2, maxTop2)
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite").parquet(s"$sd/batch=$batchId")
+            } finally { metrics.unpersist(false); () }
+        }
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
   def startCorpusDedupIngest(
       docStream: DataFrame,
       index: graft.extensions.Dedup.CorpusIndex,

@@ -475,6 +475,42 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally { ivf.unpersist(); ivfpq.unpersist(); () }
   }
 
+  test("startCurationIngest gates each batch like the batch operator and records the funnel") {
+    import graft.extensions.CorpusOps
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text")
+    val src = TestSpark.tmpDir("graft-curation-src")
+    // one file -> one micro-batch, so within-batch dedup == whole-set
+    // dedup and the streaming sink is directly comparable to the batch
+    // operator on the same rows
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-curation-sink")
+    val stats = TestSpark.tmpDir("graft-curation-stats")
+    val q = CdcStream.startCurationIngest(
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+      "doc_id", "text", sink, TestSpark.tmpDir("graft-curation-ckpt"),
+      statsDir = Some(stats))
+    q.awaitTermination()
+
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "quality", "n_tokens_bpe", "fingerprint")
+        .as[(Long, Double, Long, String)].collect().toSet
+    val streamed = keySet(spark.read.parquet(sink).drop("batch"))
+    val direct = keySet(CorpusOps.curate(docs, col("doc_id"), col("text")))
+    assert(streamed.nonEmpty && streamed == direct,
+      "the streaming gate battery must equal the batch operator row-for-row")
+
+    // the stats sink mirrors the batch funnel attrition next to the data
+    val Array(r) = spark.read.parquet(stats).collect()
+    val d = CorpusOps.curationFunnel(docs, col("doc_id"), col("text")).head()
+    Seq("n_docs", "n_lang", "n_quality", "n_rep", "n_kept").foreach { c =>
+      assert(r.getAs[Long](c) == d.getAs[Long](c),
+        s"$c: streamed ${r.getAs[Long](c)} vs batch ${d.getAs[Long](c)}")
+    }
+    assert(r.getAs[Long]("n_kept") == streamed.size.toLong,
+      "the attrition record must describe exactly the rows in the sink")
+  }
+
   test("streaming MERGE compaction tracks the dedup view across batches and replays") {
     val src = stageSource()
     val sink = TestSpark.tmpDir("graft-stream-compact-sink")
