@@ -208,6 +208,12 @@ object NorthStarQueries {
       Similarity.ivfPqFit(pe, "vec_id", "embedding", m = 8, ksub = 16,
         centers = Some(semCenters(s))).cache())
 
+  private def ivfPqResPlantedIndex(s: SparkSession, dir: String,
+                                   pe: DataFrame): Similarity.IvfPqIndex =
+    ivfPqIndexCache.computeIfAbsent(dir + "#planted-res", _ =>
+      Similarity.ivfPqFit(pe, "vec_id", "embedding", m = 8, ksub = 16,
+        centers = Some(semCenters(s)), residual = true).cache())
+
   /** The exact n-gram-Jaccard pair set, shared by BOTH dedup recall gates
     * (`dedup_minhash_sound`, `dedup_simhash_recall`): persisted per sf dir
     * so the exact pipeline is paid ONCE — by the dedicated
@@ -1300,6 +1306,15 @@ object NorthStarQueries {
       Similarity.ivfPqProbe(
         Similarity.ivfPqFit(pe, "vec_id", "embedding", m = 8, ksub = 16,
           centers = Some(semCenters(s)), residual = true),
+        pe.filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L),
+        "vec_id", "embedding", k = 1, nprobe = 1, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+    // probe-only steady state for the residual variant — the same
+    // fit/probe split every other ANN family prices separately
+    "sim_topk_ivfpq_res_probe" -> ((s, dir) => {
+      val pe = plantedEmbeddings(embs(s, dir)).select("vec_id", "embedding")
+      Similarity.ivfPqProbe(ivfPqResPlantedIndex(s, dir, pe),
         pe.filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L),
         "vec_id", "embedding", k = 1, nprobe = 1, rerank = 50)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -2654,6 +2669,7 @@ object NorthStarQueries {
     "sim_topk_ivfpq" -> PlantedBruteTop1Sql,
     "sim_topk_ivfpq_probe" -> PlantedBruteTop1Sql,
     "sim_topk_ivfpq_res" -> PlantedBruteTop1Sql,
+    "sim_topk_ivfpq_res_probe" -> PlantedBruteTop1Sql,
     "sim_ivfpq_recall" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_070
          |FROM ($BruteForceTopKSql) t""".stripMargin,
