@@ -519,4 +519,181 @@ object CorpusOps {
         col("target_frac"), col("sample_rate"), col("planned_tokens"),
         col("exhausted"))
   }
+
+  // -------------------------------------- bigram LM statistics
+
+  /** Adjacent-token pairs of a token array as (w1, w2) structs — the
+    * zero-shuffle kernel under every bigram operator here. Built from
+    * two offset slices zipped element-wise, so no posexplode +
+    * self-join is ever needed to pair neighbours; docs with < 2 tokens
+    * yield an EMPTY list (slice length clamps at 0). */
+  private def bigramPairs(toks: Column): Column = {
+    val len = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Corpus bigram-frequency table — the count-LM / KenLM-prep
+    * artifact: (w1, w2, n) over adjacent token pairs. Same shape and
+    * scale posture as [[wordFreq]]: one explode + one
+    * map-side-combining aggregation; the intermediate is
+    * BIGRAM-VOCABULARY-sized (larger than the unigram table — the
+    * reason `minCount` matters more here: the occurs-once tail of a
+    * web corpus's bigram space is enormous, and pruning it AFTER the
+    * exact count is lossless for every reported row while keeping the
+    * output broadcastable for the scoring joins downstream). */
+  def bigramFreq(df: DataFrame, textCol: Column, minCount: Long = 1L): DataFrame =
+    df.select(explode(bigramPairs(TextFunctions.tokens(textCol))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  /** Collocation (association) scoring over the bigram table: for each
+    * pair with n_pair >= `minPair`, lift = P(w1,w2) / (P(w1)·P(w2)) =
+    * n_pair · total_pairs / (n(w1) · n(w2)) — the exp of PMI. Reported
+    * as the RATIO, not the log, deliberately: every factor is an exact
+    * BIGINT (counts and one integer total), the two products stay
+    * exact, and the single final division rounds identically in any
+    * engine — whereas log() is a libm call with no cross-engine
+    * last-ulp guarantee. Caller beware: the integer products bound the
+    * usable range to n_pair·total < 2^63 (~1e18 — a 1e12-pair corpus
+    * with 1e6-count pairs); past that, score in log-space and accept a
+    * tolerance gate instead of a hash match.
+    *
+    * Scale shape: total_pairs is a NARROW aggregate over the raw table
+    * (sum of per-doc size-1 — no explode, no second pass over the
+    * exploded stream); the unigram table broadcasts twice (w1, w2
+    * sides); the top-k is TakeOrdered, never a global sort. `minPair`
+    * is both the statistical guard (hapax pairs have absurd lift) and
+    * the output bound. */
+  def collocations(df: DataFrame, textCol: Column,
+                   minPair: Long = 5L, topK: Int = 20): DataFrame = {
+    val toks = TextFunctions.tokens(textCol)
+    val total = df.select(
+      sum(greatest(size(toks) - 1, lit(0)).cast("long")).as("__total_pairs"))
+    val uni = wordFreq(df, textCol)
+    bigramFreq(df, textCol).filter(col("n") >= minPair)
+      .withColumnRenamed("n", "n_pair")
+      .join(broadcast(uni.select(col("token").as("w1"), col("n").as("__n1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("token").as("w2"), col("n").as("__n2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_pair") * col("__total_pairs")).cast("double") /
+          (col("__n1") * col("__n2")).cast("double"))
+      .orderBy(col("lift").desc, col("w1"), col("w2")).limit(topK)
+      .select(col("w1"), col("w2"), col("n_pair"), col("lift"))
+  }
+
+  /** Bigram novelty scoring against a FITTED [[bigramFreq]] table: per
+    * document, the count and fraction of its bigram occurrences absent
+    * from the fitted table — the OOV-rate / memorization-risk monitor a
+    * pipeline runs on every new corpus drop ("how much of this batch is
+    * word-sequence the reference corpus has never seen"). Exact by
+    * construction: integer counts, one final division.
+    *
+    * The fitted table joins BROADCAST — the contract is a
+    * `minCount`-pruned fit (see [[bigramFreq]]): pruned-away rare
+    * bigrams then count as novel, the conservative direction for a
+    * drift alarm. A fit too large to broadcast means the novelty
+    * definition itself is too strict, not that the join should
+    * shuffle. */
+  def bigramNovelty(df: DataFrame, idCol: Column, textCol: Column,
+                    fitted: DataFrame): DataFrame =
+    df.select(idCol.as("doc_id"),
+        explode(bigramPairs(TextFunctions.tokens(textCol))).as("__bg"))
+      .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .join(broadcast(fitted.select(col("w1"), col("w2"),
+        lit(true).as("__seen"))), Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac",
+        col("n_novel").cast("double") / col("n_bigrams"))
+
+  // ---------------------------------- deterministic shard export
+
+  /** The content-stable shuffle order for shard export: md5 over a
+    * salted key ("export:" + key) — salted so the export permutation is
+    * DECORRELATED from hashSplit / stratifiedSample / quotaSample
+    * (which hash the bare or "quota:"-salted key; an unsalted export
+    * order would cluster the same rows those operators favour at shard
+    * fronts). */
+  private def exportOrder(keyCol: Column): Column =
+    md5(concat(lit("export:"), keyCol.cast("string")).cast("binary"))
+
+  /** Deterministic shuffle-shard assignment — the LAST step of a
+    * training-data pipeline, where the curated corpus becomes N shard
+    * files in a reproducible pseudo-random order (trainers want
+    * sequence-level shuffling baked into the shards, not a runtime
+    * RNG). Adds `shard` (first 16 hash bits mod `nShards`) and
+    * `__export_ord` (the within-shard sort key). Pure per-row
+    * expressions: no RNG state, no shuffle, identical assignment across
+    * engines, runs, and cluster sizes — re-running the export never
+    * reshuffles, so a resumed/partially-retried export is consistent.
+    * `nShards` is bounded at 65536 by the 16-bit prefix. */
+  def shardAssign(df: DataFrame, keyCol: Column, nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    df.withColumn("__export_ord", exportOrder(keyCol))
+      .withColumn("shard",
+        pmod(conv(substring(col("__export_ord"), 1, 4), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+  }
+
+  /** Per-shard export manifest: (shard, n_docs, n_chars, first_id,
+    * last_id) — row counts, payload sizes, and the endpoint ids of each
+    * shard's deterministic order. The balance check (are shards within
+    * a few % of each other?) and the resume check (does a re-export
+    * produce byte-identical shard fronts?) both read this. One
+    * combining aggregation over nShards groups. */
+  def shardStats(df: DataFrame, keyCol: Column, sizeCol: Column,
+                 nShards: Int): DataFrame =
+    shardAssign(df, keyCol, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(sizeCol).as("n_chars"),
+        min_by(keyCol, col("__export_ord")).as("first_id"),
+        max_by(keyCol, col("__export_ord")).as("last_id"))
+
+  /** The full deterministic permutation: (key, shard, pos) with `pos`
+    * the 1-based position of the row in its shard's export order —
+    * what a trainer's data loader sees as "global step order". One
+    * shuffle on `shard`; the within-shard rank is a window over the
+    * salted hash (unique per key, so the order is total and
+    * reproducible). At production scale run this with nShards ≈
+    * shuffle parallelism (thousands), NOT a handful — each shard's
+    * window sorts through one task, so shard size, not corpus size, is
+    * the memory bound. */
+  def shardPositions(df: DataFrame, keyCol: Column, nShards: Int): DataFrame =
+    shardAssign(df, keyCol, nShards)
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("__export_ord"))).cast("long"))
+      .select(keyCol.as("key"), col("shard"), col("pos"))
+
+  /** Physical shard export: writes `df` under `path` parquet-partitioned
+    * by `shard`, each shard's rows stored in export order. The plan is
+    * ONE hash-partition exchange on `shard` + a WITHIN-partition sort —
+    * never a global sort (pinned in PlanShapeSpec): global ordering
+    * across shards is meaningless to a trainer that reads shards
+    * independently, so paying a rangepartitioning exchange for it would
+    * be pure waste. Readers filter `shard = k` and prune at the
+    * directory level. */
+  def writeShards(df: DataFrame, keyCol: Column, nShards: Int,
+                  path: String): Unit =
+    shardExportFrame(df, keyCol, nShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** The frame [[writeShards]] writes, exposed so the plan pin can
+    * assert the export never pays a global sort (the Sort node must be
+    * global=false — per-partition only). */
+  private[graft] def shardExportFrame(df: DataFrame, keyCol: Column,
+                                      nShards: Int): DataFrame =
+    shardAssign(df, keyCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__export_ord"))
+      .drop("__export_ord")
 }

@@ -1826,6 +1826,49 @@ object NorthStarQueries {
     "corpus_vocab_coverage" -> ((s, dir) =>
       CorpusOps.vocabCoverage(docs(s, dir), col("text"), topK = 30)),
 
+    // Corpus bigram-frequency table (CorpusOps.bigramFreq), top 30 —
+    // the count-LM artifact. Adjacent pairs come from zipped offset
+    // slices of the token array (zero-shuffle kernel), then one
+    // map-side-combining aggregation; top-k is TakeOrdered.
+    "corpus_bigram_freq" -> ((s, dir) =>
+      CorpusOps.bigramFreq(docs(s, dir), col("text"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(30)),
+
+    // Collocation lift scores (CorpusOps.collocations): exp-PMI as an
+    // exact integer-product ratio with ONE final division — the reason
+    // a double column can hash-match across engines (see operator doc).
+    "text_collocations" -> ((s, dir) =>
+      CorpusOps.collocations(docs(s, dir), col("text"),
+        minPair = 5L, topK = 20)),
+
+    // Bigram novelty / OOV-rate scoring (CorpusOps.bigramNovelty):
+    // fitted on the even-doc_id half, scoring the odd half — the
+    // fit/score split mirrors production (score every new corpus drop
+    // against the reference corpus's fitted table). Exact integer
+    // counts + one division.
+    "text_bigram_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.bigramNovelty(
+        d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        CorpusOps.bigramFreq(d.filter(col("doc_id") % 2 === 0),
+          col("text")))
+    }),
+
+    // Shard-export manifest (CorpusOps.shardStats): the per-shard
+    // (count, payload, order-endpoint) report of the deterministic
+    // shuffle-shard assignment — content-stable salted-hash sharding,
+    // no RNG state, one combining aggregation.
+    "pipeline_shard_stats" -> ((s, dir) =>
+      CorpusOps.shardStats(docs(s, dir), col("doc_id"), col("n_chars"),
+        nShards = 8)),
+
+    // The full deterministic permutation (CorpusOps.shardPositions):
+    // every row's (shard, pos) in export order — checks the ORDER
+    // itself, not just shard endpoints. One shuffle on shard.
+    "pipeline_shard_order" -> ((s, dir) =>
+      CorpusOps.shardPositions(docs(s, dir), col("doc_id"), nShards = 8)),
+
     // ---- multimodal plumbing -----------------------------------------
     // Real-file ingest through the `binaryFile` source over a checked-in
     // fixture dir (glob-pruned to *.bin — the .txt fixture must NOT appear),
@@ -2364,6 +2407,12 @@ object NorthStarQueries {
     * DISTINCT tokens, exact-binary-fraction weights (see
     * TextFunctions.bucketWeight — order-independent EXACT sums, so the
     * DuckDB fold order vs Spark's is immaterial). */
+  /** First 16 hash bits of a hex-digest column as an integer — the
+    * shard selector of `pipeline_shard_*`, the 0x-prefix-cast DuckDB
+    * spelling of Spark's conv(substring(h, 1, 4), 16, 10). */
+  private def OracleHex4(col: String): String =
+    s"CAST(('0x' || substr($col, 1, 4)) AS BIGINT)"
+
   private val ClassifierScoreExpr: String =
     """coalesce(list_sum(list_transform(list_distinct(toks),
       |    tk -> CAST((((CAST(('0x' || substring(md5(tk), 1, 6)) AS BIGINT) % 256) * 37 % 21) - 10) AS DOUBLE) / 16.0)), 0.0)""".stripMargin
@@ -3012,6 +3061,74 @@ object NorthStarQueries {
         |  CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE)
         |    / (SELECT count(*) FROM t) AS cum_frac
         |FROM top""".stripMargin,
+    // adjacent pairs: positional double-unnest (w + subscript zip in
+    // DuckDB) self-joined on pos+1 — the declarative mirror of the
+    // Spark side's zipped offset slices
+    "corpus_bigram_freq" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t)
+        |SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n
+        |FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
+    // lift: exact BIGINT products, ONE double division — both engines
+    // round the single division identically (the reason the score is
+    // the ratio, not the log: libm log has no cross-engine ulp
+    // guarantee)
+    "text_collocations" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+        |bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+        |  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |uni AS (SELECT w AS token, count(*) AS n FROM u GROUP BY 1),
+        |tot AS (SELECT sum(CASE WHEN len(toks) > 1 THEN len(toks) - 1 ELSE 0 END) AS total FROM t)
+        |SELECT bg.w1, bg.w2, CAST(bg.n_pair AS BIGINT) AS n_pair,
+        |  CAST(bg.n_pair * (SELECT total FROM tot) AS DOUBLE)
+        |    / CAST(u1.n * u2.n AS DOUBLE) AS lift
+        |FROM bg JOIN uni u1 ON u1.token = bg.w1
+        |         JOIN uni u2 ON u2.token = bg.w2
+        |WHERE bg.n_pair >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+    // fit on even doc_ids, score odd — LEFT JOIN null marks a bigram
+    // the fitted table has never seen; integer counts, one division
+    "text_bigram_novelty" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |fit AS (SELECT DISTINCT w1, w2 FROM bg WHERE doc_id % 2 = 0)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN fit.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN fit.w1 IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS novel_frac
+        |FROM bg LEFT JOIN fit ON fit.w1 = bg.w1 AND fit.w2 = bg.w2
+        |WHERE bg.doc_id % 2 = 1
+        |GROUP BY bg.doc_id""".stripMargin,
+    // the salted-md5 16-bit-prefix shard: DuckDB parses the 4 hex
+    // chars via a '0x'-prefixed BIGINT cast — same value Spark's
+    // conv(,16,10) parses
+    "pipeline_shard_stats" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+        |    md5(concat('export:', CAST(doc_id AS VARCHAR))) AS ohash
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, ohash, ${OracleHex4("ohash")} % 8 AS shard FROM h)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(arg_min(doc_id, ohash) AS BIGINT) AS first_id,
+        |  CAST(arg_max(doc_id, ohash) AS BIGINT) AS last_id
+        |FROM s GROUP BY shard""".stripMargin,
+    "pipeline_shard_order" ->
+      s"""WITH h AS (SELECT doc_id,
+        |    md5(concat('export:', CAST(doc_id AS VARCHAR))) AS ohash
+        |  FROM documents),
+        |s AS (SELECT doc_id, ohash, ${OracleHex4("ohash")} % 8 AS shard FROM h)
+        |SELECT doc_id AS key, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ohash) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
     "corpus_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map { c =>
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

@@ -311,4 +311,121 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan("s1") == (("s1", 1L, 200L, 0.4, 1.0, 200.0, true)))
     assert(plan("s2") == (("s2", 1L, 300L, 0.0, 0.0, 0.0, false)))
   }
+
+  // ---------------------------------------- bigram LM statistics
+
+  test("bigramFreq: adjacent pairs counted, short docs yield none, minCount prunes") {
+    val df = Seq(
+      (1L, "a b a b"), // pairs: (a,b) (b,a) (a,b)
+      (2L, "solo"),    // 1 token -> no pairs
+      (3L, "")         // no tokens -> no pairs
+    ).toDF("doc_id", "text")
+    val freq = CorpusOps.bigramFreq(df, col("text"))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(freq == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    val pruned = CorpusOps.bigramFreq(df, col("text"), minCount = 2L)
+      .as[(String, String, Long)].collect()
+    assert(pruned.toSeq == Seq(("a", "b", 2L)),
+      "minCount prunes after the exact count — surviving rows unchanged")
+  }
+
+  test("collocations: lift is the exact integer-product ratio") {
+    // one doc "x y x y": pairs (x,y)x2 (y,x)x1, total_pairs 3,
+    // unigrams x:2 y:2 -> lift(x,y) = 2*3/(2*2) = 1.5, lift(y,x) = 0.75
+    val df = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val got = CorpusOps.collocations(df, col("text"), minPair = 1L, topK = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", "y", 2L, 1.5), ("y", "x", 1L, 0.75)),
+      s"exact lift values in lift-desc order, got $got")
+  }
+
+  test("bigramNovelty: OOV pairs count as novel, pruned-fit pairs too") {
+    val fitCorpus = Seq((1L, "a b c")).toDF("doc_id", "text") // fits: (a,b) (b,c)
+    val score = Seq((10L, "a b x"), (11L, "b c")).toDF("doc_id", "text")
+    val fitted = CorpusOps.bigramFreq(fitCorpus, col("text"))
+    val nov = CorpusOps.bigramNovelty(score, col("doc_id"), col("text"), fitted)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 10: (a,b) seen, (b,x) novel -> 1/2; doc 11: (b,c) seen -> 0/1
+    assert(nov(10L) == ((10L, 2L, 1L, 0.5)))
+    assert(nov(11L) == ((11L, 1L, 0L, 0.0)))
+
+    // a minCount-pruned fit marks the pruned tail as novel — the
+    // documented conservative direction
+    val prunedFit = CorpusOps.bigramFreq(fitCorpus, col("text"), minCount = 2L)
+    val allNovel = CorpusOps.bigramNovelty(score, col("doc_id"), col("text"), prunedFit)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(allNovel == Map(10L -> 2L, 11L -> 1L))
+  }
+
+  // ------------------------------------- deterministic shard export
+
+  private def shardCorpus = Seq.tabulate(200)(i =>
+    (i.toLong, s"doc number $i body", 10L + i)).toDF("doc_id", "text", "n_chars")
+
+  test("shardAssign: deterministic, in-range, decorrelated from the quota/split hashes") {
+    val a = CorpusOps.shardAssign(shardCorpus, col("doc_id"), 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val b = CorpusOps.shardAssign(shardCorpus.repartition(7), col("doc_id"), 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(a == b, "assignment is content-stable — partitioning must not matter")
+    assert(a.values.forall(s => s >= 0 && s < 8))
+    assert(a.values.toSet.size == 8, "200 docs over 8 shards hit every shard")
+    assertThrows[IllegalArgumentException] {
+      CorpusOps.shardAssign(shardCorpus, col("doc_id"), 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      CorpusOps.shardAssign(shardCorpus, col("doc_id"), 65537)
+    }
+  }
+
+  test("shardStats: manifest totals reconcile with the corpus") {
+    val st = CorpusOps.shardStats(shardCorpus, col("doc_id"), col("n_chars"), 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(st.map(_._2).sum == 200L)
+    assert(st.map(_._3).sum == (0 until 200).map(10L + _).sum)
+    assert(st.map(_._1).sorted.toSeq == (0L until 8L))
+  }
+
+  test("shardPositions: a valid 1..n permutation per shard, partitioning-invariant") {
+    val pos = CorpusOps.shardPositions(shardCorpus, col("doc_id"), 8)
+      .as[(Long, Long, Long)].collect()
+    pos.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    val pos2 = CorpusOps.shardPositions(shardCorpus.repartition(13),
+      col("doc_id"), 8).as[(Long, Long, Long)].collect()
+    assert(pos.sortBy(_._1).toSeq == pos2.sortBy(_._1).toSeq,
+      "the export permutation is content-stable")
+  }
+
+  test("writeShards: partitioned tree round-trips, rows stored in export order, re-export identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      CorpusOps.writeShards(shardCorpus, col("doc_id"), 8, dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 200L)
+      assert(back.columns.toSet == Set("doc_id", "text", "n_chars", "shard"))
+      assert(!back.columns.contains("__export_ord"), "the sort key never ships")
+
+      // shard filter prunes at the directory level
+      val one = spark.read.parquet(dir).filter(col("shard") === 3)
+      val expected = CorpusOps.shardPositions(shardCorpus, col("doc_id"), 8)
+        .filter(col("shard") === 3).orderBy(col("pos"))
+        .select("key").as[Long].collect().toSeq
+      // within a shard the FILE ORDER is the export order (one writer
+      // task per shard; parquet preserves row order)
+      val stored = one.select("doc_id").as[Long].collect().toSeq
+      assert(stored == expected,
+        "shard rows must be stored in the deterministic export order")
+
+      // re-export is byte-for-byte consistent at the row level — the
+      // resume/retry guarantee
+      CorpusOps.writeShards(shardCorpus.repartition(11), col("doc_id"), 8, dir)
+      val again = spark.read.parquet(dir).filter(col("shard") === 3)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(again == stored)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

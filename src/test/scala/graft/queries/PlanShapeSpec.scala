@@ -527,4 +527,69 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeCount(plan, "BroadcastHashJoin") == 1,
       "the weight table broadcasts")
   }
+
+  test("bigram freq: zipped-slice pairing — no posexplode self-join, TakeOrdered top-k") {
+    val plan = finalPlan("corpus_bigram_freq")
+    assert(nodeCount(plan, "Exchange") == 1,
+      s"one skinny (w1, w2, partial-n) shuffle:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "HashAggregate") == 2,
+      "partial (map-side) + final — bigram-vocabulary-sized before it moves")
+    assert(nodeCount(plan, "SortMergeJoin") == 0 &&
+      nodeCount(plan, "BroadcastHashJoin") == 0,
+      "adjacent pairs come from zipped offset slices, never a positional self-join")
+    assert(nodeCount(plan, "TakeOrderedAndProject") == 1 &&
+      nodeCount(plan, "Sort") == 0,
+      s"top-k must be TakeOrdered, not a sort:\n${plan.take(2000)}")
+  }
+
+  test("collocations: unigram table broadcasts twice, total is a 1-row narrow agg") {
+    val plan = finalPlan("text_collocations")
+    assert(nodeCount(plan, "BroadcastHashJoin") == 2,
+      s"w1 and w2 unigram sides both broadcast:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "BroadcastNestedLoopJoin") == 1,
+      "the 1-row total_pairs crossJoin broadcasts")
+    assert(nodeCount(plan, "SortMergeJoin") == 0)
+    assert(nodeCount(plan, "TakeOrderedAndProject") == 1 &&
+      nodeCount(plan, "Sort") == 0,
+      s"top-k by lift must be TakeOrdered:\n${plan.take(2000)}")
+  }
+
+  test("bigram novelty: fitted table broadcasts back to the exploded stream") {
+    val plan = finalPlan("text_bigram_novelty")
+    assert(nodeCount(plan, "BroadcastHashJoin") == 1,
+      s"the fitted bigram table must broadcast:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "SortMergeJoin") == 0)
+    assert(nodeCount(plan, "Sort") == 0)
+  }
+
+  test("shard export: one hash exchange on shard, the sort is per-partition only") {
+    val df = graft.extensions.CorpusOps.shardExportFrame(
+      graft.sources.Tables.load(spark, dir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"), 8)
+    df.queryExecution.toRdd.count()
+    // the simple executed-plan string prints Sort's global flag inline
+    // (`Sort [keys], <global>, 0`) and the exchange's partitioning
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning"),
+      s"the exchange is hash, not range — no global order is ever computed:\n${plan.take(2000)}")
+    // the Sort must be LOCAL (global=false): a global sort would
+    // range-partition the corpus for an ordering no shard reader needs
+    assert("Sort \\[[^\\]]*\\], true,".r.findAllIn(plan).isEmpty,
+      s"export must never pay a global sort:\n${plan.take(2000)}")
+    assert("Sort \\[[^\\]]*\\], false,".r.findAllIn(plan).size == 1,
+      s"the one per-partition export-order sort:\n${plan.take(2000)}")
+  }
+
+  test("shard stats + order: stats aggregate combines map-side; order windows per shard") {
+    val stats = finalPlan("pipeline_shard_stats")
+    assert(nodeCount(stats, "HashAggregate") + nodeCount(stats, "SortAggregate") >= 2,
+      "partial + final over nShards groups")
+    assert(nodeCount(stats, "Exchange") == 1,
+      s"one combining shuffle on shard:\n${stats.take(2000)}")
+    val order = finalPlan("pipeline_shard_order")
+    assert(nodeCount(order, "Window") == 1 && nodeCount(order, "Exchange") == 1,
+      s"one shuffle on shard feeding the rank window:\n${order.take(2000)}")
+  }
 }
