@@ -1123,4 +1123,162 @@ object Dedup {
         greatest(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
         greatest(size(col("__kept")), lit(0)).cast("long").as("n_kept"))
   }
+
+  // ---- line-level boilerplate removal (CCNet-style) -------------------
+  //
+  // Span dedup (above) removes n-token windows duplicated ACROSS
+  // documents anywhere in the corpus; web-scale curation additionally
+  // removes PER-SOURCE boilerplate at LINE granularity — headers,
+  // footers, nav chrome, cookie banners that repeat across many pages of
+  // ONE site but are legitimate content elsewhere (CCNet's paragraph
+  // level dedup over per-shard hash sets; C4's three-sentence span
+  // variant). Lines are the unit and the census key is (source, line): a
+  // line is boilerplate in source A only when >= minDocs distinct A-docs
+  // carry it — the SAME line in source B is kept unless B independently
+  // crosses the bar. A GLOBAL census would be wrong in both directions
+  // (flags a 4-source mirror line that each source carries once; misses
+  // nothing but over-scrubs), which is why the grouping column is part
+  // of every signature and of the relation stamp.
+  //
+  // Scale shape: one narrow split-explode per doc (lines-per-doc <<
+  // tokens-per-doc, so this is strictly cheaper than the window
+  // family's explode), ONE combining shuffle on (source, line_hash) for
+  // the census, a kept-lines anti-join that meets the census on its own
+  // partitioning key, and one combining shuffle back to the doc id for
+  // the rebuild. The flagged set is tiny relative to the corpus — that
+  // is what makes it boilerplate — so AQE broadcasts the anti-join's
+  // build side at runtime; nothing here is ever all-pairs.
+
+  /** Exploded (id, source, line_no, line, line_hash) rows: documents
+    * split on '\n', lines trimmed, empty lines dropped. `line_no` is the
+    * 0-based position among the RAW lines (gaps where empties were
+    * dropped), so the scrub rebuild preserves original order. The
+    * line_hash (md5, DuckDB-reproducible) is the census/join key — the
+    * exchanges stay skinny while the line text rides only where the
+    * output needs it. Like [[windowRelation]], the relation is stamped
+    * with (idCol, sourceCol) and every consumer refuses a mismatch at
+    * plan time: a lines relation built over a different grouping column
+    * would silently mis-census. */
+  def lineRelation(df: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String): DataFrame = {
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(LineStampId, idCol).putString(LineStampSrc, sourceCol)
+      .build()
+    df.select(col(idCol), col(sourceCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("line_no", "__raw")))
+      .withColumn("line", trim(col("__raw")))
+      .filter(length(col("line")) > 0)
+      .select(col(idCol), col(sourceCol), col("line_no"), col("line"),
+        md5(col("line").cast("binary")).as("line_hash", stamp))
+  }
+
+  private val LineStampId = "graft.line.idCol"
+  private val LineStampSrc = "graft.line.sourceCol"
+
+  /** Enforce [[lineRelation]]'s threading contract (same refusal shape
+    * as [[requireWinStamp]]): stamped (idCol, sourceCol) must equal the
+    * consumer's parameters; an unstamped relation is refused outright. */
+  private def requireLineStamp(lines: DataFrame, idCol: String,
+                               sourceCol: String, fn: String): DataFrame = {
+    val field = lines.schema.fields.find(_.name == "line_hash").getOrElse(
+      throw new IllegalArgumentException(
+        s"$fn: lines relation has no line_hash column — build it with lineRelation"))
+    require(field.metadata.contains(LineStampId),
+      s"$fn: lines relation carries no (idCol, sourceCol) stamp — build " +
+        s"it with lineRelation(df, idCol, textCol, sourceCol), not a " +
+        s"hand-rolled explode")
+    val (sid, ssrc) = (field.metadata.getString(LineStampId),
+      field.metadata.getString(LineStampSrc))
+    require(sid == idCol && ssrc == sourceCol,
+      s"$fn: lines relation was built with (idCol=$sid, sourceCol=$ssrc) " +
+        s"but this consumer runs with (idCol=$idCol, sourceCol=$sourceCol) " +
+        s"— the census would silently mis-group; rebuild the relation " +
+        s"with matching parameters")
+    lines
+  }
+
+  /** Per-source boilerplate census: every line appearing in >= minDocs
+    * distinct documents of the SAME source, with its distinct-doc count
+    * and total occurrence count. ONE combining shuffle on
+    * (source, line_hash); the single distinct aggregate plans as a
+    * two-level aggregate, not an Expand. min(line) is the (unique —
+    * md5-keyed) line text riding along for the report. */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, minDocs: Int = 3,
+                       lines: Option[DataFrame] = None): DataFrame =
+    lines.map(requireLineStamp(_, idCol, sourceCol, "boilerplateLines"))
+      .getOrElse(lineRelation(df, idCol, textCol, sourceCol))
+      .groupBy(col(sourceCol), col("line_hash"))
+      .agg(min(col("line")).as("line"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col(sourceCol), col("line"), col("line_hash"),
+        col("n_docs"), col("n_occ"))
+
+  /** Per-source boilerplate report: line volume, distinct lines, flagged
+    * lines and the occurrence fraction the scrub would remove — the
+    * dashboard row a curation pipeline watches per shard. The two
+    * distinct aggregates cost one Expand over the SKINNY lines relation
+    * (source, line_hash), not the corpus. */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, minDocs: Int = 3,
+                       census: Option[DataFrame] = None,
+                       lines: Option[DataFrame] = None): DataFrame = {
+    val lns = lines.map(requireLineStamp(_, idCol, sourceCol, "boilerplateStats"))
+      .getOrElse(lineRelation(df, idCol, textCol, sourceCol))
+    val boiler = census.getOrElse(
+      boilerplateLines(df, idCol, textCol, sourceCol, minDocs, lines))
+      .select(col(sourceCol), col("line_hash"), lit(1).as("__is_boiler"))
+    lns.join(boiler, Seq(sourceCol, "line_hash"), "left")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_line_occ"),
+        countDistinct(col("line_hash")).as("n_distinct_lines"),
+        countDistinct(when(col("__is_boiler").isNotNull, col("line_hash")))
+          .as("n_boiler_lines"),
+        sum(when(col("__is_boiler").isNotNull, 1L).otherwise(0L))
+          .as("boiler_occ"))
+      .withColumn("boiler_frac",
+        col("boiler_occ").cast("double") / col("n_line_occ"))
+  }
+
+  /** Scrub boilerplate: rebuild each document keeping only lines NOT
+    * flagged by the per-source census, in original line order. The
+    * anti-join meets the census on its own (source, line_hash)
+    * partitioning; the rebuild is one combining shuffle back to the doc
+    * id (collect + sort of the doc's OWN kept lines — bounded by the
+    * doc, however boilerplate-ridden the source is). Total-line counts
+    * come from per-row arithmetic over `df`, not a second explode. */
+  def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, minDocs: Int = 3,
+                       census: Option[DataFrame] = None,
+                       lines: Option[DataFrame] = None): DataFrame = {
+    val lns = lines.map(requireLineStamp(_, idCol, sourceCol, "scrubBoilerplate"))
+      .getOrElse(lineRelation(df, idCol, textCol, sourceCol))
+    val boiler = census.getOrElse(
+      boilerplateLines(df, idCol, textCol, sourceCol, minDocs, lines))
+      .select(col(sourceCol), col("line_hash"))
+    val rebuilt = lns
+      .join(boiler, Seq(sourceCol, "line_hash"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), "\n").as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    // non-empty-line total per doc: pure per-row arithmetic (the window
+    // family learned this the hard way — a third explode just to size
+    // the doc cost ~1/3 of the row)
+    val nLines = size(filter(
+      transform(split(coalesce(col(textCol), lit("")), "\n"), l => trim(l)),
+      l => length(l) > 0))
+    df.select(col(idCol),
+        greatest(nLines, lit(0)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

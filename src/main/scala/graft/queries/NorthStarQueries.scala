@@ -401,6 +401,63 @@ object NorthStarQueries {
         n = 8, minDocs = 2, wins = Some(windowRowsShared(s, dir)))
         .persist())
 
+  /** Planted newline-structured corpus for the line-boilerplate family.
+    * The harness text has no line structure, so — same move as
+    * [[contactNotes]] — the fixture is DERIVED with the SAME expression
+    * on both engines: the normalized token stream re-lined into 8-token
+    * lines, plus two planted banners. (1) a per-source footer
+    * ("follow <source> for updates") on every 3rd doc — dense within
+    * its source at every SF, so always flagged; (2) a CROSS-source
+    * mirror line ("cross banner <doc_id div 4>") on EVERY doc — each
+    * value lands in 4 consecutive doc_ids, which the generator spreads
+    * across 4 DIFFERENT sources (source = doc_id mod #sources), so its
+    * per-source count is 1 at EVERY scale factor while its global count
+    * is 4 >= minDocs: a census that grouped globally instead of
+    * per-source would flag it and hash-mismatch. That pins the
+    * operator's per-source semantics in the oracle itself, not just in
+    * a unit test. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("__toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        concat_ws("\n", filter(array(
+          when(coalesce(size(col("__toks")), lit(0)) <= 0, lit(""))
+            .otherwise(array_join(
+              transform(
+                sequence(lit(0L), ceil(size(col("__toks")) / lit(8.0)) - 1),
+                i => array_join(
+                  slice(col("__toks"), (i * 8 + 1).cast("int"), lit(8)), " ")),
+              "\n")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("follow "), col("source"), lit(" for updates")))
+            .otherwise(lit("")),
+          concat(lit("cross banner "), expr("CAST(doc_id DIV 4 AS STRING)"))
+        ), x => length(x) > 0)).as("text"))
+
+  /** Boilerplate LINES relation per sf dir (doc_id, source, line_no,
+    * line, line_hash), persisted: the one explode of the family, shared
+    * by census, stats and scrub (the window family's r13/r14 lesson
+    * applied from day one). Released by [[clearTextCaches]]. */
+  private val lineRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def lineRowsShared(s: SparkSession, dir: String): DataFrame =
+    lineRowsCache.computeIfAbsent(dir, _ =>
+      Dedup.lineRelation(linedDocs(s, dir), "doc_id", "text", "source")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Per-source boilerplate census (minDocs=3) per sf dir, persisted and
+    * derived from the shared [[lineRowsShared]] explode. Released by
+    * [[clearTextCaches]]. */
+  private val boilerCensusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def boilerCensus(s: SparkSession, dir: String): DataFrame =
+    boilerCensusCache.computeIfAbsent(dir, _ =>
+      Dedup.boilerplateLines(linedDocs(s, dir), "doc_id", "text", "source",
+        minDocs = 3, lines = Some(lineRowsShared(s, dir)))
+        .persist())
+
   /** The incremental-dedup corpus index (docs with doc_id % 5 != 0),
     * persisted per sf dir: the fit side of the fit/probe split —
     * `dedup_incr_index_build` pays its materialization once (first in
@@ -474,6 +531,10 @@ object NorthStarQueries {
     windowRowsCache.clear()
     windowCensusCache.values.forEach(df => { df.unpersist(false); () })
     windowCensusCache.clear()
+    lineRowsCache.values.forEach(df => { df.unpersist(false); () })
+    lineRowsCache.clear()
+    boilerCensusCache.values.forEach(df => { df.unpersist(false); () })
+    boilerCensusCache.clear()
   }
 
   def clearDedupCaches(): Unit = {
@@ -1575,6 +1636,22 @@ object NorthStarQueries {
         n = 8, minDocs = 2, census = Some(windowCensus(s, dir)),
         wins = Some(windowRowsShared(s, dir)))),
 
+    // ---- line-level boilerplate removal (CCNet-style) ----------------
+    // The per-source complement of span dedup: headers/footers/nav
+    // chrome repeating across many pages of ONE site. Census key is
+    // (source, line) — the planted cross-source mirror line (see
+    // [[linedDocs]]) hash-pins that a global census would be wrong.
+    // One shared persisted line explode feeds all three rows.
+    "text_boilerplate_lines" -> ((s, dir) => boilerCensus(s, dir)),
+    "text_boilerplate_stats" -> ((s, dir) =>
+      Dedup.boilerplateStats(linedDocs(s, dir), "doc_id", "text", "source",
+        minDocs = 3, census = Some(boilerCensus(s, dir)),
+        lines = Some(lineRowsShared(s, dir)))),
+    "text_boilerplate_scrub" -> ((s, dir) =>
+      Dedup.scrubBoilerplate(linedDocs(s, dir), "doc_id", "text", "source",
+        minDocs = 3, census = Some(boilerCensus(s, dir)),
+        lines = Some(lineRowsShared(s, dir)))),
+
     // ---- PII detection + redaction -----------------------------------
     // The scrub-before-training hygiene stage. The harness corpus
     // carries no PII, so the queries run over a DERIVED contact-notes
@@ -2100,6 +2177,66 @@ object NorthStarQueries {
       |  CAST(len(list_filter(toks,
       |    (tok, pos) -> covlist IS NULL OR NOT list_contains(covlist, pos))) AS BIGINT) AS n_kept
       |FROM t LEFT JOIN covl ON t.doc_id = covl.cdoc""".stripMargin
+
+  /** The planted lined corpus ([[linedDocs]]) and its line/census
+    * relations in DuckDB — expression-for-expression the same
+    * derivation: 8-token re-lining of the normalized token stream, the
+    * per-source footer on every 3rd doc, the cross-source mirror banner
+    * on every doc (doc_id//4 — 4 consecutive ids, 4 distinct sources:
+    * per-source count 1 at every SF, global count 4 >= minDocs, so any
+    * non-per-source census hash-mismatches). Lines: trimmed, empties
+    * dropped, 0-based RAW position kept for ordered rebuild. */
+  private val LinedCtes: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |body AS (SELECT doc_id,
+      |    string_agg(array_to_string(toks[8*i+1:8*i+8], ' '), chr(10) ORDER BY i) AS body
+      |  FROM t, unnest(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS u(i)
+      |  GROUP BY doc_id),
+      |ld AS (SELECT t.doc_id, t.source,
+      |    array_to_string(list_filter([
+      |      COALESCE(b.body, ''),
+      |      CASE WHEN t.doc_id % 3 = 0 THEN 'follow ' || t.source || ' for updates' ELSE '' END,
+      |      'cross banner ' || CAST(t.doc_id // 4 AS VARCHAR)
+      |    ], x -> length(x) > 0), chr(10)) AS text
+      |  FROM t LEFT JOIN body b USING (doc_id)),
+      |lines AS (SELECT doc_id, source, i - 1 AS line_no, trim(parts[i]) AS line
+      |  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS parts FROM ld),
+      |       unnest(range(1, len(parts) + 1)) AS u(i)
+      |  WHERE length(trim(parts[i])) > 0),
+      |boiler AS (SELECT source, line, md5(line) AS line_hash,
+      |    count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      |  FROM lines GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3)""".stripMargin
+
+  private val BoilerLinesSql: String =
+    s"""$LinedCtes
+      |SELECT source, line, line_hash, n_docs, n_occ FROM boiler""".stripMargin
+
+  private val BoilerStatsSql: String =
+    s"""$LinedCtes
+      |SELECT l.source,
+      |  count(*) AS n_line_occ,
+      |  count(DISTINCT l.line) AS n_distinct_lines,
+      |  count(DISTINCT CASE WHEN b.line IS NOT NULL THEN l.line END) AS n_boiler_lines,
+      |  CAST(COALESCE(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS boiler_occ,
+      |  CAST(COALESCE(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+      |    / count(*) AS boiler_frac
+      |FROM lines l LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+      |GROUP BY 1""".stripMargin
+
+  private val BoilerScrubSql: String =
+    s"""$LinedCtes,
+      |kept AS (SELECT l.doc_id, l.line_no, l.line FROM lines l
+      |  LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+      |  WHERE b.line IS NULL),
+      |reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS cleaned,
+      |    count(*) AS n_kept FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+      |SELECT ld.doc_id, COALESCE(reb.cleaned, '') AS cleaned,
+      |  CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
+      |  CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM ld LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin
 
   /** The planted contact-notes corpus ([[contactNotes]]) in DuckDB —
     * expression-for-expression the same derivation from customer. */
@@ -2846,6 +2983,9 @@ object NorthStarQueries {
     "text_window_dupes" -> WindowDupesSql,
     "text_window_dup_stats" -> WindowDupStatsSql,
     "text_window_scrub" -> WindowScrubSql,
+    "text_boilerplate_lines" -> BoilerLinesSql,
+    "text_boilerplate_stats" -> BoilerStatsSql,
+    "text_boilerplate_scrub" -> BoilerScrubSql,
     "text_pii_stats" -> PiiStatsSql,
     "text_pii_redact" -> PiiRedactSql,
     "text_decontaminate" -> DecontaminateSql,

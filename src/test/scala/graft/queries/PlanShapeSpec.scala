@@ -326,6 +326,68 @@ class PlanShapeSpec extends AnyFunSuite {
       s"every shuffle must key on win_hash, got $exchanges:\n${plan.take(2000)}")
   }
 
+  test("boilerplate census: one line explode, shuffles keyed on the source") {
+    // one Generate (the line split), map-side combine, and every
+    // Exchange keyed on (source, line_hash) — the census key. An
+    // Exchange on doc_id here would be a corpus-sized unaggregated
+    // shuffle; an Expand would mean the distinct-doc count lost its
+    // two-level aggregate plan.
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val df = graft.extensions.Dedup.boilerplateLines(
+      d, "doc_id", "text", "source", minDocs = 3)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(nodeCount(plan, "Expand") == 0, s"no Expand:\n${plan.take(2000)}")
+    assert(nodeCount(plan, "Generate") == 1,
+      s"exactly one line explode:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"),
+      s"map-side combine must precede the shuffle:\n${plan.take(2000)}")
+    val exchanges = "hashpartitioning\\(([^,)]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("source")),
+      s"every shuffle must key on (source, line_hash), got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("boilerplate scrub over a threaded persisted lines relation: zero re-explode") {
+    // the shared lines relation is the family's ONE explode; a consumer
+    // that re-explodes (for totals or the anti-join) re-pays the corpus
+    // pass — totals must come from per-row arithmetic over df
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+    val lines = graft.extensions.Dedup.lineRelation(
+      d, "doc_id", "text", "source").persist()
+    try {
+      lines.count()
+      val census = graft.extensions.Dedup.boilerplateLines(
+        d, "doc_id", "text", "source", minDocs = 3, lines = Some(lines))
+      val df = graft.extensions.Dedup.scrubBoilerplate(
+        d, "doc_id", "text", "source", minDocs = 3,
+        census = Some(census), lines = Some(lines))
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("InMemoryTableScan"),
+        s"the threaded lines relation must be consumed from cache:\n${plan.take(2000)}")
+      // an InMemoryRelation node ECHOES its cached plan (which
+      // legitimately contains the one Generate) — count only LIVE
+      // nodes, i.e. drop every line nested deeper than an
+      // InMemoryRelation marker
+      def nameCol(l: String): Int = l.indexWhere(c => c.isLetter || c == '*')
+      val live = new StringBuilder
+      var echoCol = -1
+      plan.split("== Initial Plan ==")(0).linesIterator.foreach { l =>
+        val c = nameCol(l)
+        if (echoCol >= 0 && c >= 0 && c <= echoCol) echoCol = -1
+        if (echoCol < 0) {
+          if (l.contains("InMemoryRelation")) echoCol = c
+          else { live.append(l).append('\n'); () }
+        }
+      }
+      assert("\\bGenerate\\b".r.findAllIn(live.toString).isEmpty,
+        s"scrub must not re-explode lines:\n${plan.take(2500)}")
+    } finally { lines.unpersist(); () }
+  }
+
   test("PQ probe on a saved index: ADC scan reads codes only (c_vec pruned until re-rank)") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
