@@ -60,7 +60,7 @@ object Bench {
       () => graft.queries.CdcQueries.clearCaches()),
     ("text", n => n.startsWith("text_") || n.startsWith("multimodal_") ||
       n.startsWith("pipeline_") || n.startsWith("corpus_") ||
-      n == "embeddings_stats",
+      n.startsWith("search_") || n == "embeddings_stats",
       () => graft.queries.NorthStarQueries.clearTextCaches()),
     ("dedup", n => n.startsWith("dedup_"),
       () => graft.queries.NorthStarQueries.clearDedupCaches()),

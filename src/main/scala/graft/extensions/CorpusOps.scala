@@ -696,4 +696,32 @@ object CorpusOps {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__export_ord"))
       .drop("__export_ord")
+
+  /** Leakage-safe train/val/test split: a per-DOC hash split
+    * ([[TextFunctions.hashSplit]]) puts two copies of the same text on
+    * opposite sides of the train/test fence — the classic
+    * train-on-test leak that survives doc-level splitting whenever the
+    * corpus has duplicates (it always does). The fix: split by the
+    * exact-dup GROUP, not the doc — every doc gets the split of its
+    * group representative (min id per content hash), so duplicate sets
+    * move as a unit and no text ever straddles splits.
+    *
+    * Plan: the [[Dedup.exactGroups]] census (one map-side-combining
+    * md5 shuffle) re-joined to the (id, hash) projection ON the census
+    * key — both sides partitioned by text_hash when they meet, no
+    * second corpus shuffle. Emits (id, group_rep, split).
+    *
+    * Near-dup-safe variant: feed `groups` from the MinHash/SimHash
+    * family's [[Dedup.resolveDupGroups]] output instead — the contract
+    * is just (text_hash-like key, keep_id). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       trainTo: String = "cc",
+                       valTo: String = "e6"): DataFrame =
+    df.select(col(idCol),
+        md5(col(textCol).cast("binary")).as("text_hash"))
+      .join(Dedup.exactGroups(df, idCol, textCol)
+        .select(col("text_hash"), col("keep_id")), Seq("text_hash"))
+      .select(col(idCol), col("keep_id").as("group_rep"),
+        TextFunctions.hashSplit(col("keep_id").cast("string"))
+          .as("split"))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.extensions.{CorpusOps, Dedup, Multimodal, Similarity}
+import graft.extensions.{CorpusOps, Dedup, Multimodal, Search, Similarity}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 
@@ -433,6 +433,18 @@ object NorthStarQueries {
             .otherwise(lit("")),
           concat(lit("cross banner "), expr("CAST(doc_id DIV 4 AS STRING)"))
         ), x => length(x) > 0)).as("text"))
+
+  /** Planted-duplicate corpus for the leakage-safe split: documents
+    * plus a copy of every 7th doc under a fresh id (offset
+    * max(doc_id)+1 — derived, not a constant, so no SF can alias ids;
+    * the r14-advice lesson from the planted-embedding fixtures). */
+  private def splitLeakDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val copies = d.filter(col("doc_id") % 7 === 0)
+      .crossJoin(broadcast(d.agg((max(col("doc_id")) + 1).as("__off"))))
+      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
+    d.unionByName(copies)
+  }
 
   /** Boilerplate LINES relation per sf dir (doc_id, source, line_no,
     * line, line_hash), persisted: the one explode of the family, shared
@@ -1652,6 +1664,27 @@ object NorthStarQueries {
         minDocs = 3, census = Some(boilerCensus(s, dir)),
         lines = Some(lineRowsShared(s, dir)))),
 
+    // Leakage-safe split: the harness corpora carry no exact dups at
+    // the gate SFs, so the fixture plants one copy of every 7th doc
+    // (offset max(doc_id)+1 — collision-exact at any SF). Copies MUST
+    // land in their original's split: ids 1.. and their copies hash to
+    // DIFFERENT per-doc splits all over, so a doc-keyed split (the
+    // naive bug this operator exists to prevent) hash-mismatches.
+    "text_split_leakage" -> ((s, dir) =>
+      CorpusOps.leakageSafeSplit(splitLeakDocs(s, dir), "doc_id", "text")),
+
+    // ---- keyword retrieval (BM25 + exact phrase) ---------------------
+    // The lexical complement of the sim_* ANN stack: one corpus scan,
+    // one 1-row broadcast of exact-integer corpus stats, TakeOrdered
+    // top-k. 'quasar' is deliberately out-of-vocabulary (df=0 must
+    // contribute zero, not NaN); ties break on doc_id so the LIMIT is
+    // deterministic on both engines.
+    "search_bm25" -> ((s, dir) =>
+      Search.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "quasar"), k = 20)),
+    "search_phrase" -> ((s, dir) =>
+      Search.phraseHits(docs(s, dir), "doc_id", "text", "batch batch")),
+
     // ---- PII detection + redaction -----------------------------------
     // The scrub-before-training hygiene stage. The harness corpus
     // carries no PII, so the queries run over a DERIVED contact-notes
@@ -2237,6 +2270,55 @@ object NorthStarQueries {
       |  CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
       |  CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
       |FROM ld LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)""".stripMargin
+
+  /** BM25 in DuckDB, expression-for-expression the Spark kernel: same
+    * tokenizer, same FIXED term order in the score sum (float addition
+    * is not associative), same left-associative operator grouping in
+    * every factor, avgdl from exact integer sums (DuckDB's sum(BIGINT)
+    * is HUGEINT — cast at the use points, exactly where Spark casts).
+    * 'quasar' is out-of-vocabulary: its tf is 0 everywhere, so it must
+    * contribute nothing. */
+  private val Bm25Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(toks, x -> x = 'quasar')) AS BIGINT) AS tf2
+      |  FROM t),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dl) AS BIGINT) AS sumdl,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |  FROM tf)
+      |SELECT doc_id,
+      |  ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+      |    * CAST(tf0 AS DOUBLE) * 2.2
+      |    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+      |  + ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+      |    * CAST(tf1 AS DOUBLE) * 2.2
+      |    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+      |  + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+      |    * CAST(tf2 AS DOUBLE) * 2.2
+      |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) AS score,
+      |  dl
+      |FROM tf, st
+      |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  private val PhraseSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM t, unnest(range(0, greatest(len(toks) - 2 + 1, 0))) AS u(i)
+      |WHERE array_to_string(toks[i+1:i+2], ' ') = 'batch batch'
+      |GROUP BY doc_id""".stripMargin
 
   /** The planted contact-notes corpus ([[contactNotes]]) in DuckDB —
     * expression-for-expression the same derivation from customer. */
@@ -2986,6 +3068,24 @@ object NorthStarQueries {
     "text_boilerplate_lines" -> BoilerLinesSql,
     "text_boilerplate_stats" -> BoilerStatsSql,
     "text_boilerplate_scrub" -> BoilerScrubSql,
+    "search_bm25" -> Bm25Sql,
+    "search_phrase" -> PhraseSql,
+    // the same planted-copy fixture, the same group-rep split: a
+    // doc-keyed split would send copy and original to different sides
+    "text_split_leakage" ->
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |fx AS (SELECT doc_id, text FROM documents
+        |       UNION ALL
+        |       SELECT doc_id + o AS doc_id, text FROM documents, off
+        |       WHERE doc_id % 7 = 0),
+        |g AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS group_rep
+        |  FROM fx)
+        |SELECT doc_id, group_rep,
+        |  CASE WHEN substring(md5(CAST(group_rep AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substring(md5(CAST(group_rep AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM g""".stripMargin,
     "text_pii_stats" -> PiiStatsSql,
     "text_pii_redact" -> PiiRedactSql,
     "text_decontaminate" -> DecontaminateSql,

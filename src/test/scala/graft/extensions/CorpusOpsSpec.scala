@@ -428,4 +428,38 @@ class CorpusOpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("leakageSafeSplit: duplicate texts move as one group; naive per-doc " +
+    "split would straddle them") {
+    // ids 1 and 3 share a text; md5("1") starts 'c4' (train) while
+    // md5("3") starts 'ec' (test) — the exact leak a per-doc hash split
+    // commits. Group-rep splitting must put BOTH where id 1 goes.
+    val docs = Seq(
+      (1L, "shared dup text"),
+      (3L, "shared dup text"),
+      (7L, "unique text one"),
+      (9L, "unique text two")
+    ).toDF("doc_id", "text")
+    val naive = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.hashSplit(col("doc_id").cast("string"))
+        .as("split"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    assert(naive(1L) === "train" && naive(3L) === "test",
+      "fixture must demonstrate the naive straddle")
+    val safe = CorpusOps.leakageSafeSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_rep"), r.getAs[String]("split"))).toMap
+    assert(safe(1L) === ((1L, "train")))
+    assert(safe(3L) === ((1L, "train")), "the copy follows its group rep")
+    // singletons: rep = self, split = the rep's own hash split
+    assert(safe(7L)._1 === 7L && safe(9L)._1 === 9L)
+    assert(safe(7L)._2 === naive(7L) && safe(9L)._2 === naive(9L))
+    // the invariant the operator exists for: no text straddles splits
+    val straddles = CorpusOps.leakageSafeSplit(docs, "doc_id", "text")
+      .join(docs, "doc_id")
+      .groupBy("text").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddles === 0L)
+  }
 }

@@ -1,0 +1,79 @@
+package graft.extensions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Keyword retrieval: BM25 scoring/top-k and exact phrase search. */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 4 docs, dl = 4 each (avgdl exactly 4.0 -> norm arithmetic is easy):
+  // 'cat' in docs 1 (tf 2) and 2 (tf 1); 'dog' in doc 3 only; doc 4
+  // matches nothing
+  private lazy val corpus = Seq(
+    (1L, "cat cat mouse bird"),
+    (2L, "cat fish fish fish"),
+    (3L, "dog fish bird mouse"),
+    (4L, "bird bird mouse fish")
+  ).toDF("doc_id", "text")
+
+  private def idf(n: Long, df: Long): Double =
+    math.log(1.0 + (n.toDouble - df + 0.5) / (df.toDouble + 0.5))
+
+  private def contrib(tf: Long, dl: Long, avgdl: Double, idf: Double,
+                      k1: Double = 1.2, b: Double = 0.75): Double =
+    idf * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+
+  test("bm25Scores matches the hand-computed formula; non-matching docs absent") {
+    val out = Search.bm25Scores(corpus, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Long]("dl"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out.values.forall(_._2 === 4L))
+    val (iCat, iDog) = (idf(4, 2), idf(4, 1))
+    assert(out(1L)._1 === contrib(2, 4, 4.0, iCat))
+    assert(out(2L)._1 === contrib(1, 4, 4.0, iCat))
+    assert(out(3L)._1 === contrib(1, 4, 4.0, iDog))
+  }
+
+  test("top-k orders by score desc with doc_id tiebreak; OOV terms contribute 0") {
+    // doc 3's rarer 'dog' (df 1) outscores the tf-2 'cat' (df 2): at
+    // dl = avgdl the contribution is monotone in idf faster than tf
+    val top = Search.bm25TopK(corpus, "doc_id", "text",
+      Seq("cat", "dog", "zzz_absent"), k = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(top === Seq(3L, 1L))
+    // docs 1 and 2 tie on nothing; with an all-OOV query nothing matches
+    assert(Search.bm25TopK(corpus, "doc_id", "text",
+      Seq("zzz_absent"), k = 2).count() === 0L)
+  }
+
+  test("bm25 guards: empty and oversized queries refused") {
+    intercept[IllegalArgumentException] {
+      Search.bm25Scores(corpus, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25Scores(corpus, "doc_id", "text",
+        (1 to 65).map(i => s"t$i"))
+    }
+  }
+
+  test("phraseHits counts overlapping occurrences on the normalized stream") {
+    val docs = Seq(
+      (1L, "a cat Cat! cat runs"), // normalized: a cat cat cat runs
+      (2L, "the cat sat"),
+      (3L, "cat and dog")
+    ).toDF("doc_id", "text")
+    val out = Search.phraseHits(docs, "doc_id", "text", "cat cat")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_hits")).toMap
+    // overlapping windows both count: positions (2,3) and (3,4)
+    assert(out === Map(1L -> 2L))
+    // docs shorter than the phrase never match (descending-sequence guard)
+    val short = Seq((9L, "cat")).toDF("doc_id", "text")
+    assert(Search.phraseHits(short, "doc_id", "text", "cat cat mouse dog")
+      .count() === 0L)
+  }
+}
