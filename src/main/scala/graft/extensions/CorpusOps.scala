@@ -724,4 +724,39 @@ object CorpusOps {
       .select(col(idCol), col("keep_id").as("group_rep"),
         TextFunctions.hashSplit(col("keep_id").cast("string"))
           .as("split"))
+
+  /** Corpus snapshot diff: what changed between two crawls/exports of
+    * the same corpus — the incremental-pipeline primitive that decides
+    * what downstream work (re-embed, re-dedup, re-score) a refresh
+    * actually owes. Per id: `added` (new only), `removed` (old only),
+    * `changed` (both, content hash differs), `same`. Content equality
+    * is by md5, so the full document text never crosses the wire: both
+    * sides project to (id, hash) BEFORE the join, and the full-outer
+    * join shuffles two skinny relations on the id. At 100 TB this is
+    * the plan you want — two narrow scans, one co-partitioned join, no
+    * text movement; id-bucketed storage makes even the shuffle free. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("__h_old"))
+    val n = newDf.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("__h_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("same").as("status"))
+  }
+
+  /** The diff rolled up to refresh-planning numbers: row count and id
+    * range per status. One combining shuffle over the (id, status)
+    * relation. */
+  def corpusDiffStats(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                      textCol: String,
+                      diff: Option[DataFrame] = None): DataFrame =
+    diff.getOrElse(corpusDiff(oldDf, newDf, idCol, textCol))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 }

@@ -446,6 +446,27 @@ object NorthStarQueries {
     d.unionByName(copies)
   }
 
+  /** Planted two-snapshot fixture for the corpus-diff family: the OLD
+    * crawl is documents verbatim; the NEW crawl drops every 13th doc,
+    * amends every 11th survivor's text, and adds a fresh doc per
+    * original doc_id % 17 == 0 under offset ids (max+1-derived). */
+  private def diffOldDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("text"))
+
+  private def diffNewDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = diffOldDocs(s, dir)
+    val off = broadcast(d.agg((max(col("doc_id")) + 1).as("__off")))
+    d.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" amended"))).otherwise(col("text"))
+          .as("text"))
+      .unionByName(d.filter(col("doc_id") % 17 === 0).crossJoin(off)
+        .select((col("doc_id") + col("__off")).as("doc_id"),
+          concat(lit("fresh crawl doc "), col("doc_id").cast("string"))
+            .as("text")))
+  }
+
   /** Boilerplate LINES relation per sf dir (doc_id, source, line_no,
     * line, line_hash), persisted: the one explode of the family, shared
     * by census, stats and scrub (the window family's r13/r14 lesson
@@ -1673,6 +1694,16 @@ object NorthStarQueries {
     "text_split_leakage" -> ((s, dir) =>
       CorpusOps.leakageSafeSplit(splitLeakDocs(s, dir), "doc_id", "text")),
 
+    // Corpus snapshot diff over the planted two-crawl fixture: the
+    // incremental-refresh primitive (what to re-embed/re-dedup). Hash
+    // projections BEFORE the join — text never shuffles.
+    "corpus_diff" -> ((s, dir) =>
+      CorpusOps.corpusDiff(diffOldDocs(s, dir), diffNewDocs(s, dir),
+        "doc_id", "text")),
+    "corpus_diff_stats" -> ((s, dir) =>
+      CorpusOps.corpusDiffStats(diffOldDocs(s, dir), diffNewDocs(s, dir),
+        "doc_id", "text")),
+
     // ---- keyword retrieval (BM25 + exact phrase) ---------------------
     // The lexical complement of the sim_* ANN stack: one corpus scan,
     // one 1-row broadcast of exact-integer corpus stats, TakeOrdered
@@ -2310,6 +2341,27 @@ object NorthStarQueries {
       |FROM tf, st
       |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** The two-crawl fixture and the hash-keyed diff in DuckDB. The
+    * fresh-doc text is built in a SUBQUERY so `doc_id` can never bind
+    * to the outer select's shadowing alias. */
+  private val CorpusDiffSql: String =
+    """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+      |old AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |new AS (SELECT doc_id, md5(text) AS h FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 11 = 0 THEN text || ' amended' ELSE text END AS text
+      |    FROM documents WHERE doc_id % 13 != 0
+      |    UNION ALL
+      |    SELECT doc_id + o AS doc_id, txt AS text FROM (
+      |      SELECT doc_id, 'fresh crawl doc ' || CAST(doc_id AS VARCHAR) AS txt
+      |      FROM documents WHERE doc_id % 17 = 0) f, off))
+      |SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+      |  CASE WHEN old.h IS NULL THEN 'added'
+      |       WHEN new.h IS NULL THEN 'removed'
+      |       WHEN old.h != new.h THEN 'changed'
+      |       ELSE 'same' END AS status
+      |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""".stripMargin
 
   private val PhraseSql: String =
     """WITH t AS (SELECT doc_id,
@@ -3070,6 +3122,12 @@ object NorthStarQueries {
     "text_boilerplate_scrub" -> BoilerScrubSql,
     "search_bm25" -> Bm25Sql,
     "search_phrase" -> PhraseSql,
+    "corpus_diff" -> CorpusDiffSql,
+    "corpus_diff_stats" ->
+      s"""WITH diff AS ($CorpusDiffSql)
+        |SELECT status, count(*) AS n,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM diff GROUP BY status""".stripMargin,
     // the same planted-copy fixture, the same group-rep split: a
     // doc-keyed split would send copy and original to different sides
     "text_split_leakage" ->

@@ -462,4 +462,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       .filter(col("k") > 1).count()
     assert(straddles === 0L)
   }
+
+  test("corpusDiff classifies added/removed/changed/same; stats roll up") {
+    val oldC = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newC = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val diff = CorpusOps.corpusDiff(oldC, newC, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("status")).toMap
+    assert(diff === Map(1L -> "removed", 2L -> "same",
+      3L -> "changed", 4L -> "added"))
+    val stats = CorpusOps.corpusDiffStats(oldC, newC, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("min_id"),
+          r.getAs[Long]("max_id"))).toMap
+    assert(stats === Map(
+      "removed" -> ((1L, 1L, 1L)), "same" -> ((1L, 2L, 2L)),
+      "changed" -> ((1L, 3L, 3L)), "added" -> ((1L, 4L, 4L))))
+    // identical snapshots: everything 'same' — the no-op refresh case
+    val noop = CorpusOps.corpusDiff(oldC, oldC, "doc_id", "text")
+    assert(noop.filter(col("status") =!= "same").count() === 0L)
+  }
 }

@@ -388,6 +388,21 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally { lines.unpersist(); () }
   }
 
+  test("BM25 top-k: no explode, no corpus-keyed shuffle, TakeOrdered not a global sort") {
+    // the query-terms kernel is a narrow projection: corpus stats
+    // reduce to ONE row (the only Exchange is the scalar agg's
+    // SinglePartition), which re-joins by broadcast; top-k is
+    // TakeOrderedAndProject (per-partition heads merged on the driver),
+    // never a rangepartitioning global sort
+    val plan = finalPlan("search_bm25")
+    assert(nodeCount(plan, "Generate") == 0,
+      s"no token explode in the BM25 kernel:\n${plan.take(2000)}")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"only the scalar-stats SinglePartition exchange is allowed:\n${plan.take(2000)}")
+    assert(treeCount(plan, "TakeOrderedAndProject") >= 1,
+      s"top-k must plan as TakeOrderedAndProject:\n${plan.take(2000)}")
+  }
+
   test("PQ probe on a saved index: ADC scan reads codes only (c_vec pruned until re-rank)") {
     import org.apache.spark.sql.functions.col
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
