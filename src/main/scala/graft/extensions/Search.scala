@@ -89,29 +89,100 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Fit-once corpus statistics for probe-many BM25 serving: the
+    * document-frequency table (vocabulary-sized — one distinct-token
+    * explode and one combining shuffle, the same scale class as
+    * [[CorpusOps.wordFreq]]) plus the two corpus scalars. [[bm25Scores]]
+    * re-derives all of this per query, costing a SECOND corpus scan; a
+    * search service answering many queries fits this once and each
+    * probe then reads the corpus exactly once. */
+  final case class Bm25Stats(docFreq: DataFrame, nDocs: Long, sumDl: Long) {
+    def persist(): this.type = { docFreq.persist(); this }
+    def unpersist(): Unit = { docFreq.unpersist(); () }
+  }
+
+  def bm25Fit(df: DataFrame, idCol: String, textCol: String): Bm25Stats = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val perDoc = df.select(
+      greatest(size(toks), lit(0)).cast("long").as("dl"),
+      array_distinct(toks).as("__ts"))
+    // driver-side collect: exactly ONE row of two integer scalars
+    val row = perDoc.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .head()
+    val docFreq = perDoc
+      .select(explode(col("__ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Bm25Stats(docFreq, row.getLong(0), row.getLong(1))
+  }
+
+  /** BM25 top-k against a fitted [[Bm25Stats]]: the per-term document
+    * frequencies are looked up from the (tiny) query-filtered slice of
+    * the vocabulary relation — a driver-side collect bounded by the
+    * query's own term count — and every statistic is inlined as a
+    * LITERAL, so the probe plan is scan → project → filter →
+    * TakeOrdered: one corpus pass, zero joins, fully codegen. The
+    * arithmetic reproduces [[bm25Scores]] operation-for-operation
+    * (same IEEE ops on the same integers), so fit/probe and one-shot
+    * answers are bit-identical and share one oracle. */
+  def bm25TopKFitted(df: DataFrame, stats: Bm25Stats, idCol: String,
+                     textCol: String, terms: Seq[String], k: Int = 20,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFitted: empty query")
+    require(terms.size <= 64, "bm25TopKFitted: query-sized term sets only")
+    // <= terms.size rows — the probe's only non-scan work
+    val dfs = stats.docFreq
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df"))
+      .toMap
+    val n = stats.nDocs.toDouble
+    val avgdl = stats.sumDl.toDouble / n
+    val toks = TextFunctions.tokens(col(textCol))
+    val tfs = df.select(
+      col(idCol) +:
+        greatest(size(toks), lit(0)).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf$i")
+        }: _*)
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / lit(avgdl))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = dfs.getOrElse(t, 0L)
+      val idf = math.log(1.0 + ((n - dfT) + 0.5) / (dfT.toDouble + 0.5))
+      val tf = col(s"__tf$i").cast("double")
+      lit(idf) * tf * lit(k1 + 1.0) / (tf + norm)
+    }.reduce(_ + _)
+    tfs
+      .filter(terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), score.as("score"), col("dl"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact phrase search on the normalized token stream: documents
     * containing `phrase` (a consecutive token sequence), with the
-    * occurrence count. Reuses the span-dedup window kernel
-    * ([[Dedup.windowHashes]] is the same sliding-window shape) as a
-    * per-row filter — zero shuffles, zero explode: counting matches of
-    * one phrase needs no inverted index, just a codegen'd scan. */
+    * occurrence count — OVERLAPPING occurrences included ("x x x"
+    * contains "x x" twice), matching the sliding-window definition the
+    * span-dedup family uses. Zero shuffles, zero explode, and — unlike
+    * a sliding-window array kernel, whose higher-order lambdas evaluate
+    * INTERPRETED and allocate a string per window (measured 10.1 s for
+    * the sf0.1 row) — a single regex pass per document: the canonical
+    * space-joined token stream probed with a zero-width lookahead
+    * around the space-padded phrase (lookahead because a plain match
+    * consumes its trailing space and misses overlaps). Tokens never
+    * contain whitespace, so " w1 w2 " occurrences correspond 1:1 to
+    * token positions. */
   def phraseHits(df: DataFrame, idCol: String, textCol: String,
                  phrase: String): DataFrame = {
     val terms = phrase.trim.split("\\s+").toSeq
     require(terms.nonEmpty && terms.forall(_.nonEmpty),
       "phraseHits: empty phrase")
-    val n = terms.size
     val want = terms.mkString(" ")
+    val pattern = "(?=" +
+      java.util.regex.Pattern.quote(" " + want + " ") + ")"
     val toks = TextFunctions.tokens(col(textCol))
-    val hits = size(filter(
-      // all n-token windows, as in the span-dedup family — but matched
-      // against ONE literal, so the comparison stays inside codegen
-      transform(
-        filter(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => i <= size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      w => w === lit(want))).cast("long")
-    df.select(col(idCol), hits.as("n_hits"))
+    val padded = concat(lit(" "), concat_ws(" ", toks), lit(" "))
+    df.select(col(idCol),
+        regexp_count(padded, lit(pattern)).cast("long").as("n_hits"))
       .filter(col("n_hits") > 0)
   }
 }

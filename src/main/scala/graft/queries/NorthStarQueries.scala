@@ -467,6 +467,16 @@ object NorthStarQueries {
             .as("text")))
   }
 
+  /** Fitted BM25 corpus statistics per sf dir (doc-frequency table +
+    * the two integer scalars), persisted: the fit-once side of the
+    * search fit/probe split. Released by [[clearTextCaches]]. */
+  private val bm25StatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Search.Bm25Stats]()
+
+  private def bm25Stats(s: SparkSession, dir: String): Search.Bm25Stats =
+    bm25StatsCache.computeIfAbsent(dir, _ =>
+      Search.bm25Fit(docs(s, dir), "doc_id", "text").persist())
+
   /** Boilerplate LINES relation per sf dir (doc_id, source, line_no,
     * line, line_hash), persisted: the one explode of the family, shared
     * by census, stats and scrub (the window family's r13/r14 lesson
@@ -560,6 +570,8 @@ object NorthStarQueries {
     * executor-storage pressure (r13's unexplained shared-subset drift's
     * prime suspect was exactly this class of cross-phase pinning). */
   def clearTextCaches(): Unit = {
+    bm25StatsCache.values.forEach(ix => ix.unpersist())
+    bm25StatsCache.clear()
     windowRowsCache.values.forEach(df => { df.unpersist(false); () })
     windowRowsCache.clear()
     windowCensusCache.values.forEach(df => { df.unpersist(false); () })
@@ -1713,6 +1725,12 @@ object NorthStarQueries {
     "search_bm25" -> ((s, dir) =>
       Search.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "vector", "quasar"), k = 20)),
+    // steady-state serving: the fitted doc-freq table turns each query
+    // into ONE corpus scan with literal statistics — bit-identical to
+    // the one-shot row, so the oracle is shared verbatim
+    "search_bm25_probe" -> ((s, dir) =>
+      Search.bm25TopKFitted(docs(s, dir), bm25Stats(s, dir),
+        "doc_id", "text", Seq("spark", "vector", "quasar"), k = 20)),
     "search_phrase" -> ((s, dir) =>
       Search.phraseHits(docs(s, dir), "doc_id", "text", "batch batch")),
 
@@ -3121,6 +3139,8 @@ object NorthStarQueries {
     "text_boilerplate_stats" -> BoilerStatsSql,
     "text_boilerplate_scrub" -> BoilerScrubSql,
     "search_bm25" -> Bm25Sql,
+    // fit/probe is bit-identical to one-shot by construction — one oracle
+    "search_bm25_probe" -> Bm25Sql,
     "search_phrase" -> PhraseSql,
     "corpus_diff" -> CorpusDiffSql,
     "corpus_diff_stats" ->

@@ -60,6 +60,20 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("fit/probe BM25 is bit-identical to the one-shot kernel") {
+    val stats = Search.bm25Fit(corpus, "doc_id", "text")
+    // fitted scalars: 4 docs, 16 tokens
+    assert(stats.nDocs === 4L && stats.sumDl === 16L)
+    val terms = Seq("cat", "dog", "zzz_absent")
+    val oneShot = Search.bm25TopK(corpus, "doc_id", "text", terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val probed = Search.bm25TopKFitted(corpus, stats, "doc_id", "text",
+      terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(probed.toSeq === oneShot.toSeq,
+      "fit/probe must reproduce the one-shot scores bit-for-bit")
+  }
+
   test("phraseHits counts overlapping occurrences on the normalized stream") {
     val docs = Seq(
       (1L, "a cat Cat! cat runs"), // normalized: a cat cat cat runs
