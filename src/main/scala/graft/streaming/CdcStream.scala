@@ -260,6 +260,38 @@ object CdcStream {
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
       .start()
 
+  /** Streaming BOILERPLATE SCRUB ingest — the line-level complement of
+    * the curation leg: each micro-batch is rebuilt against a FROZEN
+    * per-source boilerplate census (fit offline with
+    * [[graft.extensions.Dedup.boilerplateLines]] over the corpus the
+    * pipeline already holds). O(batch) per trigger: the line explode
+    * touches only the batch's rows, and the census joins as the (tiny)
+    * flagged set — that a site's boilerplate is a small stable set is
+    * exactly what makes it boilerplate. The census is deliberately
+    * frozen between refreshes, same contract as the dedup legs' frozen
+    * indexes: a census that drifted with every batch would make replay
+    * non-idempotent (and let one weird batch redefine a source's
+    * boilerplate); refresh offline, restart the leg. Stateless given
+    * the census, so the per-batch `batch=<id>` OVERWRITE replay
+    * contract is trivially idempotent. */
+  def startBoilerplateScrubIngest(
+      docStream: DataFrame,
+      census: DataFrame,
+      idCol: String, textCol: String, sourceCol: String,
+      sinkDir: String, checkpointDir: String,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.extensions.Dedup.scrubBoilerplate(
+          batch, idCol, textCol, sourceCol, census = Some(census))
+          .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
   def startCorpusDedupIngest(
       docStream: DataFrame,
       index: graft.extensions.Dedup.CorpusIndex,

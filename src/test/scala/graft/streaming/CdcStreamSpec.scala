@@ -511,6 +511,46 @@ class CdcStreamSpec extends AnyFunSuite {
       "the attrition record must describe exactly the rows in the sink")
   }
 
+  test("startBoilerplateScrubIngest scrubs each batch against the frozen census " +
+    "like the batch operator") {
+    import graft.extensions.Dedup
+    // srcA's nav line is boilerplate (3 docs); the SAME line in srcB is
+    // not (1 doc) — the per-source census semantics must survive the
+    // streaming path
+    val nav = "nav home about contact"
+    val corpus = Seq(
+      (1L, "srcA", s"$nav\nalpha beta"),
+      (2L, "srcA", s"$nav\ngamma delta"),
+      (3L, "srcA", s"$nav\nepsilon"),
+      (4L, "srcB", s"$nav\nzeta eta")
+    ).toDF("doc_id", "source", "text")
+    val census = Dedup.boilerplateLines(
+      corpus, "doc_id", "text", "source", minDocs = 3).persist()
+    try {
+      val src = TestSpark.tmpDir("graft-boiler-src")
+      corpus.coalesce(1).write.mode("overwrite").parquet(src)
+      val sink = TestSpark.tmpDir("graft-boiler-sink")
+      val q = CdcStream.startBoilerplateScrubIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        census, "doc_id", "text", "source",
+        sink, TestSpark.tmpDir("graft-boiler-ckpt"))
+      q.awaitTermination()
+
+      def keySet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "cleaned", "n_lines", "n_kept")
+          .as[(Long, String, Long, Long)].collect().toSet
+      val streamed = keySet(spark.read.parquet(sink).drop("batch"))
+      val direct = keySet(Dedup.scrubBoilerplate(
+        corpus, "doc_id", "text", "source", census = Some(census)))
+      assert(streamed.nonEmpty && streamed == direct,
+        "streaming scrub must equal the batch operator row-for-row")
+      // the cross-source distinction made it through: srcB keeps nav
+      val bySrc = streamed.map(t => t._1 -> t._2).toMap
+      assert(bySrc(1L) === "alpha beta")
+      assert(bySrc(4L) === s"$nav\nzeta eta")
+    } finally { census.unpersist(); () }
+  }
+
   test("streaming MERGE compaction tracks the dedup view across batches and replays") {
     val src = stageSource()
     val sink = TestSpark.tmpDir("graft-stream-compact-sink")
