@@ -158,6 +158,69 @@ object Search {
       .limit(k)
   }
 
+  /** Batch BM25 retrieval: top-k per QUERY over a (query_id, term)
+    * relation — the eval-harness shape, thousands of queries answered
+    * in ONE corpus pass. The single-query kernels above are the wrong
+    * tool there (q queries = q corpus scans); this is the inverted
+    * shape instead: the token explode is filtered by the broadcast
+    * query VOCABULARY immediately after the Generate, so what survives
+    * to the one (doc, term) combining shuffle is |postings of queried
+    * terms|, not |corpus tokens|; document frequencies and query terms
+    * join back by broadcast (both are query-sized); and the per-(query,
+    * doc) score folds the per-term contributions in SORTED term order
+    * (collect → sort → fold — float addition is not associative, and a
+    * SUM aggregate's partial order is partition-dependent; the sorted
+    * fold is reproducible across runs, partitionings and engines).
+    * Top-k is a rank window partitioned by query, ties to the lowest
+    * doc id.
+    *
+    * Emits (query_id, id, score, rank), rank 1..k per query; queries
+    * whose terms are all out-of-vocabulary match nothing and are absent.
+    */
+  def bm25BatchTopK(df: DataFrame, stats: Bm25Stats, idCol: String,
+                    textCol: String, queries: DataFrame, k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val n = stats.nDocs.toDouble
+    val avgdl = stats.sumDl.toDouble / n
+    val vocab = queries.select(col("term")).distinct()
+    val toks = TextFunctions.tokens(col(textCol))
+    val postings = df
+      .select(col(idCol),
+        greatest(size(toks), lit(0)).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"), max(col("dl")).as("dl"))
+    val withIdf = postings
+      .join(broadcast(stats.docFreq.join(vocab, Seq("term"), "left_semi")),
+        Seq("term"))
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / lit(avgdl))
+    val idf = log(lit(1.0) +
+      ((lit(n) - col("df")) + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tf = col("__tf").cast("double")
+    val contrib = idf * tf * lit(k1 + 1.0) / (tf + norm)
+    val scored = withIdf
+      .join(broadcast(queries.select(col("query_id"), col("term"))),
+        Seq("term"))
+      .select(col("query_id"), col(idCol),
+        struct(col("term"), contrib.as("__c")).as("__tc"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(aggregate(
+        transform(array_sort(collect_list(col("__tc"))),
+          s => s.getField("__c")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    scored
+      .withColumn("rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col(idCol)))
+          .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact phrase search on the normalized token stream: documents
     * containing `phrase` (a consecutive token sequence), with the
     * occurrence count — OVERLAPPING occurrences included ("x x x"

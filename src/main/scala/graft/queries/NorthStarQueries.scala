@@ -1731,6 +1731,18 @@ object NorthStarQueries {
     "search_bm25_probe" -> ((s, dir) =>
       Search.bm25TopKFitted(docs(s, dir), bm25Stats(s, dir),
         "doc_id", "text", Seq("spark", "vector", "quasar"), k = 20)),
+    // batch retrieval: a query TABLE answered in one corpus pass — the
+    // eval-harness shape (per-query kernels would pay q scans). q2
+    // mixes an out-of-vocabulary term with a common one: the OOV term
+    // must contribute nothing without poisoning the query.
+    "search_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark"), (0L, "merge"), (1L, "vector"),
+        (1L, "join"), (2L, "quasar"), (2L, "window"))
+        .toDF("query_id", "term")
+      Search.bm25BatchTopK(docs(s, dir), bm25Stats(s, dir),
+        "doc_id", "text", qs, k = 5)
+    }),
     "search_phrase" -> ((s, dir) =>
       Search.phraseHits(docs(s, dir), "doc_id", "text", "batch batch")),
 
@@ -2380,6 +2392,59 @@ object NorthStarQueries {
       |       WHEN old.h != new.h THEN 'changed'
       |       ELSE 'same' END AS status
       |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""".stripMargin
+
+  /** Batch BM25 in DuckDB: postings restricted to the query vocabulary,
+    * document frequencies recomputed from the postings (one row per
+    * (doc, term) — identical to the fitted distinct-token census), and
+    * the score as an EXPLICIT term-ordered fold: `list_reduce(list(c
+    * ORDER BY term), +)` pins the accumulation order to Spark's
+    * sort-then-aggregate (a plain `sum(c ORDER BY term)` parses, but
+    * sum is order-insensitive to DuckDB). The fold's seeds differ
+    * (Spark starts at 0.0, list_reduce at the first element) but are
+    * absorbed: contributions are strictly positive and 0.0 + x == x in
+    * IEEE for x > 0.
+    *
+    * Known 1-ulp residual, measured and accepted: Java's Math.log and
+    * DuckDB's C-libm ln round differently on SOME inputs (4 of 15 rows
+    * at sf0.001, e.g. idf(df=380, n=500): Spark ...e0e vs DuckDB
+    * ...e0f) — not a sum-order artifact (both fold orders reproduce
+    * DuckDB's bits; the divergence is inside the contribution). This is
+    * exactly what the driver's %.6g value normalization absorbs, and
+    * since the inputs are deterministic per SF a green row at all three
+    * SFs stays green. The single-query rows hit log inputs where the
+    * two libms agree, so they remain bit-exact. */
+  private val Bm25BatchSql: String =
+    """WITH q AS (
+      |  SELECT CAST(qid AS BIGINT) AS query_id, term FROM (VALUES
+      |    (0, 'spark'), (0, 'merge'), (1, 'vector'),
+      |    (1, 'join'), (2, 'quasar'), (2, 'window')) v(qid, term)),
+      |t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+      |post AS (SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf,
+      |    max(dl) AS dl
+      |  FROM d, unnest(toks) AS u(term)
+      |  WHERE u.term IN (SELECT DISTINCT term FROM q)
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+      |con AS (SELECT q.query_id, p.doc_id, p.term,
+      |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * CAST(tf AS DOUBLE) * 2.2
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE)
+      |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) AS c
+      |  FROM post p JOIN dfreq USING (term) JOIN q ON q.term = p.term, st),
+      |sc AS (SELECT query_id, doc_id,
+      |    list_reduce(list(c ORDER BY term), (acc, x) -> acc + x) AS score
+      |  FROM con GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 5""".stripMargin
 
   private val PhraseSql: String =
     """WITH t AS (SELECT doc_id,
@@ -3141,6 +3206,7 @@ object NorthStarQueries {
     "search_bm25" -> Bm25Sql,
     // fit/probe is bit-identical to one-shot by construction — one oracle
     "search_bm25_probe" -> Bm25Sql,
+    "search_bm25_batch" -> Bm25BatchSql,
     "search_phrase" -> PhraseSql,
     "corpus_diff" -> CorpusDiffSql,
     "corpus_diff_stats" ->

@@ -74,6 +74,38 @@ class SearchSpec extends AnyFunSuite {
       "fit/probe must reproduce the one-shot scores bit-for-bit")
   }
 
+  test("batch retrieval equals the single-query kernel per query") {
+    val stats = Search.bm25Fit(corpus, "doc_id", "text")
+    val queries = Seq((10L, "cat"), (10L, "dog"), (20L, "dog"),
+      (30L, "zzz_absent")).toDF("query_id", "term")
+    val out = Search.bm25BatchTopK(corpus, stats, "doc_id", "text",
+      queries, k = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id")) ->
+        (r.getAs[Double]("score"), r.getAs[Long]("rank"))).toMap
+    // query 10 == bm25Scores(terms sorted asc — the fold order)
+    val single = Search.bm25Scores(corpus, "doc_id", "text",
+      Seq("cat", "dog"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("score")).toMap
+    assert(single.keySet === Set(1L, 2L, 3L))
+    single.foreach { case (doc, s) =>
+      assert(out((10L, doc))._1 === s,
+        s"batch score for doc $doc must equal the single-query kernel")
+    }
+    // query 20: only doc 3 matches 'dog'
+    assert(out.keySet.filter(_._1 == 20L) === Set((20L, 3L)))
+    assert(out((20L, 3L))._2 === 1L)
+    // all-OOV query 30 is absent entirely
+    assert(out.keySet.forall(_._1 != 30L))
+    // ranks are 1..n per query, ordered by score desc then doc_id
+    val q10 = out.toSeq.collect { case ((10L, d), (s, rk)) => (rk, s, d) }
+      .sortBy(_._1)
+    assert(q10.map(_._1) === Seq(1L, 2L, 3L))
+    assert(q10.sliding(2).forall { case Seq(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._3 < b._3) })
+  }
+
   test("phraseHits counts overlapping occurrences on the normalized stream") {
     val docs = Seq(
       (1L, "a cat Cat! cat runs"), // normalized: a cat cat cat runs
