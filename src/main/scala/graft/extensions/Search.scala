@@ -211,14 +211,28 @@ object Search {
         transform(array_sort(collect_list(col("__tc"))),
           s => s.getField("__c")),
         lit(0.0), (acc, x) => acc + x).as("score"))
+    // two-level tree top-k (the quotaSample pattern): a plain
+    // rank-window partitioned by query_id alone would sort a hot
+    // query's ENTIRE match set in one task — at corpus scale a
+    // stopword-ish query matches everything. Level 1 ranks within
+    // (query, hash-bucket) and keeps k per bucket, so no task ever
+    // sorts more than its bucket; level 2 re-ranks the <= fanout*k
+    // survivors. The bucket key only bounds work — the result never
+    // depends on it.
+    val fanout = 64
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"),
+        pmod(xxhash64(col(idCol)), lit(fanout)))
+      .orderBy(col("score").desc, col(idCol))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
     scored
-      .withColumn("rank",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col(idCol)))
-          .cast("long"))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
+      .drop("__r1")
   }
 
   /** Exact phrase search on the normalized token stream: documents
