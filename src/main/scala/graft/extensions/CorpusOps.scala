@@ -725,6 +725,29 @@ object CorpusOps {
         TextFunctions.hashSplit(col("keep_id").cast("string"))
           .as("split"))
 
+  /** The near-dup-safe variant of [[leakageSafeSplit]]: split by an
+    * EXTERNALLY-resolved duplicate grouping — the
+    * [[Dedup.resolveDupGroups]] output (connected components over
+    * MinHash/SimHash/embedding pairs), whose (id, group_id) contract
+    * this consumes directly. Exact-hash grouping (above) catches
+    * byte-identical leaks; THIS catches the near-identical ones — the
+    * paraphrased test document whose MinHash group straddles a per-doc
+    * split. Ungrouped docs (absent from `groups`) are their own
+    * representative. One left join against the (skinny, duplicates-only)
+    * groups relation; the corpus side never reshuffles on anything but
+    * the join key. */
+  def leakageSafeSplitGroups(df: DataFrame, idCol: String,
+                             groups: DataFrame,
+                             trainTo: String = "cc",
+                             valTo: String = "e6"): DataFrame = {
+    val rep = coalesce(col("group_id"), col(idCol))
+    df.select(col(idCol))
+      .join(groups.select(col(idCol), col("group_id")), Seq(idCol), "left")
+      .select(col(idCol), rep.as("group_rep"),
+        TextFunctions.hashSplit(rep.cast("string"), trainTo, valTo)
+          .as("split"))
+  }
+
   /** Corpus snapshot diff: what changed between two crawls/exports of
     * the same corpus — the incremental-pipeline primitive that decides
     * what downstream work (re-embed, re-dedup, re-score) a refresh

@@ -1706,6 +1706,15 @@ object NorthStarQueries {
     "text_split_leakage" -> ((s, dir) =>
       CorpusOps.leakageSafeSplit(splitLeakDocs(s, dir), "doc_id", "text")),
 
+    // ...and the near-dup-safe variant: split by the resolved MinHash
+    // connected component (the dupGroups relation the near-dedup rows
+    // already share), so a PARAPHRASED test doc can't straddle the
+    // fence either. The oracle recomputes the components with the same
+    // recursive CTE as dedup_near_groups, then the same rep-keyed split.
+    "text_split_leakage_near" -> ((s, dir) =>
+      CorpusOps.leakageSafeSplitGroups(docs(s, dir), "doc_id",
+        dupGroups(s, dir))),
+
     // Corpus snapshot diff over the planted two-crawl fixture: the
     // incremental-refresh primitive (what to re-embed/re-dedup). Hash
     // projections BEFORE the join — text never shuffles.
@@ -3214,6 +3223,25 @@ object NorthStarQueries {
         |SELECT status, count(*) AS n,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM diff GROUP BY status""".stripMargin,
+    // near-dup-safe split: the dedup_near_groups recursive closure,
+    // then the rep-keyed hash split; ungrouped docs are their own rep
+    "text_split_leakage_near" ->
+      s"""WITH RECURSIVE base AS ($NgramJaccardSql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM base
+         |  UNION
+         |  SELECT id_b, id_a FROM base),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+         |        FROM reach GROUP BY a)
+         |SELECT d.doc_id, COALESCE(lab.group_id, d.doc_id) AS group_rep,
+         |  CASE WHEN substring(md5(CAST(COALESCE(lab.group_id, d.doc_id) AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |       WHEN substring(md5(CAST(COALESCE(lab.group_id, d.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id""".stripMargin,
     // the same planted-copy fixture, the same group-rep split: a
     // doc-keyed split would send copy and original to different sides
     "text_split_leakage" ->

@@ -463,6 +463,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(straddles === 0L)
   }
 
+  test("leakageSafeSplitGroups: near-dup groups move as a unit; ungrouped " +
+    "docs are their own representative") {
+    val docs = Seq((1L, "a"), (3L, "b"), (7L, "c"), (9L, "d"))
+      .toDF("doc_id", "text")
+    // an externally-resolved near-dup grouping (resolveDupGroups
+    // contract): 1 and 3 are one component labelled by the min id
+    val groups = Seq((1L, 1L), (3L, 1L)).toDF("doc_id", "group_id")
+    val out = CorpusOps.leakageSafeSplitGroups(docs, "doc_id", groups)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_rep"), r.getAs[String]("split"))).toMap
+    // md5("1") -> train, md5("3") -> test: the naive per-doc straddle
+    // the group split must prevent
+    assert(out(1L) === ((1L, "train")))
+    assert(out(3L) === ((1L, "train")))
+    assert(out(7L)._1 === 7L && out(9L)._1 === 9L)
+    val naive = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.hashSplit(col("doc_id").cast("string"))
+        .as("split"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    assert(out(7L)._2 === naive(7L) && out(9L)._2 === naive(9L))
+  }
+
   test("corpusDiff classifies added/removed/changed/same; stats roll up") {
     val oldC = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")

@@ -388,6 +388,23 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally { lines.unpersist(); () }
   }
 
+  test("corpus diff: the full-outer join exchanges only (id, hash) — text never shuffles") {
+    // both snapshots project to (doc_id, md5) BEFORE the join; an
+    // Exchange keyed on anything but doc_id, or carrying the text
+    // column, would ship corpus text through the wire at scale
+    val plan = finalPlan("corpus_diff")
+    val exchanges = "hashpartitioning\\(([^,)]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("doc_id")),
+      s"every shuffle must key on doc_id, got $exchanges:\n${plan.take(2000)}")
+    // the join node's inputs are the two skinny hash projections
+    val joinBlock = plan.split("\\(\\d+\\) ")
+      .find(b => b.contains("Join FullOuter"))
+    assert(joinBlock.isDefined, s"no full-outer join node:\n${plan.take(2000)}")
+    assert(!joinBlock.get.contains("text#"),
+      s"text must be projected away before the join:\n${joinBlock.get.take(1200)}")
+  }
+
   test("BM25 top-k: no explode, no corpus-keyed shuffle, TakeOrdered not a global sort") {
     // the query-terms kernel is a narrow projection: corpus stats
     // reduce to ONE row (the only Exchange is the scalar agg's
