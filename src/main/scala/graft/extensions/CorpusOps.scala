@@ -722,7 +722,7 @@ object CorpusOps {
       .join(Dedup.exactGroups(df, idCol, textCol)
         .select(col("text_hash"), col("keep_id")), Seq("text_hash"))
       .select(col(idCol), col("keep_id").as("group_rep"),
-        TextFunctions.hashSplit(col("keep_id").cast("string"))
+        TextFunctions.hashSplit(col("keep_id").cast("string"), trainTo, valTo)
           .as("split"))
 
   /** The near-dup-safe variant of [[leakageSafeSplit]]: split by an

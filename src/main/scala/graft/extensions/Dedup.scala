@@ -1163,6 +1163,7 @@ object Dedup {
                    sourceCol: String): DataFrame = {
     val stamp = new org.apache.spark.sql.types.MetadataBuilder()
       .putString(LineStampId, idCol).putString(LineStampSrc, sourceCol)
+      .putString(LineStampText, textCol)
       .build()
     df.select(col(idCol), col(sourceCol),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
@@ -1175,26 +1176,37 @@ object Dedup {
 
   private val LineStampId = "graft.line.idCol"
   private val LineStampSrc = "graft.line.sourceCol"
+  private val LineStampText = "graft.line.textCol"
 
   /** Enforce [[lineRelation]]'s threading contract (same refusal shape
-    * as [[requireWinStamp]]): stamped (idCol, sourceCol) must equal the
-    * consumer's parameters; an unstamped relation is refused outright. */
+    * as [[requireWinStamp]]): stamped (idCol, textCol, sourceCol) must
+    * equal the consumer's parameters; an unstamped relation is refused
+    * outright. textCol is part of the stamp (ADVICE r15): a lines
+    * relation built over a DIFFERENT text column (e.g. an
+    * already-scrubbed one) would otherwise pass and the census/scrub
+    * would silently run against the wrong text — the exact mismatch
+    * class the stamp exists to refuse. Pre-textCol stamps (no
+    * LineStampText key) are refused like unstamped relations. */
   private def requireLineStamp(lines: DataFrame, idCol: String,
-                               sourceCol: String, fn: String): DataFrame = {
+                               textCol: String, sourceCol: String,
+                               fn: String): DataFrame = {
     val field = lines.schema.fields.find(_.name == "line_hash").getOrElse(
       throw new IllegalArgumentException(
         s"$fn: lines relation has no line_hash column — build it with lineRelation"))
-    require(field.metadata.contains(LineStampId),
-      s"$fn: lines relation carries no (idCol, sourceCol) stamp — build " +
-        s"it with lineRelation(df, idCol, textCol, sourceCol), not a " +
-        s"hand-rolled explode")
-    val (sid, ssrc) = (field.metadata.getString(LineStampId),
+    require(field.metadata.contains(LineStampId) &&
+        field.metadata.contains(LineStampText),
+      s"$fn: lines relation carries no (idCol, textCol, sourceCol) stamp " +
+        s"— build it with lineRelation(df, idCol, textCol, sourceCol), " +
+        s"not a hand-rolled explode")
+    val (sid, stxt, ssrc) = (field.metadata.getString(LineStampId),
+      field.metadata.getString(LineStampText),
       field.metadata.getString(LineStampSrc))
-    require(sid == idCol && ssrc == sourceCol,
-      s"$fn: lines relation was built with (idCol=$sid, sourceCol=$ssrc) " +
-        s"but this consumer runs with (idCol=$idCol, sourceCol=$sourceCol) " +
-        s"— the census would silently mis-group; rebuild the relation " +
-        s"with matching parameters")
+    require(sid == idCol && stxt == textCol && ssrc == sourceCol,
+      s"$fn: lines relation was built with (idCol=$sid, textCol=$stxt, " +
+        s"sourceCol=$ssrc) but this consumer runs with (idCol=$idCol, " +
+        s"textCol=$textCol, sourceCol=$sourceCol) — the census would " +
+        s"silently mis-group or read the wrong text; rebuild the " +
+        s"relation with matching parameters")
     lines
   }
 
@@ -1207,7 +1219,7 @@ object Dedup {
   def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, minDocs: Int = 3,
                        lines: Option[DataFrame] = None): DataFrame =
-    lines.map(requireLineStamp(_, idCol, sourceCol, "boilerplateLines"))
+    lines.map(requireLineStamp(_, idCol, textCol, sourceCol, "boilerplateLines"))
       .getOrElse(lineRelation(df, idCol, textCol, sourceCol))
       .groupBy(col(sourceCol), col("line_hash"))
       .agg(min(col("line")).as("line"),
@@ -1226,7 +1238,7 @@ object Dedup {
                        sourceCol: String, minDocs: Int = 3,
                        census: Option[DataFrame] = None,
                        lines: Option[DataFrame] = None): DataFrame = {
-    val lns = lines.map(requireLineStamp(_, idCol, sourceCol, "boilerplateStats"))
+    val lns = lines.map(requireLineStamp(_, idCol, textCol, sourceCol, "boilerplateStats"))
       .getOrElse(lineRelation(df, idCol, textCol, sourceCol))
     val boiler = census.getOrElse(
       boilerplateLines(df, idCol, textCol, sourceCol, minDocs, lines))
@@ -1254,7 +1266,7 @@ object Dedup {
                        sourceCol: String, minDocs: Int = 3,
                        census: Option[DataFrame] = None,
                        lines: Option[DataFrame] = None): DataFrame = {
-    val lns = lines.map(requireLineStamp(_, idCol, sourceCol, "scrubBoilerplate"))
+    val lns = lines.map(requireLineStamp(_, idCol, textCol, sourceCol, "scrubBoilerplate"))
       .getOrElse(lineRelation(df, idCol, textCol, sourceCol))
     val boiler = census.getOrElse(
       boilerplateLines(df, idCol, textCol, sourceCol, minDocs, lines))

@@ -176,13 +176,27 @@ object Search {
     *
     * Emits (query_id, id, score, rank), rank 1..k per query; queries
     * whose terms are all out-of-vocabulary match nothing and are absent.
-    */
+    *
+    * `fanout` is the level-1 bucket count of the two-level tree rank —
+    * the bound on how many rows any ONE task sorts for a hot (stopword-
+    * ish) query is matchset/fanout, and level 2 then sorts ≤ fanout·k
+    * survivors. At 100 TB size it like [[CorpusOps.quotaSample]]'s:
+    * fanout ≈ the shuffle parallelism, so a query matching the whole
+    * corpus still spreads its sort across the cluster. The bucket key
+    * only bounds work — the result never depends on it.
+    *
+    * A query listing the same term twice is deduplicated before scoring
+    * (BM25 is a function of the term SET; double-counting a repeated
+    * term would diverge from the single-query kernels above). */
   def bm25BatchTopK(df: DataFrame, stats: Bm25Stats, idCol: String,
                     textCol: String, queries: DataFrame, k: Int = 10,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75,
+                    fanout: Int = 64): DataFrame = {
+    require(fanout > 0, s"bm25BatchTopK: fanout must be positive, got $fanout")
     val n = stats.nDocs.toDouble
     val avgdl = stats.sumDl.toDouble / n
-    val vocab = queries.select(col("term")).distinct()
+    val qTerms = queries.select(col("query_id"), col("term")).distinct()
+    val vocab = qTerms.select(col("term")).distinct()
     val toks = TextFunctions.tokens(col(textCol))
     val postings = df
       .select(col(idCol),
@@ -202,8 +216,7 @@ object Search {
     val tf = col("__tf").cast("double")
     val contrib = idf * tf * lit(k1 + 1.0) / (tf + norm)
     val scored = withIdf
-      .join(broadcast(queries.select(col("query_id"), col("term"))),
-        Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
       .select(col("query_id"), col(idCol),
         struct(col("term"), contrib.as("__c")).as("__tc"))
       .groupBy(col("query_id"), col(idCol))
@@ -217,9 +230,7 @@ object Search {
     // stopword-ish query matches everything. Level 1 ranks within
     // (query, hash-bucket) and keeps k per bucket, so no task ever
     // sorts more than its bucket; level 2 re-ranks the <= fanout*k
-    // survivors. The bucket key only bounds work — the result never
-    // depends on it.
-    val fanout = 64
+    // survivors.
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"),
         pmod(xxhash64(col(idCol)), lit(fanout)))
@@ -250,9 +261,14 @@ object Search {
     * token positions. */
   def phraseHits(df: DataFrame, idCol: String, textCol: String,
                  phrase: String): DataFrame = {
-    val terms = phrase.trim.split("\\s+").toSeq
-    require(terms.nonEmpty && terms.forall(_.nonEmpty),
-      "phraseHits: empty phrase")
+    // normalize the phrase through the SAME tokenizer convention as the
+    // document side ([[TextFunctions.tokens]]: lowercase, split on
+    // non-letter/digit runs) — a raw whitespace split would silently
+    // match nothing for "Cat cat" or "don't stop", since the document
+    // stream it probes is already normalized
+    val terms = phrase.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "phraseHits: phrase has no tokens")
     val want = terms.mkString(" ")
     val pattern = "(?=" +
       java.util.regex.Pattern.quote(" " + want + " ") + ")"

@@ -1711,7 +1711,11 @@ object NorthStarQueries {
     // already share), so a PARAPHRASED test doc can't straddle the
     // fence either. The oracle recomputes the components with the same
     // recursive CTE as dedup_near_groups, then the same rep-keyed split.
-    "text_split_leakage_near" -> ((s, dir) =>
+    // Named dedup_ (not text_) so Bench runs it in the DEDUP phase: it
+    // pins dupGroups, whose lifetime is clearDedupCaches — under the
+    // text_ prefix it cross-phase-pinned that relation through the text
+    // family (ADVICE r15).
+    "dedup_split_leakage_near" -> ((s, dir) =>
       CorpusOps.leakageSafeSplitGroups(docs(s, dir), "doc_id",
         dupGroups(s, dir))),
 
@@ -3225,7 +3229,7 @@ object NorthStarQueries {
         |FROM diff GROUP BY status""".stripMargin,
     // near-dup-safe split: the dedup_near_groups recursive closure,
     // then the rep-keyed hash split; ungrouped docs are their own rep
-    "text_split_leakage_near" ->
+    "dedup_split_leakage_near" ->
       s"""WITH RECURSIVE base AS ($NgramJaccardSql),
          |edges AS (
          |  SELECT id_a AS a, id_b AS b FROM base

@@ -93,6 +93,16 @@ class BoilerplateSpec extends AnyFunSuite {
         minDocs = 3, lines = Some(bare))
     }
     assert(eBare.getMessage.contains("stamp"))
+    // textCol is part of the stamp too (ADVICE r15): a lines relation
+    // built over a DIFFERENT text column — e.g. an already-scrubbed one
+    // — must be refused, or the census silently reads the wrong text
+    val scrubbed = corpus.withColumn("text2", col("text"))
+    val wrongText = Dedup.lineRelation(scrubbed, "doc_id", "text2", "source")
+    val eText = intercept[IllegalArgumentException] {
+      Dedup.boilerplateLines(scrubbed, "doc_id", "text", "source",
+        minDocs = 3, lines = Some(wrongText))
+    }
+    assert(eText.getMessage.contains("textCol=text2"))
   }
 
   test("null and empty texts yield zero lines and an empty scrub") {

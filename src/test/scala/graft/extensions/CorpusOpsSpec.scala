@@ -463,6 +463,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(straddles === 0L)
   }
 
+  test("leakageSafeSplit honors non-default split boundaries") {
+    // ADVICE r15: trainTo/valTo were declared but silently dropped —
+    // only the defaults were ever exercised. Pin that both variants
+    // route the boundaries through to hashSplit: "00"/"00" sends
+    // everything to test, "zz"/"zz" sends everything to train (hex
+    // chars all < 'z'), and the custom boundary agrees with a direct
+    // hashSplit at the same thresholds.
+    val docs = Seq((1L, "a"), (3L, "b"), (7L, "c"), (9L, "d"))
+      .toDF("doc_id", "text")
+    val allTest = CorpusOps.leakageSafeSplit(docs, "doc_id", "text",
+      trainTo = "00", valTo = "00")
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(allTest === Set("test"))
+    val allTrain = CorpusOps.leakageSafeSplit(docs, "doc_id", "text",
+      trainTo = "zz", valTo = "zz")
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(allTrain === Set("train"))
+    val custom = CorpusOps.leakageSafeSplit(docs, "doc_id", "text",
+      trainTo = "80", valTo = "c0")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    val direct = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.hashSplit(col("doc_id").cast("string"),
+        "80", "c0").as("split"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    // every text is unique, so each doc is its own rep — the split must
+    // equal the direct hashSplit at the SAME custom thresholds
+    assert(custom === direct)
+    // ...and the groups variant (which already passed them) stays honest
+    val groups = Seq((1L, 1L), (3L, 1L)).toDF("doc_id", "group_id")
+    val g = CorpusOps.leakageSafeSplitGroups(docs, "doc_id", groups,
+      trainTo = "00", valTo = "00")
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(g === Set("test"))
+  }
+
   test("leakageSafeSplitGroups: near-dup groups move as a unit; ungrouped " +
     "docs are their own representative") {
     val docs = Seq((1L, "a"), (3L, "b"), (7L, "c"), (9L, "d"))

@@ -122,4 +122,62 @@ class SearchSpec extends AnyFunSuite {
     assert(Search.phraseHits(short, "doc_id", "text", "cat cat mouse dog")
       .count() === 0L)
   }
+
+  test("phraseHits normalizes the phrase through the document tokenizer") {
+    val docs = Seq(
+      (1L, "a cat Cat! cat runs"), // normalized: a cat cat cat runs
+      (2L, "don t stop me")        // tokens: don, t, stop, me
+    ).toDF("doc_id", "text")
+    // mixed case + punctuation in the PHRASE must normalize exactly like
+    // the document side (ADVICE r15: a raw whitespace split silently
+    // matched nothing for these)
+    val mixed = Search.phraseHits(docs, "doc_id", "text", "Cat cat")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_hits")).toMap
+    assert(mixed === Map(1L -> 2L))
+    val apos = Search.phraseHits(docs, "doc_id", "text", "Don't stop")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_hits")).toMap
+    assert(apos === Map(2L -> 1L))
+    // all-punctuation phrases have no tokens — refused, not silently empty
+    assertThrows[IllegalArgumentException] {
+      Search.phraseHits(docs, "doc_id", "text", "!!! ...")
+    }
+  }
+
+  test("batch retrieval deduplicates repeated (query_id, term) rows") {
+    val stats = Search.bm25Fit(corpus, "doc_id", "text")
+    val once = Seq((10L, "cat"), (10L, "dog")).toDF("query_id", "term")
+    val dup = Seq((10L, "cat"), (10L, "cat"), (10L, "dog"), (10L, "dog"),
+      (10L, "cat")).toDF("query_id", "term")
+    val a = Search.bm25BatchTopK(corpus, stats, "doc_id", "text", once, k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    val b = Search.bm25BatchTopK(corpus, stats, "doc_id", "text", dup, k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
+    assert(a === b,
+      "a repeated term must not double-count its BM25 contribution")
+  }
+
+  test("batch retrieval result is invariant to the tree-rank fanout") {
+    val stats = Search.bm25Fit(corpus, "doc_id", "text")
+    val queries = Seq((10L, "cat"), (10L, "dog"), (20L, "fish"))
+      .toDF("query_id", "term")
+    def run(fanout: Int) =
+      Search.bm25BatchTopK(corpus, stats, "doc_id", "text", queries,
+        k = 2, fanout = fanout)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+          r.getAs[Long]("rank"))).toSet
+    val base = run(64)
+    // the bucket key only bounds per-task sort size — never the answer
+    assert(run(1) === base)
+    assert(run(3) === base)
+    assert(run(1024) === base)
+    assertThrows[IllegalArgumentException] {
+      Search.bm25BatchTopK(corpus, stats, "doc_id", "text", queries,
+        k = 2, fanout = 0)
+    }
+  }
 }
