@@ -95,17 +95,65 @@ object Search {
     * [[CorpusOps.wordFreq]]) plus the two corpus scalars. [[bm25Scores]]
     * re-derives all of this per query, costing a SECOND corpus scan; a
     * search service answering many queries fits this once and each
-    * probe then reads the corpus exactly once. */
-  final case class Bm25Stats(docFreq: DataFrame, nDocs: Long, sumDl: Long) {
+    * probe then reads the corpus exactly once.
+    *
+    * Same save/load/extend/close lifecycle (with [[IndexMeta]] version
+    * lineage) as the five dedup/ANN index families: a 100 TB serving
+    * deployment fits the stats once, every later job loads them, and a
+    * corpus bump pays O(new docs) — df counts and the two scalars are
+    * all ADDITIVE under the append-only-ids contract, so
+    * extend(fit(A), B) ≡ fit(A ∪ B) exactly (spec-pinned). */
+  final case class Bm25Stats(docFreq: DataFrame, nDocs: Long, sumDl: Long,
+                             savedDir: Option[String] = None,
+                             version: Long = 1L,
+                             folded: Seq[String] = Nil,
+                             parent: Option[String] = None) {
     def persist(): this.type = { docFreq.persist(); this }
     def unpersist(): Unit = { docFreq.unpersist(); () }
+
+    /** Persist the stats to storage so they outlive the session: the
+      * vocabulary-sized df table as parquet, the two integer scalars in
+      * a one-row meta table, and the [[IndexMeta]] version stamp — a
+      * load can never probe with mismatched scalars, and close()/extend
+      * on a stale handle refuses exactly like the other families. */
+    def save(dir: String): Bm25Stats = {
+      val spark = docFreq.sparkSession
+      import spark.implicits._
+      docFreq.write.mode("overwrite").parquet(s"$dir/df")
+      Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+      IndexMeta.write(spark, dir, IndexMeta.Meta(version,
+        parent = parent.orElse(savedDir).filterNot(_ == dir),
+        folded = folded,
+        rows = IndexMeta.rowCounts(spark, dir, Seq("df"))))
+      copy(savedDir = Some(dir))
+    }
+
+    /** Retire this stats version in ONE call — unpersist + delete the
+      * saved tree, refusing a stale handle ([[IndexMeta]]). */
+    def close(): Unit = {
+      unpersist()
+      savedDir.foreach { d =>
+        val spark = docFreq.sparkSession
+        IndexMeta.requireCurrent(spark, d, version, "close()")
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(p, true)
+      }
+    }
+  }
+
+  /** The one-pass per-doc projection both fit and extend reduce:
+    * (dl, distinct terms) per document. */
+  private def bm25PerDoc(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(
+      greatest(size(toks), lit(0)).cast("long").as("dl"),
+      array_distinct(toks).as("__ts"))
   }
 
   def bm25Fit(df: DataFrame, idCol: String, textCol: String): Bm25Stats = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val perDoc = df.select(
-      greatest(size(toks), lit(0)).cast("long").as("dl"),
-      array_distinct(toks).as("__ts"))
+    val perDoc = bm25PerDoc(df, textCol)
     // driver-side collect: exactly ONE row of two integer scalars
     val row = perDoc.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
       .head()
@@ -113,6 +161,50 @@ object Search {
       .select(explode(col("__ts")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     Bm25Stats(docFreq, row.getLong(0), row.getLong(1))
+  }
+
+  /** Load [[Bm25Stats]] written by [[Bm25Stats.save]]. Call `persist()`
+    * before serving many probes from it. */
+  def loadBm25Stats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Bm25Stats = {
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("n_docs"), col("sum_dl")).head()
+    val stamp = IndexMeta.read(spark, dir)
+    Bm25Stats(spark.read.parquet(s"$dir/df"),
+      meta.getLong(0), meta.getLong(1),
+      savedDir = Some(dir),
+      version = stamp.map(_.version).getOrElse(1L),
+      folded = stamp.map(_.folded).getOrElse(Nil),
+      parent = stamp.flatMap(_.parent))
+  }
+
+  /** Grow fitted stats with `newDocs` WITHOUT rescanning the fitted
+    * corpus — O(new docs): the batch's df table merges into the stored
+    * one by a full-outer sum of two skinny vocabulary relations, and
+    * the two scalars add. Exact, not approximate: document frequency,
+    * doc count and length sum are all additive over a disjoint corpus
+    * union, so extend(fit(A), B) ≡ fit(A ∪ B) — the equivalence the
+    * spec pins. `newDocs` ids must be new (the append-only contract
+    * every extend in the engine shares): re-adding a fitted doc
+    * double-counts on both paths alike. Version bumps; the old tree's
+    * path moves into `parent` ([[IndexMeta]] lineage). */
+  def extendBm25Stats(stats: Bm25Stats, newDocs: DataFrame,
+                      idCol: String, textCol: String): Bm25Stats = {
+    val perDoc = bm25PerDoc(newDocs, textCol)
+    val row = perDoc.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .head()
+    val newDf = perDoc
+      .select(explode(col("__ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__new"))
+    val merged = stats.docFreq.join(newDf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__new"), lit(0L)))
+          .as("df"))
+    stats.copy(docFreq = merged,
+      nDocs = stats.nDocs + row.getLong(0),
+      sumDl = stats.sumDl + row.getLong(1),
+      savedDir = None, version = stats.version + 1,
+      parent = stats.savedDir.orElse(stats.parent))
   }
 
   /** BM25 top-k against a fitted [[Bm25Stats]]: the per-term document

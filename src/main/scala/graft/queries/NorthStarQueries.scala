@@ -477,6 +477,21 @@ object NorthStarQueries {
     bm25StatsCache.computeIfAbsent(dir, _ =>
       Search.bm25Fit(docs(s, dir), "doc_id", "text").persist())
 
+  /** On-disk copy of [[bm25Stats]] per sf dir — the search analog of
+    * [[savedIndexDir]], for the `search_bm25_saved` cold-start row
+    * (a fresh serving job loads the stats tree from storage); swept by
+    * [[clearTextCaches]] + the shutdown hook. */
+  private val savedBm25DirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def savedBm25Dir(s: SparkSession, dir: String): String =
+    savedBm25DirCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25-stats").toString
+      bm25Stats(s, dir).save(out)
+      out
+    })
+
   /** Boilerplate LINES relation per sf dir (doc_id, source, line_no,
     * line, line_hash), persisted: the one explode of the family, shared
     * by census, stats and scrub (the window family's r13/r14 lesson
@@ -533,6 +548,8 @@ object NorthStarQueries {
         graft.util.Util.deleteRecursively(new java.io.File(d)))
       savedEmbIndexDirCache.values.forEach(d =>
         graft.util.Util.deleteRecursively(new java.io.File(d)))
+      savedBm25DirCache.values.forEach(d =>
+        graft.util.Util.deleteRecursively(new java.io.File(d)))
     }))
 
   private def savedIndexDir(s: SparkSession, dir: String): String =
@@ -572,6 +589,9 @@ object NorthStarQueries {
   def clearTextCaches(): Unit = {
     bm25StatsCache.values.forEach(ix => ix.unpersist())
     bm25StatsCache.clear()
+    savedBm25DirCache.values.forEach(d =>
+      graft.util.Util.deleteRecursively(new java.io.File(d)))
+    savedBm25DirCache.clear()
     windowRowsCache.values.forEach(df => { df.unpersist(false); () })
     windowRowsCache.clear()
     windowCensusCache.values.forEach(df => { df.unpersist(false); () })
@@ -1743,6 +1763,16 @@ object NorthStarQueries {
     // the one-shot row, so the oracle is shared verbatim
     "search_bm25_probe" -> ((s, dir) =>
       Search.bm25TopKFitted(docs(s, dir), bm25Stats(s, dir),
+        "doc_id", "text", Seq("spark", "vector", "quasar"), k = 20)),
+    // ...and the COLD-START serving path: the same probe answered from
+    // an ON-DISK stats tree through `loadBm25Stats` (the search analog
+    // of `dedup_incremental_saved`) — the production shape where the
+    // fit job and every serving job are different processes. The saved
+    // stats reproduce the fitted ones exactly (integer df/scalars), so
+    // the probe is bit-identical to one-shot and shares its oracle.
+    "search_bm25_saved" -> ((s, dir) =>
+      Search.bm25TopKFitted(docs(s, dir),
+        Search.loadBm25Stats(s, savedBm25Dir(s, dir)),
         "doc_id", "text", Seq("spark", "vector", "quasar"), k = 20)),
     // batch retrieval: a query TABLE answered in one corpus pass — the
     // eval-harness shape (per-query kernels would pay q scans). q2
@@ -3219,6 +3249,9 @@ object NorthStarQueries {
     "search_bm25" -> Bm25Sql,
     // fit/probe is bit-identical to one-shot by construction — one oracle
     "search_bm25_probe" -> Bm25Sql,
+    // ...as is the saved-tree serving path (integer stats round-trip
+    // parquet exactly)
+    "search_bm25_saved" -> Bm25Sql,
     "search_bm25_batch" -> Bm25BatchSql,
     "search_phrase" -> PhraseSql,
     "corpus_diff" -> CorpusDiffSql,

@@ -1,5 +1,6 @@
 package graft.extensions
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -158,6 +159,75 @@ class SearchSpec extends AnyFunSuite {
         r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet
     assert(a === b,
       "a repeated term must not double-count its BM25 contribution")
+  }
+
+  test("bm25 stats save/load round-trips and serves bit-identical probes") {
+    val dir = graft.TestSpark.tmpDir("graft-bm25-v1")
+    val stats = Search.bm25Fit(corpus, "doc_id", "text")
+    val saved = stats.save(dir)
+    assert(saved.version === 1L && saved.savedDir.contains(dir))
+    val stamp = IndexMeta.read(spark, dir).get
+    assert(stamp.version === 1L && stamp.parent.isEmpty)
+    assert(stamp.rows("df") === stats.docFreq.count())
+
+    val loaded = Search.loadBm25Stats(spark, dir)
+    assert(loaded.nDocs === stats.nDocs && loaded.sumDl === stats.sumDl)
+    val terms = Seq("cat", "dog", "zzz_absent")
+    val oneShot = Search.bm25TopK(corpus, "doc_id", "text", terms, k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSeq
+    val served = Search.bm25TopKFitted(corpus, loaded, "doc_id", "text",
+      terms, k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toSeq
+    assert(served === oneShot,
+      "a probe served from a saved tree must be bit-identical to one-shot")
+    loaded.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("extendBm25Stats == refit on the union corpus, exactly") {
+    val a = corpus.filter(col("doc_id") <= 2L)
+    val b = corpus.filter(col("doc_id") > 2L)
+    val ext = Search.extendBm25Stats(
+      Search.bm25Fit(a, "doc_id", "text"), b, "doc_id", "text")
+    val refit = Search.bm25Fit(corpus, "doc_id", "text")
+    assert(ext.nDocs === refit.nDocs && ext.sumDl === refit.sumDl)
+    def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(dfMap(ext) === dfMap(refit),
+      "df counts are additive — extend must equal a from-scratch fit")
+    // ...and the probes they serve agree bit-for-bit
+    val terms = Seq("cat", "fish")
+    val pe = Search.bm25TopKFitted(corpus, ext, "doc_id", "text", terms, k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val pr = Search.bm25TopKFitted(corpus, refit, "doc_id", "text", terms, k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(pe.toSeq === pr.toSeq)
+  }
+
+  test("bm25 extend bumps version + lineage; stale close refuses") {
+    val dir = graft.TestSpark.tmpDir("graft-bm25-stale")
+    val v1 = Search.bm25Fit(corpus.filter(col("doc_id") <= 2L),
+      "doc_id", "text").save(dir)
+    val ext = Search.extendBm25Stats(v1,
+      corpus.filter(col("doc_id") > 2L), "doc_id", "text")
+    assert(ext.version === 2L)
+    assert(ext.savedDir.isEmpty,
+      "an extension must not inherit the parent's tree")
+    assert(ext.parent.contains(dir))
+    // another job saves the extension over the SAME tree (materialize
+    // first — the lazy merged plan reads the old files)
+    val mat = ext.copy(docFreq = ext.docFreq.localCheckpoint(true))
+    val v2 = mat.save(dir)
+    assert(IndexMeta.read(spark, dir).get.version === 2L)
+    assert(IndexMeta.read(spark, dir).get.parent.isEmpty,
+      "in-place re-save must not stamp a self-referential parent")
+    val e = intercept[IllegalArgumentException](v1.close())
+    assert(e.getMessage.contains("version 2") &&
+      e.getMessage.contains("version 1"))
+    v2.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
   }
 
   test("batch retrieval result is invariant to the tree-rank fanout") {
