@@ -329,6 +329,15 @@ object CorpusOps {
     curateFromMetrics(curationMetrics(df, idCol, textCol),
       lang, minQuality, maxDup2, maxTop2)
 
+  /** The shared gate predicate of the curation battery — one definition
+    * so [[curateFromMetrics]], [[funnelFromMetrics]] and the composed
+    * refresh export can never drift apart. */
+  private def curationGate(lang: String, minQuality: Double,
+                           maxDup2: Double, maxTop2: Double): Column =
+    col("lang_pred") === lang && col("quality") >= minQuality &&
+      col("__dup2") <= maxDup2 && col("__top2") <= maxTop2 &&
+      col("__barrier") >= lit(-1.0)
+
   /** [[curate]] from an already-built [[curationMetrics]] relation —
     * lets a caller with TWO consumers (the streaming leg's data + stats
     * sinks) pay the kernel battery once behind a persist. */
@@ -336,9 +345,7 @@ object CorpusOps {
       lang: String, minQuality: Double,
       maxDup2: Double, maxTop2: Double): DataFrame =
     metrics
-      .filter(col("lang_pred") === lang && col("quality") >= minQuality &&
-        col("__dup2") <= maxDup2 && col("__top2") <= maxTop2 &&
-        col("__barrier") >= lit(-1.0))
+      .filter(curationGate(lang, minQuality, maxDup2, maxTop2))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"),
         min(col("quality")).as("quality"),
@@ -782,4 +789,113 @@ object CorpusOps {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
+  // ------------------------------------ incremental corpus refresh (e2e)
+  //
+  // The composition the individual stages exist FOR: a corpus refresh
+  // arrives as a new crawl; [[corpusDiff]] decides what changed; ONLY
+  // the changed/added documents pay the expensive per-document work
+  // (tokenizing metric battery + decontamination gram probe) while
+  // unchanged documents CARRY their artifacts from the previous run;
+  // then the refreshed artifact set flows through decontaminate →
+  // curation gates → exact-dup keep-first → leakage-safe split →
+  // deterministic shard assignment as one chain. The correctness
+  // contract is refresh ≡ rebuild: because a document's artifacts are a
+  // pure function of its text, carrying an unchanged doc's rows is
+  // EXACTLY equal to recomputing them — the e2e oracle recomputes the
+  // whole pipeline from scratch in SQL and the incremental path must
+  // hash-match it.
+
+  /** One crawl's per-document pipeline artifacts — what a production
+    * refresh persists between runs: the one-pass curation metrics
+    * (skinny — the text column never rides in it) and the
+    * contaminated-id set vs a fixed eval battery. */
+  final case class CrawlArtifacts(metrics: DataFrame, contaminated: DataFrame) {
+    private val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def persist(): CrawlArtifacts = {
+      metrics.persist(lvl); contaminated.persist(lvl); this
+    }
+    def unpersist(): Unit = {
+      metrics.unpersist(false); contaminated.unpersist(false); ()
+    }
+  }
+
+  /** From-scratch artifacts for a crawl: the [[curationMetrics]] battery
+    * (one narrow tokenizing pass) + [[contaminatedIds]] vs `evalSet`
+    * (one broadcast semi-join pass). The refresh path
+    * ([[refreshArtifacts]]) runs this over the CHANGED subset only. */
+  def crawlArtifacts(df: DataFrame, idCol: String, textCol: String,
+                     evalSet: DataFrame, shingleK: Int = 8): CrawlArtifacts =
+    CrawlArtifacts(
+      curationMetrics(df, col(idCol), col(textCol)),
+      contaminatedIds(df, evalSet, idCol, textCol, shingleK))
+
+  /** The refresh step: carry every unchanged document's artifacts from
+    * `prior` (two skinny semi-joins — no text is read for them, no
+    * kernel runs), recompute ONLY the added/changed documents
+    * (from-scratch over the `diff`-selected subset — O(changed) heavy
+    * work by construction), drop the removed. `diff` is a
+    * [[corpusDiff]] result over the same idCol; `prior` must be the
+    * previous crawl's artifacts against the SAME eval set and shingleK,
+    * or contamination verdicts silently mix regimes. Exactly equal to
+    * `crawlArtifacts(newDf)` because artifacts are pure per-document
+    * functions of text — the equivalence the e2e oracle pins. */
+  def refreshArtifacts(prior: CrawlArtifacts, newDf: DataFrame,
+                       idCol: String, textCol: String, evalSet: DataFrame,
+                       diff: DataFrame,
+                       shingleK: Int = 8): CrawlArtifacts = {
+    val changed = diff.filter(col("status").isin("added", "changed"))
+      .select(col(idCol).as("doc_id"))
+    val same = diff.filter(col("status") === "same")
+      .select(col(idCol).as("doc_id"))
+    val fresh = crawlArtifacts(
+      newDf.join(changed.withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, evalSet, shingleK)
+    CrawlArtifacts(
+      prior.metrics.join(same, Seq("doc_id"), "left_semi")
+        .unionByName(fresh.metrics),
+      prior.contaminated.join(same, Seq("doc_id"), "left_semi")
+        .unionByName(fresh.contaminated))
+  }
+
+  /** The downstream half of the refresh pipeline, from artifacts to the
+    * trainer-ready export: decontaminate (anti-join the contaminated-id
+    * set) → curation gates → exact-dup keep-first (min doc_id per
+    * fingerprint) → leakage-safe split BY GROUP (via
+    * [[leakageSafeSplitGroups]] over the fingerprint census, so a
+    * surviving representative is split by its own group key) →
+    * [[shardAssign]]. Emits (doc_id, quality, n_tokens_bpe, split,
+    * shard) per kept document.
+    *
+    * Scale shape: everything here consumes the SKINNY metrics relation —
+    * the corpus text never reappears after the artifact stage. The
+    * fingerprint census is one combining shuffle; the split join meets
+    * the census on its own key; split and shard are per-row
+    * expressions. */
+  def curatedShardExport(art: CrawlArtifacts, lang: String = "en",
+                         minQuality: Double = 0.5, maxDup2: Double = 0.05,
+                         maxTop2: Double = 0.12, nShards: Int = 8,
+                         trainTo: String = "cc",
+                         valTo: String = "e6"): DataFrame = {
+    val clean = art.metrics.join(art.contaminated, Seq("doc_id"), "left_anti")
+    val gated = clean.filter(curationGate(lang, minQuality, maxDup2, maxTop2))
+    // the exact-dup GROUPS over the gated survivors, in the
+    // resolveDupGroups (id, group_id) contract leakageSafeSplitGroups
+    // consumes: min doc_id per fingerprint, joined back on the census's
+    // own key
+    val groups = gated.select(col("doc_id"), col("fingerprint"))
+      .join(gated.groupBy(col("fingerprint"))
+          .agg(min(col("doc_id")).as("group_id")),
+        Seq("fingerprint"))
+      .select(col("doc_id"), col("group_id"))
+    val kept = curateFromMetrics(clean, lang, minQuality, maxDup2, maxTop2)
+    val split = leakageSafeSplitGroups(kept.select(col("doc_id")), "doc_id",
+      groups, trainTo, valTo)
+    shardAssign(
+      kept.join(split.select(col("doc_id"), col("split")), Seq("doc_id")),
+      col("doc_id"), nShards)
+      .select(col("doc_id"), col("quality"), col("n_tokens_bpe"),
+        col("split"), col("shard"))
+  }
 }

@@ -467,6 +467,42 @@ object NorthStarQueries {
             .as("text")))
   }
 
+  /** The refresh-pipeline fixture's NEW crawl: the two-snapshot diff
+    * fixture ([[diffNewDocs]]) plus a VERBATIM copy of every 7th
+    * new-crawl doc at offset max(new)+1 — the planted exact dups that
+    * make the refresh pipeline's dedup stage show real attrition (the
+    * curateDocs lesson: the harness corpus has none). Copies are new
+    * ids, so the diff classifies them `added` and they pay the fresh
+    * path like any other new document. */
+  private def refreshNewDocs(s: SparkSession, dir: String): DataFrame = {
+    val n0 = diffNewDocs(s, dir)
+    val off2 = broadcast(n0.agg((max(col("doc_id")) + 1).as("__off2")))
+    n0.unionByName(n0.filter(col("doc_id") % 7 === 0).crossJoin(off2)
+      .select((col("doc_id") + col("__off2")).as("doc_id"), col("text")))
+  }
+
+  /** The refresh pipeline's eval battery: every 19th ORIGINAL document's
+    * text. Unchanged copies of those docs in the new crawl share all
+    * their 8-grams with the battery — genuine contamination at every SF
+    * — while the decontamination stage stays the broadcast-semi-join
+    * shape. */
+  private def refreshEval(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 19 === 0).select(col("text"))
+
+  /** The PREVIOUS run's pipeline artifacts over the OLD crawl (curation
+    * metrics + contaminated-id set), persisted per sf dir — what a
+    * production refresh reads from storage instead of recomputing; the
+    * corpus_refresh_e2e row carries unchanged docs from here and pays
+    * fresh work ONLY for the diff's added/changed set. Released by
+    * [[clearTextCaches]]. */
+  private val refreshPriorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CorpusOps.CrawlArtifacts]()
+
+  private def refreshPrior(s: SparkSession, dir: String): CorpusOps.CrawlArtifacts =
+    refreshPriorCache.computeIfAbsent(dir, _ =>
+      CorpusOps.crawlArtifacts(diffOldDocs(s, dir), "doc_id", "text",
+        refreshEval(s, dir)).persist())
+
   /** Fitted BM25 corpus statistics per sf dir (doc-frequency table +
     * the two integer scalars), persisted: the fit-once side of the
     * search fit/probe split. Released by [[clearTextCaches]]. */
@@ -587,6 +623,8 @@ object NorthStarQueries {
     * executor-storage pressure (r13's unexplained shared-subset drift's
     * prime suspect was exactly this class of cross-phase pinning). */
   def clearTextCaches(): Unit = {
+    refreshPriorCache.values.forEach(a => a.unpersist())
+    refreshPriorCache.clear()
     bm25StatsCache.values.forEach(ix => ix.unpersist())
     bm25StatsCache.clear()
     savedBm25DirCache.values.forEach(d =>
@@ -1749,6 +1787,29 @@ object NorthStarQueries {
       CorpusOps.corpusDiffStats(diffOldDocs(s, dir), diffNewDocs(s, dir),
         "doc_id", "text")),
 
+    // ---- the END-TO-END incremental corpus refresh -------------------
+    // The composition every stage above exists for, as ONE oracle-checked
+    // artifact: corpusDiff decides what changed; ONLY added/changed docs
+    // pay the tokenizing metric battery + decontamination gram probe
+    // (unchanged docs CARRY their artifacts from the previous run's
+    // persisted store — refreshPrior); the refreshed artifact set then
+    // flows decontaminate → curation gates → exact-dup keep-first →
+    // leakage-safe group split → deterministic shard assignment. The
+    // oracle rebuilds the ENTIRE pipeline from scratch over the new
+    // crawl in SQL: incremental ≡ rebuild is the refresh contract, and
+    // the hash match proves it at every SF. O(changed)-work is pinned by
+    // the sentinel spec (a poisoned prior row for an unchanged doc MUST
+    // survive into the output — carried rows are never recomputed).
+    "corpus_refresh_e2e" -> ((s, dir) => {
+      val newC = refreshNewDocs(s, dir)
+      val diff = CorpusOps.corpusDiff(diffOldDocs(s, dir), newC,
+        "doc_id", "text")
+      CorpusOps.curatedShardExport(
+        CorpusOps.refreshArtifacts(refreshPrior(s, dir), newC,
+          "doc_id", "text", refreshEval(s, dir), diff),
+        nShards = 8)
+    }),
+
     // ---- keyword retrieval (BM25 + exact phrase) ---------------------
     // The lexical complement of the sim_* ANN stack: one corpus scan,
     // one 1-row broadcast of exact-integer corpus stats, TakeOrdered
@@ -2755,14 +2816,15 @@ object NorthStarQueries {
     * and the normalized fingerprint, all reusing the battle-tested
     * expressions of the text_langid / text_rep_gate / text_fingerprint
     * oracles so every metric hash-matches bit-for-bit. */
-  private val CurateCtes: String =
-    """WITH base AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3),
-      |t AS (SELECT doc_id, text,
+  /** The per-doc metric CTE chain (t → s → l → g → m) over a source
+    * relation `rel` of (doc_id, text) — parameterized so the curation
+    * fixture and the corpus-refresh fixture share one set of
+    * battle-tested expressions. Returns the chain WITHOUT a leading
+    * WITH; callers prepend their fixture CTEs. */
+  private def MetricsCtesFrom(rel: String): String =
+    ("""t AS (SELECT doc_id, text,
       |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
-      |  FROM base),
+      |  FROM """ + rel + """),
       |s AS (SELECT doc_id, text, toks,
       |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
       |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS s_de,
@@ -2797,7 +2859,65 @@ object NorthStarQueries {
       |                d -> len(list_filter(g2, x -> x = d)) * (length(d)-1))) AS DOUBLE)
       |              / CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) END AS top_2gram_char_frac,
       |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
-      |  FROM g)""".stripMargin
+      |  FROM g)""").stripMargin
+
+  private val CurateCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3),
+      |""".stripMargin + MetricsCtesFrom("base")
+
+  /** The end-to-end refresh oracle: the FULL pipeline rebuilt from
+    * scratch over the new-crawl fixture (new0 = the corpus_diff fixture;
+    * fx = new0 + verbatim copies of every 7th doc) — metrics via the
+    * shared [[MetricsCtesFrom]] chain, decontamination vs the
+    * doc_id % 19 eval battery (8-gram convention of [[DecontamCtes]]),
+    * curation gates, keep-first dedup, rep-keyed hash split (kept rows
+    * ARE their group reps — min id per fingerprint), salted-md5 shard.
+    * The Spark side computes the same thing INCREMENTALLY (unchanged
+    * docs carried from the prior run's artifacts); hash equality IS the
+    * refresh ≡ rebuild contract. */
+  private val CorpusRefreshSql: String =
+    """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+      |new0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' amended' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 != 0
+      |  UNION ALL
+      |  SELECT doc_id + o AS doc_id, txt AS text FROM (
+      |    SELECT doc_id, 'fresh crawl doc ' || CAST(doc_id AS VARCHAR) AS txt
+      |    FROM documents WHERE doc_id % 17 = 0) f, off),
+      |off2 AS (SELECT max(doc_id) + 1 AS o FROM new0),
+      |fx AS (SELECT doc_id, text FROM new0
+      |       UNION ALL
+      |       SELECT n.doc_id + off2.o AS doc_id, n.text FROM new0 n, off2
+      |       WHERE n.doc_id % 7 = 0),
+      |""".stripMargin + MetricsCtesFrom("fx") + """,
+      |egt AS (SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
+      |  FROM documents WHERE doc_id % 19 = 0),
+      |egg AS (SELECT CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN generate_series(1, len(toks)-7)] END AS gs
+      |  FROM egt),
+      |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM egg),
+      |fgg AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN generate_series(1, len(toks)-7)] END AS gs
+      |  FROM t),
+      |fg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM fgg),
+      |cont AS (SELECT DISTINCT doc_id FROM fg WHERE gram IN (SELECT gram FROM eg)),
+      |clean AS (SELECT * FROM m WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |gated AS (SELECT * FROM clean
+      |  WHERE lang_pred = 'en' AND quality >= 0.5
+      |    AND dup_2gram_frac <= 0.05 AND top_2gram_char_frac <= 0.12),
+      |kept AS (SELECT min(doc_id) AS doc_id, min(quality) AS quality,
+      |    min(n_tokens_bpe) AS n_tokens_bpe
+      |  FROM gated GROUP BY fingerprint)
+      |SELECT doc_id, quality, n_tokens_bpe,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  CAST(CAST(('0x' || substr(md5('export:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS BIGINT) AS shard
+      |FROM kept""".stripMargin
 
   /** The classifier-score expression (`text_classifier_score`), shared
     * by the score and label columns: md5-bucketed hashing trick over
@@ -3255,6 +3375,7 @@ object NorthStarQueries {
     "search_bm25_batch" -> Bm25BatchSql,
     "search_phrase" -> PhraseSql,
     "corpus_diff" -> CorpusDiffSql,
+    "corpus_refresh_e2e" -> CorpusRefreshSql,
     "corpus_diff_stats" ->
       s"""WITH diff AS ($CorpusDiffSql)
         |SELECT status, count(*) AS n,
