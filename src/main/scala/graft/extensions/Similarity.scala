@@ -737,22 +737,34 @@ object Similarity {
   private def adcRerankTopK(scan: DataFrame, qVecs: DataFrame,
                             vectors: DataFrame, m: Int, offsets: Seq[Int],
                             k: Int, rerank: Int,
-                            adcExtra: Option[Column] = None): DataFrame = {
+                            adcExtra: Option[Column] = None,
+                            cellPruned: Boolean = false): DataFrame = {
     // adcExtra: a per-scan-row additive score term (the residual
     // variant's coarse dot(qhat, chat)); None leaves the direct plan
-    // byte-identical
+    // byte-identical.
+    // cellPruned (the IVF-PQ path): carry the scan row's `cell` through
+    // the rank exchange (+4 B on a skinny row) and key the exact-rerank
+    // join on (cell, neighbor_id) instead of neighbor_id alone — the
+    // candidate broadcast then prunes the c_vec read by cell: on a
+    // saved cell-partitioned tree the file scan gets a live DPP filter
+    // REUSING the rerank join's own broadcast, with no separate
+    // cell-set broadcast to build (the r15 probe regression was exactly
+    // that extra per-probe broadcast + its nearestCells re-evaluation).
     val lookups = (0 until m).map(sub =>
       col("__dt")(lit(offsets(sub)) + col("codes")(sub)))
       .reduce(_ + _)
-    val adc = scan.select(col("query_id"), col("neighbor_id"),
-      adcExtra.fold(lookups)(lookups + _).as("__adc"))
+    val carry = if (cellPruned) Seq(col("cell")) else Nil
+    val adc = scan.select(col("query_id") +: col("neighbor_id") +: carry :+
+      adcExtra.fold(lookups)(lookups + _).as("__adc"): _*)
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     val cands = adc.withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerank)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id") +: col("neighbor_id") +: carry: _*)
+    val joinKeys = if (cellPruned) Seq("cell", "neighbor_id")
+      else Seq("neighbor_id")
     val exact = vectors
-      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(cands), joinKeys)
       .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorExpressions
@@ -1085,21 +1097,20 @@ object Similarity {
       .join(qCells, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
     // the exact re-rank pass prunes by the SAME probed cell set as the
-    // ADC scan: every rerank survivor came from a probed cell, so a
-    // broadcast semi-join on `cell` loses nothing — and on a saved
-    // cell-partitioned tree it hands the c_vec read the identical
-    // dynamic-partition-pruning filter the codes read gets. Without it
-    // the rerank join (keyed on neighbor_id only) row-scanned every
-    // cell's c_vec files per probe — at the 100 TB operating point a
-    // full corpus vector-column read that nprobe/nlist was supposed to
-    // prevent (ADVICE r14).
-    val rerankVecs = index.vectors
-      .join(broadcast(qCells.select(col("cell")).distinct()),
-        Seq("cell"), "left_semi")
-      .select(col("neighbor_id"), col("c_vec"))
+    // ADC scan (ADVICE r14: without a cell key the rerank join
+    // row-scanned every cell's c_vec files per probe). HOW it prunes is
+    // the r15 lesson: a dedicated `select(cell).distinct()` semi-join
+    // build re-evaluated nearestCells and built a SECOND broadcast per
+    // probe (+25% on the steady-state row, VERDICT r15 #2) — instead
+    // the candidates now CARRY their cell through the rank exchange and
+    // the rerank join keys on (cell, neighbor_id), so the cell prune
+    // rides the rerank join's own candidate broadcast: zero extra
+    // jobs, and on a saved tree the c_vec scan still gets a live DPP
+    // filter (pinned, PlanShapeSpec).
     adcRerankTopK(scan, q.select(col("query_id"), col("q_vec")),
-      rerankVecs, index.m, offsets, k, rerank,
-      adcExtra = if (index.residual) Some(col("__qc")) else None)
+      index.vectors, index.m, offsets, k, rerank,
+      adcExtra = if (index.residual) Some(col("__qc")) else None,
+      cellPruned = true)
   }
 
   /** One-shot IVF-PQ top-k: fit + probe (the fit-once/probe-many split

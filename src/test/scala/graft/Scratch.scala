@@ -38,6 +38,24 @@ object Scratch {
         Files.writeString(Paths.get(out), sb.toString)
         println(s"wrote $out")
 
+      case "timeq" =>
+        // time named queries: one cold execution + N warm reps each
+        // (toRdd.count, the bench convention), without a full bench pass
+        val dir = args(1)
+        val names = args(2).split(",").toSeq
+        val reps = if (args.length > 3) args(3).toInt else 3
+        names.foreach { n =>
+          val fn = SparkEntry.queries(n)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, dir).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val cold = once()
+          val warms = (1 to reps).map(_ => once())
+          println(f"$n: cold $cold%.3f s, warm ${warms.map(w => f"$w%.3f").mkString("/")} s")
+        }
+
       case "optplan" =>
         // dump a named query's OPTIMIZED logical plan (what the
         // PlanShapeSpec barrier/inlining assertions string-match)

@@ -492,14 +492,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ADC codes scan must be DPP-pruned by the probed cells:\n${plan.take(3000)}")
     assert(livePruned("neighbor_id:bigint,c_vec:array<float>"),
       s"rerank c_vec scan must be DPP-pruned by the probed cells:\n${plan.take(3000)}")
-    // same skinny-rank-exchange contract as pqProbe
+    // same skinny-rank-exchange contract as pqProbe, PLUS the carried
+    // `cell` (4 B int — r16: candidates carry their cell through the
+    // rank so the rerank join keys on (cell, neighbor_id) and the c_vec
+    // DPP rides the candidate broadcast instead of a second per-probe
+    // cell-set broadcast). The pin stays: no q_vec — a dim-float
+    // payload on the N x Q exchange is the thing this forbids.
     val winBlock = plan.split("\\(\\d+\\) ")
       .find(b => b.startsWith("Window") && b.contains("__ar"))
     assert(winBlock.isDefined, s"no __ar Window node:\n${plan.take(2000)}")
     assert(winBlock.get.linesIterator
       .find(_.startsWith("Input")).exists(l =>
-        l.contains("Input [3]") && !l.contains("q_vec")),
-      s"ADC rank window must see only the skinny triple:\n${winBlock.get}")
+        l.contains("Input [4]") && l.contains("cell") && !l.contains("q_vec")),
+      s"ADC rank window must see only (query_id, neighbor_id, cell, __adc):\n${winBlock.get}")
     loaded.close()
   }
 
