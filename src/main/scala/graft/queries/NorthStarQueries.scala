@@ -18,15 +18,17 @@ import graft.sources.Tables
  * (driver records a rows-only check) and are instead invariant-tested in
  * ScalaTest.
  *
- * The remaining no-oracle tail is exactly 1 row: sim_topk_lsh (kept at
- * a banding that actually prunes — see the row's comment; an oracle
- * was measurable only at a no-pruning operating point, which would gut
- * the row's meaning — gated by sim_lsh_recall). The raw row stays in
- * the inventory because it is what a user calls and what the bench
- * prices; its correctness signal lives in the gate. Five rows
- * graduated OUT of this tail in rounds 12-14, each by establishing a
- * measured EXACT match at a STILL-PRUNING operating point on every
- * fixture SF so the raw output equals a DuckDB-computable truth:
+ * The no-oracle tail is EMPTY as of round 16: sim_topk_lsh — the lone
+ * holdout for four rounds — graduated onto the x2-scaled-twin planted
+ * fixture (see the row's comment: doubling is exact in IEEE, so the
+ * twin co-buckets in every band STRUCTURALLY and sits at cosine ~1.0
+ * with an 0.6 margin over the runner-up, making the pruned top-1
+ * equal brute force), still at
+ * the 8x4 banding that actually prunes; the raw-corpus operating point
+ * stays gated by sim_lsh_recall. Six rows graduated into hash oracles
+ * across rounds 12-16, each by establishing a measured EXACT match at
+ * a STILL-PRUNING operating point on every fixture SF so the raw
+ * output equals a DuckDB-computable truth:
  * dedup_minhash_pairs (round 12 — shares the exact-pairs SQL after the
  * permutation decorrelation fix), dedup_embedding_pairs (round 12 —
  * equals planted brute force at 12x8), sim_topk_{ivf,ivf_probe}
@@ -267,6 +269,22 @@ object NorthStarQueries {
     * plan fragments with its siblings. */
   private val simRawPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The sign-LSH graduation fixture (round 16): every 10th vector plus
+    * a x2-SCALED copy (+10M ids). Scaling by 2 is EXACT in IEEE float
+    * (exponent increment), so the copy's every hyperplane projection has
+    * the bitwise-identical sign as its original's — the pair co-buckets
+    * in every band STRUCTURALLY, independent of the hyperplane
+    * constants — and cosine(original, copy) is 1.0 up to a last-ulp
+    * sqrt rounding, an 0.6 margin above every non-parallel
+    * candidate. */
+  private def scaledEmbeddings(e: DataFrame): DataFrame = {
+    val base = requirePlantedHeadroom(e.select(col("vec_id"), col("embedding")),
+      "vec_id")
+    base.unionByName(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+  }
 
   /** The graduated simhash fixture (round 14): every 10th document plus
     * a TOKEN-REVERSED copy of each (+10M ids). Simhash is a pure
@@ -1283,18 +1301,32 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
-    // Stays at 8 planes x 4 bands — the operating point where LSH
-    // actually PRUNES (256 bucket values per band; candidates a small
-    // fraction of the corpus). The no-pruning 2x16 banding would equal
-    // brute force exactly (measured, Scratch anneq) and could borrow
-    // its SQL oracle, but an "ANN" row whose candidate set is ~4x the
-    // exhaustive scan demonstrates nothing and would hide pruning
-    // regressions — so this row keeps the rows-only check and its
-    // correctness signal lives in the sim_lsh_recall floor gate.
+    // GRADUATED in round 16 (the lone no-oracle row for four rounds) by
+    // the planted-bucket playbook, at the SAME 8 planes x 4 bands
+    // operating point where LSH actually PRUNES (256 bucket values per
+    // band; the no-pruning 2x16 banding could always borrow the brute
+    // oracle but demonstrates nothing). Fixture: every 10th vector gets
+    // a x2-SCALED copy (+10M ids). The copy co-buckets with its
+    // original in EVERY band STRUCTURALLY — doubling every component
+    // doubles every <v, r_p> projection EXACTLY in IEEE (an exponent
+    // increment; no rounding), so every sign bit is bitwise identical
+    // regardless of which hyperplanes the engine derives — and its
+    // cosine with the original is 1.0 up to one ulp (the only rounding
+    // is sqrt(S)^2 vs S in the denominator; the runner-up sits near
+    // 0.4, eleven orders of magnitude away, and the driver's %.6g
+    // normalization maps both engines' values identically). So
+    // the LSH top-1 of each original-with-twin provably equals the
+    // brute-force top-1, which DuckDB computes — a hash match that
+    // still exercises banded candidate generation, bucket-join pruning
+    // and the cosine ranking end to end (a bucketing bug that splits
+    // twins, an empty band join, or a ranking slip all hash-mismatch).
+    // The raw-corpus top-10 operating point (hyperplane-dependent, not
+    // oracle-expressible) stays covered by the sim_lsh_recall gate.
     "sim_topk_lsh" -> ((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") % 20 === 0),
-        "vec_id", "embedding", k = 10, planes = 8, bands = 4)
+      val se = scaledEmbeddings(embs(s, dir))
+      Similarity.lshTopK(se,
+        se.filter(col("vec_id") % 10 === 0 && col("vec_id") < 10000000L),
+        "vec_id", "embedding", k = 1, planes = 8, bands = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
     // FILTERED vector search: a metadata predicate composed BEFORE the
@@ -3223,6 +3255,26 @@ object NorthStarQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
     "sim_topk_brute" -> BruteForceTopKSql,
+    // LSH graduation (r16): the x2-scaled twin co-buckets structurally
+    // in every band and sits at cosine exactly 1.0, so the pruned LSH
+    // top-1 equals the brute-force top-1 DuckDB computes — see the
+    // query's comment for the IEEE argument
+    "sim_topk_lsh" ->
+      """WITH se AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    CAST(list_transform(embedding, x -> CAST(2 * x AS FLOAT)) AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.emb, q.emb) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM se c CROSS JOIN
+        |    (SELECT * FROM se WHERE vec_id % 10 = 0 AND vec_id < 10000000) q
+        |  WHERE c.vec_id <> q.vec_id) t
+        |WHERE rank <= 1""".stripMargin,
     "sim_topk_ivf" -> ClusteredBruteTopKSql,
     "sim_topk_ivf_probe" -> ClusteredBruteTopKSql,
     "sim_topk_pq" -> PlantedBruteTop1Sql,

@@ -68,6 +68,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0, s"recall $recall")
   }
 
+  test("a x2-scaled twin co-buckets with its original in EVERY band, " +
+    "structurally (the sim_topk_lsh graduation argument)") {
+    // doubling every component is exact in IEEE (exponent increment):
+    // every per-element product and every partial sum of <2v, r_p> is
+    // exactly twice <v, r_p>'s, so every sign bit is BITWISE identical
+    // — no hyperplane constant, banding or fixture luck involved.
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 50)
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val idx = Similarity.dimIndex(col("embedding"))
+    val buckets = (0 until 4).map { b =>
+      (Similarity.signBucket(col("embedding"), idx, 8, b * 8),
+        Similarity.signBucket(atransform(col("embedding"), x => x * lit(2.0f)),
+          idx, 8, b * 8))
+    }
+    val mismatches = e.select(
+      buckets.zipWithIndex.map { case ((orig, scaled), i) =>
+        (orig =!= scaled).cast("int").as(s"__m$i")
+      }: _*)
+      .agg(sum(buckets.indices.map(i => col(s"__m$i")).reduce(_ + _)))
+      .head().getLong(0)
+    assert(mismatches === 0L,
+      "scaled twins must land in the identical bucket in every band")
+    // ...and cosine(v, 2v) is 1.0 up to ONE ulp (the dot and both norms
+    // scale by exact powers of two; the only rounding is sqrt(S)^2 vs S
+    // in the denominator — measured: ~half the fixture rows land a last
+    // ulp under 1.0). That still wins every exact ranking outright: the
+    // nearest non-parallel candidate sits near cosine 0.4, eleven
+    // orders of magnitude away, and the driver's %.6g normalization
+    // maps both engines' values identically.
+    val offOne = e.select(graft.functions.VectorExpressions.cosine_similarity(
+      col("embedding"),
+      atransform(col("embedding"), x => x * lit(2.0f))).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-12).count()
+    assert(offOne === 0L, "cosine(v, 2v) must be 1.0 up to ulp rounding")
+  }
+
   test("IVF top-k finds planted near-duplicates and beats LSH recall here") {
     val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
     import org.apache.spark.sql.functions.{transform => atransform}
