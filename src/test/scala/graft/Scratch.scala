@@ -836,6 +836,47 @@ object Scratch {
           brute.unpersist(); ce.unpersist()
         }
 
+      case "resregime" =>
+        // VERDICT r15 #4: demonstrate residual IVFADC in its regime.
+        // On the CLUSTERED fixture (tight cells: within-cluster spread
+        // <= 10 in one dimension vs centers ~128 apart, so the residual
+        // after subtracting the cell center is tiny relative to the
+        // vector — Jégou et al.'s operating point), direct vs residual
+        // encoding at the same (nlist, m, ksub, nprobe), swept over
+        // rerank. Recall@10 vs brute truth over the 1-in-20 probe set.
+        import org.apache.spark.sql.functions._
+        import extensions.Similarity
+        args.drop(1).foreach { dir =>
+          val e = sources.Tables.load(spark, dir, "embeddings")
+          val ce = e.select(col("vec_id"),
+            transform(sequence(lit(1), lit(64)), d =>
+              ((pmod(pmod(col("vec_id"), lit(19)) * 31 + d * 17, lit(5)) - 2) * 8 +
+                when(d === pmod(col("vec_id"), lit(19)) + 1,
+                  pmod(col("vec_id"), lit(11))).otherwise(lit(0)))
+                .cast("float")).as("embedding")).cache()
+          val q = ce.filter(col("vec_id") % 20 === 0)
+          val brute = Similarity.bruteForceTopK(ce, q, "vec_id", "embedding",
+            k = 10).select(col("query_id"), col("neighbor_id")).cache()
+          val nTrue = brute.count()
+          for (ksub <- Seq(8, 16); rr <- Seq(10, 20, 50)) {
+            val recalls = Seq(false, true).map { res =>
+              val idx = Similarity.ivfPqFit(ce, "vec_id", "embedding",
+                nlist = 19, m = 8, ksub = ksub, residual = res)
+              val found = brute.join(
+                Similarity.ivfPqProbe(idx, q, "vec_id", "embedding",
+                  k = 10, nprobe = 2, rerank = rr)
+                  .select(col("query_id"), col("neighbor_id")),
+                Seq("query_id", "neighbor_id"), "left_semi").count()
+              found.toDouble / nTrue
+            }
+            println(f"resregime @ $dir ksub=$ksub nprobe=2 rerank=$rr " +
+              f"direct=${recalls(0)}%.3f residual=${recalls(1)}%.3f " +
+              (if (recalls(1) > recalls(0)) "RESIDUAL WINS"
+               else if (recalls(1) == recalls(0)) "TIE" else "direct wins"))
+          }
+          brute.unpersist(); ce.unpersist()
+        }
+
       case "ivfpqeq" =>
         // Oracle-eligibility evidence for sim_topk_ivfpq{,_probe}: on
         // the clustered fixture (nlist=19 KMeans separates the planted

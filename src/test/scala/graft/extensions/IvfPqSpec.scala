@@ -153,6 +153,45 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("residual encoding BEATS direct in its regime (tight clusters — " +
+    "the operating point the variant ships for)") {
+    // VERDICT r15 #4: on near-uniform embeddings residual ≤ direct
+    // (measured, PLANS.md) — the paper's gain needs TIGHT cells, where
+    // the residual after subtracting the cell center is small relative
+    // to the vector and the codebooks model a far smaller ball. The
+    // clustered fixture (19 planted clusters, within-cluster spread
+    // <= 10 in one dim vs centers ~128 apart) is exactly that regime.
+    // Measured sweep (Scratch resregime, sf0.001): at nlist=19, m=8,
+    // ksub=16, nprobe=2 — rerank 10: 0.328 vs 0.676; rerank 20: 0.520
+    // vs 0.816; rerank 50: 0.836 vs 0.948. Gate at rerank=20 with
+    // generous slack under the measured 0.296 margin.
+    val ce = embs.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), d =>
+        ((pmod(pmod(col("vec_id"), lit(19)) * 31 + d * 17, lit(5)) - 2) * 8 +
+          when(d === pmod(col("vec_id"), lit(19)) + 1,
+            pmod(col("vec_id"), lit(11))).otherwise(lit(0)))
+          .cast("float")).as("embedding"))
+    val q = ce.filter(col("vec_id") % 20 === 0)
+    val brute = Similarity.bruteForceTopK(ce, q, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val nTrue = brute.count()
+    def recall(res: Boolean): Double = {
+      val idx = Similarity.ivfPqFit(ce, "vec_id", "embedding",
+        nlist = 19, m = 8, ksub = 16, residual = res)
+      brute.join(
+        Similarity.ivfPqProbe(idx, q, "vec_id", "embedding",
+          k = 10, nprobe = 2, rerank = 20)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / nTrue
+    }
+    val (direct, residual) = (recall(res = false), recall(res = true))
+    assert(residual >= direct + 0.10,
+      f"residual ($residual%.3f) must beat direct ($direct%.3f) by a " +
+        "clear margin in the clustered regime")
+    assert(residual >= 0.70,
+      f"residual recall $residual%.3f under the regime floor")
+  }
+
   test("residual encoding: flag round-trips through save/load; extend keeps the residual space") {
     val e = embs.filter(col("vec_id") < 300)
     val q = e.filter(col("vec_id") % 50 === 0)
