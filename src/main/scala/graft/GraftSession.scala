@@ -26,11 +26,18 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // harness parquet stores TIMESTAMP(NANOS); see sources.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's SQL surface (graft_* functions) — the production
+      // `--conf spark.sql.extensions=` shape, wired by default
+      .config("spark.sql.extensions", "graft.GraftSqlExtensions")
 
   def create(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     functions.HashExpressions.register(spark)
     functions.TextExpressions.register(spark)
+    // getOrCreate may have returned a PRE-EXISTING session, whose
+    // extensions were fixed at its creation — register the same
+    // function table directly so graft_* works either way
+    GraftSqlExtensions.register(spark)
     spark
   }
 }

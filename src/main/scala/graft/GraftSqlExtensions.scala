@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{HashExpressions, Redact, TextExpressions, TextFunctions, VectorExpressions}
+
+/**
+ * The engine's SQL surface, as a standard [[SparkSessionExtensions]]
+ * injector — the production deployment shape
+ * (`--conf spark.sql.extensions=graft.GraftSqlExtensions`): every
+ * kernel expression and §2.11 scalar entry point becomes a
+ * `graft_`-prefixed SQL function, so the operators compose from pure
+ * `spark.sql(...)` with no Scala in the loop. The same function table
+ * also registers onto a LIVE session via [[GraftSqlExtensions.register]]
+ * (the notebook/REPL path, where extensions can no longer be injected).
+ *
+ * All builders resolve to the SAME Column compositions / native
+ * Catalyst expressions the DataFrame API uses, so SQL-surface results
+ * are bit-identical to the oracle-pinned queries (spec-pinned by
+ * SqlSurfaceSpec running two oracle queries through spark.sql only).
+ * Structural hyperparameters (shingle k, minhash n, LSH planes) must be
+ * integer LITERALS — they are plan-shape constants, exactly as in the
+ * Scala API, and a non-literal is refused at analysis time.
+ */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftSqlExtensions", name), builder))
+    }
+}
+
+object GraftSqlExtensions {
+
+  private def intArg(fn: String, e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an INT literal (it is a plan-shape constant), got $other")
+  }
+
+  private def strArg(fn: String, e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a STRING literal, got $other")
+  }
+
+  private def arity(fn: String, exprs: Seq[Expression], ns: Int*): Unit =
+    require(ns.contains(exprs.size),
+      s"$fn takes ${ns.mkString(" or ")} arguments, got ${exprs.size}")
+
+  /** Lift a 1-Column composition into a SQL function builder. */
+  private def lift(name: String)(f: Column => Column): (String, Seq[Expression] => Expression) =
+    name -> { exprs: Seq[Expression] =>
+      arity(name, exprs, 1)
+      ColumnBridge.resolvedExpression(f(ColumnBridge.column(exprs.head)))
+    }
+
+  /** The one function table both injection paths share. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // text analysis (composed Column kernels — codegen'd builtins)
+    lift("graft_tokens")(TextFunctions.tokens),
+    lift("graft_lang_id")(TextFunctions.langId),
+    lift("graft_quality_score")(TextFunctions.qualityScore),
+    lift("graft_token_count_ws")(TextFunctions.tokenCountWs),
+    lift("graft_token_count_bpe")(TextFunctions.tokenCountBpe),
+    lift("graft_fingerprint")(TextFunctions.fingerprintMd5),
+    lift("graft_punct_ratio")(TextFunctions.punctRatio),
+    // PII (codegen'd regex battery)
+    lift("graft_redact_pii")(Redact.redactPii),
+    lift("graft_email_count")(Redact.emailCount),
+    lift("graft_phone_count")(Redact.phoneCount),
+    lift("graft_ipv4_count")(Redact.ipv4Count),
+    // deterministic corpus split: graft_hash_split(key[, trainTo, valTo])
+    "graft_hash_split" -> { exprs: Seq[Expression] =>
+      arity("graft_hash_split", exprs, 1, 3)
+      val key = ColumnBridge.column(exprs.head)
+      val split =
+        if (exprs.size == 1) TextFunctions.hashSplit(key)
+        else TextFunctions.hashSplit(key,
+          strArg("graft_hash_split", exprs(1), "trainTo"),
+          strArg("graft_hash_split", exprs(2), "valTo"))
+      ColumnBridge.resolvedExpression(split)
+    },
+    // native Catalyst kernels (tokens-array / vector hot loops)
+    "graft_stopword_hits" -> { exprs: Seq[Expression] =>
+      arity("graft_stopword_hits", exprs, 1)
+      TextExpressions.StopwordHits(exprs.head)
+    },
+    "graft_simhash" -> { exprs: Seq[Expression] =>
+      arity("graft_simhash", exprs, 1)
+      HashExpressions.SimHash64(exprs.head)
+    },
+    "graft_minhash" -> { exprs: Seq[Expression] =>
+      arity("graft_minhash", exprs, 2)
+      HashExpressions.MinHashSignature(exprs.head,
+        intArg("graft_minhash", exprs(1), "numHashes"))
+    },
+    "graft_hashed_shingles" -> { exprs: Seq[Expression] =>
+      arity("graft_hashed_shingles", exprs, 2)
+      HashExpressions.HashedShingles(exprs.head,
+        intArg("graft_hashed_shingles", exprs(1), "k"))
+    },
+    "graft_cosine_similarity" -> { exprs: Seq[Expression] =>
+      arity("graft_cosine_similarity", exprs, 2)
+      VectorExpressions.CosineSimilarity(exprs.head, exprs(1))
+    },
+    "graft_sign_lsh_bucket" -> { exprs: Seq[Expression] =>
+      arity("graft_sign_lsh_bucket", exprs, 2, 3)
+      VectorExpressions.SignLshBucket(exprs.head,
+        intArg("graft_sign_lsh_bucket", exprs(1), "planes"),
+        if (exprs.size > 2) intArg("graft_sign_lsh_bucket", exprs(2), "planeOffset")
+        else 0)
+    })
+
+  /** Register the same table onto a LIVE session (post-creation, where
+    * `spark.sql.extensions` can no longer apply). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

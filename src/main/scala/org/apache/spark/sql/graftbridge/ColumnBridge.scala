@@ -17,4 +17,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGERLY convert a Column's node tree to a Catalyst expression tree
+    * (`ColumnNodeToExpressionConverter`). [[expression]] wraps lazily as
+    * a `ColumnNodeExpression`, which only the Dataset API's own
+    * analysis unwraps — an expression embedded into a SQL plan by a
+    * FunctionRegistry builder (GraftSqlExtensions) must be a real
+    * Catalyst tree (its UnresolvedFunctions then resolve normally), or
+    * codegen hits the Unevaluable wrapper. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface (GraftSqlExtensions): two oracle-pinned queries
+  * reproduced through `spark.sql` ONLY — no DataFrame API in the loop —
+  * proving a pure-SQL user gets bit-identical results, via the
+  * production `spark.sql.extensions` injection path (TestSpark's
+  * session carries the conf; nothing here calls register()). */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def viewDocs(): Unit =
+    graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .createOrReplaceTempView("g_documents")
+
+  test("graft_* functions are injected via spark.sql.extensions, not temp-registered") {
+    assert(spark.conf.get("spark.sql.extensions") === "graft.GraftSqlExtensions")
+    // injectFunction lands in the PERSISTENT builtin registry half, so
+    // it is visible without any session-side registration call
+    assert(spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_fingerprint")))
+  }
+
+  test("text_fingerprint through pure SQL == the oracle-pinned DataFrame query") {
+    viewDocs()
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_fingerprint(text) AS fingerprint FROM g_documents")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaApi = SparkEntry.queries("text_fingerprint")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaSql === viaApi)
+  }
+
+  test("text_langid through pure SQL == the oracle-pinned DataFrame query") {
+    viewDocs()
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_lang_id(text) AS lang_pred,
+        |  graft_token_count_bpe(text) AS n_tokens_bpe,
+        |  graft_quality_score(text) AS quality
+        |FROM g_documents""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val viaApi = SparkEntry.queries("text_langid")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(viaSql === viaApi,
+      "SQL-surface quality/langid must be bit-identical to the API path")
+  }
+
+  test("kernel expressions and structural-literal guards work from SQL") {
+    viewDocs()
+    // native kernels compose from SQL: simhash over graft_tokens,
+    // shingles with a literal k
+    val n = spark.sql(
+      """SELECT doc_id, graft_simhash(graft_tokens(text)) AS sh,
+        |  size(graft_hashed_shingles(graft_tokens(text), 3)) AS n_grams,
+        |  graft_hash_split(CAST(doc_id AS STRING), '80', 'c0') AS split
+        |FROM g_documents""".stripMargin)
+      .filter("sh IS NOT NULL AND n_grams > 0 AND split IN ('train','val','test')")
+      .count()
+    assert(n > 0)
+    // a non-literal structural hyperparameter is refused at analysis
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_hashed_shingles(graft_tokens(text), CAST(doc_id AS INT)) FROM g_documents")
+        .collect()
+    }
+    assert(e.getMessage.contains("INT literal"))
+  }
+}

@@ -11,6 +11,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the production extension-injection path — SqlSurfaceSpec
+      // asserts the graft_* functions arrived through THIS, not a
+      // post-hoc registration
+      .config("spark.sql.extensions", "graft.GraftSqlExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
