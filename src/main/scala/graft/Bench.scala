@@ -204,6 +204,26 @@ object Bench {
       pass
     }
 
+    // Per-row volatility report (VERDICT r15 #3): rows whose warm
+    // envelope across ALL reps of ALL passes spreads more than 2x AND
+    // more than 0.5 s are flagged to stderr with their min/max — the
+    // audit trail that separates an intrinsically volatile row (GC/
+    // scheduling-sensitive; its envelope is its spec) from a real
+    // regression (median shift OUTSIDE the recorded envelope).
+    val envelope = passes.flatMap(_.results.map(r => (r._1, r._3)))
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val volatile = envelope.toSeq
+      .map { case (n, ws) => (n, ws.min, ws.max) }
+      .filter { case (_, mn, mx) => mx > mn * 2 && mx - mn > 0.5 }
+      .sortBy { case (_, mn, mx) => -(mx - mn) }
+    if (volatile.nonEmpty) {
+      System.err.println(f"[bench] ${volatile.size} volatile rows " +
+        "(warm max > 2x min and > 0.5 s across all passes):")
+      volatile.foreach { case (n, mn, mx) =>
+        System.err.println(f"[bench]   $n%-35s warm ${mn}%.2f .. ${mx}%.2f s")
+      }
+    }
+
     // Archive the fastest warm pass among those measured under the load
     // gate (transients only add time, so min warm-total = cleanest);
     // fall back to all passes if the machine never sat under the gate.

@@ -790,6 +790,73 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
+  // ------------------------------------- semantic decontamination
+  //
+  // The n-gram decontamination above catches VERBATIM eval quotes; a
+  // paraphrased or translated eval passage slips through it. Semantic
+  // decontamination closes that hole at the embedding level: drop every
+  // training doc whose embedding is within `eps` cosine of ANY eval
+  // embedding — the same contract as [[decontaminate]], one
+  // representation level up (and the decontamination sibling of
+  // SemDeDup, which compares the corpus against itself).
+
+  /** Ids of training docs semantically contaminated by the eval set:
+    * max-cosine >= eps against ANY eval embedding. Scale shape: the
+    * eval set is query-sized by contract, so its vectors BROADCAST and
+    * the corpus streams through one map-side nested-loop SEMI join —
+    * each row stops at its first hit, nothing corpus-sized shuffles
+    * (the exact analog of [[contaminatedIds]]' broadcast semi-join).
+    * For eval batteries too large for a per-row scan, use the
+    * cell-pruned [[contaminatedIdsSemanticCells]]. */
+  def contaminatedIdsSemantic(train: DataFrame, evalSet: DataFrame,
+                              idCol: String, vecCol: String,
+                              eps: Double = 0.95): DataFrame = {
+    val ev = broadcast(evalSet.select(col(vecCol).as("__e_vec")))
+    train.select(col(idCol).as("doc_id"), col(vecCol).as("__t_vec"))
+      .join(ev, graft.functions.VectorExpressions
+        .cosine_similarity(col("__t_vec"), col("__e_vec")) >= eps,
+        "left_semi")
+      .select(col("doc_id"))
+  }
+
+  /** [[contaminatedIdsSemantic]] through an IVF index's cells — the
+    * scale path when the eval battery outgrows a per-row scan: both
+    * sides assign to the index's frozen cells and only WITHIN-cell
+    * pairs are cosine-scored (the SemDeDup pruning argument: a
+    * >= eps-cosine pair lands in the same cell with high probability;
+    * recall is the nprobe=1 cell-assignment recall, gated like the
+    * SemDeDup family's). The eval side is eval-sized and broadcasts;
+    * the corpus side is the index's own assigned relation — already
+    * cell-partitioned, never reshuffled. */
+  def contaminatedIdsSemanticCells(index: Similarity.IvfIndex,
+                                   evalSet: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   eps: Double = 0.95): DataFrame = {
+    val ev = broadcast(
+      Similarity.assignToCells(evalSet.select(col(idCol), col(vecCol)),
+        index.centers, idCol, vecCol)
+        .select(col("cell"), col("c_vec").as("__e_vec")))
+    index.assigned
+      .select(col("cell"), col("neighbor_id").as("doc_id"),
+        col("c_vec").as("__t_vec"))
+      .join(ev, Seq("cell"))
+      .filter(graft.functions.VectorExpressions
+        .cosine_similarity(col("__t_vec"), col("__e_vec")) >= eps)
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Semantic decontamination keep-set: training rows minus the
+    * semantically contaminated ids — one broadcast semi-join + one
+    * anti-join against the skinny id set, the [[decontaminate]]
+    * shape. */
+  def decontaminateSemantic(train: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            eps: Double = 0.95): DataFrame =
+    train.join(
+      contaminatedIdsSemantic(train, evalSet, idCol, vecCol, eps)
+        .withColumnRenamed("doc_id", idCol),
+      Seq(idCol), "left_anti")
+
   // ------------------------------------ incremental corpus refresh (e2e)
   //
   // The composition the individual stages exist FOR: a corpus refresh

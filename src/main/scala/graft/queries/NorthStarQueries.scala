@@ -1891,6 +1891,45 @@ object NorthStarQueries {
     // genuinely mixed inputs. Both rows are narrow per-row projections
     // (zero shuffles; scrubbing 100 TB is embarrassingly parallel) and
     // stay inside whole-stage codegen (regexp_*, no UDF).
+    // ---- SEMANTIC decontamination --------------------------------------
+    // The n-gram decontaminate rows catch verbatim eval quotes; these
+    // catch the PARAPHRASED ones at the embedding level: drop every
+    // training vector within 0.95 cosine of ANY eval embedding. Planted
+    // fixture: train = embeddings + nudged copies (+10M); eval = the
+    // %10 originals — so the contaminated set is exactly {originals %10
+    // (self-match at 1.0)} ∪ {their copies (0.9988)}, with the nearest
+    // non-planted pair near cosine 0.4: decision margins that make the
+    // >= 0.95 threshold engine-robust. The brute row broadcasts the
+    // eval vectors through a map-side nested-loop SEMI join (each
+    // corpus row stops at its first hit — nothing corpus-sized ever
+    // shuffles); the _ivf row routes through nudge-orthogonal explicit
+    // cells (the bring-your-own-quantizer composition), where both
+    // planted pair classes co-cell STRUCTURALLY, so the cell-pruned
+    // answer EQUALS brute and the oracle is shared verbatim.
+    "text_decontam_semantic" -> ((s, dir) => {
+      val pe = plantedEmbeddings(embs(s, dir)).select("vec_id", "embedding")
+      val ev = embs(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      CorpusOps.decontaminateSemantic(pe, ev, "vec_id", "embedding",
+        eps = 0.95).select(col("vec_id"))
+    }),
+    "text_decontam_semantic_ivf" -> ((s, dir) => {
+      val pe = plantedEmbeddings(embs(s, dir)).select("vec_id", "embedding")
+      val ev = embs(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      // cache-free explicit-quantizer index: assignment is one narrow
+      // pass, so the row prices assign + cell-join + anti-join honestly
+      val centers = semCenters(s)
+      val idx = Similarity.IvfIndex(centers,
+        Similarity.assignToCells(pe, centers, "vec_id", "embedding"))
+      pe.join(
+        CorpusOps.contaminatedIdsSemanticCells(idx, ev, "vec_id",
+          "embedding", eps = 0.95)
+          .withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+    }),
+
     "text_pii_stats" -> ((s, dir) =>
       contactNotes(s, dir).select(col("c_custkey"),
         graft.functions.Redact.emailCount(col("note")).as("n_emails"),
@@ -2807,6 +2846,18 @@ object NorthStarQueries {
       |corpus AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)""".stripMargin
 
+  /** Semantic-decontamination keep-set oracle (brute + IVF rows share
+    * it verbatim): planted train side minus every vector within 0.95
+    * cosine of an eval (%10-original) embedding. */
+  private val SemanticDecontamSql: String =
+    s"""$PlantedPeCte,
+       |ev AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |       WHERE vec_id % 10 = 0),
+       |cont AS (SELECT DISTINCT p.vec_id FROM pe p JOIN ev e
+       |         ON list_cosine_similarity(p.emb, e.emb) >= 0.95)
+       |SELECT vec_id FROM pe
+       |WHERE vec_id NOT IN (SELECT vec_id FROM cont)""".stripMargin
+
   /** Brute-force cosine top-k oracle, shared by the ANN recall gates. */
   /** Brute-force top-1 on the planted near-dup fixture (same `pe` CTE
     * float arithmetic as the dedup_embedding_pairs oracle) — the truth
@@ -3471,6 +3522,10 @@ object NorthStarQueries {
     "text_pii_stats" -> PiiStatsSql,
     "text_pii_redact" -> PiiRedactSql,
     "text_decontaminate" -> DecontaminateSql,
+    // semantic decontamination: brute and cell-pruned paths share one
+    // oracle (the planted pairs co-cell structurally — see the rows)
+    "text_decontam_semantic" -> SemanticDecontamSql,
+    "text_decontam_semantic_ivf" -> SemanticDecontamSql,
     // the bloom path's contract is IDENTICAL output to the broadcast
     // path — same oracle, verbatim
     "text_decontam_bloom" -> DecontaminateSql,

@@ -836,6 +836,49 @@ object Scratch {
           brute.unpersist(); ce.unpersist()
         }
 
+      case "bm25hot" =>
+        // VERDICT r15 #6: the batch-retrieval stopword worst case — a
+        // query containing the corpus's MOST FREQUENT token matches
+        // ~every document, so a plain per-query rank window would sort
+        // the whole corpus in one task; the two-level tree rank bounds
+        // any task's sort at matchset/fanout. Measures wall time and
+        // match-set size across fanouts (1 = the unbounded shape).
+        import org.apache.spark.sql.functions._
+        import extensions.{CorpusOps, Search}
+        args.drop(1).foreach { dir =>
+          val d = sources.Tables.load(spark, dir, "documents")
+          val hot = CorpusOps.wordFreq(d, col("text"))
+            .orderBy(col("n").desc, col("token")).limit(1)
+            .collect().head
+          println(s"bm25hot @ $dir hottest token '${hot.getString(0)}' " +
+            s"n=${hot.getLong(1)}")
+          val stats = Search.bm25Fit(d, "doc_id", "text").persist()
+          stats.docFreq.count()
+          import spark.implicits._
+          val qs = Seq((0L, hot.getString(0)), (1L, "vector"))
+            .toDF("query_id", "term")
+          val matches = Search.bm25BatchTopK(d, stats, "doc_id", "text",
+            qs, k = 10, fanout = 1)
+          for (f <- Seq(1, 16, 64, 512)) {
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              Search.bm25BatchTopK(d, stats, "doc_id", "text", qs,
+                k = 10, fanout = f).queryExecution.toRdd.count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            once() // cold
+            val w = Seq(once(), once(), once()).min
+            println(f"bm25hot @ $dir fanout=$f%4d warm_min=$w%.3f s")
+          }
+          // the hot query's match-set size = the sort a fanout=1 task pays
+          val hotMatches = Search.bm25Scores(d, "doc_id", "text",
+            Seq(hot.getString(0))).count()
+          println(s"bm25hot @ $dir hot-query match set = $hotMatches rows " +
+            s"(fanout=1 sorts ALL of them in one task; fanout=F bounds a " +
+            s"task at matchset/F + a level-2 sort of <= F*k)")
+          stats.unpersist()
+        }
+
       case "resregime" =>
         // VERDICT r15 #4: demonstrate residual IVFADC in its regime.
         // On the CLUSTERED fixture (tight cells: within-cluster spread

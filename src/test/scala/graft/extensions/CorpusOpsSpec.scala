@@ -523,6 +523,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(7L)._2 === naive(7L) && out(9L)._2 === naive(9L))
   }
 
+  test("semantic decontamination: eval members and their near-copies drop, " +
+    "the rest survive; cell-pruned path equals brute; empty eval keeps all") {
+    val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 100)
+    val copies = e.filter(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      concat(array(col("embedding").getItem(0) + lit(0.05f)),
+        slice(col("embedding"), 2, 1000000)).as("embedding"))
+    val train = e.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val eval_ = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val kept = CorpusOps.decontaminateSemantic(train, eval_,
+      "vec_id", "embedding", eps = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every eval member self-matches at 1.0; every nudged copy matches
+    // its original at ~0.9988; everything else sits near cosine 0.4
+    (0L until 100L).foreach { id =>
+      assert(kept.contains(id) === (id % 10 != 0), s"id $id")
+    }
+    assert(kept.forall(_ < 10000L), "copies must drop")
+    // the cell-pruned path through nudge-orthogonal explicit cells
+    // (assignment ignores the nudged component) returns the SAME set
+    import spark.implicits._
+    val centers = Seq(
+      (0, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) -2f else 0f)),
+      (1, Array.tabulate(64)(i => if (i == 1) -2f else if (i == 2) 2f else 0f)),
+      (2, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) -2f else 0f)),
+      (3, Array.tabulate(64)(i => if (i == 1) 2f else if (i == 2) 2f else 0f))
+    ).toDF("cell", "center")
+    val idx = Similarity.IvfIndex(centers,
+      Similarity.assignToCells(train, centers, "vec_id", "embedding"))
+    val contCells = CorpusOps.contaminatedIdsSemanticCells(idx, eval_,
+      "vec_id", "embedding", eps = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val contBrute = CorpusOps.contaminatedIdsSemantic(train, eval_,
+      "vec_id", "embedding", eps = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(contCells === contBrute,
+      "within-cell pruning must lose nothing on the co-celled fixture")
+    // empty eval battery contaminates nothing
+    assert(CorpusOps.decontaminateSemantic(train,
+      eval_.filter(lit(false)), "vec_id", "embedding").count()
+      === train.count())
+  }
+
   test("corpusDiff classifies added/removed/changed/same; stats roll up") {
     val oldC = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
