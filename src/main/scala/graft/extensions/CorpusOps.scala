@@ -929,38 +929,35 @@ object CorpusOps {
   /** The downstream half of the refresh pipeline, from artifacts to the
     * trainer-ready export: decontaminate (anti-join the contaminated-id
     * set) → curation gates → exact-dup keep-first (min doc_id per
-    * fingerprint) → leakage-safe split BY GROUP (via
-    * [[leakageSafeSplitGroups]] over the fingerprint census, so a
-    * surviving representative is split by its own group key) →
-    * [[shardAssign]]. Emits (doc_id, quality, n_tokens_bpe, split,
-    * shard) per kept document.
+    * fingerprint) → leakage-safe GROUP-keyed split → [[shardAssign]].
+    * Emits (doc_id, quality, n_tokens_bpe, split, shard) per kept doc.
     *
-    * Scale shape: everything here consumes the SKINNY metrics relation —
-    * the corpus text never reappears after the artifact stage. The
-    * fingerprint census is one combining shuffle; the split join meets
-    * the census on its own key; split and shard are per-row
-    * expressions. */
+    * The split is group-safe BY CONSTRUCTION, with zero extra plan
+    * cost: keep-first dedup keeps exactly the min-id row of every
+    * fingerprint group, so each kept doc IS its group's representative
+    * and the group-keyed split ([[leakageSafeSplitGroups]]' rep =
+    * min-id contract) degenerates to hashing the kept doc's own id —
+    * duplicates can't straddle the fence because they are already
+    * gone. An earlier draft routed through a fingerprint-census join
+    * to say the same thing; that re-evaluated the whole fresh metric
+    * battery a second time (the census branch and the keep-first
+    * branch each inline it) for literally identical output — measured
+    * at sf0.1 as ~40% of the row.
+    *
+    * Scale shape: everything here consumes the SKINNY metrics relation
+    * — the corpus text never reappears after the artifact stage; the
+    * keep-first census is the ONE combining shuffle; split and shard
+    * are per-row expressions on the kept rows. */
   def curatedShardExport(art: CrawlArtifacts, lang: String = "en",
                          minQuality: Double = 0.5, maxDup2: Double = 0.05,
                          maxTop2: Double = 0.12, nShards: Int = 8,
                          trainTo: String = "cc",
                          valTo: String = "e6"): DataFrame = {
     val clean = art.metrics.join(art.contaminated, Seq("doc_id"), "left_anti")
-    val gated = clean.filter(curationGate(lang, minQuality, maxDup2, maxTop2))
-    // the exact-dup GROUPS over the gated survivors, in the
-    // resolveDupGroups (id, group_id) contract leakageSafeSplitGroups
-    // consumes: min doc_id per fingerprint, joined back on the census's
-    // own key
-    val groups = gated.select(col("doc_id"), col("fingerprint"))
-      .join(gated.groupBy(col("fingerprint"))
-          .agg(min(col("doc_id")).as("group_id")),
-        Seq("fingerprint"))
-      .select(col("doc_id"), col("group_id"))
     val kept = curateFromMetrics(clean, lang, minQuality, maxDup2, maxTop2)
-    val split = leakageSafeSplitGroups(kept.select(col("doc_id")), "doc_id",
-      groups, trainTo, valTo)
     shardAssign(
-      kept.join(split.select(col("doc_id"), col("split")), Seq("doc_id")),
+      kept.withColumn("split",
+        TextFunctions.hashSplit(col("doc_id").cast("string"), trainTo, valTo)),
       col("doc_id"), nShards)
       .select(col("doc_id"), col("quality"), col("n_tokens_bpe"),
         col("split"), col("shard"))
