@@ -576,9 +576,42 @@ object CdcStream {
     }
   }
 
+  /** Fold the accepted-docs sink into the SEARCH statistics as one
+    * version bump via [[graft.extensions.Search.extendBm25Stats]] —
+    * O(new docs): the batch's df table merges into the stored one by a
+    * full-outer sum of two skinny vocabulary relations, the two corpus
+    * scalars add. Completes the versioning symmetry: the SAME
+    * accepted-docs tree [[startCorpusDedupIngest]] writes can feed BOTH
+    * the dedup-index fold and this one — each is tracked by its OWN
+    * marker ([[FoldedMarkerName]] vs [[Bm25FoldedMarkerName]]), so the
+    * two loops version independently off one ingest and each refuses
+    * ITS OWN double-fold. All the family contracts carry: stale-handle
+    * guard, id-dedup absorbing cross-batch source replays, empty tree
+    * as a no-op, the fold recorded in the stats' lineage. */
+  def compactAcceptedBm25Batches(
+      spark: SparkSession, sinkDir: String,
+      stats: graft.extensions.Search.Bm25Stats,
+      idCol: String, textCol: String): graft.extensions.Search.Bm25Stats = {
+    stats.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, stats.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, Bm25FoldedMarkerName) match {
+      case None => stats
+      case Some(accepted) =>
+        val bumped = graft.extensions.Search.extendBm25Stats(stats,
+          accepted.dropDuplicates(idCol), idCol, textCol)
+        markFolded(spark, sinkDir, Bm25FoldedMarkerName)
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
   /** Marker a successful compaction writes at the root of every tree it
     * consumed; its presence makes a double-fold unrepresentable. */
   val FoldedMarkerName = "_FOLDED"
+
+  /** The search-stats fold's own marker — distinct from
+    * [[FoldedMarkerName]] so the dedup-index compaction and the BM25
+    * compaction can consume ONE accepted-docs tree independently. */
+  val Bm25FoldedMarkerName = "_FOLDED_BM25"
 
   /** Guarded read of an accepted-batch sink tree for compaction:
     * refuses (loudly) a tree already stamped [[FoldedMarkerName]] —
@@ -586,12 +619,12 @@ object CdcStream {
     * extend's append-only id contract — and returns None for a tree
     * with no committed batch rows, turning a compaction that races an
     * idle ingest into a no-op instead of a schema-inference error. */
-  private def consumeSinkTree(spark: SparkSession,
-                              sinkDir: String): Option[DataFrame] = {
+  private def consumeSinkTree(spark: SparkSession, sinkDir: String,
+                              marker: String = FoldedMarkerName): Option[DataFrame] = {
     val root = new HPath(sinkDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(new HPath(root, FoldedMarkerName)),
-      s"sink tree $sinkDir was already compacted ($FoldedMarkerName " +
+    require(!fs.exists(new HPath(root, marker)),
+      s"sink tree $sinkDir was already compacted ($marker " +
         "present): re-folding consumed batches would double-count them " +
         "in the extended index — point the ingest at a fresh sink tree " +
         "for the next version")
@@ -602,8 +635,9 @@ object CdcStream {
     else Some(spark.read.parquet(sinkDir).drop("batch"))
   }
 
-  private def markFolded(spark: SparkSession, dir: String): Unit = {
-    val p = new HPath(new HPath(dir), FoldedMarkerName)
+  private def markFolded(spark: SparkSession, dir: String,
+                         marker: String = FoldedMarkerName): Unit = {
+    val p = new HPath(new HPath(dir), marker)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new HPath(dir))) fs.create(p, true).close()
   }

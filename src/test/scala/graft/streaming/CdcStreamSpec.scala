@@ -196,6 +196,66 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("compactAcceptedBm25Batches folds the accepted docs into the search " +
+    "stats; shares one tree with the dedup fold via independent markers") {
+    import graft.extensions.{Dedup, Search}
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val index = Dedup.buildCorpusIndex(corpus, "doc_id", "text").persist()
+    val stats = Search.bm25Fit(corpus, "doc_id", "text")
+
+    val src = TestSpark.tmpDir("graft-bm25compact-src")
+    docs.filter(col("doc_id") % 5 === 0).write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-bm25compact-sink")
+    try {
+      val q = CdcStream.startCorpusDedupIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index, "doc_id", "text", sink, TestSpark.tmpDir("graft-bm25compact-ckpt"))
+      q.awaitTermination()
+      val accepted = spark.read.parquet(sink).drop("batch")
+      assert(accepted.count() > 0)
+
+      // fold == refit over corpus + accepted (the additive contract
+      // carried through the sink read), with a planted cross-batch
+      // replay folded exactly once by the id-dedup
+      spark.createDataFrame(
+          java.util.Arrays.asList(accepted.head()), accepted.schema)
+        .write.mode("overwrite").parquet(s"$sink/batch=9999")
+      val bumped = CdcStream.compactAcceptedBm25Batches(
+        spark, sink, stats, "doc_id", "text")
+      val refit = Search.bm25Fit(
+        corpus.select("doc_id", "text")
+          .union(accepted.select("doc_id", "text")), "doc_id", "text")
+      assert(bumped.nDocs === refit.nDocs && bumped.sumDl === refit.sumDl)
+      def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+      assert(dfMap(bumped) === dfMap(refit))
+      assert(bumped.version === stats.version + 1)
+      assert(bumped.folded.contains(sink))
+
+      // the bm25 fold stamped ITS marker; a second bm25 fold refuses...
+      assert(new java.io.File(sink, CdcStream.Bm25FoldedMarkerName).exists())
+      val err = intercept[IllegalArgumentException] {
+        CdcStream.compactAcceptedBm25Batches(spark, sink, stats, "doc_id", "text")
+      }
+      assert(err.getMessage.contains("already compacted"))
+      // ...but the DEDUP-INDEX fold of the SAME tree still runs — the
+      // two versioning loops consume one accepted-docs ingest
+      // independently, each refusing only its own double-fold
+      assert(!new java.io.File(sink, CdcStream.FoldedMarkerName).exists())
+      val bumpedIndex = CdcStream.compactAcceptedBatches(
+        spark, sink, index, "doc_id", "text")
+      assert(bumpedIndex.version === index.version + 1)
+      assert(new java.io.File(sink, CdcStream.FoldedMarkerName).exists())
+
+      // empty tree: no-op, no marker
+      val idle = TestSpark.tmpDir("graft-bm25compact-idle")
+      assert(CdcStream.compactAcceptedBm25Batches(
+        spark, idle, stats, "doc_id", "text") eq stats)
+      assert(!new java.io.File(idle, CdcStream.Bm25FoldedMarkerName).exists())
+    } finally index.unpersist()
+  }
+
   test("compactAcceptedEmbeddingBatches folds the vector sink once, with the saved planes") {
     import graft.extensions.Dedup
     val embs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
