@@ -926,6 +926,34 @@ object CorpusOps {
         .unionByName(fresh.contaminated))
   }
 
+  /** The refresh pipeline's ATTRITION record — the one-row dashboard a
+    * refresh publishes next to its export: what the diff decided
+    * (added/changed/removed/same), how many docs the refreshed corpus
+    * holds, how many the eval battery contaminated, how many survived
+    * the curation gates, and how many distinct documents the keep-first
+    * dedup kept. One aggregate over the (skinny) artifact relations +
+    * one over the diff, cross-joined as single rows. */
+  def refreshFunnel(diff: DataFrame, art: CrawlArtifacts,
+                    idCol: String, lang: String = "en",
+                    minQuality: Double = 0.5, maxDup2: Double = 0.05,
+                    maxTop2: Double = 0.12): DataFrame = {
+    val d = diff.agg(
+      sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+      sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+      sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+      sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
+    val gate = curationGate(lang, minQuality, maxDup2, maxTop2)
+    val m = art.metrics
+      .join(art.contaminated.withColumn("__c", lit(1)), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("__c").isNull && gate, 1L).otherwise(0L)).as("n_gated"),
+        countDistinct(when(col("__c").isNull && gate, col("fingerprint")))
+          .as("n_kept"))
+    d.crossJoin(m)
+  }
+
   /** The downstream half of the refresh pipeline, from artifacts to the
     * trainer-ready export: decontaminate (anti-join the contaminated-id
     * set) → curation gates → exact-dup keep-first (min doc_id per

@@ -1841,6 +1841,20 @@ object NorthStarQueries {
           "doc_id", "text", refreshEval(s, dir), diff),
         nShards = 8)
     }),
+    // ...and the refresh's ATTRITION record: diff-status counts + how
+    // many docs the eval battery contaminated, survived the gates, and
+    // were kept after dedup — the dashboard row a refresh publishes
+    // next to its export. Same incremental artifacts; all counts exact
+    // integers, oracle recomputed from scratch.
+    "corpus_refresh_funnel" -> ((s, dir) => {
+      val newC = refreshNewDocs(s, dir)
+      val diff = CorpusOps.corpusDiff(diffOldDocs(s, dir), newC,
+        "doc_id", "text")
+      CorpusOps.refreshFunnel(diff,
+        CorpusOps.refreshArtifacts(refreshPrior(s, dir), newC,
+          "doc_id", "text", refreshEval(s, dir), diff),
+        "doc_id")
+    }),
 
     // ---- keyword retrieval (BM25 + exact phrase) ---------------------
     // The lexical complement of the sim_* ANN stack: one corpus scan,
@@ -1867,6 +1881,20 @@ object NorthStarQueries {
       Search.bm25TopKFitted(docs(s, dir),
         Search.loadBm25Stats(s, savedBm25Dir(s, dir)),
         "doc_id", "text", Seq("spark", "vector", "quasar"), k = 20)),
+    // ...and the CORPUS-BUMP serving path: stats fitted on half the
+    // corpus, EXTENDED with the other half (O(new docs) — df counts and
+    // scalars are additive), then the probe — extend == refit exactly
+    // (integer statistics), so the row is bit-identical to one-shot
+    // over the full corpus and shares the verbatim oracle. This puts
+    // the extend leg itself inside the driver's correctness gate.
+    "search_bm25_extend" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ext = Search.extendBm25Stats(
+        Search.bm25Fit(d.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      Search.bm25TopKFitted(d, ext, "doc_id", "text",
+        Seq("spark", "vector", "quasar"), k = 20)
+    }),
     // batch retrieval: a query TABLE answered in one corpus pass — the
     // eval-harness shape (per-query kernels would pay q scans). q2
     // mixes an out-of-vocabulary term with a common one: the OOV term
@@ -2961,7 +2989,7 @@ object NorthStarQueries {
     * The Spark side computes the same thing INCREMENTALLY (unchanged
     * docs carried from the prior run's artifacts); hash equality IS the
     * refresh ≡ rebuild contract. */
-  private val CorpusRefreshSql: String =
+  private val CorpusRefreshCtes: String =
     """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
       |new0 AS (
       |  SELECT doc_id,
@@ -2994,13 +3022,39 @@ object NorthStarQueries {
       |    AND dup_2gram_frac <= 0.05 AND top_2gram_char_frac <= 0.12),
       |kept AS (SELECT min(doc_id) AS doc_id, min(quality) AS quality,
       |    min(n_tokens_bpe) AS n_tokens_bpe
-      |  FROM gated GROUP BY fingerprint)
+      |  FROM gated GROUP BY fingerprint)""".stripMargin
+
+  private val CorpusRefreshSql: String =
+    s"""$CorpusRefreshCtes
       |SELECT doc_id, quality, n_tokens_bpe,
       |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
       |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
       |       ELSE 'test' END AS split,
       |  CAST(CAST(('0x' || substr(md5('export:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS BIGINT) AS shard
       |FROM kept""".stripMargin
+
+  /** The refresh funnel oracle: diff-status counts over (documents, fx)
+    * plus artifact-level attrition — one row, all BIGINT. */
+  private val CorpusRefreshFunnelSql: String =
+    s"""$CorpusRefreshCtes,
+      |dstat AS (
+      |  SELECT CASE WHEN o.h IS NULL THEN 'added'
+      |              WHEN n.h IS NULL THEN 'removed'
+      |              WHEN o.h != n.h THEN 'changed'
+      |              ELSE 'same' END AS status
+      |  FROM (SELECT doc_id, md5(text) AS h FROM documents) o
+      |  FULL OUTER JOIN (SELECT doc_id, md5(text) AS h FROM fx) n
+      |  ON o.doc_id = n.doc_id)
+      |SELECT
+      |  (SELECT CAST(count(*) FILTER (status = 'added') AS BIGINT) FROM dstat) AS n_added,
+      |  (SELECT CAST(count(*) FILTER (status = 'changed') AS BIGINT) FROM dstat) AS n_changed,
+      |  (SELECT CAST(count(*) FILTER (status = 'removed') AS BIGINT) FROM dstat) AS n_removed,
+      |  (SELECT CAST(count(*) FILTER (status = 'same') AS BIGINT) FROM dstat) AS n_same,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_docs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM cont) AS n_contaminated,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM gated) AS n_gated,
+      |  (SELECT CAST(count(DISTINCT fingerprint) AS BIGINT) FROM gated) AS n_kept"""
+      .stripMargin
 
   /** The classifier-score expression (`text_classifier_score`), shared
     * by the score and label columns: md5-bucketed hashing trick over
@@ -3473,12 +3527,15 @@ object NorthStarQueries {
     // fit/probe is bit-identical to one-shot by construction — one oracle
     "search_bm25_probe" -> Bm25Sql,
     // ...as is the saved-tree serving path (integer stats round-trip
-    // parquet exactly)
+    // parquet exactly) and the extend-served path (extend == refit on
+    // integer statistics)
     "search_bm25_saved" -> Bm25Sql,
+    "search_bm25_extend" -> Bm25Sql,
     "search_bm25_batch" -> Bm25BatchSql,
     "search_phrase" -> PhraseSql,
     "corpus_diff" -> CorpusDiffSql,
     "corpus_refresh_e2e" -> CorpusRefreshSql,
+    "corpus_refresh_funnel" -> CorpusRefreshFunnelSql,
     "corpus_diff_stats" ->
       s"""WITH diff AS ($CorpusDiffSql)
         |SELECT status, count(*) AS n,
