@@ -115,18 +115,48 @@ object Search {
       * vocabulary-sized df table as parquet, the two integer scalars in
       * a one-row meta table, and the [[IndexMeta]] version stamp — a
       * load can never probe with mismatched scalars, and close()/extend
-      * on a stale handle refuses exactly like the other families. */
+      * on a stale handle refuses exactly like the other families.
+      *
+      * Two overwrite hazards are closed here (ADVICE r16), making the
+      * natural `extend(load(dir)).save(dir)` in-place upgrade safe:
+      * - A STAMPED tree is refused unless this handle descends from it
+      *   (its own idempotent re-save, or an upgrade of the tree it was
+      *   extended from) — a stale v1 handle can no longer clobber a v2
+      *   tree the way `close()` already refuses to delete one.
+      * - The df relation is written STAGE-THEN-SWAP: an in-place
+      *   upgrade's lazy docFreq plan READS `$dir/df`, so a direct
+      *   overwrite would consume its own input mid-write. The staged
+      *   write evaluates the plan against the old files, then one
+      *   rename swaps the new tree in. The returned handle re-points
+      *   docFreq at the saved files (identical rows, truncated lineage),
+      *   so it stays valid after the old files are gone. */
     def save(dir: String): Bm25Stats = {
       val spark = docFreq.sparkSession
       import spark.implicits._
-      docFreq.write.mode("overwrite").parquet(s"$dir/df")
+      IndexMeta.read(spark, dir).foreach { stamp =>
+        val ownResave = stamp.version == version && savedDir.contains(dir)
+        val upgrade = stamp.version < version &&
+          parent.orElse(savedDir).contains(dir)
+        require(ownResave || upgrade,
+          s"save refused: $dir already stamps version ${stamp.version} and " +
+            s"this handle (version $version) does not descend from it — " +
+            "close() the old tree or save to a fresh directory")
+      }
+      val hconf = spark.sessionState.newHadoopConf()
+      val dfPath = new org.apache.hadoop.fs.Path(s"$dir/df")
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/df__stage")
+      val fs = dfPath.getFileSystem(hconf)
+      docFreq.write.mode("overwrite").parquet(stage.toString)
+      if (fs.exists(dfPath)) fs.delete(dfPath, true)
+      require(fs.rename(stage, dfPath),
+        s"could not move $stage into place at $dfPath")
       Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
         .write.mode("overwrite").parquet(s"$dir/meta")
       IndexMeta.write(spark, dir, IndexMeta.Meta(version,
         parent = parent.orElse(savedDir).filterNot(_ == dir),
         folded = folded,
         rows = IndexMeta.rowCounts(spark, dir, Seq("df"))))
-      copy(savedDir = Some(dir))
+      copy(docFreq = spark.read.parquet(s"$dir/df"), savedDir = Some(dir))
     }
 
     /** Retire this stats version in ONE call — unpersist + delete the
@@ -187,10 +217,20 @@ object Search {
     * spec pins. `newDocs` ids must be new (the append-only contract
     * every extend in the engine shares): re-adding a fitted doc
     * double-counts on both paths alike. Version bumps; the old tree's
-    * path moves into `parent` ([[IndexMeta]] lineage). */
+    * path moves into `parent` ([[IndexMeta]] lineage).
+    *
+    * ONE SNAPSHOT feeds both halves (ADVICE r16): the per-doc projection
+    * is eagerly localCheckpoint'ed before anything reads it, so the
+    * scalar sums (evaluated here) and the df merge (evaluated whenever
+    * the stats are later used) see the SAME rows even when `newDocs` is
+    * a live source — e.g. a streaming sink still receiving batches,
+    * where the old fully-lazy fold let post-extend appends leak into the
+    * df counts while the eagerly-collected scalars excluded them. The
+    * checkpoint is O(new docs) of SKINNY rows (dl + distinct terms), not
+    * corpus-sized. */
   def extendBm25Stats(stats: Bm25Stats, newDocs: DataFrame,
                       idCol: String, textCol: String): Bm25Stats = {
-    val perDoc = bm25PerDoc(newDocs, textCol)
+    val perDoc = bm25PerDoc(newDocs, textCol).localCheckpoint(true)
     val row = perDoc.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
       .head()
     val newDf = perDoc

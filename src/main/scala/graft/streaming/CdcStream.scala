@@ -587,20 +587,36 @@ object CdcStream {
     * two loops version independently off one ingest and each refuses
     * ITS OWN double-fold. All the family contracts carry: stale-handle
     * guard, id-dedup absorbing cross-batch source replays, empty tree
-    * as a no-op, the fold recorded in the stats' lineage. */
+    * as a no-op, the fold recorded in the stats' lineage.
+    *
+    * Marker ordering (ADVICE r16): the extend SNAPSHOTS the sink read
+    * eagerly (extendBm25Stats localCheckpoints its per-doc projection),
+    * so batches a still-running ingest appends AFTER the fold can no
+    * longer leak into later evaluations of the lazy df merge. And when
+    * `saveTo` is given, the bumped stats are made DURABLE (saved, with
+    * the fold already in their lineage) BEFORE the `_FOLDED_BM25` marker
+    * lands — a crash between extend and save then leaves the sink
+    * unmarked, so the next scheduled compaction simply re-runs; the old
+    * durable-after-mark window orphaned the consumed batches instead.
+    * Without `saveTo` the caller owns persisting the returned handle
+    * promptly: the marker is down but the bump lives only in session
+    * memory. */
   def compactAcceptedBm25Batches(
       spark: SparkSession, sinkDir: String,
       stats: graft.extensions.Search.Bm25Stats,
-      idCol: String, textCol: String): graft.extensions.Search.Bm25Stats = {
+      idCol: String, textCol: String,
+      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats = {
     stats.savedDir.foreach(d => graft.extensions.IndexMeta
       .requireCurrent(spark, d, stats.version, "compaction"))
     consumeSinkTree(spark, sinkDir, Bm25FoldedMarkerName) match {
       case None => stats
       case Some(accepted) =>
         val bumped = graft.extensions.Search.extendBm25Stats(stats,
-          accepted.dropDuplicates(idCol), idCol, textCol)
+            accepted.dropDuplicates(idCol), idCol, textCol)
+          .copy(folded = stats.folded :+ sinkDir)
+        val durable = saveTo.map(bumped.save).getOrElse(bumped)
         markFolded(spark, sinkDir, Bm25FoldedMarkerName)
-        bumped.copy(folded = bumped.folded :+ sinkDir)
+        durable
     }
   }
 

@@ -216,18 +216,80 @@ class SearchSpec extends AnyFunSuite {
     assert(ext.savedDir.isEmpty,
       "an extension must not inherit the parent's tree")
     assert(ext.parent.contains(dir))
-    // another job saves the extension over the SAME tree (materialize
-    // first — the lazy merged plan reads the old files)
-    val mat = ext.copy(docFreq = ext.docFreq.localCheckpoint(true))
-    val v2 = mat.save(dir)
+    // the extension saves over the SAME tree directly: save() stages the
+    // df write and swaps, so the lazy merged plan reading the old files
+    // needs no caller-side materialization (ADVICE r16)
+    val v2 = ext.save(dir)
     assert(IndexMeta.read(spark, dir).get.version === 2L)
     assert(IndexMeta.read(spark, dir).get.parent.isEmpty,
       "in-place re-save must not stamp a self-referential parent")
+    // the returned handle re-points at the saved files, so it still
+    // serves after the old v1 files are gone
+    assert(v2.docFreq.count() > 0L)
     val e = intercept[IllegalArgumentException](v1.close())
     assert(e.getMessage.contains("version 2") &&
       e.getMessage.contains("version 1"))
     v2.close()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("save refuses a stamped tree the handle does not descend from") {
+    val dir = graft.TestSpark.tmpDir("graft-bm25-clobber")
+    val v1 = Search.bm25Fit(corpus.filter(col("doc_id") <= 2L),
+      "doc_id", "text").save(dir)
+    val v2 = Search.extendBm25Stats(v1,
+      corpus.filter(col("doc_id") > 2L), "doc_id", "text").save(dir)
+    // the stale v1 handle may no longer clobber the v2 tree...
+    val stale = intercept[IllegalArgumentException](v1.save(dir))
+    assert(stale.getMessage.contains("version 2"))
+    // ...and an unrelated fit (no lineage into dir) is refused too
+    val alien = intercept[IllegalArgumentException] {
+      Search.bm25Fit(corpus, "doc_id", "text").save(dir)
+    }
+    assert(alien.getMessage.contains("does not descend"))
+    // idempotent re-save of the current version stays allowed
+    v2.save(dir)
+    v2.close()
+  }
+
+  test("extend(load(dir)).save(dir) upgrades in place without clobbering " +
+    "its own lazy input") {
+    val dir = graft.TestSpark.tmpDir("graft-bm25-inplace")
+    Search.bm25Fit(corpus.filter(col("doc_id") <= 2L), "doc_id", "text")
+      .save(dir)
+    // the ADVICE r16 failure shape verbatim: the loaded handle's lazy df
+    // plan reads $dir/df, and save(dir) used to overwrite those files
+    // while the staged plan still needed them
+    val upgraded = Search.extendBm25Stats(Search.loadBm25Stats(spark, dir),
+      corpus.filter(col("doc_id") > 2L), "doc_id", "text").save(dir)
+    val refit = Search.bm25Fit(corpus, "doc_id", "text")
+    val reload = Search.loadBm25Stats(spark, dir)
+    assert(reload.version === 2L)
+    assert(reload.nDocs === refit.nDocs && reload.sumDl === refit.sumDl)
+    def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(dfMap(reload) === dfMap(refit))
+    upgraded.close()
+  }
+
+  test("extendBm25Stats snapshots newDocs: source rows appended after the " +
+    "extend never leak into the df merge") {
+    val dir = graft.TestSpark.tmpDir("graft-bm25-snapshot")
+    corpus.filter(col("doc_id") > 2L).write.mode("overwrite").parquet(dir)
+    val ext = Search.extendBm25Stats(
+      Search.bm25Fit(corpus.filter(col("doc_id") <= 2L), "doc_id", "text"),
+      spark.read.parquet(dir), "doc_id", "text")
+    // the source grows AFTER the extend (a streaming sink still
+    // receiving batches) — the already-collected scalars excluded these
+    // rows, so the lazily-evaluated df counts must exclude them too
+    corpus.select(col("doc_id") + 100L, col("text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val refit = Search.bm25Fit(corpus, "doc_id", "text")
+    def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(ext.nDocs === refit.nDocs && ext.sumDl === refit.sumDl)
+    assert(dfMap(ext) === dfMap(refit),
+      "df counts must come from the same snapshot as the scalars")
   }
 
   test("batch retrieval result is invariant to the tree-rank fanout") {

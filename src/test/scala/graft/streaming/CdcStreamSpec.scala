@@ -256,6 +256,30 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("compactAcceptedBm25Batches saveTo makes the bump durable BEFORE " +
+    "the marker lands") {
+    import graft.extensions.Search
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val stats = Search.bm25Fit(corpus, "doc_id", "text")
+    val sink = TestSpark.tmpDir("graft-bm25durable-sink")
+    docs.filter(col("doc_id") % 5 === 0)
+      .write.mode("overwrite").parquet(s"$sink/batch=0")
+    val out = TestSpark.tmpDir("graft-bm25durable-out")
+    val durable = CdcStream.compactAcceptedBm25Batches(
+      spark, sink, stats, "doc_id", "text", saveTo = Some(out))
+    // the marker is down AND the bumped tree is on disk with the fold in
+    // its lineage — a crash can no longer orphan consumed batches in the
+    // window between extend and save (ADVICE r16: durable-then-mark)
+    assert(new java.io.File(sink, CdcStream.Bm25FoldedMarkerName).exists())
+    assert(durable.savedDir.contains(out))
+    val loaded = Search.loadBm25Stats(spark, out)
+    val refit = Search.bm25Fit(docs, "doc_id", "text")
+    assert(loaded.version === 2L && loaded.folded.contains(sink))
+    assert(loaded.nDocs === refit.nDocs && loaded.sumDl === refit.sumDl)
+    durable.close()
+  }
+
   test("compactAcceptedEmbeddingBatches folds the vector sink once, with the saved planes") {
     import graft.extensions.Dedup
     val embs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
