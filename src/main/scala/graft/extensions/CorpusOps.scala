@@ -926,6 +926,60 @@ object CorpusOps {
         .unionByName(fresh.contaminated))
   }
 
+  /** Version the text-gram SERVING index off the same diff that drives
+    * the artifact refresh — the leg of the production refresh loop
+    * [[refreshArtifacts]] deliberately leaves to the index lifecycle:
+    * `removed` and `changed` ids retire via
+    * [[Dedup.removeFromCorpusIndex]] (ids only — the index's stored
+    * shingles reconstruct their grams; the retired text is not needed),
+    * then `added` and `changed` docs fold in via
+    * [[Dedup.extendCorpusIndex]] — a changed document is
+    * remove-then-add, the only mutation an append-only index family can
+    * express. EXACT: both halves carry their build-equivalence, so
+    * `refreshCorpusIndex(build(old), new, diff) ≡ build(new)` at the
+    * postings/dictionary/doc-stats level and probes hash-match a
+    * from-scratch fit of the new crawl (oracle-pinned by
+    * `dedup_refresh_index`). O(changed + removed) heavy work: unchanged
+    * documents are never re-shingled — the extension's input is
+    * diff-selected BEFORE any kernel runs (poisoned-sentinel
+    * spec-pinned). */
+  def refreshCorpusIndex(index: Dedup.CorpusIndex, newDf: DataFrame,
+                         idCol: String, textCol: String,
+                         diff: DataFrame): Dedup.CorpusIndex = {
+    val retired = diff.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    val fresh = diff.filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    Dedup.extendCorpusIndex(
+      Dedup.removeFromCorpusIndex(index, retired, idCol),
+      newDf.join(fresh, Seq(idCol), "left_semi"), idCol, textCol)
+  }
+
+  /** The BM25 leg of the refresh→index loop: retract the `removed` and
+    * `changed` documents' contributions (exact integer subtraction —
+    * [[Search.retractBm25Stats]] needs their OLD text, which a refresh
+    * has on hand by construction: it just diffed against it), then fold
+    * the `added` and `changed` documents' new text in via
+    * [[Search.extendBm25Stats]]. EXACT end to end:
+    * `refreshBm25Stats(fit(old), old, new, diff) ≡ fit(new)` — df
+    * counts and the two scalars are additive in both directions, so a
+    * probe against the refreshed stats is bit-identical to one against
+    * a from-scratch fit of the new crawl (oracle-pinned by
+    * `search_bm25_refresh`). Unchanged documents are never re-tokenized
+    * on either half (poisoned-sentinel spec-pinned). */
+  def refreshBm25Stats(stats: Search.Bm25Stats, oldDf: DataFrame,
+                       newDf: DataFrame, idCol: String, textCol: String,
+                       diff: DataFrame): Search.Bm25Stats = {
+    val retired = diff.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    val fresh = diff.filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    Search.extendBm25Stats(
+      Search.retractBm25Stats(stats,
+        oldDf.join(retired, Seq(idCol), "left_semi"), idCol, textCol),
+      newDf.join(fresh, Seq(idCol), "left_semi"), idCol, textCol)
+  }
+
   /** The refresh pipeline's ATTRITION record — the one-row dashboard a
     * refresh publishes next to its export: what the diff decided
     * (added/changed/removed/same), how many docs the refreshed corpus

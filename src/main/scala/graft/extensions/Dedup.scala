@@ -540,6 +540,80 @@ object Dedup {
       parent = index.savedDir.orElse(index.parent))
   }
 
+  /** Shrink a [[CorpusIndex]] by a set of retired document ids — the
+    * REMOVAL half of the versioning lifecycle (extend is the other): a
+    * crawl refresh classifies documents `removed`/`changed`
+    * ([[CorpusOps.corpusDiff]]), and before this existed their grams
+    * stayed in the serving index forever — a probe could drop a fresh
+    * batch doc as a "duplicate" of a document the corpus no longer
+    * contains. Needs only IDS, not the retired documents' text: the
+    * index's own stored shingle relation reconstructs their grams.
+    *
+    * EXACT, not a tombstone approximation:
+    * `removeFromCorpusIndex(build(A), R) ≡ build(A \ R)` at the
+    * postings, dictionary AND doc-stats level (spec-pinned). The subtle
+    * half is the df cut running BACKWARD: a gram the removal pulls back
+    * under the cut (df was > maxGramDf, now ≤) was never indexed, but a
+    * from-scratch build on the survivors WOULD index it — so its
+    * surviving postings are re-admitted from the stored shingle sets.
+    * The mirror image of [[extendCorpusIndex]]'s crossing-over logic.
+    *
+    * Cost shape at 100 TB: the removed set reconstructs its grams via
+    * one semi-join against the shingle relation (O(removed)); the
+    * dictionary updates by one skinny merge; the corpus-sized postings
+    * are touched by exactly one streaming anti-join on doc_id; and the
+    * re-admission leg is one narrow map-side pass over the stored
+    * shingle arrays against the BROADCAST crossing-back gram set —
+    * bounded by the removed docs' own distinct grams, near-empty in
+    * practice. A removal so large its gram set cannot broadcast is past
+    * the point where a rebuild is cheaper anyway.
+    *
+    * `changed` documents are remove-then-extend: retire the old id here,
+    * fold the new text via [[extendCorpusIndex]] (append-only ids make
+    * in-place mutation unrepresentable) — the composition
+    * [[CorpusOps.refreshCorpusIndex]] packages. */
+  def removeFromCorpusIndex(index: CorpusIndex, removedIds: DataFrame,
+                            idCol: String): CorpusIndex = {
+    val cut = index.maxGramDf
+    val rm = removedIds.select(col(idCol).as("doc_id")).distinct()
+    // the retired docs' grams, from the index's OWN stored shingles
+    val rmInv = index.shingles.join(rm, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val decDf = rmInv.groupBy(col("gram")).agg(count(lit(1)).as("__dec"))
+    // updated dictionary: df only shrinks; a gram whose last holder left
+    // drops out entirely (a from-scratch build would never see it)
+    val mergedDf = index.dfCounts.join(decDf, Seq("gram"), "left")
+      .select(col("gram"),
+        (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+    // grams pulled BACK UNDER the cut: only grams the removed docs
+    // actually touched can move — join against decDf, never the
+    // dictionary alone
+    val crossingBack = index.dfCounts.filter(col("df") > cut)
+      .join(decDf, Seq("gram"))
+      .filter(col("df") - col("__dec") <= cut)
+      .select(col("gram"))
+    val survivorSh = index.shingles.join(rm, Seq("doc_id"), "left_anti")
+    val readmitted = survivorSh
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+      .join(broadcast(crossingBack), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("gram"))
+    val newPostings = index.postings.join(rm, Seq("doc_id"), "left_anti")
+      .union(readmitted)
+    // doc stats in lockstep: survivors GAIN exactly their re-admitted
+    // postings; removed rows drop; n_grams (a pure per-doc function of
+    // text) is untouched
+    val inc = readmitted.groupBy(col("doc_id")).agg(count(lit(1)).as("__inc"))
+    val adjustedStats = index.docStats.join(rm, Seq("doc_id"), "left_anti")
+      .join(inc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_indexed") + coalesce(col("__inc"), lit(0L))).as("n_indexed"))
+    CorpusIndex(newPostings, survivorSh, mergedDf, adjustedStats,
+      index.shingleK, cut,
+      version = index.version + 1, folded = index.folded,
+      parent = index.savedDir.orElse(index.parent))
+  }
+
   /** Persist a [[CorpusIndex]] to storage so it outlives the session —
     * the production lifecycle: one job fits the index, every later
     * ingest job loads it. Plain parquet: the probe join never needs the
@@ -812,6 +886,27 @@ object Dedup {
       index.planes, index.bands,
       version = index.version + 1, folded = index.folded,
       parent = index.savedDir.orElse(index.parent))
+
+  /** Shrink an [[EmbeddingIndex]] by retired ids — the embedding leg of
+    * the removal lifecycle ([[removeFromCorpusIndex]] is the text
+    * analog). No df-cut exists on this side, so removal is exactly two
+    * streaming anti-joins on the skinny bucket relation and the vector
+    * table, and `remove(build(A), R) ≡ build(A \ R)` holds
+    * bucket-for-bucket with no re-admission bookkeeping (the
+    * hyperplanes are deterministic, so survivors' buckets are identical
+    * on both paths; spec-pinned). O(corpus) rows streamed, zero
+    * shuffles beyond the anti-join's own exchange; at production ratios
+    * the removed-id set broadcasts. */
+  def removeFromEmbeddingIndex(index: EmbeddingIndex, removedIds: DataFrame,
+                               idCol: String): EmbeddingIndex = {
+    val rm = removedIds.select(col(idCol).as("doc_id")).distinct()
+    EmbeddingIndex(
+      index.buckets.join(rm, Seq("doc_id"), "left_anti"),
+      index.vectors.join(rm, Seq("doc_id"), "left_anti"),
+      index.planes, index.bands,
+      version = index.version + 1, folded = index.folded,
+      parent = index.savedDir.orElse(index.parent))
+  }
 
   /** Persist an [[EmbeddingIndex]] to storage — the embedding analog of
     * [[saveCorpusIndex]], same production lifecycle: one job fits the

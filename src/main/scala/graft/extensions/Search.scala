@@ -247,6 +247,42 @@ object Search {
       parent = stats.savedDir.orElse(stats.parent))
   }
 
+  /** Shrink fitted stats by a set of retired documents — the REMOVAL
+    * half of the BM25 lifecycle ([[extendBm25Stats]] is the other):
+    * document frequency, doc count and length sum are all additive, so
+    * retiring documents is exact integer SUBTRACTION of their per-doc
+    * contributions, O(removed docs), and
+    * `retract(fit(A), R) ≡ fit(A \ R)` exactly (spec-pinned) — a term
+    * whose last holder leaves drops out of the vocabulary entirely,
+    * exactly as a refit would drop it. `removedDocs` must be the fitted
+    * rows VERBATIM (same ids, same text — a refresh has the previous
+    * crawl on hand by construction): retracting a never-fitted or
+    * amended document under-/over-subtracts on both paths alike, the
+    * mirror of extend's append-only contract. Unlike the text-gram
+    * index (whose stored shingles reconstruct retired docs' grams),
+    * the stats keep no per-document state — the retired TEXT re-derives
+    * the contributions. `changed` documents are retract-then-extend —
+    * the composition [[CorpusOps.refreshBm25Stats]] packages. Same
+    * one-snapshot localCheckpoint contract as extend. */
+  def retractBm25Stats(stats: Bm25Stats, removedDocs: DataFrame,
+                       idCol: String, textCol: String): Bm25Stats = {
+    val perDoc = bm25PerDoc(removedDocs, textCol).localCheckpoint(true)
+    val row = perDoc.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .head()
+    val decDf = perDoc
+      .select(explode(col("__ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__dec"))
+    val merged = stats.docFreq.join(decDf, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+    stats.copy(docFreq = merged,
+      nDocs = stats.nDocs - row.getLong(0),
+      sumDl = stats.sumDl - row.getLong(1),
+      savedDir = None, version = stats.version + 1,
+      parent = stats.savedDir.orElse(stats.parent))
+  }
+
   /** BM25 top-k against a fitted [[Bm25Stats]]: the per-term document
     * frequencies are looked up from the (tiny) query-filtered slice of
     * the vocabulary relation — a driver-side collect bounded by the

@@ -414,6 +414,25 @@ object Similarity {
       parent = index.savedDir.orElse(index.parent))
   }
 
+  /** Shrink an [[IvfIndex]] by retired ids — the IVF leg of the removal
+    * lifecycle. One streaming anti-join on the cell-assigned relation;
+    * the centroids deliberately do NOT move (re-clustering would
+    * reassign the whole corpus and invalidate every saved cell
+    * partition — the same frozen-quantizer contract [[extendIvfIndex]]
+    * holds), so the exactness statement is
+    * `remove(index, R).assigned ≡ assignToCells(A \ R, index.centers)`
+    * — survivors' cells are identical on both paths (spec-pinned).
+    * As with extend, re-fit when enough of the corpus has churned that
+    * cell occupancy degrades recall. */
+  def removeFromIvfIndex(index: IvfIndex, removedIds: DataFrame,
+                         idCol: String): IvfIndex = {
+    val rm = removedIds.select(col(idCol).as("neighbor_id")).distinct()
+    IvfIndex(index.centers,
+      index.assigned.join(rm, Seq("neighbor_id"), "left_anti"),
+      version = index.version + 1, folded = index.folded,
+      parent = index.savedDir.orElse(index.parent))
+  }
+
   /** Train the coarse quantizer and assign every candidate to its cell.
     * `metaCols` names metadata columns of `candidates` to carry into the
     * cell-assigned relation (and the saved parquet tree) so probes can
@@ -1056,6 +1075,23 @@ object Similarity {
         col("cell") +: col("codes") +: metaCols.map(col): _*)),
       vectors = index.vectors.unionByName(
         enc.select(col("neighbor_id"), col("cell"), col("c_vec"))),
+      savedDir = None, version = index.version + 1,
+      parent = index.savedDir.orElse(index.parent))
+  }
+
+  /** Shrink an [[IvfPqIndex]] by retired ids — the IVFADC leg of the
+    * removal lifecycle: two streaming anti-joins keep the codes and the
+    * rerank-only vectors relation in lockstep (the split-tree
+    * invariant). Cells and codebooks stay FROZEN, exactly as in
+    * [[extendIvfPqIndex]], so survivors' codes are bitwise identical to
+    * re-encoding `A \ R` under the same quantizers (spec-pinned) and
+    * every previously-issued probe plan stays valid. */
+  def removeFromIvfPqIndex(index: IvfPqIndex, removedIds: DataFrame,
+                           idCol: String): IvfPqIndex = {
+    val rm = removedIds.select(col(idCol).as("neighbor_id")).distinct()
+    index.copy(
+      codes = index.codes.join(rm, Seq("neighbor_id"), "left_anti"),
+      vectors = index.vectors.join(rm, Seq("neighbor_id"), "left_anti"),
       savedDir = None, version = index.version + 1,
       parent = index.savedDir.orElse(index.parent))
   }

@@ -1006,6 +1006,51 @@ object NorthStarQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // The REMOVAL half of the versioning lifecycle, oracle-checked end
+    // to end: build the index on the FULL corpus, retire the batch ids
+    // (doc_id % 5 == 0) via removeFromCorpusIndex — ids only, the
+    // stored shingles reconstruct their grams — and probe that same
+    // batch against the shrunk index. remove(build(all), B) ≡
+    // build(all \ B) is the exactness contract (including the df cut
+    // running BACKWARD: grams the removal pulls under the cut re-admit
+    // their surviving postings), so the keep-set hash-matches the
+    // from-scratch corpus index's and the row shares
+    // `dedup_incremental`'s oracle verbatim. This is the second-crawl
+    // shape a real operator hits: without removal, every batch doc
+    // would self-match its own stale postings and drop. Uncached by
+    // design — the row prices build + remove + probe.
+    "dedup_incr_index_retract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val shrunk = Dedup.removeFromCorpusIndex(
+        Dedup.buildCorpusIndex(d, "doc_id", "text"),
+        d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id")
+      Dedup.dedupAgainstCorpus(d.filter(col("doc_id") % 5 === 0),
+        shrunk, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // ...and the refresh→index loop closed for the text-gram family:
+    // the index fitted on the OLD crawl versions to the NEW crawl off
+    // one corpusDiff — removed/changed ids retire (remove half),
+    // added/changed docs fold in (extend half; a changed doc is
+    // remove-then-add). The probe against the refreshed index must
+    // hash-match a probe against a from-scratch build of the new crawl
+    // — the oracle recomputes exactly that in SQL over the two-crawl
+    // fixture. O(changed) on the heavy path: unchanged docs are never
+    // re-shingled (RefreshPipelineSpec pins it with poisoned text).
+    "dedup_refresh_index" -> ((s, dir) => {
+      val old = diffOldDocs(s, dir)
+      val newC = diffNewDocs(s, dir)
+      val refreshed = CorpusOps.refreshCorpusIndex(
+        Dedup.buildCorpusIndex(old, "doc_id", "text"),
+        newC, "doc_id", "text",
+        CorpusOps.corpusDiff(old, newC, "doc_id", "text"))
+      Dedup.dedupAgainstCorpus(
+        docs(s, dir).filter(col("doc_id") % 5 === 0), refreshed,
+        "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // The full PRODUCTION VERSIONING LOOP in one plan: probe batch 1
     // (doc_id % 10 == 0) against the corpus index (doc_id % 5 != 0),
     // fold the ACCEPTED novel docs into the index as a version bump
@@ -1895,6 +1940,43 @@ object NorthStarQueries {
       Search.bm25TopKFitted(d, ext, "doc_id", "text",
         Seq("spark", "vector", "quasar"), k = 20)
     }),
+    // ...and the RETRACT serving path, the removal half of the BM25
+    // lifecycle: stats fitted on the corpus PLUS planted junk docs
+    // (copies of every 7th doc at offset ids), then the junk retracted —
+    // exact integer subtraction, so retract(fit(A ∪ J), J) ≡ fit(A)
+    // and the probe is bit-identical to one-shot over the true corpus,
+    // sharing the verbatim oracle. Without retraction the junk's df
+    // contributions would poison every idf the stats serve.
+    "search_bm25_retract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val junk = d.filter(col("doc_id") % 7 === 0)
+        .crossJoin(broadcast(d.agg((max(col("doc_id")) + 1).as("__off"))))
+        .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
+      val retracted = Search.retractBm25Stats(
+        Search.bm25Fit(d.select(col("doc_id"), col("text")).unionByName(junk),
+          "doc_id", "text"),
+        junk, "doc_id", "text")
+      Search.bm25TopKFitted(d, retracted, "doc_id", "text",
+        Seq("spark", "vector", "quasar"), k = 20)
+    }),
+    // ...and the refresh→index loop closed for the BM25 family: stats
+    // fitted on the OLD crawl version to the NEW crawl off one
+    // corpusDiff (retract removed/changed old text — the refresh just
+    // diffed against it, so it is on hand — then extend added/changed
+    // new text). The probe against the refreshed stats must hash-match
+    // a from-scratch fit of the new crawl; the oracle recomputes the
+    // full BM25 over the two-crawl fixture in SQL. Unchanged docs are
+    // never re-tokenized (RefreshPipelineSpec's poisoned-text pin).
+    "search_bm25_refresh" -> ((s, dir) => {
+      val old = diffOldDocs(s, dir)
+      val newC = diffNewDocs(s, dir)
+      val refreshed = CorpusOps.refreshBm25Stats(
+        Search.bm25Fit(old, "doc_id", "text"),
+        old, newC, "doc_id", "text",
+        CorpusOps.corpusDiff(old, newC, "doc_id", "text"))
+      Search.bm25TopKFitted(newC, refreshed, "doc_id", "text",
+        Seq("spark", "vector", "quasar"), k = 20)
+    }),
     // batch retrieval: a query TABLE answered in one corpus pass — the
     // eval-harness shape (per-query kernels would pay q scans). q2
     // mixes an out-of-vocabulary term with a common one: the OOV term
@@ -2542,10 +2624,15 @@ object NorthStarQueries {
     * is HUGEINT — cast at the use points, exactly where Spark casts).
     * 'quasar' is out-of-vocabulary: its tf is 0 everywhere, so it must
     * contribute nothing. */
-  private val Bm25Sql: String =
+  /** BM25 oracle body over a corpus relation substituted for
+    * `__corpus` — shared by the documents-table oracle (`Bm25Sql`, the
+    * one-shot/fitted/saved/extend/retract rows) and the refreshed-crawl
+    * variant (`Bm25RefreshSql`). Plain-string with a placeholder so the
+    * regex escapes never pass through an interpolator. */
+  private val Bm25SqlBody: String =
     """WITH t AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> length(x) > 0) AS toks
-      |  FROM documents),
+      |  FROM __corpus),
       |tf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
       |    CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
       |    CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf1,
@@ -2574,6 +2661,71 @@ object NorthStarQueries {
       |FROM tf, st
       |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  private val Bm25Sql: String = Bm25SqlBody.replace("__corpus", "documents")
+
+  /** The two-crawl diff fixture's NEW crawl in DuckDB (the `new0` shape
+    * of [[CorpusRefreshCtes]], without the planted copies) — the corpus
+    * the refresh→index oracles probe. Ends with `fx` (doc_id, text). */
+  private val DiffNewCrawlCtes: String =
+    """off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+      |fx AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' amended' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 != 0
+      |  UNION ALL
+      |  SELECT doc_id + o AS doc_id, txt AS text FROM (
+      |    SELECT doc_id, 'fresh crawl doc ' || CAST(doc_id AS VARCHAR) AS txt
+      |    FROM documents WHERE doc_id % 17 = 0) f, off)""".stripMargin
+
+  /** `search_bm25_refresh` oracle: the full BM25 recomputed from scratch
+    * over the NEW crawl — hash equality with the Spark side's
+    * retract-then-extend refresh IS the refresh ≡ refit contract. */
+  private val Bm25RefreshSql: String =
+    Bm25SqlBody.replace("WITH t AS", "WITH " + DiffNewCrawlCtes + ",\nt AS")
+      .replace("__corpus", "fx")
+
+  /** `dedup_refresh_index` oracle: the incremental-dedup probe semantics
+    * of [[IncrementalDedupCtes]] with the CORPUS side rebuilt from
+    * scratch over the NEW crawl (`fx`) and the batch side kept on the
+    * original documents (doc_id % 5 = 0, original text) — the two sides
+    * tokenize separately because an amended doc carries different text
+    * in each role. Same 3-gram/whole-short-doc shingle convention and
+    * corpus-only df cut as every dedup oracle. */
+  private val DedupRefreshIndexSql: String =
+    "WITH " + DiffNewCrawlCtes + "," +
+    """
+      |ctoks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+      |  FROM fx),
+      |btoks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> length(t) > 0) AS t
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |cgrams AS (
+      |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
+      |  FROM ctoks),
+      |bgrams AS (
+      |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+      |    ELSE [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)] END AS gs
+      |  FROM btoks),
+      |cg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM cgrams),
+      |bg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM bgrams),
+      |keepgram AS (SELECT gram FROM cg GROUP BY gram HAVING count(*) <= 100),
+      |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |         FROM bg b JOIN (SELECT * FROM cg WHERE gram IN (SELECT gram FROM keepgram)) c USING (gram)),
+      |bsizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+      |csizes AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),
+      |inter AS (SELECT cand.batch_id, cand.corpus_id, count(*) AS i
+      |          FROM cand JOIN bg x ON x.doc_id = cand.batch_id
+      |          JOIN cg y ON y.doc_id = cand.corpus_id AND y.gram = x.gram
+      |          GROUP BY cand.batch_id, cand.corpus_id),
+      |m AS (SELECT inter.batch_id
+      |      FROM inter JOIN bsizes sa ON sa.doc_id = inter.batch_id
+      |      JOIN csizes sb ON sb.doc_id = inter.corpus_id
+      |      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT batch_id FROM m)""".stripMargin
 
   /** The two-crawl fixture and the hash-keyed diff in DuckDB. The
     * fresh-doc text is built in a SUBQUERY so `doc_id` can never bind
@@ -3208,6 +3360,12 @@ object NorthStarQueries {
     "dedup_incremental_saved" -> IncrementalDedupSql,
     // ...as must the extend-vs-from-scratch index equivalence
     "dedup_incr_index_extend" -> IncrementalDedupSql,
+    // remove(build(all), batch-ids) ≡ build(all \ batch) — the probe
+    // against the shrunk index shares the from-scratch corpus oracle
+    "dedup_incr_index_retract" -> IncrementalDedupSql,
+    // probe against the diff-refreshed index ≡ probe against a
+    // from-scratch build of the new crawl (recomputed in SQL)
+    "dedup_refresh_index" -> DedupRefreshIndexSql,
     "dedup_incremental_prov" -> IncrementalProvSql,
     "dedup_embedding_incr_prov" -> EmbeddingProvSql,
     // Incremental embedding dedup: exact cosine between the constructed
@@ -3531,6 +3689,12 @@ object NorthStarQueries {
     // integer statistics)
     "search_bm25_saved" -> Bm25Sql,
     "search_bm25_extend" -> Bm25Sql,
+    // retract(fit(A ∪ junk), junk) ≡ fit(A) — integer subtraction, so
+    // the probe shares the one-shot oracle verbatim
+    "search_bm25_retract" -> Bm25Sql,
+    // probe against the diff-refreshed stats ≡ a from-scratch fit of
+    // the new crawl (full BM25 recomputed over the fixture in SQL)
+    "search_bm25_refresh" -> Bm25RefreshSql,
     "search_bm25_batch" -> Bm25BatchSql,
     "search_phrase" -> PhraseSql,
     "corpus_diff" -> CorpusDiffSql,

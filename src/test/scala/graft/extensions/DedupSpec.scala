@@ -274,6 +274,89 @@ class DedupSpec extends AnyFunSuite {
     assert(statsMap(twice) == statsMap(scratch3))
   }
 
+  test("removeFromCorpusIndex(build(A ∪ R), R) equals buildCorpusIndex(A)") {
+    // the removal half of the lifecycle, including the df cut running
+    // BACKWARD: the repeated-template docs in R push shared grams over
+    // the low cut (3) at build time, so the combined index never indexed
+    // them — removing R pulls those grams back under the cut and their
+    // surviving postings must be RE-ADMITTED from the stored shingles,
+    // exactly as a from-scratch build on A would index them.
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(7)
+    def text() = Seq.fill(6 + rng.nextInt(6))(words(rng.nextInt(words.size))).mkString(" ")
+    // the template appears TWICE in A (df 2 ≤ cut 3: indexed by a build
+    // on A alone) and five more times in R (combined df 7 > cut: NOT
+    // indexed by the combined build) — removal must re-admit it
+    val a = (1L to 20L).map(i => (i, if (i % 10 == 0) "alpha beta gamma delta repeated"
+      else text())).toDF("doc_id", "text")
+    val r = (21L to 40L).map(i => (i, if (i % 4 == 0) "alpha beta gamma delta repeated"
+      else text())).toDF("doc_id", "text")
+
+    val combined = Dedup.buildCorpusIndex(a.union(r), "doc_id", "text", maxGramDf = 3)
+    val scratchA = Dedup.buildCorpusIndex(a, "doc_id", "text", maxGramDf = 3)
+    // fixture sanity: the shared template gram must actually cross back
+    // (over the cut in the combined build, under it on A alone)
+    def dfMap(ix: Dedup.CorpusIndex) =
+      ix.dfCounts.select("gram", "df").as[(Long, Long)].collect().toMap
+    val combinedDf = dfMap(combined)
+    val aDf = dfMap(scratchA)
+    assert(aDf.exists { case (g, df) => df <= 3 && combinedDf(g) > 3 },
+      "fixture sanity: some gram must cross BACK under the cut on removal")
+
+    val removed = Dedup.removeFromCorpusIndex(combined,
+      r.select(col("doc_id")), "doc_id")
+    def postingSet(ix: Dedup.CorpusIndex) =
+      ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+    assert(postingSet(removed) == postingSet(scratchA),
+      "removal must re-admit crossing-back grams' surviving postings")
+    assert(dfMap(removed) == aDf,
+      "removed dictionary must equal the from-scratch build's (zero-df grams gone)")
+    def statsMap(ix: Dedup.CorpusIndex) =
+      ix.docStats.select("doc_id", "n_grams", "n_indexed")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(statsMap(removed) == statsMap(scratchA),
+      "doc stats must re-gain the re-admitted postings or the lossless bound drifts")
+    assert(removed.version === combined.version + 1)
+
+    // ...and both serve a probe identically (the contract a refresh needs:
+    // a batch doc near-dupping ONLY retired docs is no longer dropped)
+    val batch = Seq(
+      (101L, "alpha beta gamma delta repeated"),
+      (102L, "totally novel content never seen before anywhere"))
+      .toDF("doc_id", "text")
+    def kept(ix: Dedup.CorpusIndex) =
+      Dedup.dedupAgainstCorpus(batch, ix, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(removed) == kept(scratchA))
+
+    // remove-then-extend (the `changed` path) round-trips through the
+    // merged dictionary: extend(remove(build(A∪R), R), C) ≡ build(A∪C)
+    val c = (41L to 50L).map(i => (i, text())).toDF("doc_id", "text")
+    val roundTrip = Dedup.extendCorpusIndex(removed, c, "doc_id", "text")
+    val scratchAC = Dedup.buildCorpusIndex(a.union(c), "doc_id", "text", maxGramDf = 3)
+    assert(postingSet(roundTrip) == postingSet(scratchAC))
+    assert(dfMap(roundTrip) == dfMap(scratchAC))
+    assert(statsMap(roundTrip) == statsMap(scratchAC))
+  }
+
+  test("removeFromEmbeddingIndex(build(A ∪ R), R) equals buildEmbeddingIndex(A)") {
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+    val all = e.select(col("vec_id"), col("embedding"))
+    val keepSide = all.filter(col("vec_id") % 3 =!= 0)
+    val rmIds = all.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val removed = Dedup.removeFromEmbeddingIndex(
+      Dedup.buildEmbeddingIndex(all, "vec_id", "embedding"), rmIds, "vec_id")
+    val scratch = Dedup.buildEmbeddingIndex(keepSide, "vec_id", "embedding")
+    def bucketSet(ix: Dedup.EmbeddingIndex) =
+      ix.buckets.select("doc_id", "band", "bucket")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(bucketSet(removed) == bucketSet(scratch),
+      "deterministic hyperplanes: survivors bucket identically on both paths")
+    assert(removed.vectors.count() === scratch.vectors.count())
+    assert(removed.version === 2L)
+  }
+
   test("candidate bound is lossless: pruned probe equals the unpruned formulation") {
     // real docs table (planted near-dup clusters): the bound may only
     // remove pairs the exact verify would reject anyway, so the match

@@ -116,6 +116,33 @@ class IvfPqSpec extends AnyFunSuite {
     half.close()
   }
 
+  test("removeFromIvfPqIndex keeps codes and vectors in lockstep under " +
+    "frozen quantizers; retired ids vanish from probes") {
+    val e = embs.filter(col("vec_id") < 300)
+    val idx = Similarity.ivfPqFit(e, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 8)
+    val rmIds = e.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val removed = Similarity.removeFromIvfPqIndex(idx, rmIds, "vec_id")
+    assert(removed.codebooks == idx.codebooks && (removed.centers eq idx.centers),
+      "removal must not refit either quantizer")
+    assert(removed.version === idx.version + 1)
+    // split-tree invariant: the two relations shrink in lockstep, and
+    // survivors' codes are the FITTED rows verbatim (bitwise — an
+    // anti-join never re-encodes)
+    val survIds = e.filter(col("vec_id") % 3 =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(removed.codes.select("neighbor_id").as[Long].collect().toSet == survIds)
+    assert(removed.vectors.select("neighbor_id").as[Long].collect().toSet == survIds)
+    // probing WITH a retired vector surfaces survivors only
+    val rmId = e.filter(col("vec_id") % 3 === 0)
+      .orderBy("vec_id").select("vec_id").as[Long].head()
+    val hits = Similarity.ivfPqProbe(removed,
+      e.filter(col("vec_id") === rmId), "vec_id", "embedding",
+      k = 5, nprobe = 4, rerank = 50)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && !hits.contains(rmId))
+  }
+
   test("residual encoding: no pruning + full rerank equals brute force exactly") {
     // isolates the residual composition — the per-(query, cell) coarse
     // term dot(qhat, chat) + the residual-codebook ADC + the shared

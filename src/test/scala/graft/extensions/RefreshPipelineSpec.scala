@@ -92,6 +92,80 @@ class RefreshPipelineSpec extends AnyFunSuite {
       "a changed doc must be recomputed from the new crawl's text")
   }
 
+  test("refreshCorpusIndex(build(old), new, diff) == buildCorpusIndex(new): " +
+    "the serving index versions off the same diff") {
+    import spark.implicits._
+    val diff = CorpusOps.corpusDiff(oldCrawl, newCrawl, "doc_id", "text")
+    val refreshed = CorpusOps.refreshCorpusIndex(
+      Dedup.buildCorpusIndex(oldCrawl, "doc_id", "text"),
+      newCrawl, "doc_id", "text", diff)
+    val scratch = Dedup.buildCorpusIndex(newCrawl, "doc_id", "text")
+    def postingSet(ix: Dedup.CorpusIndex) =
+      ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+    def dfMap(ix: Dedup.CorpusIndex) =
+      ix.dfCounts.select("gram", "df").as[(Long, Long)].collect().toMap
+    assert(postingSet(refreshed) == postingSet(scratch))
+    assert(dfMap(refreshed) == dfMap(scratch))
+    // remove bumped once, extend bumped once
+    assert(refreshed.version === 3L)
+    // ...and a probe against the refreshed index equals the from-scratch
+    // probe (the oracle row's contract)
+    val batch = oldCrawl.filter(col("doc_id") % 5 === 0)
+    def kept(ix: Dedup.CorpusIndex) =
+      Dedup.dedupAgainstCorpus(batch, ix, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(refreshed) == kept(scratch))
+  }
+
+  test("refreshBm25Stats(fit(old), diff) == bm25Fit(new); unchanged docs " +
+    "are never re-tokenized on either index leg (poisoned text)") {
+    val diff = CorpusOps.corpusDiff(oldCrawl, newCrawl, "doc_id", "text")
+    val refreshed = CorpusOps.refreshBm25Stats(
+      Search.bm25Fit(oldCrawl, "doc_id", "text"),
+      oldCrawl, newCrawl, "doc_id", "text", diff)
+    val scratch = Search.bm25Fit(newCrawl, "doc_id", "text")
+    def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(refreshed.nDocs === scratch.nDocs &&
+      refreshed.sumDl === scratch.sumDl)
+    assert(dfMap(refreshed) === dfMap(scratch))
+
+    // O(changed) structurally: poison every UNCHANGED doc's text on both
+    // crawls with a token no real doc contains. The retract half only
+    // reads removed/changed old text and the extend half only
+    // added/changed new text, so the poison must never reach the stats —
+    // if any leg touched an unchanged doc, the sentinel term would
+    // surface in the vocabulary (or the scalars would drift).
+    val sameIds = diff.filter(col("status") === "same").select("doc_id")
+    def poison(crawl: org.apache.spark.sql.DataFrame) = crawl
+      .join(sameIds.withColumn("__same", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__same").isNotNull, lit("zzpoisonzz")).otherwise(col("text"))
+          .as("text"))
+    val refreshedPoisoned = CorpusOps.refreshBm25Stats(
+      Search.bm25Fit(oldCrawl, "doc_id", "text"),
+      poison(oldCrawl), poison(newCrawl), "doc_id", "text", diff)
+    assert(refreshedPoisoned.nDocs === scratch.nDocs &&
+      refreshedPoisoned.sumDl === scratch.sumDl)
+    val pDf = dfMap(refreshedPoisoned)
+    assert(!pDf.contains("zzpoisonzz"),
+      "an unchanged doc's text must never be re-tokenized by the refresh")
+    assert(pDf === dfMap(scratch))
+
+    // the text-gram leg under the same poison: remove needs no text at
+    // all and extend semi-joins added/changed first, so the refreshed
+    // index still equals a from-scratch build of the TRUE new crawl
+    import spark.implicits._
+    val refreshedIdx = CorpusOps.refreshCorpusIndex(
+      Dedup.buildCorpusIndex(oldCrawl, "doc_id", "text"),
+      poison(newCrawl), "doc_id", "text", diff)
+    val scratchIdx = Dedup.buildCorpusIndex(newCrawl, "doc_id", "text")
+    def postingSet(ix: Dedup.CorpusIndex) =
+      ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+    assert(postingSet(refreshedIdx) == postingSet(scratchIdx),
+      "the index refresh must never shingle an unchanged doc's text")
+  }
+
   test("stage attrition: removed, contaminated and duplicate docs are " +
     "absent from the export; copies never straddle the keep decision") {
     val diff = CorpusOps.corpusDiff(oldCrawl, newCrawl, "doc_id", "text")

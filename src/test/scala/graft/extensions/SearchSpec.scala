@@ -206,6 +206,44 @@ class SearchSpec extends AnyFunSuite {
     assert(pe.toSeq === pr.toSeq)
   }
 
+  test("retractBm25Stats == refit on the surviving corpus, exactly") {
+    val survivors = corpus.filter(col("doc_id") <= 2L)
+    val retired = corpus.filter(col("doc_id") > 2L)
+    val retracted = Search.retractBm25Stats(
+      Search.bm25Fit(corpus, "doc_id", "text"), retired, "doc_id", "text")
+    val refit = Search.bm25Fit(survivors, "doc_id", "text")
+    assert(retracted.nDocs === refit.nDocs && retracted.sumDl === refit.sumDl)
+    def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(dfMap(retracted) === dfMap(refit),
+      "integer subtraction — retract must equal a from-scratch refit")
+    // 'dog' lived only in retired doc 3: its last holder left, so it must
+    // drop out of the vocabulary entirely, exactly as the refit drops it
+    assert(!dfMap(retracted).contains("dog"))
+    // probes served by both paths agree bit-for-bit
+    val terms = Seq("cat", "fish", "dog")
+    val pa = Search.bm25TopKFitted(survivors, retracted, "doc_id", "text",
+      terms, k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val pb = Search.bm25TopKFitted(survivors, refit, "doc_id", "text",
+      terms, k = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(pa.toSeq === pb.toSeq)
+    assert(retracted.version === 2L)
+    // retract-then-extend (the `changed` document path) round-trips:
+    // retire doc 2's old text, fold its amended text back in
+    val amended = Seq((2L, "cat fish fish fish amended")).toDF("doc_id", "text")
+    val refreshed = Search.extendBm25Stats(
+      Search.retractBm25Stats(Search.bm25Fit(corpus, "doc_id", "text"),
+        corpus.filter(col("doc_id") === 2L), "doc_id", "text"),
+      amended, "doc_id", "text")
+    val target = Search.bm25Fit(
+      corpus.filter(col("doc_id") =!= 2L).unionByName(amended),
+      "doc_id", "text")
+    assert(refreshed.nDocs === target.nDocs && refreshed.sumDl === target.sumDl)
+    assert(dfMap(refreshed) === dfMap(target))
+  }
+
   test("bm25 extend bumps version + lineage; stale close refuses") {
     val dir = graft.TestSpark.tmpDir("graft-bm25-stale")
     val v1 = Search.bm25Fit(corpus.filter(col("doc_id") <= 2L),

@@ -264,6 +264,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top == bId, s"near-copy of extension vector $bId must be its top-1, got $top")
   }
 
+  test("removeFromIvfIndex: survivors keep their frozen-cell assignment; " +
+    "retired ids vanish from probes") {
+    val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+    val idx = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 8)
+    val rmIds = e.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val removed = Similarity.removeFromIvfIndex(idx, rmIds, "vec_id")
+    // frozen-quantizer exactness: the surviving assignment equals
+    // assigning the survivors with the SAME centers
+    val gotCells = removed.assigned.select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val wantCells = Similarity.assignToCells(
+      e.filter(col("vec_id") % 3 =!= 0), idx.centers, "vec_id", "embedding")
+      .select("neighbor_id", "cell").as[(Long, Int)].collect().toMap
+    assert(gotCells == wantCells,
+      "remove(index, R).assigned must equal assignToCells(A \\ R, centers)")
+    assert(removed.version === idx.version + 1)
+    // the refresh contract: a probe that IS a retired vector no longer
+    // finds it — the nearest survivor surfaces instead
+    val rmId = e.filter(col("vec_id") % 3 === 0)
+      .orderBy("vec_id").select("vec_id").as[Long].head()
+    val hits = Similarity.ivfProbe(removed,
+      e.filter(col("vec_id") === rmId), "vec_id", "embedding",
+      k = 5, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && !hits.contains(rmId),
+      s"retired vector $rmId must never surface from the removed index")
+  }
+
   test("assignToCells ships centroids by broadcast, not as a plan literal") {
     val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
     val idx = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 8)
