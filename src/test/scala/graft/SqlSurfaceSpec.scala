@@ -52,6 +52,70 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SQL-surface quality/langid must be bit-identical to the API path")
   }
 
+  test("graft_bm25_topk TVF: the saved-stats retrieval row through pure SQL") {
+    viewDocs()
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val statsDir = TestSpark.tmpDir("graft-sql-bm25")
+    graft.extensions.Search.bm25Fit(docs, "doc_id", "text").save(statsDir)
+    // the search_bm25_saved shape with ZERO Scala in the query loop:
+    // corpus by view name, stats by tree path, terms/k as literals
+    val viaSql = spark.sql(
+      s"""SELECT * FROM graft_bm25_topk('g_documents', 'doc_id', 'text',
+         |  '$statsDir', 'spark,vector,quasar', 20)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val viaApi = SparkEntry.queries("search_bm25")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(viaSql === viaApi,
+      "TVF retrieval must be bit-identical to the oracle-pinned row, " +
+        "including the top-k order")
+  }
+
+  test("graft_dedup_against_corpus TVF: the incremental-dedup keep-set " +
+    "through pure SQL") {
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .createOrReplaceTempView("g_batch")
+    val indexDir = TestSpark.tmpDir("graft-sql-corpus-index")
+    graft.extensions.Dedup.saveCorpusIndex(
+      graft.extensions.Dedup.buildCorpusIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
+        "doc_id", "text"),
+      indexDir)
+    val viaSql = spark.sql(
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM graft_dedup_against_corpus('g_batch', 'doc_id', 'text',
+         |  '$indexDir', 0.5)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val viaApi = SparkEntry.queries("dedup_incremental")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(viaSql === viaApi)
+  }
+
+  test("graft_quota_sample TVF == the API operator, and quota CSV guards") {
+    viewDocs()
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+    val viaSql = spark.sql(
+      """SELECT doc_id, lang, rank
+        |FROM graft_quota_sample('g_documents', 'doc_id', 'lang',
+        |  'en:40,de:25', 10)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val viaApi = graft.extensions.CorpusOps.quotaSample(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"),
+      Map("en" -> 40, "de" -> 25), defaultQuota = 10)
+      .select("doc_id", "lang", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaSql === viaApi)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_quota_sample('g_documents', 'doc_id', 'lang', 'en=40', 0)")
+        .collect()
+    }
+    assert(e.getMessage.contains("stratum:quota"))
+  }
+
   test("kernel expressions and structural-literal guards work from SQL") {
     viewDocs()
     // native kernels compose from SQL: simhash over graft_tokens,
