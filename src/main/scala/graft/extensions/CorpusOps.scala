@@ -824,18 +824,36 @@ object CorpusOps {
     * sides assign to the index's frozen cells and only WITHIN-cell
     * pairs are cosine-scored (the SemDeDup pruning argument: a
     * >= eps-cosine pair lands in the same cell with high probability;
-    * recall is the nprobe=1 cell-assignment recall, gated like the
-    * SemDeDup family's). The eval side is eval-sized and broadcasts;
-    * the corpus side is the index's own assigned relation — already
-    * cell-partitioned, never reshuffled. */
+    * recall is the cell-assignment recall, measured on a REAL KMeans
+    * quantizer by the `text_decontam_semantic_recall` gate — ≥ 0.95 on
+    * the fixture, where only copy-matches can cross a boundary: an eval
+    * row also present in the corpus assigns to its own cell and can
+    * never be missed). The eval side is eval-sized and broadcasts; the
+    * corpus side is the index's own assigned relation — already
+    * cell-partitioned, never reshuffled.
+    *
+    * `nprobe` is the recall knob for harder distributions: each eval
+    * vector probes its `nprobe` NEAREST cells instead of one, raising
+    * recall at exactly `nprobe`× the within-cell scoring cost (the
+    * standard IVF trade; the broadcast grows to nprobe × eval rows —
+    * still eval-sized). nprobe = nlist degrades to the brute scan. */
   def contaminatedIdsSemanticCells(index: Similarity.IvfIndex,
                                    evalSet: DataFrame, idCol: String,
                                    vecCol: String,
-                                   eps: Double = 0.95): DataFrame = {
-    val ev = broadcast(
-      Similarity.assignToCells(evalSet.select(col(idCol), col(vecCol)),
-        index.centers, idCol, vecCol)
-        .select(col("cell"), col("c_vec").as("__e_vec")))
+                                   eps: Double = 0.95,
+                                   nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val evAssigned =
+      if (nprobe == 1)
+        Similarity.assignToCells(evalSet.select(col(idCol), col(vecCol)),
+          index.centers, idCol, vecCol)
+          .select(col("cell"), col("c_vec").as("__e_vec"))
+      else
+        Similarity.nearestCells(
+          evalSet.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+          index.centers, nprobe)
+          .select(col("cell"), col("q_vec").as("__e_vec"))
+    val ev = broadcast(evAssigned)
     index.assigned
       .select(col("cell"), col("neighbor_id").as("doc_id"),
         col("c_vec").as("__t_vec"))

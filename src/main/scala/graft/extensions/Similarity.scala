@@ -477,8 +477,8 @@ object Similarity {
     * to the centroid (KMeans' own metric, matching the assignment) —
     * the coarse-pruning step shared by [[ivfProbe]] and [[ivfPqProbe]].
     * Returns (query_id, q_vec, cell), one row per probed cell. */
-  private def nearestCells(q: DataFrame, centers: DataFrame,
-                           nprobe: Int): DataFrame =
+  private[extensions] def nearestCells(q: DataFrame, centers: DataFrame,
+                                       nprobe: Int): DataFrame =
     q.crossJoin(broadcast(centers))
       .select(col("query_id"), col("q_vec"), col("cell"),
         aggregate(zip_with(col("q_vec"), col("center"),
