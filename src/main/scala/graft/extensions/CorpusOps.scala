@@ -1008,21 +1008,32 @@ object CorpusOps {
   def refreshFunnel(diff: DataFrame, art: CrawlArtifacts,
                     idCol: String, lang: String = "en",
                     minQuality: Double = 0.5, maxDup2: Double = 0.05,
-                    maxTop2: Double = 0.12): DataFrame = {
+                    maxTop2: Double = 0.12,
+                    exact: Boolean = true): DataFrame = {
     val d = diff.agg(
       sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
       sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
       sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
       sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
     val gate = curationGate(lang, minQuality, maxDup2, maxTop2)
+    val keptFp = when(col("__c").isNull && gate, col("fingerprint"))
     val m = art.metrics
       .join(art.contaminated.withColumn("__c", lit(1)), Seq("doc_id"), "left")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
         sum(when(col("__c").isNull && gate, 1L).otherwise(0L)).as("n_gated"),
-        countDistinct(when(col("__c").isNull && gate, col("fingerprint")))
-          .as("n_kept"))
+        // n_kept is the one DISTINCT in the funnel — exact plans an
+        // Expand (a data copy, the honest price, fine for a dashboard
+        // row at fixture scale and the oracle-matched default);
+        // exact = false swaps in the HLL sketch at rsd 0.02 (a 4096-
+        // register sketch — still a few KB per partial, and small
+        // cardinalities fall into its near-exact linear-counting
+        // regime; the 0.05 default measured 6% off at |kept| ~ 100),
+        // no Expand — the [[profile]] posture, the right one at 10^10
+        // fingerprints
+        (if (exact) countDistinct(keptFp)
+         else approx_count_distinct(keptFp, 0.02)).as("n_kept"))
     d.crossJoin(m)
   }
 

@@ -24,6 +24,31 @@ class BenchPhaseSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
+  test("truth-gate rows all exist, and every probe/serving row is steady") {
+    val names = SparkEntry.queries.keySet
+    // a typo in the truth-gate set would silently misfile a row's total
+    val gated = names.filter(Bench.isTruthGate)
+    val explicit = Set("sim_topk_brute", "sim_topk_ivfpq",
+      "sim_topk_ivfpq_res", "sim_topk_pq", "sim_topk_ivf",
+      "sim_topk_filtered_ivf")
+    assert(explicit.subsetOf(names),
+      s"truth-gate names not in queries: ${explicit -- names}")
+    assert(names.filter(_.endsWith("_recall")).forall(Bench.isTruthGate))
+    // the steady-state serving rows — the design-grading numbers — must
+    // never be filed under the truth-gate envelope
+    val steadyServing = names.filter(n => n.endsWith("_probe") ||
+      n == "dedup_incremental" || n == "corpus_refresh_e2e" ||
+      n == "search_bm25_batch")
+    assert(steadyServing.forall(n => !Bench.isTruthGate(n)),
+      s"serving rows misfiled as truth-gate: ${steadyServing.filter(Bench.isTruthGate)}")
+    // the split is a partition: totals must reconcile
+    val pass = Bench.Pass(1,
+      gated.take(2).toSeq.map(n => (n, 1.0, Seq(2.0, 2.0, 2.0))) ++
+        Seq(("q_steady", 1.0, Seq(3.0, 3.0, 3.0))),
+      0.0, 0.0)
+    assert(math.abs(pass.warmSteady + pass.warmTruthGate - pass.warmTotal) < 1e-9)
+  }
+
   /** Synthetic-noise sanity check for the archive picker: round 11's
     * min-load-at-pass-boundaries picker archived a pass with a 9.3 s
     * mid-pass transient on a 0.4 s query because the spike fell between

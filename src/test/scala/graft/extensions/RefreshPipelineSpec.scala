@@ -166,6 +166,29 @@ class RefreshPipelineSpec extends AnyFunSuite {
       "the index refresh must never shingle an unchanged doc's text")
   }
 
+  test("refreshFunnel approx mode: HLL n_kept within 5% of exact, no " +
+    "Expand in the plan; every other column identical") {
+    val diff = CorpusOps.corpusDiff(oldCrawl, newCrawl, "doc_id", "text")
+    val art = CorpusOps.refreshArtifacts(
+      CorpusOps.crawlArtifacts(oldCrawl, "doc_id", "text", evalSet),
+      newCrawl, "doc_id", "text", evalSet, diff)
+    val exact = CorpusOps.refreshFunnel(diff, art, "doc_id").head()
+    val approxDf = CorpusOps.refreshFunnel(diff, art, "doc_id", exact = false)
+    val approx = approxDf.head()
+    val cols = Seq("n_added", "n_changed", "n_removed", "n_same",
+      "n_docs", "n_contaminated", "n_gated")
+    cols.foreach { c =>
+      assert(exact.getAs[Long](c) === approx.getAs[Long](c),
+        s"$c must not depend on the distinct mode")
+    }
+    val (e, a) = (exact.getAs[Long]("n_kept"), approx.getAs[Long]("n_kept"))
+    assert(math.abs(a - e) <= e * 0.05,
+      s"HLL n_kept $a must sit within 5% of exact $e")
+    // the point of the flag: the approx plan carries NO Expand
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx mode must not plan the multi-distinct Expand")
+  }
+
   test("stage attrition: removed, contaminated and duplicate docs are " +
     "absent from the export; copies never straddle the keep decision") {
     val diff = CorpusOps.corpusDiff(oldCrawl, newCrawl, "doc_id", "text")
