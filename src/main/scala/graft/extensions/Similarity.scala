@@ -228,6 +228,19 @@ object Similarity {
       parent = index.savedDir.orElse(index.parent))
   }
 
+  /** Shrink an [[LshIndex]] by retired ids — one streaming anti-join on
+    * the banded relation. The hyperplanes are deterministic, so
+    * `remove(fit(A ∪ R), R) ≡ fit(A)` bucket-for-bucket with no
+    * re-admission bookkeeping (the same argument as
+    * [[graft.extensions.Dedup.removeFromEmbeddingIndex]]). */
+  def removeFromLshIndex(index: LshIndex, removedIds: DataFrame,
+                         idCol: String): LshIndex = {
+    val rm = removedIds.select(col(idCol).as("neighbor_id")).distinct()
+    index.copy(banded = index.banded.join(rm, Seq("neighbor_id"), "left_anti"),
+      savedDir = None, version = index.version + 1,
+      parent = index.savedDir.orElse(index.parent))
+  }
+
   /** Probe a fitted [[LshIndex]]: only candidates sharing a query's
     * bucket in at least one band are scored; the banded probe side is
     * tiny and broadcast. */
@@ -729,6 +742,19 @@ object Similarity {
       .select(col("neighbor_id") +: col("codes") +: col("c_vec") +:
         metaCols.map(col): _*)
     index.copy(codes = index.codes.unionByName(enc),
+      savedDir = None, version = index.version + 1,
+      parent = index.savedDir.orElse(index.parent))
+  }
+
+  /** Shrink a [[PqIndex]] by retired ids — one streaming anti-join on
+    * the codes relation under the FROZEN codebooks (survivors' codes
+    * are the fitted rows verbatim; re-encoding `A \ R` under the same
+    * codebooks is bitwise identical, the [[extendPqIndex]] contract
+    * run backward). */
+  def removeFromPqIndex(index: PqIndex, removedIds: DataFrame,
+                        idCol: String): PqIndex = {
+    val rm = removedIds.select(col(idCol).as("neighbor_id")).distinct()
+    index.copy(codes = index.codes.join(rm, Seq("neighbor_id"), "left_anti"),
       savedDir = None, version = index.version + 1,
       parent = index.savedDir.orElse(index.parent))
   }

@@ -292,6 +292,36 @@ class SimilaritySpec extends AnyFunSuite {
       s"retired vector $rmId must never surface from the removed index")
   }
 
+  test("removeFromLshIndex / removeFromPqIndex: retired ids vanish under " +
+    "frozen hyperplanes/codebooks") {
+    val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
+    val rmIds = e.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val survIds = e.filter(col("vec_id") % 3 =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+
+    // LSH: deterministic hyperplanes — remove(fit(A ∪ R), R) ≡ fit(A)
+    // band-for-band, the embedding-index argument
+    val lshAll = Similarity.lshFit(e, "vec_id", "embedding",
+      planes = 8, bands = 4)
+    val lshRemoved = Similarity.removeFromLshIndex(lshAll, rmIds, "vec_id")
+    val lshScratch = Similarity.lshFit(e.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", planes = 8, bands = 4)
+    def bandSet(ix: Similarity.LshIndex) =
+      ix.banded.select("neighbor_id", "band", "bucket")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(bandSet(lshRemoved) == bandSet(lshScratch))
+    assert(lshRemoved.version === lshAll.version + 1)
+
+    // PQ: frozen codebooks — survivors' codes are the fitted rows
+    // verbatim, retired ids absent
+    val pqAll = Similarity.pqFit(e, "vec_id", "embedding", m = 8, ksub = 8)
+    val pqRemoved = Similarity.removeFromPqIndex(pqAll, rmIds, "vec_id")
+    assert(pqRemoved.codebooks == pqAll.codebooks)
+    assert(pqRemoved.codes.select("neighbor_id").as[Long].collect().toSet
+      == survIds)
+    assert(pqRemoved.version === pqAll.version + 1)
+  }
+
   test("assignToCells ships centroids by broadcast, not as a plan literal") {
     val e = graft.sources.Tables.load(spark, graft.TestSpark.Sf0001, "embeddings")
     val idx = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 8)
