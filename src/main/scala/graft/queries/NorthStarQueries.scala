@@ -583,6 +583,23 @@ object NorthStarQueries {
         docs(s, dir).filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
         .persist())
 
+  /** The FULL-corpus index (all docs — the old crawl of the two-crawl
+    * fixture), persisted per sf dir: the fit side the removal/refresh
+    * rows version FROM. A production refresh loads its serving index,
+    * it does not rebuild it — so `dedup_incr_index_retract` and
+    * `dedup_refresh_index` price diff + remove/extend + probe (the
+    * O(changed+removed) incremental work that is those operators' cost
+    * claim), not a from-scratch fit that would mask it. The build pays
+    * once in the first toucher's cold rep (retract, alphabetically
+    * first), the corpusIndex pattern. Released by
+    * [[clearDedupCaches]]. */
+  private val fullIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.CorpusIndex]()
+
+  private def fullCorpusIndex(s: SparkSession, dir: String): Dedup.CorpusIndex =
+    fullIndexCache.computeIfAbsent(dir, _ =>
+      Dedup.buildCorpusIndex(docs(s, dir), "doc_id", "text").persist())
+
   /** On-disk copy of [[corpusIndex]] per sf dir (saved once per session),
     * for the production COLD-START path: a fresh ingest job loads the
     * persisted index from storage — no fitting session, no session cache.
@@ -679,6 +696,8 @@ object NorthStarQueries {
     embIndexCache.clear()
     corpusIndexCache.values.forEach(ix => ix.unpersist())
     corpusIndexCache.clear()
+    fullIndexCache.values.forEach(ix => ix.unpersist())
+    fullIndexCache.clear()
     savedIndexDirCache.values.forEach(d =>
       graft.util.Util.deleteRecursively(new java.io.File(d)))
     savedIndexDirCache.clear()
@@ -1017,12 +1036,15 @@ object NorthStarQueries {
     // from-scratch corpus index's and the row shares
     // `dedup_incremental`'s oracle verbatim. This is the second-crawl
     // shape a real operator hits: without removal, every batch doc
-    // would self-match its own stale postings and drop. Uncached by
-    // design — the row prices build + remove + probe.
+    // would self-match its own stale postings and drop. The FIT side is
+    // the shared persisted full-corpus index (a production refresh
+    // loads its serving index, it does not rebuild it — the build pays
+    // once in this row's cold rep, the corpusIndex pattern), so warm
+    // reps price removal + probe: the O(removed)-plus-one-narrow-pass
+    // incremental work that is the operator's actual cost claim.
     "dedup_incr_index_retract" -> ((s, dir) => {
       val d = docs(s, dir)
-      val shrunk = Dedup.removeFromCorpusIndex(
-        Dedup.buildCorpusIndex(d, "doc_id", "text"),
+      val shrunk = Dedup.removeFromCorpusIndex(fullCorpusIndex(s, dir),
         d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id")
       Dedup.dedupAgainstCorpus(d.filter(col("doc_id") % 5 === 0),
         shrunk, "doc_id", "text")
@@ -1038,11 +1060,15 @@ object NorthStarQueries {
     // — the oracle recomputes exactly that in SQL over the two-crawl
     // fixture. O(changed) on the heavy path: unchanged docs are never
     // re-shingled (RefreshPipelineSpec pins it with poisoned text).
+    // The old-crawl index is the shared persisted full-corpus index
+    // (diffOldDocs IS the documents table), so warm reps price the
+    // refresh itself — diff + remove + extend + probe, the O(changed)
+    // contract — not a from-scratch fit that would mask it.
     "dedup_refresh_index" -> ((s, dir) => {
       val old = diffOldDocs(s, dir)
       val newC = diffNewDocs(s, dir)
       val refreshed = CorpusOps.refreshCorpusIndex(
-        Dedup.buildCorpusIndex(old, "doc_id", "text"),
+        fullCorpusIndex(s, dir),
         newC, "doc_id", "text",
         CorpusOps.corpusDiff(old, newC, "doc_id", "text"))
       Dedup.dedupAgainstCorpus(
@@ -1967,11 +1993,14 @@ object NorthStarQueries {
     // a from-scratch fit of the new crawl; the oracle recomputes the
     // full BM25 over the two-crawl fixture in SQL. Unchanged docs are
     // never re-tokenized (RefreshPipelineSpec's poisoned-text pin).
+    // The old-crawl stats are the shared fitted bm25Stats (diffOldDocs
+    // IS the documents table), so the row prices the refresh itself —
+    // diff + retract + extend + probe, O(changed) — not a refit.
     "search_bm25_refresh" -> ((s, dir) => {
       val old = diffOldDocs(s, dir)
       val newC = diffNewDocs(s, dir)
       val refreshed = CorpusOps.refreshBm25Stats(
-        Search.bm25Fit(old, "doc_id", "text"),
+        bm25Stats(s, dir),
         old, newC, "doc_id", "text",
         CorpusOps.corpusDiff(old, newC, "doc_id", "text"))
       Search.bm25TopKFitted(newC, refreshed, "doc_id", "text",
