@@ -766,18 +766,40 @@ object CorpusOps {
     * the plan you want — two narrow scans, one co-partitioned join, no
     * text movement; id-bucketed storage makes even the shuffle free. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
-                 textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("__h_old"))
-    val n = newDf.select(col(idCol),
-      md5(col(textCol).cast("binary")).as("__h_new"))
+                 textCol: String): DataFrame =
+    diffByHash(
+      oldDf.select(col(idCol), md5(col(textCol).cast("binary")).as("__h_old")),
+      newDf.select(col(idCol), md5(col(textCol).cast("binary")).as("__h_new")),
+      idCol)
+
+  /** [[corpusDiff]] for an EMBEDDING corpus — what changed between two
+    * crawls' vector exports, the primitive that decides which vectors a
+    * refresh re-indexes. Content equality is by md5 over the vector's
+    * JSON rendering (float-exact: distinct binary floats render as
+    * distinct shortest-round-trip strings, so two vectors hash equal iff
+    * they are component-wise bit-equal — including the -0.0 vs 0.0 edge,
+    * which numeric comparison would conflate). Same scale shape as the
+    * text form: both sides project to (id, hash) BEFORE the join, so the
+    * full vector arrays never cross the wire. */
+  def vectorDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 vecCol: String): DataFrame =
+    diffByHash(
+      oldDf.select(col(idCol), md5(to_json(col(vecCol)).cast("binary"))
+        .as("__h_old")),
+      newDf.select(col(idCol), md5(to_json(col(vecCol)).cast("binary"))
+        .as("__h_new")),
+      idCol)
+
+  /** The shared diff join: (id, __h_old) ⟗ (id, __h_new) → (id, status).
+    * Two skinny relations, one co-partitioned full-outer join. */
+  private def diffByHash(o: DataFrame, n: DataFrame,
+                         idCol: String): DataFrame =
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__h_old").isNull, "added")
           .when(col("__h_new").isNull, "removed")
           .when(col("__h_old") =!= col("__h_new"), "changed")
           .otherwise("same").as("status"))
-  }
 
   /** The diff rolled up to refresh-planning numbers: row count and id
     * range per status. One combining shuffle over the (id, status)
@@ -964,10 +986,7 @@ object CorpusOps {
   def refreshCorpusIndex(index: Dedup.CorpusIndex, newDf: DataFrame,
                          idCol: String, textCol: String,
                          diff: DataFrame): Dedup.CorpusIndex = {
-    val retired = diff.filter(col("status").isin("removed", "changed"))
-      .select(col(idCol))
-    val fresh = diff.filter(col("status").isin("added", "changed"))
-      .select(col(idCol))
+    val (retired, fresh) = refreshIdSplit(diff, idCol)
     Dedup.extendCorpusIndex(
       Dedup.removeFromCorpusIndex(index, retired, idCol),
       newDf.join(fresh, Seq(idCol), "left_semi"), idCol, textCol)
@@ -988,14 +1007,92 @@ object CorpusOps {
   def refreshBm25Stats(stats: Search.Bm25Stats, oldDf: DataFrame,
                        newDf: DataFrame, idCol: String, textCol: String,
                        diff: DataFrame): Search.Bm25Stats = {
-    val retired = diff.filter(col("status").isin("removed", "changed"))
-      .select(col(idCol))
-    val fresh = diff.filter(col("status").isin("added", "changed"))
-      .select(col(idCol))
+    val (retired, fresh) = refreshIdSplit(diff, idCol)
     Search.extendBm25Stats(
       Search.retractBm25Stats(stats,
         oldDf.join(retired, Seq(idCol), "left_semi"), idCol, textCol),
       newDf.join(fresh, Seq(idCol), "left_semi"), idCol, textCol)
+  }
+
+  /** A diff split into the two id sets every index refresh consumes:
+    * (retired = removed ∪ changed, fresh = added ∪ changed) — a changed
+    * document is remove-then-add, the only mutation an append-only
+    * index family can express. */
+  private def refreshIdSplit(diff: DataFrame,
+                             idCol: String): (DataFrame, DataFrame) = (
+    diff.filter(col("status").isin("removed", "changed")).select(col(idCol)),
+    diff.filter(col("status").isin("added", "changed")).select(col(idCol)))
+
+  // The FOUR vector-index legs of the refresh→index loop, completing
+  // the symmetry refreshCorpusIndex/refreshBm25Stats opened: every
+  // serving index versions off the SAME [[vectorDiff]] — retired ids
+  // leave via the family's removeFrom* (streaming anti-joins), fresh
+  // vectors fold in via its extend* under the FROZEN quantizer
+  // (deterministic hyperplanes / frozen centroids / frozen codebooks).
+  // Each is EXACT under that quantizer: remove ≡ and extend ≡ rebuild
+  // hold bitwise per family (their own spec pins), so
+  // refresh(index(old), new, diff) ≡ index-of-new-under-the-same-
+  // quantizer — the contract VectorRefreshSpec pins for all four and
+  // the `dedup_refresh_embed` / `sim_ivf_refresh` rows hash-check
+  // end-to-end against DuckDB. O(changed + removed) heavy work: the
+  // extend input is diff-selected BEFORE any banding/assignment/
+  // encoding kernel runs, so unchanged vectors are never re-processed
+  // (NaN-sentinel spec-pinned).
+
+  /** The sign-LSH DEDUP index leg ([[Dedup.EmbeddingIndex]]). */
+  def refreshEmbeddingIndex(index: Dedup.EmbeddingIndex, newDf: DataFrame,
+                            idCol: String, vecCol: String,
+                            diff: DataFrame): Dedup.EmbeddingIndex = {
+    val (retired, fresh) = refreshIdSplit(diff, idCol)
+    Dedup.extendEmbeddingIndex(
+      Dedup.removeFromEmbeddingIndex(index, retired, idCol),
+      newDf.join(fresh, Seq(idCol), "left_semi"), idCol, vecCol)
+  }
+
+  /** The sign-LSH TOP-K index leg ([[Similarity.LshIndex]]). */
+  def refreshLshIndex(index: Similarity.LshIndex, newDf: DataFrame,
+                      idCol: String, vecCol: String,
+                      diff: DataFrame): Similarity.LshIndex = {
+    val (retired, fresh) = refreshIdSplit(diff, idCol)
+    Similarity.extendLshIndex(
+      Similarity.removeFromLshIndex(index, retired, idCol),
+      newDf.join(fresh, Seq(idCol), "left_semi"), idCol, vecCol)
+  }
+
+  /** The IVF leg: fresh vectors assign to the index's FROZEN centroids
+    * ([[Similarity.assignToCells]]), so
+    * `refresh(idx, new, diff).assigned ≡ assignToCells(new, idx.centers)`
+    * — re-fit the quantizer only when enough of the corpus has churned
+    * that cell occupancy degrades recall (the extend/remove contract). */
+  def refreshIvfIndex(index: Similarity.IvfIndex, newDf: DataFrame,
+                      idCol: String, vecCol: String,
+                      diff: DataFrame): Similarity.IvfIndex = {
+    val (retired, fresh) = refreshIdSplit(diff, idCol)
+    Similarity.extendIvfIndex(
+      Similarity.removeFromIvfIndex(index, retired, idCol),
+      newDf.join(fresh, Seq(idCol), "left_semi"), idCol, vecCol)
+  }
+
+  /** The PQ leg: fresh vectors encode against the FROZEN codebooks. */
+  def refreshPqIndex(index: Similarity.PqIndex, newDf: DataFrame,
+                     idCol: String, vecCol: String,
+                     diff: DataFrame): Similarity.PqIndex = {
+    val (retired, fresh) = refreshIdSplit(diff, idCol)
+    Similarity.extendPqIndex(
+      Similarity.removeFromPqIndex(index, retired, idCol),
+      newDf.join(fresh, Seq(idCol), "left_semi"), idCol, vecCol)
+  }
+
+  /** The IVF-PQ (IVFADC) leg: frozen cells AND frozen codebooks; the
+    * codes and rerank-vectors relations stay in lockstep because both
+    * halves mutate them together (the split-tree invariant). */
+  def refreshIvfPqIndex(index: Similarity.IvfPqIndex, newDf: DataFrame,
+                        idCol: String, vecCol: String,
+                        diff: DataFrame): Similarity.IvfPqIndex = {
+    val (retired, fresh) = refreshIdSplit(diff, idCol)
+    Similarity.extendIvfPqIndex(
+      Similarity.removeFromIvfPqIndex(index, retired, idCol),
+      newDf.join(fresh, Seq(idCol), "left_semi"), idCol, vecCol)
   }
 
   /** The refresh pipeline's ATTRITION record — the one-row dashboard a

@@ -51,7 +51,8 @@ object NorthStarQueries {
 
   /** Planted-copy id offsets, hard-coded identically in the Spark
     * fixtures AND their DuckDB oracle SQL (`id + 10000000` etc.). */
-  private val PlantedIdOffsets = Seq(10000000L, 20000000L, 30000000L)
+  private val PlantedIdOffsets = Seq(10000000L, 20000000L, 30000000L,
+    40000000L)
 
   private val plantedHeadroomOk =
     new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
@@ -743,6 +744,26 @@ object NorthStarQueries {
         transform(col("embedding"), x => -x).as("embedding")))
   }
 
+  /** The OLD crawl of the two-crawl VECTOR fixture (the embedding twin
+    * of [[diffOldDocs]]/[[diffNewDocs]], run backward: the NEW crawl is
+    * the corpus `e` itself, so a refreshed index must land EXACTLY on
+    * the shared fitted index and the probe rows share their existing
+    * hash oracles verbatim). Relative to `e`, the old crawl is missing
+    * every 13th vector (diff: `added`), carries every 11th vector
+    * NEGATED (diff: `changed` — negation is a bitwise-exact sign flip,
+    * and cosine(-v, ·) = -cosine(v, ·) puts the stale version maximally
+    * far from anything the true one matches), plus `junk` rows under
+    * +40M ids that the new crawl lacks (diff: `removed`). Callers pick
+    * junk that would CORRUPT their probe if a failed removal left it
+    * stale — the discrimination contract of the fixture. */
+  private def vecOldCrawl(e: DataFrame, junk: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(junk)
+
   /** Deterministic CLUSTERED embedding fixture — IVF's favorable regime,
     * which the near-uniform raw embeddings never exhibit (their recall
     * tracks the scanned fraction; PLANS.md "IVF trained-centers recall
@@ -1075,6 +1096,46 @@ object NorthStarQueries {
         docs(s, dir).filter(col("doc_id") % 5 === 0), refreshed,
         "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // The refresh→index loop for the EMBEDDING family
+    // ([[CorpusOps.refreshEmbeddingIndex]] off one [[vectorDiff]]): the
+    // old crawl (vecOldCrawl — %13 missing, %11 negated, junk under
+    // +40M) refreshes to the raw embeddings corpus, so the refreshed
+    // index must equal the SHARED fitted index bitwise (deterministic
+    // hyperplanes) and the planted probe shares `dedup_embedding_incr`'s
+    // float-exact oracle VERBATIM. Discrimination: the junk rows are
+    // NEGATED copies of every 7th vector — exactly parallel
+    // (cosine 1.0) to the probe batch's novel negated vectors — so a
+    // failed removal drops every novel doc and the hash mismatches
+    // loudly; a stale %11 (negated) or missing %13 vector strands its
+    // planted near-copy (cosine ≈ -1 against the stale version) into
+    // wrongly surviving. v_N is manufactured FROM the shared index by
+    // versioning backward (remove the ids the old crawl lacks, fold in
+    // what it had) — production loads its serving index, it does not
+    // refit — so warm reps price diff + remove + extend + probe, the
+    // O(changed+removed) contract.
+    "dedup_refresh_embed" -> ((s, dir) => {
+      val e = requirePlantedHeadroom(
+        embs(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      val junk = e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 40000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val old = vecOldCrawl(e, junk)
+      val diff = CorpusOps.vectorDiff(old, e, "vec_id", "embedding")
+      val fresh = diff.filter(col("status").isin("added", "changed"))
+        .select("vec_id")
+      val retired = diff.filter(col("status").isin("removed", "changed"))
+        .select("vec_id")
+      val oldIdx = Dedup.extendEmbeddingIndex(
+        Dedup.removeFromEmbeddingIndex(embIndex(s, dir), fresh, "vec_id"),
+        old.join(retired, Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding")
+      val refreshed = CorpusOps.refreshEmbeddingIndex(oldIdx, e,
+        "vec_id", "embedding", diff)
+      Dedup.dedupEmbeddingsAgainstCorpus(embIncrBatch(e), refreshed,
+        "vec_id", "embedding", threshold = 0.9)
+        .select(col("vec_id"))
     }),
 
     // The full PRODUCTION VERSIONING LOOP in one plan: probe batch 1
@@ -1497,6 +1558,42 @@ object NorthStarQueries {
         "vec_id", "embedding", k = 10, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
+    // The refresh→index loop for the IVF family
+    // ([[CorpusOps.refreshIvfIndex]] off one [[vectorDiff]], frozen
+    // centroids): the old crawl (vecOldCrawl over the CLUSTERED fixture)
+    // refreshes to the clustered corpus itself, so the refreshed
+    // index's assigned relation equals the shared fitted index's
+    // (assignToCells is spec-pinned bit-identical to KMeans.transform)
+    // and the probe shares `sim_topk_ivf`'s brute-force hash oracle
+    // VERBATIM. Discrimination: the junk rows are VERBATIM copies of
+    // every query vector under +40M ids — a failed removal leaves a
+    // cosine-1.0 impostor at rank 1 of every query; a stale %11
+    // (negated, max-far) or missing %13 cluster member shifts the true
+    // top-10 where it belongs. v_N is manufactured from the shared
+    // index by versioning backward (the dedup_refresh_embed pattern),
+    // so warm reps price diff + remove + assign-extend + probe — the
+    // O(changed+removed) incremental contract, not a KMeans refit.
+    "sim_ivf_refresh" -> ((s, dir) => {
+      val ce = requirePlantedHeadroom(clusteredEmbeddings(embs(s, dir)),
+        "vec_id")
+      val junk = ce.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 40000000L).as("vec_id"), col("embedding"))
+      val old = vecOldCrawl(ce, junk)
+      val diff = CorpusOps.vectorDiff(old, ce, "vec_id", "embedding")
+      val fresh = diff.filter(col("status").isin("added", "changed"))
+        .select("vec_id")
+      val retired = diff.filter(col("status").isin("removed", "changed"))
+        .select("vec_id")
+      val oldIdx = Similarity.extendIvfIndex(
+        Similarity.removeFromIvfIndex(ivfClusteredIndex(dir, ce), fresh,
+          "vec_id"),
+        old.join(retired, Seq("vec_id"), "left_semi"), "vec_id", "embedding")
+      val refreshed = CorpusOps.refreshIvfIndex(oldIdx, ce,
+        "vec_id", "embedding", diff)
+      Similarity.ivfProbe(refreshed, ce.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
     // Product-quantization ANN, end to end on the PLANTED near-dup
     // fixture: fit per-subspace codebooks, ADC-score the compressed
     // codes, exact-rerank the top 50 (2.5% of the sf0.1 corpus — real
@@ -1889,6 +1986,23 @@ object NorthStarQueries {
     "corpus_diff_stats" -> ((s, dir) =>
       CorpusOps.corpusDiffStats(diffOldDocs(s, dir), diffNewDocs(s, dir),
         "doc_id", "text")),
+
+    // The EMBEDDING corpus diff ([[CorpusOps.vectorDiff]]) on the
+    // two-crawl vector fixture — the primitive the vector-index refresh
+    // rows (`dedup_refresh_embed`, `sim_ivf_refresh`) consume. Content
+    // equality is md5-over-JSON on the Spark side and float-exact
+    // VARCHAR rendering in DuckDB: both render distinct binary floats
+    // distinctly (including -0.0 vs 0.0), so the status columns agree
+    // bitwise. Same plan shape as `corpus_diff`: two skinny (id, hash)
+    // projections into one full-outer join — vectors never shuffle.
+    "corpus_vector_diff" -> ((s, dir) => {
+      val e = requirePlantedHeadroom(
+        embs(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      val junk = e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 40000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      CorpusOps.vectorDiff(vecOldCrawl(e, junk), e, "vec_id", "embedding")
+    }),
 
     // ---- the END-TO-END incremental corpus refresh -------------------
     // The composition every stage above exists for, as ONE oracle-checked
@@ -2801,6 +2915,30 @@ object NorthStarQueries {
       |       ELSE 'same' END AS status
       |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""".stripMargin
 
+  /** `corpus_vector_diff` oracle: the two-crawl VECTOR fixture's
+    * statuses recomputed over the embeddings table. Content equality is
+    * DuckDB's VARCHAR rendering of the float list — shortest-round-trip
+    * per component, so distinct binary floats (including -0.0 vs 0.0)
+    * compare unequal exactly like Spark's md5-over-JSON. */
+  private val VectorDiffSql: String =
+    """WITH old AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 11 = 0
+      |      THEN list_transform(embedding, x -> CAST(-x AS FLOAT))
+      |      ELSE embedding END AS emb
+      |  FROM embeddings WHERE vec_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT vec_id + 40000000 AS vec_id,
+      |    list_transform(embedding, x -> CAST(-x AS FLOAT)) AS emb
+      |  FROM embeddings WHERE vec_id % 7 = 0)
+      |SELECT COALESCE(o.vec_id, n.vec_id) AS vec_id,
+      |  CASE WHEN o.vec_id IS NULL THEN 'added'
+      |       WHEN n.vec_id IS NULL THEN 'removed'
+      |       WHEN CAST(o.emb AS VARCHAR) <> CAST(n.embedding AS VARCHAR)
+      |         THEN 'changed'
+      |       ELSE 'same' END AS status
+      |FROM old o FULL OUTER JOIN embeddings n ON o.vec_id = n.vec_id""".stripMargin
+
   /** Batch BM25 in DuckDB: postings restricted to the query vocabulary,
     * document frequencies recomputed from the postings (one row per
     * (doc, term) — identical to the fitted distinct-token census), and
@@ -3429,6 +3567,10 @@ object NorthStarQueries {
     "dedup_embedding_incr" -> EmbeddingIncrSql,
     "dedup_embedding_incr_saved" -> EmbeddingIncrSql,
     "dedup_emb_index_extend" -> EmbeddingIncrSql,
+    // refresh(v_N, new-crawl, vectorDiff) lands the index bitwise on the
+    // raw-embeddings corpus (deterministic hyperplanes), so the planted
+    // probe's keep-set is the incremental-dedup oracle VERBATIM
+    "dedup_refresh_embed" -> EmbeddingIncrSql,
     // Two-round embedding versioning-loop oracle: batch 1 = negated
     // copies of every 7th vector; its survivors join the corpus; batch 2
     // = nudged copies of the negated vectors (match only round-1
@@ -3593,6 +3735,11 @@ object NorthStarQueries {
         |WHERE rank <= 1""".stripMargin,
     "sim_topk_ivf" -> ClusteredBruteTopKSql,
     "sim_topk_ivf_probe" -> ClusteredBruteTopKSql,
+    // refresh(v_N, new-crawl, vectorDiff) lands the assigned relation on
+    // the shared fitted index's (frozen centroids; assignToCells ≡
+    // KMeans.transform, spec-pinned), so the probe returns the same
+    // brute-force top-10 the fit/probe rows hash-match
+    "sim_ivf_refresh" -> ClusteredBruteTopKSql,
     "sim_topk_pq" -> PlantedBruteTop1Sql,
     "sim_topk_pq_probe" -> PlantedBruteTop1Sql,
     // IVF-PQ planted rows: nprobe=1 over the nudge-orthogonal explicit
@@ -3751,6 +3898,7 @@ object NorthStarQueries {
     "search_bm25_batch" -> Bm25BatchSql,
     "search_phrase" -> PhraseSql,
     "corpus_diff" -> CorpusDiffSql,
+    "corpus_vector_diff" -> VectorDiffSql,
     "corpus_refresh_e2e" -> CorpusRefreshSql,
     "corpus_refresh_funnel" -> CorpusRefreshFunnelSql,
     "corpus_diff_stats" ->
