@@ -180,6 +180,23 @@ object GraftSqlExtensions {
         threshold =
           if (exprs.size > 4) doubleArg(fn, exprs(4), "threshold") else 0.5))
     },
+    // graft_ann_topk(queryTable, idCol, vecCol, indexDir[, k, nprobe]) —
+    // ANN retrieval against a SAVED IvfIndex tree: cell-partition-pruned
+    // scan of the nprobe nearest cells per query, exact cosine rank
+    // within them (the ivfProbe plan verbatim, so the SQL result is
+    // bit-identical to the API's)
+    "graft_ann_topk" -> { exprs: Seq[Expression] =>
+      val fn = "graft_ann_topk"
+      arity(fn, exprs, 4, 5, 6)
+      val spark = SparkSession.active
+      plan(graft.extensions.Similarity.ivfProbe(
+        graft.extensions.Similarity.loadIvfIndex(spark,
+          strArg(fn, exprs(3), "indexDir")),
+        spark.table(strArg(fn, exprs.head, "queryTable")),
+        strArg(fn, exprs(1), "idCol"), strArg(fn, exprs(2), "vecCol"),
+        k = if (exprs.size > 4) intArg(fn, exprs(4), "k") else 10,
+        nprobe = if (exprs.size > 5) intArg(fn, exprs(5), "nprobe") else 4))
+    },
     // graft_quota_sample(table, keyCol, strataCol, quotasCsv[, defaultQuota])
     // quotasCsv: 'stratum:quota,stratum:quota' (e.g. 'en:100,de:50')
     "graft_quota_sample" -> { exprs: Seq[Expression] =>

@@ -435,6 +435,49 @@ object CdcStream {
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
       .start()
 
+  /** Streaming RETRACT ingest — the DELETE half of CDC-driven index
+    * maintenance, completing the loop the accept legs opened: a change
+    * stream carries deletes as well as inserts (the reference's CDC
+    * domain — a row leaving the source table must leave the serving
+    * indexes too), and this leg collects each micro-batch's delete ops
+    * into a batch-partitioned retired-rows sink. `keepCols` names what
+    * downstream retraction needs: the id alone for the anti-join
+    * families (text-gram, embedding, IVF, PQ, IVF-PQ), id + text for
+    * BM25 (retraction subtracts the retired doc's contributions, and a
+    * CDC delete carries the full old row image by construction).
+    * Retraction is deliberately NOT applied per trigger — the BM25
+    * subtraction is not idempotent under replay, exactly the
+    * double-count class the accept legs' offline-fold contract guards
+    * against — so shrinking an index is the same idempotent compaction
+    * step as growing one ([[compactRetractedBatches]] /
+    * [[compactRetractedEmbeddingBatches]] /
+    * [[compactRetractedBm25Batches]]), and the per-batch `batch=<id>`
+    * OVERWRITE keeps the sink itself replay-safe. AMENDED rows are not
+    * this leg's job: an update is remove-then-add, which the refresh
+    * compositions ([[graft.extensions.CorpusOps.refreshCorpusIndex]]
+    * and siblings) express off a corpus diff — routing an update's new
+    * image through a dedup ingest would let the novelty gate eat it
+    * (it matches its own stale index entry). */
+  def startRetractIngest(
+      changeStream: DataFrame,
+      opCol: String, deleteOp: String,
+      keepCols: Seq[String],
+      sinkDir: String, checkpointDir: String,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L): StreamingQuery =
+    changeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // unconditional overwrite, even for a batch with no deletes —
+        // the same replay-reconciliation argument as the accept legs
+        batch.filter(col(opCol) === deleteOp)
+          .select(keepCols.map(col): _*)
+          .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
   /** Close the loop between the streaming ingest and index versioning:
     * read everything the accepted-novel sink
     * ([[startCorpusDedupIngest]]) collected and fold it into the corpus
@@ -620,9 +663,125 @@ object CdcStream {
     }
   }
 
+  /** Apply a retract sink ([[startRetractIngest]]) to the corpus index
+    * as ONE version bump — the shrink mirror of
+    * [[compactAcceptedBatches]], all the same contracts: stale-handle
+    * guard, id-dedup absorbing cross-batch source replays (removal is
+    * an anti-join, so a doubled id retires once regardless — the dedup
+    * is for plan economy), an empty/missing tree as a no-op, and the
+    * consumed tree stamped with the retract family's OWN marker
+    * ([[RetractMarkerName]]) so a re-scheduled compaction refuses
+    * loudly. Removal is EXACT (remove ≡ rebuild on the survivors, the
+    * [[graft.extensions.Dedup.removeFromCorpusIndex]] contract incl.
+    * the backward df-cut re-admission), needing only the retired IDS —
+    * the sink may carry more columns (a full CDC row image); they are
+    * ignored here. */
+  def compactRetractedBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Dedup.CorpusIndex,
+      idCol: String): graft.extensions.Dedup.CorpusIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, RetractMarkerName) match {
+      case None => index
+      case Some(retired) =>
+        val shrunk = graft.extensions.Dedup.removeFromCorpusIndex(index,
+          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+        markFolded(spark, sinkDir, RetractMarkerName)
+        shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }
+  }
+
+  /** Apply a retract sink to a saved/loaded IVF index — the ANN leg of
+    * delete-driven maintenance (one anti-join on the cell-assigned
+    * relation, frozen centroids, every saved cell partition stays
+    * valid). Same contracts as [[compactRetractedBatches]], with the
+    * family's own marker. */
+  def compactRetractedIvfBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.IvfIndex,
+      idCol: String): graft.extensions.Similarity.IvfIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, IvfRetractMarkerName) match {
+      case None => index
+      case Some(retired) =>
+        val shrunk = graft.extensions.Similarity.removeFromIvfIndex(index,
+          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+        markFolded(spark, sinkDir, IvfRetractMarkerName)
+        shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }
+  }
+
+  /** The embedding analog of [[compactRetractedBatches]]: retire the
+    * sink's ids from the sign-LSH bucket index (two streaming
+    * anti-joins keep buckets and vectors in lockstep). Same contracts
+    * end to end. */
+  def compactRetractedEmbeddingBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Dedup.EmbeddingIndex,
+      idCol: String): graft.extensions.Dedup.EmbeddingIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, EmbRetractMarkerName) match {
+      case None => index
+      case Some(retired) =>
+        val shrunk = graft.extensions.Dedup.removeFromEmbeddingIndex(index,
+          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+        markFolded(spark, sinkDir, EmbRetractMarkerName)
+        shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }
+  }
+
+  /** The BM25 retraction fold: subtract the retired docs' contributions
+    * from the search statistics as one version bump via
+    * [[graft.extensions.Search.retractBm25Stats]] — this is the family
+    * whose retraction is NOT idempotent (integer subtraction, not an
+    * anti-join), so the marker discipline here is load-bearing, not
+    * just an audit: a double-fold would subtract twice and corrupt df
+    * counts, which is exactly what [[consumeSinkTree]]'s refusal makes
+    * unrepresentable. The sink must carry the retired docs' TEXT
+    * (`startRetractIngest(keepCols = Seq(id, text))` — the CDC delete's
+    * old row image); the id-dedup collapses cross-batch replays to one
+    * subtraction. `saveTo` applies the durable-then-mark ordering of
+    * [[compactAcceptedBm25Batches]] (ADVICE r16): the bumped stats are
+    * saved BEFORE the marker lands, so a crash between retract and save
+    * re-runs the fold instead of orphaning the consumed sink. */
+  def compactRetractedBm25Batches(
+      spark: SparkSession, sinkDir: String,
+      stats: graft.extensions.Search.Bm25Stats,
+      idCol: String, textCol: String,
+      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats = {
+    stats.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, stats.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, Bm25RetractMarkerName) match {
+      case None => stats
+      case Some(retired) =>
+        val shrunk = graft.extensions.Search.retractBm25Stats(stats,
+            retired.dropDuplicates(idCol), idCol, textCol)
+          .copy(folded = stats.folded :+ sinkDir)
+        val durable = saveTo.map(shrunk.save).getOrElse(shrunk)
+        markFolded(spark, sinkDir, Bm25RetractMarkerName)
+        durable
+    }
+  }
+
   /** Marker a successful compaction writes at the root of every tree it
     * consumed; its presence makes a double-fold unrepresentable. */
   val FoldedMarkerName = "_FOLDED"
+
+  /** The retract folds' markers — PER FAMILY, the same design as the
+    * accept side's [[FoldedMarkerName]]/[[Bm25FoldedMarkerName]] split:
+    * one CDC delete sink feeds every serving structure built over the
+    * deleted rows (the text-gram index AND the BM25 stats off one
+    * doc-delete tree; the vector families off a vec-delete tree), and
+    * each fold must refuse only ITS OWN double-run. Distinct from the
+    * accept markers, so pointing a retract compaction at an accept sink
+    * by mistake cannot be masked by the accept fold's stamp. */
+  val RetractMarkerName = "_FOLDED_RETRACT"
+  val EmbRetractMarkerName = "_FOLDED_RETRACT_EMB"
+  val IvfRetractMarkerName = "_FOLDED_RETRACT_IVF"
+  val Bm25RetractMarkerName = "_FOLDED_RETRACT_BM25"
 
   /** The search-stats fold's own marker — distinct from
     * [[FoldedMarkerName]] so the dedup-index compaction and the BM25

@@ -93,6 +93,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaApi)
   }
 
+  test("graft_ann_topk TVF: ANN retrieval against a saved IVF tree " +
+    "through pure SQL == the probe row") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val indexDir = TestSpark.tmpDir("graft-sql-ivf")
+    graft.extensions.Similarity
+      .ivfFit(e, "vec_id", "embedding", nlist = 8).save(indexDir)
+    e.filter(col("vec_id") % 20 === 0).createOrReplaceTempView("g_queries")
+    val viaSql = spark.sql(
+      s"""SELECT query_id, neighbor_id, rank
+         |FROM graft_ann_topk('g_queries', 'vec_id', 'embedding',
+         |  '$indexDir', 10, 4)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaApi = graft.extensions.Similarity.ivfProbe(
+      graft.extensions.Similarity.loadIvfIndex(spark, indexDir),
+      e.filter(col("vec_id") % 20 === 0),
+      "vec_id", "embedding", k = 10, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql === viaApi,
+      "TVF ANN retrieval must be bit-identical to the API probe")
+  }
+
   test("graft_quota_sample TVF == the API operator, and quota CSV guards") {
     viewDocs()
     val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")

@@ -841,6 +841,126 @@ class CdcStreamSpec extends AnyFunSuite {
       s"state must drain once the watermark passes the last TTL; progress: $progs")
   }
 
+  test("startRetractIngest + compactRetracted*: CDC deletes retire from " +
+    "the text-gram index and the BM25 stats off ONE sink; remove == " +
+    "rebuild on the survivors; per-family markers; double-fold refuses") {
+    import graft.extensions.{Dedup, Search}
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    // the change stream: every 3rd doc arrives as a DELETE with its full
+    // old row image (CDC semantics), the rest as upserts the leg ignores
+    val src = TestSpark.tmpDir("graft-retract-src")
+    docs.select(col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, "delete").otherwise("upsert").as("op"))
+      .write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-retract-sink")
+    val index = Dedup.buildCorpusIndex(docs, "doc_id", "text").persist()
+    val stats = Search.bm25Fit(docs, "doc_id", "text")
+    try {
+      val q = CdcStream.startRetractIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        "op", "delete", Seq("doc_id", "text"),
+        sink, TestSpark.tmpDir("graft-retract-ckpt"))
+      q.awaitTermination()
+
+      // the sink holds exactly the deletes' rows
+      val retired = spark.read.parquet(sink).drop("batch")
+      val retiredIds = retired.select("doc_id").as[Long].collect().toSet
+      assert(retiredIds.nonEmpty && retiredIds.forall(_ % 3 == 0))
+
+      // plant a cross-batch replay: a doubled id retires exactly once
+      spark.createDataFrame(
+          java.util.Arrays.asList(retired.head()), retired.schema)
+        .write.mode("overwrite").parquet(s"$sink/batch=9999")
+
+      val survivors = docs.filter(col("doc_id") % 3 =!= 0)
+
+      // text-gram: shrink == from-scratch build on the survivors (the
+      // removal contract carried through the sink read)
+      val shrunk = CdcStream.compactRetractedBatches(spark, sink, index, "doc_id")
+      val scratch = Dedup.buildCorpusIndex(survivors, "doc_id", "text")
+      def postingSet(ix: Dedup.CorpusIndex) =
+        ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+      assert(postingSet(shrunk) == postingSet(scratch))
+      assert(shrunk.version === index.version + 1)
+      assert(shrunk.folded.contains(sink))
+
+      // its marker is down; a second text-gram fold refuses loudly...
+      assert(new java.io.File(sink, CdcStream.RetractMarkerName).exists())
+      val err = intercept[IllegalArgumentException] {
+        CdcStream.compactRetractedBatches(spark, sink, index, "doc_id")
+      }
+      assert(err.getMessage.contains("already compacted"))
+
+      // ...but the BM25 fold of the SAME tree still runs (its own
+      // marker), and retract == refit on the survivors — the
+      // non-idempotent family, where the marker is load-bearing
+      assert(!new java.io.File(sink, CdcStream.Bm25RetractMarkerName).exists())
+      val shrunkStats = CdcStream.compactRetractedBm25Batches(
+        spark, sink, stats, "doc_id", "text")
+      val refit = Search.bm25Fit(survivors, "doc_id", "text")
+      assert(shrunkStats.nDocs === refit.nDocs &&
+        shrunkStats.sumDl === refit.sumDl)
+      def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+      assert(dfMap(shrunkStats) === dfMap(refit))
+      assert(new java.io.File(sink, CdcStream.Bm25RetractMarkerName).exists())
+      val err2 = intercept[IllegalArgumentException] {
+        CdcStream.compactRetractedBm25Batches(spark, sink, stats, "doc_id", "text")
+      }
+      assert(err2.getMessage.contains("already compacted"))
+
+      // an empty tree is a no-op for the shrink folds too
+      val idle = TestSpark.tmpDir("graft-retract-idle")
+      assert(CdcStream.compactRetractedBatches(
+        spark, idle, index, "doc_id") eq index)
+      assert(!new java.io.File(idle, CdcStream.RetractMarkerName).exists())
+    } finally index.unpersist()
+  }
+
+  test("compactRetractedEmbeddingBatches / compactRetractedIvfBatches: " +
+    "vector deletes retire under frozen quantizers; remove == rebuild") {
+    import graft.extensions.Dedup
+    import graft.extensions.Similarity
+    val vecs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    val src = TestSpark.tmpDir("graft-vretract-src")
+    vecs.select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 4 === 0, "delete").otherwise("upsert").as("op"))
+      .write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-vretract-sink")
+    val embIdx = Dedup.buildEmbeddingIndex(vecs, "vec_id", "embedding",
+      planes = 12, bands = 8)
+    val ivfIdx = Similarity.ivfFit(vecs, "vec_id", "embedding", nlist = 8)
+    val q = CdcStream.startRetractIngest(
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+      "op", "delete", Seq("vec_id"),
+      sink, TestSpark.tmpDir("graft-vretract-ckpt"))
+    q.awaitTermination()
+
+    val survivors = vecs.filter(col("vec_id") % 4 =!= 0)
+    val shrunkEmb = CdcStream.compactRetractedEmbeddingBatches(
+      spark, sink, embIdx, "vec_id")
+    val scratchEmb = Dedup.buildEmbeddingIndex(survivors, "vec_id",
+      "embedding", planes = 12, bands = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toSeq
+        case x => x
+      }).toSet
+    assert(rows(shrunkEmb.buckets) === rows(scratchEmb.buckets))
+    assert(rows(shrunkEmb.vectors) === rows(scratchEmb.vectors))
+
+    // the IVF fold of the SAME vec-delete tree runs under its own marker
+    assert(new java.io.File(sink, CdcStream.EmbRetractMarkerName).exists())
+    val shrunkIvf = CdcStream.compactRetractedIvfBatches(
+      spark, sink, ivfIdx, "vec_id")
+    val expected = Similarity.assignToCells(survivors, ivfIdx.centers,
+      "vec_id", "embedding")
+    assert(rows(shrunkIvf.assigned) === rows(expected))
+    assert(new java.io.File(sink, CdcStream.IvfRetractMarkerName).exists())
+  }
+
   test("mapGroupsWithState user sessions accumulate per key") {
     val events = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
