@@ -29,7 +29,10 @@ fi
 # Spark on the box, which the load gate below enforces in spirit)
 rm -rf /tmp/blockmgr-* 2>/dev/null || true
 
+# pass count defaults to the standing single-pass line; the round-17
+# headline-split protocol (VERDICT r16 #5: three sf1 passes, steady
+# spread <= ~8%) runs it with SPARK_GRAFT_BENCH_RUNS=3
 SPARK_DRIVER_MEM=32g \
 SPARK_GRAFT_SF_DIR="$SF1" \
-SPARK_GRAFT_BENCH_RUNS=1 \
+SPARK_GRAFT_BENCH_RUNS="${SPARK_GRAFT_BENCH_RUNS:-1}" \
   sbt -batch 'runMain graft.Bench'

@@ -733,6 +733,29 @@ object CdcStream {
     }
   }
 
+  /** The IVF-PQ leg of delete-driven maintenance: retire the sink's ids
+    * from the codes AND the rerank-only vectors relation together (the
+    * split-tree invariant), frozen cells and frozen codebooks — every
+    * saved cell partition, ADC table and previously-issued probe plan
+    * stays valid. Same contracts as [[compactRetractedBatches]], with
+    * the family's own marker, so one vec-delete sink can feed the
+    * embedding, IVF and IVF-PQ folds independently. */
+  def compactRetractedIvfPqBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.IvfPqIndex,
+      idCol: String): graft.extensions.Similarity.IvfPqIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, IvfPqRetractMarkerName) match {
+      case None => index
+      case Some(retired) =>
+        val shrunk = graft.extensions.Similarity.removeFromIvfPqIndex(index,
+          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+        markFolded(spark, sinkDir, IvfPqRetractMarkerName)
+        shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }
+  }
+
   /** The BM25 retraction fold: subtract the retired docs' contributions
     * from the search statistics as one version bump via
     * [[graft.extensions.Search.retractBm25Stats]] — this is the family
@@ -781,6 +804,7 @@ object CdcStream {
   val RetractMarkerName = "_FOLDED_RETRACT"
   val EmbRetractMarkerName = "_FOLDED_RETRACT_EMB"
   val IvfRetractMarkerName = "_FOLDED_RETRACT_IVF"
+  val IvfPqRetractMarkerName = "_FOLDED_RETRACT_IVFPQ"
   val Bm25RetractMarkerName = "_FOLDED_RETRACT_BM25"
 
   /** The search-stats fold's own marker — distinct from

@@ -959,6 +959,21 @@ class CdcStreamSpec extends AnyFunSuite {
       "vec_id", "embedding")
     assert(rows(shrunkIvf.assigned) === rows(expected))
     assert(new java.io.File(sink, CdcStream.IvfRetractMarkerName).exists())
+
+    // ...and the IVF-PQ fold too (third consumer of one tree): codes
+    // and rerank vectors shrink in lockstep and equal a frozen-quantizer
+    // re-encode of the survivors
+    val ivfPqIdx = Similarity.ivfPqFit(vecs, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16)
+    val shrunkPq = CdcStream.compactRetractedIvfPqBatches(
+      spark, sink, ivfPqIdx, "vec_id")
+    val rebuilt = Similarity.extendIvfPqIndex(
+      ivfPqIdx.copy(codes = ivfPqIdx.codes.limit(0),
+        vectors = ivfPqIdx.vectors.limit(0)),
+      survivors, "vec_id", "embedding")
+    assert(rows(shrunkPq.codes) === rows(rebuilt.codes))
+    assert(rows(shrunkPq.vectors) === rows(rebuilt.vectors))
+    assert(new java.io.File(sink, CdcStream.IvfPqRetractMarkerName).exists())
   }
 
   test("mapGroupsWithState user sessions accumulate per key") {
