@@ -197,6 +197,30 @@ object GraftSqlExtensions {
         k = if (exprs.size > 4) intArg(fn, exprs(4), "k") else 10,
         nprobe = if (exprs.size > 5) intArg(fn, exprs(5), "nprobe") else 4))
     },
+    // graft_corpus_diff(oldTable, newTable, idCol, textCol) — what a
+    // crawl refresh owes downstream, from pure SQL: per-id added /
+    // removed / changed / same (two skinny (id, md5) projections, one
+    // full-outer join; the corpusDiff plan verbatim)
+    "graft_corpus_diff" -> { exprs: Seq[Expression] =>
+      val fn = "graft_corpus_diff"
+      arity(fn, exprs, 4)
+      val spark = SparkSession.active
+      plan(graft.extensions.CorpusOps.corpusDiff(
+        spark.table(strArg(fn, exprs.head, "oldTable")),
+        spark.table(strArg(fn, exprs(1), "newTable")),
+        strArg(fn, exprs(2), "idCol"), strArg(fn, exprs(3), "textCol")))
+    },
+    // graft_vector_diff(oldTable, newTable, idCol, vecCol) — the
+    // embedding twin (md5-over-JSON content hash, float-exact)
+    "graft_vector_diff" -> { exprs: Seq[Expression] =>
+      val fn = "graft_vector_diff"
+      arity(fn, exprs, 4)
+      val spark = SparkSession.active
+      plan(graft.extensions.CorpusOps.vectorDiff(
+        spark.table(strArg(fn, exprs.head, "oldTable")),
+        spark.table(strArg(fn, exprs(1), "newTable")),
+        strArg(fn, exprs(2), "idCol"), strArg(fn, exprs(3), "vecCol")))
+    },
     // graft_quota_sample(table, keyCol, strataCol, quotasCsv[, defaultQuota])
     // quotasCsv: 'stratum:quota,stratum:quota' (e.g. 'en:100,de:50')
     "graft_quota_sample" -> { exprs: Seq[Expression] =>

@@ -117,6 +117,41 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "TVF ANN retrieval must be bit-identical to the API probe")
   }
 
+  test("graft_corpus_diff / graft_vector_diff TVFs == the API diff, " +
+    "statuses per id from pure SQL") {
+    import org.apache.spark.sql.functions.{col, concat, lit, transform, when}
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("g_old_docs")
+    docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" amended")))
+          .otherwise(col("text")).as("text"))
+      .createOrReplaceTempView("g_new_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_corpus_diff('g_old_docs', 'g_new_docs', 'doc_id', 'text')")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaApi = graft.extensions.CorpusOps.corpusDiff(
+      spark.table("g_old_docs"), spark.table("g_new_docs"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql === viaApi)
+    assert(viaSql.values.toSet === Set("removed", "changed", "same"))
+
+    val vecs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 100).select(col("vec_id"), col("embedding"))
+    vecs.createOrReplaceTempView("g_old_vecs")
+    vecs.select(col("vec_id"),
+        when(col("vec_id") % 7 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .createOrReplaceTempView("g_new_vecs")
+    val vSql = spark.sql(
+      "SELECT * FROM graft_vector_diff('g_old_vecs', 'g_new_vecs', 'vec_id', 'embedding')")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    vSql.foreach { case (id, st) =>
+      assert(st === (if (id % 7 == 0) "changed" else "same"), s"vec $id")
+    }
+  }
+
   test("graft_quota_sample TVF == the API operator, and quota CSV guards") {
     viewDocs()
     val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
