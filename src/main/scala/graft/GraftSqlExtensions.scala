@@ -197,6 +197,26 @@ object GraftSqlExtensions {
         k = if (exprs.size > 4) intArg(fn, exprs(4), "k") else 10,
         nprobe = if (exprs.size > 5) intArg(fn, exprs(5), "nprobe") else 4))
     },
+    // graft_annpq_topk(queryTable, idCol, vecCol, indexDir[, k, nprobe,
+    // rerank]) — the COMPRESSED-index sibling of graft_ann_topk: ANN
+    // retrieval against a saved IvfPqIndex (IVFADC) tree, direct or
+    // residual encoding read from the tree's own meta. The builder IS
+    // the ivfPqProbe plan, so the cell-partition DPP prune, the
+    // broadcast ADC tables and the candidate-borne rerank prune all
+    // carry over and the SQL result is bit-identical to the API's.
+    "graft_annpq_topk" -> { exprs: Seq[Expression] =>
+      val fn = "graft_annpq_topk"
+      arity(fn, exprs, 4, 5, 6, 7)
+      val spark = SparkSession.active
+      plan(graft.extensions.Similarity.ivfPqProbe(
+        graft.extensions.Similarity.loadIvfPqIndex(spark,
+          strArg(fn, exprs(3), "indexDir")),
+        spark.table(strArg(fn, exprs.head, "queryTable")),
+        strArg(fn, exprs(1), "idCol"), strArg(fn, exprs(2), "vecCol"),
+        k = if (exprs.size > 4) intArg(fn, exprs(4), "k") else 10,
+        nprobe = if (exprs.size > 5) intArg(fn, exprs(5), "nprobe") else 4,
+        rerank = if (exprs.size > 6) intArg(fn, exprs(6), "rerank") else 50))
+    },
     // graft_corpus_diff(oldTable, newTable, idCol, textCol) — what a
     // crawl refresh owes downstream, from pure SQL: per-id added /
     // removed / changed / same (two skinny (id, md5) projections, one

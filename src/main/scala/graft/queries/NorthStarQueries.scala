@@ -622,6 +622,8 @@ object NorthStarQueries {
         graft.util.Util.deleteRecursively(new java.io.File(d)))
       savedBm25DirCache.values.forEach(d =>
         graft.util.Util.deleteRecursively(new java.io.File(d)))
+      upsertSinkDirs.forEach(d =>
+        graft.util.Util.deleteRecursively(new java.io.File(d)))
     }))
 
   private def savedIndexDir(s: SparkSession, dir: String): String =
@@ -631,6 +633,22 @@ object NorthStarQueries {
       Dedup.saveCorpusIndex(corpusIndex(s, dir), out)
       out
     })
+
+  /** Upsert sink trees written by `dedup_upsert_fold` — one FRESH tree
+    * per rep because the fold stamps its `_FOLDED_UPSERT` marker into
+    * the consumed tree (a second fold of the same tree refuses by
+    * contract). Registered here so the dedup-cache sweep and the
+    * shutdown hook reclaim them; the trees are O(amended docs), not
+    * corpus-sized. */
+  private val upsertSinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def newUpsertSink(): String = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-upsert-sink").toString
+    upsertSinkDirs.add(out)
+    out
+  }
 
   /** On-disk copy of [[embIndex]] per sf dir — the embedding analog of
     * [[savedIndexDir]], for the `dedup_embedding_incr_saved` cold-start
@@ -705,6 +723,9 @@ object NorthStarQueries {
     savedEmbIndexDirCache.values.forEach(d =>
       graft.util.Util.deleteRecursively(new java.io.File(d)))
     savedEmbIndexDirCache.clear()
+    upsertSinkDirs.forEach(d =>
+      graft.util.Util.deleteRecursively(new java.io.File(d)))
+    upsertSinkDirs.clear()
   }
 
   /** Release the sim_* rows' pinned state (the fitted IVF/PQ/IVF-PQ
@@ -1095,6 +1116,52 @@ object NorthStarQueries {
       Dedup.dedupAgainstCorpus(
         docs(s, dir).filter(col("doc_id") % 5 === 0), refreshed,
         "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // The STREAMING upsert fold oracle-checked end to end: CDC amends
+    // (op = update, both row images) land in a batch-partitioned sink
+    // and `compactUpsertedBatches` applies remove-then-extend as one
+    // offline compaction. Backward-manufactured exactness (the
+    // dedup_refresh_embed method): v_{N-1} is made FROM the shared
+    // fitted index by the INVERSE upsert — retire the amended ids, fold
+    // their planted STALE text in — so the streaming fold's
+    // remove-then-extend lands bitwise back on the shared index's
+    // corpus and the probe shares `dedup_incremental`'s oracle
+    // VERBATIM. The stale text is each amended doc's BATCH PARTNER's
+    // text verbatim (the nearest doc_id multiple of 5 below it — a
+    // probe doc), so a fold that never ran leaves a jaccard-1.0
+    // impostor in the corpus for every partner: the partner wrongly
+    // drops and the hash mismatches loudly (partial-failure modes are
+    // pinned at the postings level in CdcStreamSpec's upsert ≡ rebuild
+    // test). Production pricing: the shared index is the loaded serving
+    // index, so warm reps price TWO incremental version steps (the
+    // backward manufacture + the streaming fold) + the probe — never a
+    // from-scratch fit. The sink is a fresh temp tree per rep (the
+    // fold stamps `_FOLDED_UPSERT` into it; a consumed tree refuses
+    // re-folding by contract), registered for the dedup-cache sweep.
+    "dedup_upsert_fold" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val partners = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("p_id"), col("text").as("p_text"))
+      val amend = d
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 0)
+        .withColumn("p_id", col("doc_id") - (col("doc_id") % 5))
+        .join(partners, Seq("p_id"))
+        .select(col("doc_id"), col("text"), col("p_text"))
+      val oldIdx = Dedup.extendCorpusIndex(
+        Dedup.removeFromCorpusIndex(corpusIndex(s, dir),
+          amend.select(col("doc_id")), "doc_id"),
+        amend.select(col("doc_id"), col("p_text").as("text")),
+        "doc_id", "text")
+      val sink = newUpsertSink()
+      amend.select(col("doc_id"), col("text"),
+          col("p_text").as("old_text"))
+        .write.mode("overwrite").parquet(s"$sink/batch=0")
+      val folded = graft.streaming.CdcStream.compactUpsertedBatches(
+        s, sink, oldIdx, "doc_id", "text")
+      Dedup.dedupAgainstCorpus(
+        d.filter(col("doc_id") % 5 === 0), folded, "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
@@ -3554,6 +3621,9 @@ object NorthStarQueries {
     // remove(build(all), batch-ids) ≡ build(all \ batch) — the probe
     // against the shrunk index shares the from-scratch corpus oracle
     "dedup_incr_index_retract" -> IncrementalDedupSql,
+    // the streaming upsert fold versions BACKWARD from the shared index
+    // and folds forward to land bitwise on it — same keep-set verbatim
+    "dedup_upsert_fold" -> IncrementalDedupSql,
     // probe against the diff-refreshed index ≡ probe against a
     // from-scratch build of the new crawl (recomputed in SQL)
     "dedup_refresh_index" -> DedupRefreshIndexSql,

@@ -453,11 +453,13 @@ object CdcStream {
     * [[compactRetractedEmbeddingBatches]] /
     * [[compactRetractedBm25Batches]]), and the per-batch `batch=<id>`
     * OVERWRITE keeps the sink itself replay-safe. AMENDED rows are not
-    * this leg's job: an update is remove-then-add, which the refresh
+    * this leg's job: an update is remove-then-add — in batch the refresh
     * compositions ([[graft.extensions.CorpusOps.refreshCorpusIndex]]
-    * and siblings) express off a corpus diff — routing an update's new
-    * image through a dedup ingest would let the novelty gate eat it
-    * (it matches its own stale index entry). */
+    * and siblings) express it off a corpus diff, and in streaming
+    * [[startUpsertIngest]] collects both row images for the
+    * `compactUpserted*` folds — routing an update's new image through a
+    * dedup ingest would let the novelty gate eat it (it matches its own
+    * stale index entry). */
   def startRetractIngest(
       changeStream: DataFrame,
       opCol: String, deleteOp: String,
@@ -473,6 +475,106 @@ object CdcStream {
         batch.filter(col(opCol) === deleteOp)
           .select(keepCols.map(col): _*)
           .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
+  /** Streaming UPSERT ingest — the AMENDED-row leg of CDC-driven index
+    * maintenance, the last op class after the accept (insert) and
+    * retract (delete) legs: a CDC update carries BOTH row images by
+    * construction, and an amended document must be remove-then-add in
+    * every append-only index family. The new image deliberately does
+    * NOT go through a dedup ingest's novelty gate — it would match its
+    * own stale index entry and be eaten — so this leg collects each
+    * micro-batch's update ops (both images: `keepCols` names the new
+    * image incl. the id plus whatever old-image columns downstream
+    * retraction needs, e.g. `old_text` for BM25) into a
+    * batch-partitioned sink, per-batch OVERWRITE replay contract, and
+    * the `compactUpserted*` folds apply remove-then-extend offline as
+    * one idempotent compaction step. The batch partition column is the
+    * ORDER the folds need: an id amended twice in one compaction window
+    * must retract what the index actually holds (the EARLIEST old
+    * image) and serve what the source last said (the LATEST new image)
+    * — intermediate images are skipped entirely, exactly as a rebuild
+    * on the final state would. Within one micro-batch the source must
+    * emit at most one update per id (the standard CDC log-reader
+    * contract; pre-compact per key upstream otherwise) — batch order is
+    * the only ordering the sink stores. */
+  def startUpsertIngest(
+      changeStream: DataFrame,
+      opCol: String, updateOp: String,
+      keepCols: Seq[String],
+      sinkDir: String, checkpointDir: String,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L): StreamingQuery =
+    changeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.filter(col(opCol) === updateOp)
+          .select(keepCols.map(col): _*)
+          .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
+  /** ONE stream, ALL THREE CDC op classes — the production maintenance
+    * shape. The single-leg ingests ([[startCorpusDedupIngest]] /
+    * [[startUpsertIngest]] / [[startRetractIngest]]) each run their own
+    * query over the change log; a deployment maintaining a served
+    * corpus wants ONE checkpointed pass per trigger that routes by op:
+    *
+    *  - INSERTS probe the frozen index (the novelty gate) and only
+    *    corpus-novel rows land in `acceptDir` — the
+    *    [[startCorpusDedupIngest]] leg verbatim;
+    *  - UPDATES land BOTH row images in `upsertDir`, bypassing the gate
+    *    (the new image would match its own stale index entry and be
+    *    eaten — the [[startUpsertIngest]] rationale);
+    *  - DELETES land their old row image in `retractDir`.
+    *
+    * The micro-batch is persisted once and feeds all three routes, so
+    * the change log is read ONCE per trigger; the insert leg's index
+    * probe is the only non-narrow work — the update/delete legs are
+    * pure projections. All three sinks share the per-batch `batch=<id>`
+    * OVERWRITE replay contract (each route writes its subdir
+    * unconditionally, even when empty — the replay-reconciliation
+    * argument of the accept legs), and downstream the standard fold
+    * battery consumes them offline: `compactAccepted*` +
+    * `compactUpserted*` + `compactRetracted*`, each under its own
+    * marker. The three op sets are disjoint per id within a window by
+    * CDC construction (a row's last state wins per trigger), so the
+    * folds commute; apply retract/upsert before accept if the same
+    * compaction versions all three. */
+  def startCdcMaintenanceIngest(
+      changeStream: DataFrame,
+      index: graft.extensions.Dedup.CorpusIndex,
+      idCol: String, textCol: String, oldTextCol: String,
+      opCol: String,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      checkpointDir: String,
+      insertOp: String = "insert", updateOp: String = "update",
+      deleteOp: String = "delete",
+      threshold: Double = 0.5,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L): StreamingQuery =
+    changeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.extensions.Dedup.dedupAgainstCorpus(
+            b.filter(col(opCol) === insertOp).drop(opCol, oldTextCol),
+            index, idCol, textCol, threshold = threshold)
+            .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
+          b.filter(col(opCol) === updateOp)
+            .select(col(idCol), col(textCol), col(oldTextCol))
+            .write.mode("overwrite").parquet(s"$upsertDir/batch=$batchId")
+          b.filter(col(opCol) === deleteOp)
+            .select(col(idCol), col(textCol))
+            .write.mode("overwrite").parquet(s"$retractDir/batch=$batchId")
+        } finally { b.unpersist(false); () }
         ()
       }
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
@@ -756,6 +858,48 @@ object CdcStream {
     }
   }
 
+  /** The sign-LSH TOP-K leg of delete-driven maintenance
+    * ([[graft.extensions.Similarity.LshIndex]] — the retrieval index,
+    * vs [[compactRetractedEmbeddingBatches]]'s dedup bucket index): one
+    * streaming anti-join on the banded relation under the DETERMINISTIC
+    * hyperplanes. Same contracts, marker [[LshRetractMarkerName]] —
+    * completing the one vec-delete-sink-feeds-every-vector-family
+    * design for all FIVE vector structures. */
+  def compactRetractedLshBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.LshIndex,
+      idCol: String): graft.extensions.Similarity.LshIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, LshRetractMarkerName) match {
+      case None => index
+      case Some(retired) =>
+        val shrunk = graft.extensions.Similarity.removeFromLshIndex(index,
+          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+        markFolded(spark, sinkDir, LshRetractMarkerName)
+        shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }
+  }
+
+  /** The PQ leg of delete-driven maintenance: one streaming anti-join
+    * on the codes relation under the FROZEN codebooks. Same contracts,
+    * marker [[PqRetractMarkerName]]. */
+  def compactRetractedPqBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.PqIndex,
+      idCol: String): graft.extensions.Similarity.PqIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, PqRetractMarkerName) match {
+      case None => index
+      case Some(retired) =>
+        val shrunk = graft.extensions.Similarity.removeFromPqIndex(index,
+          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+        markFolded(spark, sinkDir, PqRetractMarkerName)
+        shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }
+  }
+
   /** The BM25 retraction fold: subtract the retired docs' contributions
     * from the search statistics as one version bump via
     * [[graft.extensions.Search.retractBm25Stats]] — this is the family
@@ -789,6 +933,210 @@ object CdcStream {
     }
   }
 
+  /** Apply an upsert sink ([[startUpsertIngest]]) to the corpus index:
+    * remove-then-extend as one compaction — retire every amended id
+    * (the index's stored shingles reconstruct its grams), then fold the
+    * LATEST new image back in, so an id amended N times in the window
+    * lands exactly where a rebuild on the final corpus state would put
+    * it. Both halves carry their build-equivalence
+    * ([[graft.extensions.Dedup.removeFromCorpusIndex]] /
+    * [[graft.extensions.Dedup.extendCorpusIndex]]), so
+    * upsert ≡ rebuild on the amended corpus at the postings/dictionary/
+    * doc-stats level (spec-pinned). Contract: the fold maintains a
+    * MIRROR of the source table — an amended id not currently in the
+    * index (e.g. novelty-gated out at ingest) is simply ADDED (the
+    * remove is an anti-join no-op); a deployment that wants gated-out
+    * docs to stay out must anti-join the sink against its keep-set
+    * before compacting. Same contracts as every fold: stale-handle
+    * guard, empty tree no-op, the family's own marker
+    * ([[UpsertMarkerName]]) refusing a double-run. The version bumps
+    * TWICE (remove, then extend) — lineage carries through both. */
+  def compactUpsertedBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Dedup.CorpusIndex,
+      idCol: String, textCol: String): graft.extensions.Dedup.CorpusIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, UpsertMarkerName, keepBatch = true) match {
+      case None => index
+      case Some(tree) =>
+        val latest = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
+        val bumped = graft.extensions.Dedup.extendCorpusIndex(
+          graft.extensions.Dedup.removeFromCorpusIndex(index,
+            latest.select(col(idCol)), idCol),
+          latest, idCol, textCol)
+        markFolded(spark, sinkDir, UpsertMarkerName)
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
+  /** The sign-LSH embedding analog of [[compactUpsertedBatches]]:
+    * amended vectors retire and their latest images re-bucket under the
+    * DETERMINISTIC hyperplanes — upsert ≡ rebuild on the amended vector
+    * set. Same contracts end to end; marker [[EmbUpsertMarkerName]]. */
+  def compactUpsertedEmbeddingBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Dedup.EmbeddingIndex,
+      idCol: String, vecCol: String): graft.extensions.Dedup.EmbeddingIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, EmbUpsertMarkerName, keepBatch = true) match {
+      case None => index
+      case Some(tree) =>
+        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+        val bumped = graft.extensions.Dedup.extendEmbeddingIndex(
+          graft.extensions.Dedup.removeFromEmbeddingIndex(index,
+            latest.select(col(idCol)), idCol),
+          latest, idCol, vecCol)
+        markFolded(spark, sinkDir, EmbUpsertMarkerName)
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
+  /** The IVF analog: amended vectors re-assign to the FROZEN centroids,
+    * so every saved cell partition stays valid and
+    * upsert ≡ assignToCells on the amended vector set. Marker
+    * [[IvfUpsertMarkerName]] — one vec-upsert sink can feed the
+    * embedding, IVF and IVF-PQ folds independently, the retract side's
+    * shared-tree design. */
+  def compactUpsertedIvfBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.IvfIndex,
+      idCol: String, vecCol: String): graft.extensions.Similarity.IvfIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, IvfUpsertMarkerName, keepBatch = true) match {
+      case None => index
+      case Some(tree) =>
+        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+        val bumped = graft.extensions.Similarity.extendIvfIndex(
+          graft.extensions.Similarity.removeFromIvfIndex(index,
+            latest.select(col(idCol)), idCol),
+          latest, idCol, vecCol)
+        markFolded(spark, sinkDir, IvfUpsertMarkerName)
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
+  /** The IVF-PQ (IVFADC) analog: amended vectors re-encode under the
+    * FROZEN cells and FROZEN codebooks, codes and rerank vectors
+    * mutating in lockstep (the split-tree invariant). Marker
+    * [[IvfPqUpsertMarkerName]]. */
+  def compactUpsertedIvfPqBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.IvfPqIndex,
+      idCol: String, vecCol: String): graft.extensions.Similarity.IvfPqIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, IvfPqUpsertMarkerName, keepBatch = true) match {
+      case None => index
+      case Some(tree) =>
+        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+        val bumped = graft.extensions.Similarity.extendIvfPqIndex(
+          graft.extensions.Similarity.removeFromIvfPqIndex(index,
+            latest.select(col(idCol)), idCol),
+          latest, idCol, vecCol)
+        markFolded(spark, sinkDir, IvfPqUpsertMarkerName)
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
+  /** The sign-LSH TOP-K analog of the upsert folds: amended vectors
+    * re-band under the DETERMINISTIC hyperplanes. Marker
+    * [[LshUpsertMarkerName]]. */
+  def compactUpsertedLshBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.LshIndex,
+      idCol: String, vecCol: String): graft.extensions.Similarity.LshIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, LshUpsertMarkerName, keepBatch = true) match {
+      case None => index
+      case Some(tree) =>
+        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+        val bumped = graft.extensions.Similarity.extendLshIndex(
+          graft.extensions.Similarity.removeFromLshIndex(index,
+            latest.select(col(idCol)), idCol),
+          latest, idCol, vecCol)
+        markFolded(spark, sinkDir, LshUpsertMarkerName)
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
+  /** The PQ analog of the upsert folds: amended vectors re-encode under
+    * the FROZEN codebooks. Marker [[PqUpsertMarkerName]]. */
+  def compactUpsertedPqBatches(
+      spark: SparkSession, sinkDir: String,
+      index: graft.extensions.Similarity.PqIndex,
+      idCol: String, vecCol: String): graft.extensions.Similarity.PqIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, PqUpsertMarkerName, keepBatch = true) match {
+      case None => index
+      case Some(tree) =>
+        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+        val bumped = graft.extensions.Similarity.extendPqIndex(
+          graft.extensions.Similarity.removeFromPqIndex(index,
+            latest.select(col(idCol)), idCol),
+          latest, idCol, vecCol)
+        markFolded(spark, sinkDir, PqUpsertMarkerName)
+        bumped.copy(folded = bumped.folded :+ sinkDir)
+    }
+  }
+
+  /** The BM25 upsert fold — the family where image ORDER is
+    * load-bearing twice over. Retraction must subtract what the stats
+    * actually hold: the EARLIEST old image in the window (`oldTextCol`,
+    * the old row image a CDC update carries by construction); extension
+    * must add what the source last said: the LATEST new image
+    * (`textCol`). An id amended twice therefore retracts its original
+    * text once and folds its final text once — intermediate images
+    * never touch the stats, exactly as a refit on the final corpus
+    * would behave (`upsert ≡ refit`, spec-pinned). And because the
+    * subtraction is integer arithmetic, not an anti-join, the
+    * [[Bm25UpsertMarkerName]] refusal is correctness, not audit: a
+    * double-fold would retract text the stats no longer contain.
+    * Contract: every amended id must be IN the stats (the mirror
+    * contract of [[graft.extensions.Search.retractBm25Stats]]) —
+    * retracting an unknown id's old image corrupts df counts silently.
+    * `saveTo` applies the durable-then-mark ordering of
+    * [[compactAcceptedBm25Batches]]. */
+  def compactUpsertedBm25Batches(
+      spark: SparkSession, sinkDir: String,
+      stats: graft.extensions.Search.Bm25Stats,
+      idCol: String, textCol: String, oldTextCol: String,
+      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats = {
+    stats.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, stats.version, "compaction"))
+    consumeSinkTree(spark, sinkDir, Bm25UpsertMarkerName, keepBatch = true) match {
+      case None => stats
+      case Some(tree) =>
+        val first = imagePerId(tree, idCol, Seq(idCol, oldTextCol), earliest = true)
+        val last = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
+        val bumped = graft.extensions.Search.extendBm25Stats(
+            graft.extensions.Search.retractBm25Stats(stats, first, idCol, oldTextCol),
+            last, idCol, textCol)
+          .copy(folded = stats.folded :+ sinkDir)
+        val durable = saveTo.map(bumped.save).getOrElse(bumped)
+        markFolded(spark, sinkDir, Bm25UpsertMarkerName)
+        durable
+    }
+  }
+
+  /** One row per id from an upsert sink tree: the image from the id's
+    * FIRST (`earliest`) or LAST batch in the compaction window — batch
+    * order is the only ordering the sink stores
+    * ([[startUpsertIngest]]'s one-update-per-id-per-batch contract).
+    * One row_number over the skinny O(updates-in-window) tree. */
+  private def imagePerId(tree: DataFrame, idCol: String, cols: Seq[String],
+                         earliest: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(if (earliest) col("batch").asc else col("batch").desc)
+    tree.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
+  }
+
   /** Marker a successful compaction writes at the root of every tree it
     * consumed; its presence makes a double-fold unrepresentable. */
   val FoldedMarkerName = "_FOLDED"
@@ -805,7 +1153,21 @@ object CdcStream {
   val EmbRetractMarkerName = "_FOLDED_RETRACT_EMB"
   val IvfRetractMarkerName = "_FOLDED_RETRACT_IVF"
   val IvfPqRetractMarkerName = "_FOLDED_RETRACT_IVFPQ"
+  val LshRetractMarkerName = "_FOLDED_RETRACT_LSH"
+  val PqRetractMarkerName = "_FOLDED_RETRACT_PQ"
   val Bm25RetractMarkerName = "_FOLDED_RETRACT_BM25"
+
+  /** The upsert folds' markers — per family, same design as the retract
+    * side: one doc-upsert sink can feed the text-gram and BM25 folds,
+    * one vec-upsert sink all five vector folds, each refusing only its
+    * own double-run. */
+  val UpsertMarkerName = "_FOLDED_UPSERT"
+  val EmbUpsertMarkerName = "_FOLDED_UPSERT_EMB"
+  val IvfUpsertMarkerName = "_FOLDED_UPSERT_IVF"
+  val IvfPqUpsertMarkerName = "_FOLDED_UPSERT_IVFPQ"
+  val LshUpsertMarkerName = "_FOLDED_UPSERT_LSH"
+  val PqUpsertMarkerName = "_FOLDED_UPSERT_PQ"
+  val Bm25UpsertMarkerName = "_FOLDED_UPSERT_BM25"
 
   /** The search-stats fold's own marker — distinct from
     * [[FoldedMarkerName]] so the dedup-index compaction and the BM25
@@ -819,7 +1181,11 @@ object CdcStream {
     * with no committed batch rows, turning a compaction that races an
     * idle ingest into a no-op instead of a schema-inference error. */
   private def consumeSinkTree(spark: SparkSession, sinkDir: String,
-                              marker: String = FoldedMarkerName): Option[DataFrame] = {
+                              marker: String = FoldedMarkerName,
+                              /** the upsert folds order images by the
+                                * batch partition column; everyone else
+                                * drops it */
+                              keepBatch: Boolean = false): Option[DataFrame] = {
     val root = new HPath(sinkDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(new HPath(root, marker)),
@@ -831,7 +1197,10 @@ object CdcStream {
       Option(fs.globStatus(new HPath(root, "batch=*/part-*")))
         .exists(_.nonEmpty)
     if (!hasRows) None
-    else Some(spark.read.parquet(sinkDir).drop("batch"))
+    else {
+      val df = spark.read.parquet(sinkDir)
+      Some(if (keepBatch) df else df.drop("batch"))
+    }
   }
 
   private def markFolded(spark: SparkSession, dir: String,

@@ -117,6 +117,36 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "TVF ANN retrieval must be bit-identical to the API probe")
   }
 
+  test("graft_annpq_topk TVF: compressed-index (IVFADC) retrieval " +
+    "against a saved IVF-PQ tree through pure SQL == the API probe, " +
+    "direct AND residual encodings") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") % 20 === 0)
+    queries.createOrReplaceTempView("g_pq_queries")
+    for (residual <- Seq(false, true)) {
+      val indexDir = TestSpark.tmpDir(s"graft-sql-ivfpq-$residual")
+      graft.extensions.Similarity.ivfPqFit(e, "vec_id", "embedding",
+        nlist = 4, m = 8, ksub = 16, residual = residual).save(indexDir)
+      // the encoding flag travels in the tree's meta — the TVF call is
+      // identical for both
+      val viaSql = spark.sql(
+        s"""SELECT query_id, neighbor_id, rank
+           |FROM graft_annpq_topk('g_pq_queries', 'vec_id', 'embedding',
+           |  '$indexDir', 10, 2, 50)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaApi = graft.extensions.Similarity.ivfPqProbe(
+        graft.extensions.Similarity.loadIvfPqIndex(spark, indexDir),
+        queries, "vec_id", "embedding", k = 10, nprobe = 2, rerank = 50)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaSql === viaApi,
+        s"TVF IVFADC retrieval (residual=$residual) must be " +
+          "bit-identical to the API probe")
+    }
+  }
+
   test("graft_corpus_diff / graft_vector_diff TVFs == the API diff, " +
     "statuses per id from pure SQL") {
     import org.apache.spark.sql.functions.{col, concat, lit, transform, when}

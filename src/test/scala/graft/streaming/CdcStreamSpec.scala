@@ -974,6 +974,290 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(rows(shrunkPq.codes) === rows(rebuilt.codes))
     assert(rows(shrunkPq.vectors) === rows(rebuilt.vectors))
     assert(new java.io.File(sink, CdcStream.IvfPqRetractMarkerName).exists())
+
+    // ...and the LSH top-k and plain-PQ folds (fourth and fifth
+    // consumers): every vector family retires off ONE delete tree
+    val lshIdx = Similarity.lshFit(vecs, "vec_id", "embedding",
+      planes = 12, bands = 4)
+    val shrunkLsh = CdcStream.compactRetractedLshBatches(
+      spark, sink, lshIdx, "vec_id")
+    val scratchLsh = Similarity.lshFit(survivors, "vec_id", "embedding",
+      planes = 12, bands = 4)
+    assert(rows(shrunkLsh.banded) === rows(scratchLsh.banded))
+    assert(new java.io.File(sink, CdcStream.LshRetractMarkerName).exists())
+
+    val pqIdx = Similarity.pqFit(vecs, "vec_id", "embedding", m = 8, ksub = 16)
+    val shrunkPlainPq = CdcStream.compactRetractedPqBatches(
+      spark, sink, pqIdx, "vec_id")
+    val rebuiltPq = Similarity.extendPqIndex(
+      pqIdx.copy(codes = pqIdx.codes.limit(0)),
+      survivors, "vec_id", "embedding")
+    assert(rows(shrunkPlainPq.codes) === rows(rebuiltPq.codes))
+    assert(new java.io.File(sink, CdcStream.PqRetractMarkerName).exists())
+  }
+
+  test("startUpsertIngest + compactUpserted*: CDC updates amend the " +
+    "text-gram index and the BM25 stats off ONE sink; upsert == rebuild " +
+    "on the amended corpus; earliest-old/latest-new image order; " +
+    "per-family markers; double-fold refuses") {
+    import graft.extensions.{Dedup, Search}
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    // the change stream: every 5th doc arrives AMENDED — a CDC update
+    // with both row images — the rest as inserts this leg ignores
+    val src = TestSpark.tmpDir("graft-upsert-src")
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" amended v2"))).otherwise(col("text"))
+          .as("text"),
+        col("text").as("old_text"),
+        when(col("doc_id") % 5 === 0, "update").otherwise("insert").as("op"))
+      .write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-upsert-sink")
+    val index = Dedup.buildCorpusIndex(docs, "doc_id", "text").persist()
+    val stats = Search.bm25Fit(docs, "doc_id", "text")
+    try {
+      val q = CdcStream.startUpsertIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        "op", "update", Seq("doc_id", "text", "old_text"),
+        sink, TestSpark.tmpDir("graft-upsert-ckpt"))
+      q.awaitTermination()
+
+      // the sink holds exactly the updates' rows, both images
+      val tree = spark.read.parquet(sink)
+      val amendedIds = tree.select("doc_id").as[Long].collect().toSet
+      assert(amendedIds.nonEmpty && amendedIds.forall(_ % 5 == 0))
+
+      // a LATER batch amends one id AGAIN (old = its v2 text, new =
+      // final): the folds must retract what the index holds (the
+      // ORIGINAL text — earliest old image) and serve what the source
+      // last said (the final text — latest new image); the v2
+      // intermediate must never touch either structure
+      val aid = amendedIds.min
+      val v2Text = tree.filter(col("doc_id") === aid)
+        .select("text").as[String].head()
+      Seq((aid, "the final text of the twice amended document", v2Text))
+        .toDF("doc_id", "text", "old_text")
+        .write.mode("overwrite").parquet(s"$sink/batch=9999")
+
+      val amended = docs.select(col("doc_id"),
+        when(col("doc_id") === aid,
+            lit("the final text of the twice amended document"))
+          .when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" amended v2")))
+          .otherwise(col("text")).as("text"))
+
+      // text-gram: upsert == from-scratch build on the amended corpus
+      val folded = CdcStream.compactUpsertedBatches(
+        spark, sink, index, "doc_id", "text")
+      val scratch = Dedup.buildCorpusIndex(amended, "doc_id", "text")
+      def postingSet(ix: Dedup.CorpusIndex) =
+        ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+      assert(postingSet(folded) == postingSet(scratch))
+      // remove-then-extend bumps twice; the fold lands in the lineage
+      assert(folded.version === index.version + 2)
+      assert(folded.folded.contains(sink))
+
+      // its marker is down; a second text-gram fold refuses loudly...
+      assert(new java.io.File(sink, CdcStream.UpsertMarkerName).exists())
+      val err = intercept[IllegalArgumentException] {
+        CdcStream.compactUpsertedBatches(spark, sink, index, "doc_id", "text")
+      }
+      assert(err.getMessage.contains("already compacted"))
+
+      // ...but the BM25 fold of the SAME tree still runs (its own
+      // marker) and upsert == refit on the amended corpus — retracting
+      // the ORIGINAL old image (a latest-old bug would subtract v2 text
+      // the stats never held) and folding the FINAL new image (an
+      // earliest-new bug would serve v2)
+      assert(!new java.io.File(sink, CdcStream.Bm25UpsertMarkerName).exists())
+      val foldedStats = CdcStream.compactUpsertedBm25Batches(
+        spark, sink, stats, "doc_id", "text", "old_text")
+      val refit = Search.bm25Fit(amended, "doc_id", "text")
+      assert(foldedStats.nDocs === refit.nDocs &&
+        foldedStats.sumDl === refit.sumDl)
+      def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+      assert(dfMap(foldedStats) === dfMap(refit))
+      assert(new java.io.File(sink, CdcStream.Bm25UpsertMarkerName).exists())
+      val err2 = intercept[IllegalArgumentException] {
+        CdcStream.compactUpsertedBm25Batches(
+          spark, sink, stats, "doc_id", "text", "old_text")
+      }
+      assert(err2.getMessage.contains("already compacted"))
+
+      // an empty tree is a no-op for the upsert folds too
+      val idle = TestSpark.tmpDir("graft-upsert-idle")
+      assert(CdcStream.compactUpsertedBatches(
+        spark, idle, index, "doc_id", "text") eq index)
+      assert(!new java.io.File(idle, CdcStream.UpsertMarkerName).exists())
+    } finally index.unpersist()
+  }
+
+  test("compactUpsertedEmbeddingBatches / IvfBatches / IvfPqBatches: " +
+    "vector amendments re-bucket/re-assign/re-encode under frozen " +
+    "quantizers off ONE sink; upsert == rebuild on the amended vectors") {
+    import graft.extensions.Dedup
+    import graft.extensions.Similarity
+    val vecs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    // every 4th vector arrives amended (negated — flips every sign-LSH
+    // bit and moves the cell assignment, so a stale survivor is loud)
+    val negated = transform(col("embedding"),
+      x => (x * lit(-1.0f)).cast("float"))
+    val src = TestSpark.tmpDir("graft-vupsert-src")
+    vecs.select(col("vec_id"),
+        when(col("vec_id") % 4 === 0, negated).otherwise(col("embedding"))
+          .as("embedding"),
+        when(col("vec_id") % 4 === 0, "update").otherwise("insert").as("op"))
+      .write.mode("overwrite").parquet(src)
+    val sink = TestSpark.tmpDir("graft-vupsert-sink")
+    val embIdx = Dedup.buildEmbeddingIndex(vecs, "vec_id", "embedding",
+      planes = 12, bands = 8)
+    val ivfIdx = Similarity.ivfFit(vecs, "vec_id", "embedding", nlist = 8)
+    val q = CdcStream.startUpsertIngest(
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+      "op", "update", Seq("vec_id", "embedding"),
+      sink, TestSpark.tmpDir("graft-vupsert-ckpt"))
+    q.awaitTermination()
+
+    val amendedVecs = vecs.select(col("vec_id"),
+      when(col("vec_id") % 4 === 0, negated).otherwise(col("embedding"))
+        .as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toSeq
+        case x => x
+      }).toSet
+
+    // sign-LSH: deterministic hyperplanes, so upsert == scratch build
+    val foldedEmb = CdcStream.compactUpsertedEmbeddingBatches(
+      spark, sink, embIdx, "vec_id", "embedding")
+    val scratchEmb = Dedup.buildEmbeddingIndex(amendedVecs, "vec_id",
+      "embedding", planes = 12, bands = 8)
+    assert(rows(foldedEmb.buckets) === rows(scratchEmb.buckets))
+    assert(rows(foldedEmb.vectors) === rows(scratchEmb.vectors))
+
+    // the IVF fold of the SAME vec-upsert tree runs under its own
+    // marker: amended vectors re-assign to the FROZEN centroids
+    assert(new java.io.File(sink, CdcStream.EmbUpsertMarkerName).exists())
+    val foldedIvf = CdcStream.compactUpsertedIvfBatches(
+      spark, sink, ivfIdx, "vec_id", "embedding")
+    val expected = Similarity.assignToCells(amendedVecs, ivfIdx.centers,
+      "vec_id", "embedding")
+    assert(rows(foldedIvf.assigned) === rows(expected))
+    assert(new java.io.File(sink, CdcStream.IvfUpsertMarkerName).exists())
+
+    // ...and the IVF-PQ fold (third consumer of one tree): codes and
+    // rerank vectors amend in lockstep, equal to a frozen-quantizer
+    // re-encode of the amended set
+    val ivfPqIdx = Similarity.ivfPqFit(vecs, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16)
+    val foldedPq = CdcStream.compactUpsertedIvfPqBatches(
+      spark, sink, ivfPqIdx, "vec_id", "embedding")
+    val rebuilt = Similarity.extendIvfPqIndex(
+      ivfPqIdx.copy(codes = ivfPqIdx.codes.limit(0),
+        vectors = ivfPqIdx.vectors.limit(0)),
+      amendedVecs, "vec_id", "embedding")
+    assert(rows(foldedPq.codes) === rows(rebuilt.codes))
+    assert(rows(foldedPq.vectors) === rows(rebuilt.vectors))
+    assert(new java.io.File(sink, CdcStream.IvfPqUpsertMarkerName).exists())
+
+    // ...and the LSH top-k and plain-PQ upsert folds (fourth and fifth
+    // consumers of the same vec-upsert tree)
+    val lshIdx = Similarity.lshFit(vecs, "vec_id", "embedding",
+      planes = 12, bands = 4)
+    val foldedLsh = CdcStream.compactUpsertedLshBatches(
+      spark, sink, lshIdx, "vec_id", "embedding")
+    val scratchLsh = Similarity.lshFit(amendedVecs, "vec_id", "embedding",
+      planes = 12, bands = 4)
+    assert(rows(foldedLsh.banded) === rows(scratchLsh.banded))
+    assert(new java.io.File(sink, CdcStream.LshUpsertMarkerName).exists())
+
+    val pqIdx = Similarity.pqFit(vecs, "vec_id", "embedding", m = 8, ksub = 16)
+    val foldedPlainPq = CdcStream.compactUpsertedPqBatches(
+      spark, sink, pqIdx, "vec_id", "embedding")
+    val rebuiltPq = Similarity.extendPqIndex(
+      pqIdx.copy(codes = pqIdx.codes.limit(0)),
+      amendedVecs, "vec_id", "embedding")
+    assert(rows(foldedPlainPq.codes) === rows(rebuiltPq.codes))
+    assert(new java.io.File(sink, CdcStream.PqUpsertMarkerName).exists())
+  }
+
+  test("startCdcMaintenanceIngest: ONE stream routes inserts (novelty " +
+    "gate) / updates (both images) / deletes into three sinks; the fold " +
+    "battery then versions the index to exactly a rebuild on the final " +
+    "corpus state") {
+    import graft.extensions.Dedup
+    val d = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus0 = d.filter(col("doc_id") < 200)
+    // the change log: new docs arrive as inserts, every 5th served doc
+    // leaves (delete, old image in the row), every 7th surviving doc is
+    // amended (update, both images); unchanged docs are NOT in the log
+    val inserts = d.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .select(col("doc_id"), col("text"),
+        lit(null).cast("string").as("old_text"), lit("insert").as("op"))
+    val deletes = corpus0.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"),
+        lit(null).cast("string").as("old_text"), lit("delete").as("op"))
+    val updates = corpus0
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" maintained v2")).as("text"),
+        col("text").as("old_text"), lit("update").as("op"))
+    val src = TestSpark.tmpDir("graft-maint-src")
+    inserts.unionByName(deletes).unionByName(updates)
+      .write.mode("overwrite").parquet(src)
+
+    val acceptDir = TestSpark.tmpDir("graft-maint-accept")
+    val upsertDir = TestSpark.tmpDir("graft-maint-upsert")
+    val retractDir = TestSpark.tmpDir("graft-maint-retract")
+    val index0 = Dedup.buildCorpusIndex(corpus0, "doc_id", "text").persist()
+    try {
+      val q = CdcStream.startCdcMaintenanceIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        index0, "doc_id", "text", "old_text", "op",
+        acceptDir, upsertDir, retractDir,
+        TestSpark.tmpDir("graft-maint-ckpt"))
+      q.awaitTermination()
+
+      // routing: each sink holds exactly its op class
+      val accepted = spark.read.parquet(acceptDir).drop("batch")
+      val expectedNovel = Dedup.dedupAgainstCorpus(
+        inserts.select(col("doc_id"), col("text")), index0, "doc_id", "text")
+      assert(accepted.select("doc_id").as[Long].collect().toSet ===
+        expectedNovel.select("doc_id").as[Long].collect().toSet)
+      val upserted = spark.read.parquet(upsertDir).drop("batch")
+      assert(upserted.count() === updates.count())
+      assert(upserted.columns.toSet === Set("doc_id", "text", "old_text"))
+      val retired = spark.read.parquet(retractDir).drop("batch")
+      assert(retired.select("doc_id").as[Long].collect().toSet ===
+        deletes.select("doc_id").as[Long].collect().toSet)
+
+      // the full maintenance loop: retract, upsert, then accept folds —
+      // disjoint id sets, one version chain — must land exactly on a
+      // from-scratch build of the final corpus state
+      val idx1 = CdcStream.compactRetractedBatches(
+        spark, retractDir, index0, "doc_id")
+      val idx2 = CdcStream.compactUpsertedBatches(
+        spark, upsertDir, idx1, "doc_id", "text")
+      val idx3 = CdcStream.compactAcceptedBatches(
+        spark, acceptDir, idx2, "doc_id", "text")
+
+      val finalCorpus = corpus0.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" maintained v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(accepted.select(col("doc_id"), col("text")))
+      val scratch = Dedup.buildCorpusIndex(finalCorpus, "doc_id", "text")
+      def postingSet(ix: Dedup.CorpusIndex) =
+        ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+      assert(postingSet(idx3) === postingSet(scratch))
+      assert(idx3.version === index0.version + 4) // retract + (remove,extend) + accept
+      assert(idx3.folded === Seq(retractDir, upsertDir, acceptDir))
+    } finally index0.unpersist()
   }
 
   test("mapGroupsWithState user sessions accumulate per key") {
