@@ -338,6 +338,52 @@ object CdcStream {
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
       .start()
 
+  /** The VECTOR analog of [[startCdcMaintenanceIngest]]: one
+    * checkpointed pass per trigger routes an embedding change log's
+    * three op classes — inserts probe the frozen sign-LSH bucket index
+    * (the novelty gate, [[startEmbeddingDedupIngest]]'s leg) into
+    * `acceptDir`; updates land their id + new vector in `upsertDir`
+    * (no old image needed: every vector family retracts by id alone);
+    * deletes land their id in `retractDir`. Downstream, the SAME
+    * sinks feed every vector family's folds independently
+    * (per-family markers): `compactAccepted/Upserted/Retracted
+    * {Embedding,Ivf,IvfPq,Lsh,Pq}Batches`. Micro-batch persisted once,
+    * change log read once; the gate probe is the only non-narrow
+    * work. */
+  def startVecMaintenanceIngest(
+      changeStream: DataFrame,
+      index: graft.extensions.Dedup.EmbeddingIndex,
+      idCol: String, vecCol: String,
+      opCol: String,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      checkpointDir: String,
+      insertOp: String = "insert", updateOp: String = "update",
+      deleteOp: String = "delete",
+      threshold: Double = 0.95,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L): StreamingQuery =
+    changeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.extensions.Dedup.dedupEmbeddingsAgainstCorpus(
+            b.filter(col(opCol) === insertOp).drop(opCol),
+            index, idCol, vecCol, threshold = threshold)
+            .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
+          b.filter(col(opCol) === updateOp)
+            .select(col(idCol), col(vecCol))
+            .write.mode("overwrite").parquet(s"$upsertDir/batch=$batchId")
+          b.filter(col(opCol) === deleteOp)
+            .select(col(idCol))
+            .write.mode("overwrite").parquet(s"$retractDir/batch=$batchId")
+        } finally { b.unpersist(false); () }
+        ()
+      }
+      .trigger(batchTrigger(availableNow, batchPeriodSecs))
+      .start()
+
   /** Streaming EMBEDDING dedup ingest — the embedding analog of
     * [[startCorpusDedupIngest]], same contract end to end: each
     * micro-batch probes the sign-LSH bucket index via

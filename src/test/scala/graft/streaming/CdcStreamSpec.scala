@@ -1184,6 +1184,63 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(new java.io.File(sink, CdcStream.PqUpsertMarkerName).exists())
   }
 
+  test("startVecMaintenanceIngest: one vector stream routes all three " +
+    "op classes; the embedding fold chain lands exactly on a rebuild " +
+    "of the final vector state") {
+    import graft.extensions.Dedup
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus0 = e.filter(col("vec_id") < 300)
+    val negated = transform(col("embedding"),
+      x => (x * lit(-1.0f)).cast("float"))
+    val inserts = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .select(col("vec_id"), col("embedding"), lit("insert").as("op"))
+    val deletes = corpus0.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"), lit("delete").as("op"))
+    val updates = corpus0
+      .filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 7 === 0)
+      .select(col("vec_id"), negated.as("embedding"), lit("update").as("op"))
+    val src = TestSpark.tmpDir("graft-vmaint-src")
+    inserts.unionByName(deletes).unionByName(updates)
+      .write.mode("overwrite").parquet(src)
+
+    val acceptDir = TestSpark.tmpDir("graft-vmaint-accept")
+    val upsertDir = TestSpark.tmpDir("graft-vmaint-upsert")
+    val retractDir = TestSpark.tmpDir("graft-vmaint-retract")
+    val index0 = Dedup.buildEmbeddingIndex(corpus0, "vec_id", "embedding",
+      planes = 12, bands = 8)
+    val q = CdcStream.startVecMaintenanceIngest(
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+      index0, "vec_id", "embedding", "op",
+      acceptDir, upsertDir, retractDir,
+      TestSpark.tmpDir("graft-vmaint-ckpt"))
+    q.awaitTermination()
+
+    val accepted = spark.read.parquet(acceptDir).drop("batch")
+    val idx1 = CdcStream.compactRetractedEmbeddingBatches(
+      spark, retractDir, index0, "vec_id")
+    val idx2 = CdcStream.compactUpsertedEmbeddingBatches(
+      spark, upsertDir, idx1, "vec_id", "embedding")
+    val idx3 = CdcStream.compactAcceptedEmbeddingBatches(
+      spark, acceptDir, idx2, "vec_id", "embedding")
+
+    val finalVecs = corpus0.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 0, negated).otherwise(col("embedding"))
+          .as("embedding"))
+      .unionByName(accepted.select(col("vec_id"), col("embedding")))
+    val scratch = Dedup.buildEmbeddingIndex(finalVecs, "vec_id", "embedding",
+      planes = 12, bands = 8)
+    def rows2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toSeq
+        case x => x
+      }).toSet
+    assert(rows2(idx3.buckets) === rows2(scratch.buckets))
+    assert(rows2(idx3.vectors) === rows2(scratch.vectors))
+    assert(idx3.folded === Seq(retractDir, upsertDir, acceptDir))
+  }
+
   test("startCdcMaintenanceIngest: ONE stream routes inserts (novelty " +
     "gate) / updates (both images) / deletes into three sinks; the fold " +
     "battery then versions the index to exactly a rebuild on the final " +
