@@ -217,6 +217,37 @@ object GraftSqlExtensions {
         nprobe = if (exprs.size > 5) intArg(fn, exprs(5), "nprobe") else 4,
         rerank = if (exprs.size > 6) intArg(fn, exprs(6), "rerank") else 50))
     },
+    // graft_lsh_topk(queryTable, idCol, vecCol, indexDir[, k]) — the
+    // banded-candidate sibling: sign-LSH top-k against a saved LshIndex
+    // tree (only bucket-sharing candidates are scored; the probe side
+    // broadcasts). With graft_ann_topk / graft_annpq_topk / graft_pq_topk
+    // this completes saved-tree SQL retrieval for every ANN family.
+    "graft_lsh_topk" -> { exprs: Seq[Expression] =>
+      val fn = "graft_lsh_topk"
+      arity(fn, exprs, 4, 5)
+      val spark = SparkSession.active
+      plan(graft.extensions.Similarity.lshProbe(
+        graft.extensions.Similarity.loadLshIndex(spark,
+          strArg(fn, exprs(3), "indexDir")),
+        spark.table(strArg(fn, exprs.head, "queryTable")),
+        strArg(fn, exprs(1), "idCol"), strArg(fn, exprs(2), "vecCol"),
+        k = if (exprs.size > 4) intArg(fn, exprs(4), "k") else 10))
+    },
+    // graft_pq_topk(queryTable, idCol, vecCol, indexDir[, k, rerank]) —
+    // whole-corpus ADC scan against a saved PqIndex tree (codes-only
+    // compressed scan + exact re-rank of the top `rerank`)
+    "graft_pq_topk" -> { exprs: Seq[Expression] =>
+      val fn = "graft_pq_topk"
+      arity(fn, exprs, 4, 5, 6)
+      val spark = SparkSession.active
+      plan(graft.extensions.Similarity.pqProbe(
+        graft.extensions.Similarity.loadPqIndex(spark,
+          strArg(fn, exprs(3), "indexDir")),
+        spark.table(strArg(fn, exprs.head, "queryTable")),
+        strArg(fn, exprs(1), "idCol"), strArg(fn, exprs(2), "vecCol"),
+        k = if (exprs.size > 4) intArg(fn, exprs(4), "k") else 10,
+        rerank = if (exprs.size > 5) intArg(fn, exprs(5), "rerank") else 50))
+    },
     // graft_corpus_diff(oldTable, newTable, idCol, textCol) — what a
     // crawl refresh owes downstream, from pure SQL: per-id added /
     // removed / changed / same (two skinny (id, md5) projections, one

@@ -147,6 +147,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_lsh_topk / graft_pq_topk TVFs: the remaining ANN families " +
+    "retrieve against saved trees through pure SQL == the API probes") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") % 20 === 0)
+    queries.createOrReplaceTempView("g_ann_queries")
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val lshDir = TestSpark.tmpDir("graft-sql-lsh")
+    graft.extensions.Similarity
+      .lshFit(e, "vec_id", "embedding", planes = 12, bands = 4).save(lshDir)
+    val lshSql = triples(spark.sql(
+      s"""SELECT * FROM graft_lsh_topk('g_ann_queries', 'vec_id',
+         |  'embedding', '$lshDir', 10)""".stripMargin))
+    val lshApi = triples(graft.extensions.Similarity.lshProbe(
+      graft.extensions.Similarity.loadLshIndex(spark, lshDir),
+      queries, "vec_id", "embedding", k = 10))
+    assert(lshSql === lshApi)
+
+    val pqDir = TestSpark.tmpDir("graft-sql-pq")
+    graft.extensions.Similarity
+      .pqFit(e, "vec_id", "embedding", m = 8, ksub = 16).save(pqDir)
+    val pqSql = triples(spark.sql(
+      s"""SELECT * FROM graft_pq_topk('g_ann_queries', 'vec_id',
+         |  'embedding', '$pqDir', 10, 50)""".stripMargin))
+    val pqApi = triples(graft.extensions.Similarity.pqProbe(
+      graft.extensions.Similarity.loadPqIndex(spark, pqDir),
+      queries, "vec_id", "embedding", k = 10, rerank = 50))
+    assert(pqSql === pqApi)
+  }
+
   test("graft_corpus_diff / graft_vector_diff TVFs == the API diff, " +
     "statuses per id from pure SQL") {
     import org.apache.spark.sql.functions.{col, concat, lit, transform, when}
