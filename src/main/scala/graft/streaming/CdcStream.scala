@@ -585,13 +585,19 @@ object CdcStream {
     * pure projections. All three sinks share the per-batch `batch=<id>`
     * OVERWRITE replay contract (each route writes its subdir
     * unconditionally, even when empty — the replay-reconciliation
-    * argument of the accept legs), and downstream the standard fold
-    * battery consumes them offline: `compactAccepted*` +
-    * `compactUpserted*` + `compactRetracted*`, each under its own
-    * marker. The three op sets are disjoint per id within a window by
-    * CDC construction (a row's last state wins per trigger), so the
-    * folds commute; apply retract/upsert before accept if the same
-    * compaction versions all three. */
+    * argument of the accept legs), and downstream ONE net-effect
+    * compaction versions the index off all three trees:
+    * [[compactMaintenanceBatches]] (text-gram) /
+    * [[compactMaintenanceBm25Batches]]. CDC guarantees at most one
+    * event per id per TRIGGER, but a compaction window spans many
+    * triggers, and an id can cross op classes between them (insert
+    * then update, update then delete, delete then re-insert) — the
+    * per-leg folds assume class-disjoint id sets and would violate
+    * extend's append-only contract on such a window; the net-effect
+    * compaction reduces every id to one net operation instead. Use the
+    * per-leg `compactAccepted*`/`compactUpserted*`/`compactRetracted*`
+    * folds only when compaction cadence guarantees class-disjoint
+    * windows. */
   def startCdcMaintenanceIngest(
       changeStream: DataFrame,
       index: graft.extensions.Dedup.CorpusIndex,
@@ -617,8 +623,14 @@ object CdcStream {
           b.filter(col(opCol) === updateOp)
             .select(col(idCol), col(textCol), col(oldTextCol))
             .write.mode("overwrite").parquet(s"$upsertDir/batch=$batchId")
+          // a delete's old row image: some feeds carry it in the row
+          // columns (textCol), before/after-image feeds (Debezium
+          // shape: after = NULL on delete) carry it in oldTextCol —
+          // coalesce accepts both conventions, so the BM25 retraction
+          // never tokenizes a NULL image silently
           b.filter(col(opCol) === deleteOp)
-            .select(col(idCol), col(textCol))
+            .select(col(idCol),
+              coalesce(col(textCol), col(oldTextCol)).as(textCol))
             .write.mode("overwrite").parquet(s"$retractDir/batch=$batchId")
         } finally { b.unpersist(false); () }
         ()
@@ -661,24 +673,16 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.CorpusIndex,
       idCol: String, textCol: String,
-      provenanceDir: Option[String] = None): graft.extensions.Dedup.CorpusIndex = {
-    // stale-handle guard: folding into a handle whose tree another job
-    // already bumped would version the batches against an index the
-    // disk no longer holds
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir) match {
-      case None => index
-      case Some(accepted) =>
-        val bumped = graft.extensions.Dedup.extendCorpusIndex(index,
-          accepted.dropDuplicates(idCol), idCol, textCol)
-        markFolded(spark, sinkDir)
-        provenanceDir.foreach(markFolded(spark, _))
-        // the fold is part of the new version's lineage — the next save
-        // stamps it into the tree ([[graft.extensions.IndexMeta]])
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      provenanceDir: Option[String] = None): graft.extensions.Dedup.CorpusIndex =
+    // stale-handle guard, guarded read, fold, then marker(s) — the
+    // shared skeleton; the fold lands in the new version's lineage so
+    // the next save stamps it into the tree (IndexMeta)
+    foldSinkTree(spark, sinkDir, FoldedMarkerName, index.savedDir,
+        index.version, alsoMark = provenanceDir.toSeq) { accepted =>
+      val bumped = graft.extensions.Dedup.extendCorpusIndex(index,
+        accepted.dropDuplicates(idCol), idCol, textCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The embedding analog of [[compactAcceptedBatches]]: fold the
     * accepted-novel vectors of [[startEmbeddingDedupIngest]]'s sink into
@@ -692,19 +696,13 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
       idCol: String, vecCol: String,
-      provenanceDir: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir) match {
-      case None => index
-      case Some(accepted) =>
-        val bumped = graft.extensions.Dedup.extendEmbeddingIndex(index,
-          accepted.dropDuplicates(idCol), idCol, vecCol)
-        markFolded(spark, sinkDir)
-        provenanceDir.foreach(markFolded(spark, _))
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      provenanceDir: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex =
+    foldSinkTree(spark, sinkDir, FoldedMarkerName, index.savedDir,
+        index.version, alsoMark = provenanceDir.toSeq) { accepted =>
+      val bumped = graft.extensions.Dedup.extendEmbeddingIndex(index,
+        accepted.dropDuplicates(idCol), idCol, vecCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The semantic analog of [[compactAcceptedBatches]]: fold the
     * accepted-novel vectors of [[startSemanticDedupIngest]]'s sink into
@@ -721,19 +719,13 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfIndex,
       idCol: String, vecCol: String,
-      provenanceDir: Option[String] = None): graft.extensions.Similarity.IvfIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir) match {
-      case None => index
-      case Some(accepted) =>
-        val bumped = graft.extensions.Similarity.extendIvfIndex(index,
-          accepted.dropDuplicates(idCol), idCol, vecCol)
-        markFolded(spark, sinkDir)
-        provenanceDir.foreach(markFolded(spark, _))
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      provenanceDir: Option[String] = None): graft.extensions.Similarity.IvfIndex =
+    foldSinkTree(spark, sinkDir, FoldedMarkerName, index.savedDir,
+        index.version, alsoMark = provenanceDir.toSeq) { accepted =>
+      val bumped = graft.extensions.Similarity.extendIvfIndex(index,
+        accepted.dropDuplicates(idCol), idCol, vecCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The IVF-PQ analog of [[compactAcceptedBatches]], completing the
     * accept→bump lifecycle for the fifth index family: fold the
@@ -753,19 +745,13 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfPqIndex,
       idCol: String, vecCol: String,
-      provenanceDir: Option[String] = None): graft.extensions.Similarity.IvfPqIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir) match {
-      case None => index
-      case Some(accepted) =>
-        val bumped = graft.extensions.Similarity.extendIvfPqIndex(index,
-          accepted.dropDuplicates(idCol), idCol, vecCol)
-        markFolded(spark, sinkDir)
-        provenanceDir.foreach(markFolded(spark, _))
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      provenanceDir: Option[String] = None): graft.extensions.Similarity.IvfPqIndex =
+    foldSinkTree(spark, sinkDir, FoldedMarkerName, index.savedDir,
+        index.version, alsoMark = provenanceDir.toSeq) { accepted =>
+      val bumped = graft.extensions.Similarity.extendIvfPqIndex(index,
+        accepted.dropDuplicates(idCol), idCol, vecCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** Fold the accepted-docs sink into the SEARCH statistics as one
     * version bump via [[graft.extensions.Search.extendBm25Stats]] —
@@ -796,20 +782,16 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       stats: graft.extensions.Search.Bm25Stats,
       idCol: String, textCol: String,
-      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats = {
-    stats.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, stats.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, Bm25FoldedMarkerName) match {
-      case None => stats
-      case Some(accepted) =>
-        val bumped = graft.extensions.Search.extendBm25Stats(stats,
-            accepted.dropDuplicates(idCol), idCol, textCol)
-          .copy(folded = stats.folded :+ sinkDir)
-        val durable = saveTo.map(bumped.save).getOrElse(bumped)
-        markFolded(spark, sinkDir, Bm25FoldedMarkerName)
-        durable
-    }
-  }
+      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats =
+    foldSinkTree(spark, sinkDir, Bm25FoldedMarkerName, stats.savedDir,
+        stats.version) { accepted =>
+      val bumped = graft.extensions.Search.extendBm25Stats(stats,
+          accepted.dropDuplicates(idCol), idCol, textCol)
+        .copy(folded = stats.folded :+ sinkDir)
+      // durable-then-mark: the save happens inside the fold, BEFORE
+      // foldSinkTree writes the marker
+      saveTo.map(bumped.save).getOrElse(bumped)
+    }.getOrElse(stats)
 
   /** Apply a retract sink ([[startRetractIngest]]) to the corpus index
     * as ONE version bump — the shrink mirror of
@@ -827,18 +809,13 @@ object CdcStream {
   def compactRetractedBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.CorpusIndex,
-      idCol: String): graft.extensions.Dedup.CorpusIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, RetractMarkerName) match {
-      case None => index
-      case Some(retired) =>
-        val shrunk = graft.extensions.Dedup.removeFromCorpusIndex(index,
-          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-        markFolded(spark, sinkDir, RetractMarkerName)
-        shrunk.copy(folded = shrunk.folded :+ sinkDir)
-    }
-  }
+      idCol: String): graft.extensions.Dedup.CorpusIndex =
+    foldSinkTree(spark, sinkDir, RetractMarkerName, index.savedDir,
+        index.version) { retired =>
+      val shrunk = graft.extensions.Dedup.removeFromCorpusIndex(index,
+        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** Apply a retract sink to a saved/loaded IVF index — the ANN leg of
     * delete-driven maintenance (one anti-join on the cell-assigned
@@ -848,18 +825,13 @@ object CdcStream {
   def compactRetractedIvfBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfIndex,
-      idCol: String): graft.extensions.Similarity.IvfIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, IvfRetractMarkerName) match {
-      case None => index
-      case Some(retired) =>
-        val shrunk = graft.extensions.Similarity.removeFromIvfIndex(index,
-          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-        markFolded(spark, sinkDir, IvfRetractMarkerName)
-        shrunk.copy(folded = shrunk.folded :+ sinkDir)
-    }
-  }
+      idCol: String): graft.extensions.Similarity.IvfIndex =
+    foldSinkTree(spark, sinkDir, IvfRetractMarkerName, index.savedDir,
+        index.version) { retired =>
+      val shrunk = graft.extensions.Similarity.removeFromIvfIndex(index,
+        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The embedding analog of [[compactRetractedBatches]]: retire the
     * sink's ids from the sign-LSH bucket index (two streaming
@@ -868,18 +840,13 @@ object CdcStream {
   def compactRetractedEmbeddingBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
-      idCol: String): graft.extensions.Dedup.EmbeddingIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, EmbRetractMarkerName) match {
-      case None => index
-      case Some(retired) =>
-        val shrunk = graft.extensions.Dedup.removeFromEmbeddingIndex(index,
-          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-        markFolded(spark, sinkDir, EmbRetractMarkerName)
-        shrunk.copy(folded = shrunk.folded :+ sinkDir)
-    }
-  }
+      idCol: String): graft.extensions.Dedup.EmbeddingIndex =
+    foldSinkTree(spark, sinkDir, EmbRetractMarkerName, index.savedDir,
+        index.version) { retired =>
+      val shrunk = graft.extensions.Dedup.removeFromEmbeddingIndex(index,
+        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The IVF-PQ leg of delete-driven maintenance: retire the sink's ids
     * from the codes AND the rerank-only vectors relation together (the
@@ -891,18 +858,13 @@ object CdcStream {
   def compactRetractedIvfPqBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfPqIndex,
-      idCol: String): graft.extensions.Similarity.IvfPqIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, IvfPqRetractMarkerName) match {
-      case None => index
-      case Some(retired) =>
-        val shrunk = graft.extensions.Similarity.removeFromIvfPqIndex(index,
-          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-        markFolded(spark, sinkDir, IvfPqRetractMarkerName)
-        shrunk.copy(folded = shrunk.folded :+ sinkDir)
-    }
-  }
+      idCol: String): graft.extensions.Similarity.IvfPqIndex =
+    foldSinkTree(spark, sinkDir, IvfPqRetractMarkerName, index.savedDir,
+        index.version) { retired =>
+      val shrunk = graft.extensions.Similarity.removeFromIvfPqIndex(index,
+        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The sign-LSH TOP-K leg of delete-driven maintenance
     * ([[graft.extensions.Similarity.LshIndex]] — the retrieval index,
@@ -914,18 +876,13 @@ object CdcStream {
   def compactRetractedLshBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.LshIndex,
-      idCol: String): graft.extensions.Similarity.LshIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, LshRetractMarkerName) match {
-      case None => index
-      case Some(retired) =>
-        val shrunk = graft.extensions.Similarity.removeFromLshIndex(index,
-          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-        markFolded(spark, sinkDir, LshRetractMarkerName)
-        shrunk.copy(folded = shrunk.folded :+ sinkDir)
-    }
-  }
+      idCol: String): graft.extensions.Similarity.LshIndex =
+    foldSinkTree(spark, sinkDir, LshRetractMarkerName, index.savedDir,
+        index.version) { retired =>
+      val shrunk = graft.extensions.Similarity.removeFromLshIndex(index,
+        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The PQ leg of delete-driven maintenance: one streaming anti-join
     * on the codes relation under the FROZEN codebooks. Same contracts,
@@ -933,18 +890,13 @@ object CdcStream {
   def compactRetractedPqBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.PqIndex,
-      idCol: String): graft.extensions.Similarity.PqIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, PqRetractMarkerName) match {
-      case None => index
-      case Some(retired) =>
-        val shrunk = graft.extensions.Similarity.removeFromPqIndex(index,
-          retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-        markFolded(spark, sinkDir, PqRetractMarkerName)
-        shrunk.copy(folded = shrunk.folded :+ sinkDir)
-    }
-  }
+      idCol: String): graft.extensions.Similarity.PqIndex =
+    foldSinkTree(spark, sinkDir, PqRetractMarkerName, index.savedDir,
+        index.version) { retired =>
+      val shrunk = graft.extensions.Similarity.removeFromPqIndex(index,
+        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
+      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The BM25 retraction fold: subtract the retired docs' contributions
     * from the search statistics as one version bump via
@@ -964,20 +916,14 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       stats: graft.extensions.Search.Bm25Stats,
       idCol: String, textCol: String,
-      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats = {
-    stats.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, stats.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, Bm25RetractMarkerName) match {
-      case None => stats
-      case Some(retired) =>
-        val shrunk = graft.extensions.Search.retractBm25Stats(stats,
-            retired.dropDuplicates(idCol), idCol, textCol)
-          .copy(folded = stats.folded :+ sinkDir)
-        val durable = saveTo.map(shrunk.save).getOrElse(shrunk)
-        markFolded(spark, sinkDir, Bm25RetractMarkerName)
-        durable
-    }
-  }
+      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats =
+    foldSinkTree(spark, sinkDir, Bm25RetractMarkerName, stats.savedDir,
+        stats.version) { retired =>
+      val shrunk = graft.extensions.Search.retractBm25Stats(stats,
+          retired.dropDuplicates(idCol), idCol, textCol)
+        .copy(folded = stats.folded :+ sinkDir)
+      saveTo.map(shrunk.save).getOrElse(shrunk)
+    }.getOrElse(stats)
 
   /** Apply an upsert sink ([[startUpsertIngest]]) to the corpus index:
     * remove-then-extend as one compaction — retire every amended id
@@ -1000,21 +946,16 @@ object CdcStream {
   def compactUpsertedBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.CorpusIndex,
-      idCol: String, textCol: String): graft.extensions.Dedup.CorpusIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, UpsertMarkerName, keepBatch = true) match {
-      case None => index
-      case Some(tree) =>
-        val latest = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
-        val bumped = graft.extensions.Dedup.extendCorpusIndex(
-          graft.extensions.Dedup.removeFromCorpusIndex(index,
-            latest.select(col(idCol)), idCol),
-          latest, idCol, textCol)
-        markFolded(spark, sinkDir, UpsertMarkerName)
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      idCol: String, textCol: String): graft.extensions.Dedup.CorpusIndex =
+    foldUpsertTree(spark, sinkDir, UpsertMarkerName, idCol,
+        index.savedDir, index.version) { tree =>
+      val latest = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
+      val bumped = graft.extensions.Dedup.extendCorpusIndex(
+        graft.extensions.Dedup.removeFromCorpusIndex(index,
+          latest.select(col(idCol)), idCol),
+        latest, idCol, textCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The sign-LSH embedding analog of [[compactUpsertedBatches]]:
     * amended vectors retire and their latest images re-bucket under the
@@ -1023,21 +964,16 @@ object CdcStream {
   def compactUpsertedEmbeddingBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
-      idCol: String, vecCol: String): graft.extensions.Dedup.EmbeddingIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, EmbUpsertMarkerName, keepBatch = true) match {
-      case None => index
-      case Some(tree) =>
-        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
-        val bumped = graft.extensions.Dedup.extendEmbeddingIndex(
-          graft.extensions.Dedup.removeFromEmbeddingIndex(index,
-            latest.select(col(idCol)), idCol),
-          latest, idCol, vecCol)
-        markFolded(spark, sinkDir, EmbUpsertMarkerName)
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      idCol: String, vecCol: String): graft.extensions.Dedup.EmbeddingIndex =
+    foldUpsertTree(spark, sinkDir, EmbUpsertMarkerName, idCol,
+        index.savedDir, index.version) { tree =>
+      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+      val bumped = graft.extensions.Dedup.extendEmbeddingIndex(
+        graft.extensions.Dedup.removeFromEmbeddingIndex(index,
+          latest.select(col(idCol)), idCol),
+        latest, idCol, vecCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The IVF analog: amended vectors re-assign to the FROZEN centroids,
     * so every saved cell partition stays valid and
@@ -1048,21 +984,16 @@ object CdcStream {
   def compactUpsertedIvfBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfIndex,
-      idCol: String, vecCol: String): graft.extensions.Similarity.IvfIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, IvfUpsertMarkerName, keepBatch = true) match {
-      case None => index
-      case Some(tree) =>
-        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
-        val bumped = graft.extensions.Similarity.extendIvfIndex(
-          graft.extensions.Similarity.removeFromIvfIndex(index,
-            latest.select(col(idCol)), idCol),
-          latest, idCol, vecCol)
-        markFolded(spark, sinkDir, IvfUpsertMarkerName)
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      idCol: String, vecCol: String): graft.extensions.Similarity.IvfIndex =
+    foldUpsertTree(spark, sinkDir, IvfUpsertMarkerName, idCol,
+        index.savedDir, index.version) { tree =>
+      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+      val bumped = graft.extensions.Similarity.extendIvfIndex(
+        graft.extensions.Similarity.removeFromIvfIndex(index,
+          latest.select(col(idCol)), idCol),
+        latest, idCol, vecCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The IVF-PQ (IVFADC) analog: amended vectors re-encode under the
     * FROZEN cells and FROZEN codebooks, codes and rerank vectors
@@ -1071,21 +1002,16 @@ object CdcStream {
   def compactUpsertedIvfPqBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfPqIndex,
-      idCol: String, vecCol: String): graft.extensions.Similarity.IvfPqIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, IvfPqUpsertMarkerName, keepBatch = true) match {
-      case None => index
-      case Some(tree) =>
-        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
-        val bumped = graft.extensions.Similarity.extendIvfPqIndex(
-          graft.extensions.Similarity.removeFromIvfPqIndex(index,
-            latest.select(col(idCol)), idCol),
-          latest, idCol, vecCol)
-        markFolded(spark, sinkDir, IvfPqUpsertMarkerName)
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      idCol: String, vecCol: String): graft.extensions.Similarity.IvfPqIndex =
+    foldUpsertTree(spark, sinkDir, IvfPqUpsertMarkerName, idCol,
+        index.savedDir, index.version) { tree =>
+      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+      val bumped = graft.extensions.Similarity.extendIvfPqIndex(
+        graft.extensions.Similarity.removeFromIvfPqIndex(index,
+          latest.select(col(idCol)), idCol),
+        latest, idCol, vecCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The sign-LSH TOP-K analog of the upsert folds: amended vectors
     * re-band under the DETERMINISTIC hyperplanes. Marker
@@ -1093,42 +1019,32 @@ object CdcStream {
   def compactUpsertedLshBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.LshIndex,
-      idCol: String, vecCol: String): graft.extensions.Similarity.LshIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, LshUpsertMarkerName, keepBatch = true) match {
-      case None => index
-      case Some(tree) =>
-        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
-        val bumped = graft.extensions.Similarity.extendLshIndex(
-          graft.extensions.Similarity.removeFromLshIndex(index,
-            latest.select(col(idCol)), idCol),
-          latest, idCol, vecCol)
-        markFolded(spark, sinkDir, LshUpsertMarkerName)
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      idCol: String, vecCol: String): graft.extensions.Similarity.LshIndex =
+    foldUpsertTree(spark, sinkDir, LshUpsertMarkerName, idCol,
+        index.savedDir, index.version) { tree =>
+      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+      val bumped = graft.extensions.Similarity.extendLshIndex(
+        graft.extensions.Similarity.removeFromLshIndex(index,
+          latest.select(col(idCol)), idCol),
+        latest, idCol, vecCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The PQ analog of the upsert folds: amended vectors re-encode under
     * the FROZEN codebooks. Marker [[PqUpsertMarkerName]]. */
   def compactUpsertedPqBatches(
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.PqIndex,
-      idCol: String, vecCol: String): graft.extensions.Similarity.PqIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, PqUpsertMarkerName, keepBatch = true) match {
-      case None => index
-      case Some(tree) =>
-        val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
-        val bumped = graft.extensions.Similarity.extendPqIndex(
-          graft.extensions.Similarity.removeFromPqIndex(index,
-            latest.select(col(idCol)), idCol),
-          latest, idCol, vecCol)
-        markFolded(spark, sinkDir, PqUpsertMarkerName)
-        bumped.copy(folded = bumped.folded :+ sinkDir)
-    }
-  }
+      idCol: String, vecCol: String): graft.extensions.Similarity.PqIndex =
+    foldUpsertTree(spark, sinkDir, PqUpsertMarkerName, idCol,
+        index.savedDir, index.version) { tree =>
+      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+      val bumped = graft.extensions.Similarity.extendPqIndex(
+        graft.extensions.Similarity.removeFromPqIndex(index,
+          latest.select(col(idCol)), idCol),
+        latest, idCol, vecCol)
+      bumped.copy(folded = bumped.folded :+ sinkDir)
+    }.getOrElse(index)
 
   /** The BM25 upsert fold — the family where image ORDER is
     * load-bearing twice over. Retraction must subtract what the stats
@@ -1151,28 +1067,248 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       stats: graft.extensions.Search.Bm25Stats,
       idCol: String, textCol: String, oldTextCol: String,
-      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats = {
-    stats.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, stats.version, "compaction"))
-    consumeSinkTree(spark, sinkDir, Bm25UpsertMarkerName, keepBatch = true) match {
-      case None => stats
-      case Some(tree) =>
+      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats =
+    foldUpsertTree(spark, sinkDir, Bm25UpsertMarkerName, idCol,
+        stats.savedDir, stats.version) { tree0 =>
+      // the only family that needs BOTH image directions — persist the
+      // skinny tree so the two window passes (and the retract/extend
+      // localCheckpoints both evaluate eagerly below) read the sink
+      // parquet once, not four times
+      val tree = tree0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
         val first = imagePerId(tree, idCol, Seq(idCol, oldTextCol), earliest = true)
         val last = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
         val bumped = graft.extensions.Search.extendBm25Stats(
             graft.extensions.Search.retractBm25Stats(stats, first, idCol, oldTextCol),
             last, idCol, textCol)
           .copy(folded = stats.folded :+ sinkDir)
-        val durable = saveTo.map(bumped.save).getOrElse(bumped)
-        markFolded(spark, sinkDir, Bm25UpsertMarkerName)
-        durable
+        saveTo.map(bumped.save).getOrElse(bumped)
+      } finally { tree.unpersist(false); () }
+    }.getOrElse(stats)
+
+  // ---- net-effect maintenance compaction ----------------------------
+  //
+  // The per-leg folds (accept / upsert / retract) each assume their
+  // window's id set is disjoint from the other legs'. CDC guarantees at
+  // most one event per id per TRIGGER, but compaction is offline and a
+  // window spans many triggers — an id can cross op classes between
+  // them, and then the per-leg folds break: insert@t1 + update@t2 would
+  // extend an id already folded (duplicate postings, double-counted
+  // dfs); update@t1 + delete@t2 would resurrect the doc if the upsert
+  // fold runs after the retract fold. The net-effect compaction reads
+  // ALL THREE trees and reduces each id's event sequence to one net
+  // operation, so every cross-class combination lands on
+  // rebuild-of-final-state:
+  //
+  //   served(id): the id's EARLIEST event is not an accept — the doc
+  //               was in the index at window start → retire it (for
+  //               BM25, with the EARLIEST old image: that is the text
+  //               the stats actually hold);
+  //   alive(id):  the id's LATEST event is not a retract → fold the
+  //               LATEST image in.
+  //
+  // insert→update = add latest only; update→delete = remove only;
+  // insert→delete = net nothing; delete→re-accept = remove old + add
+  // new. Known gate interplay (documented, not solved here): a
+  // re-insert whose content is IDENTICAL to a doc pending deletion in
+  // the same window is eaten by the novelty gate at INGEST time (it
+  // matches its own still-frozen index entry), so it cannot reappear at
+  // compaction — compact before re-inserting unchanged content, or
+  // route such rows as updates upstream.
+
+  /** Version the text-gram index off all three maintenance sinks
+    * ([[startCdcMaintenanceIngest]]) as ONE net-effect compaction.
+    * Same family contracts as the per-leg folds: stale-handle guard,
+    * empty/missing trees contribute nothing (all empty → no-op, no
+    * markers), cross-leg (id, batch) collisions refuse loudly (CDC
+    * emits one event per id per trigger), and each consumed tree is
+    * stamped with its OWN leg's marker so a stray per-leg fold of an
+    * already-net-compacted tree refuses. Version bumps twice (remove,
+    * then extend); all three sinks land in the fold lineage. */
+  def compactMaintenanceBatches(
+      spark: SparkSession,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      index: graft.extensions.Dedup.CorpusIndex,
+      idCol: String, textCol: String): graft.extensions.Dedup.CorpusIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    val trees = maintenanceEvents(spark, idCol,
+      (acceptDir, FoldedMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("accept").as("kind"),
+          col(textCol).as("__img"))),
+      (upsertDir, UpsertMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("upsert").as("kind"),
+          col(textCol).as("__img"))),
+      (retractDir, RetractMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("retract").as("kind"),
+          lit(null).cast("string").as("__img"))))
+    trees match {
+      case None => index
+      case Some((events, marks)) =>
+        val net = events.groupBy(col(idCol)).agg(
+          min_by(col("kind"), col("batch")).as("__first_kind"),
+          max_by(col("kind"), col("batch")).as("__last_kind"),
+          max_by(col("__img"), col("batch")).as("__last_img"))
+        val removeIds = net.filter(col("__first_kind") =!= "accept")
+          .select(col(idCol))
+        val addDocs = net.filter(col("__last_kind") =!= "retract")
+          .select(col(idCol), col("__last_img").as(textCol))
+        val bumped = graft.extensions.Dedup.extendCorpusIndex(
+          graft.extensions.Dedup.removeFromCorpusIndex(index, removeIds, idCol),
+          addDocs, idCol, textCol)
+        marks()
+        bumped.copy(folded = bumped.folded ++
+          Seq(acceptDir, upsertDir, retractDir))
     }
   }
+
+  /** The BM25 net-effect compaction — the family where the EARLIEST old
+    * image matters: retraction must subtract what the stats actually
+    * hold, which for an id first seen as an upsert is its `oldTextCol`
+    * image and for an id first seen as a delete is the delete row's own
+    * old image; an id first seen as an accept was never in the stats
+    * and retracts nothing. Non-idempotent integer arithmetic, so the
+    * three markers are correctness, not audit. `saveTo` keeps the
+    * durable-then-mark ordering. */
+  def compactMaintenanceBm25Batches(
+      spark: SparkSession,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      stats: graft.extensions.Search.Bm25Stats,
+      idCol: String, textCol: String, oldTextCol: String,
+      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats = {
+    stats.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, stats.version, "compaction"))
+    val trees = maintenanceEvents(spark, idCol,
+      (acceptDir, Bm25FoldedMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("accept").as("kind"),
+          col(textCol).as("__img"), lit(null).cast("string").as("__old"))),
+      (upsertDir, Bm25UpsertMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("upsert").as("kind"),
+          col(textCol).as("__img"), col(oldTextCol).as("__old"))),
+      (retractDir, Bm25RetractMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("retract").as("kind"),
+          lit(null).cast("string").as("__img"), col(textCol).as("__old"))))
+    trees match {
+      case None => stats
+      case Some((events, marks)) =>
+        val net = events.groupBy(col(idCol)).agg(
+          min_by(col("kind"), col("batch")).as("__first_kind"),
+          max_by(col("kind"), col("batch")).as("__last_kind"),
+          min_by(col("__old"), col("batch")).as("__first_old"),
+          max_by(col("__img"), col("batch")).as("__last_img"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val retractDocs = net.filter(col("__first_kind") =!= "accept")
+            .select(col(idCol), col("__first_old").as(textCol))
+          val extendDocs = net.filter(col("__last_kind") =!= "retract")
+            .select(col(idCol), col("__last_img").as(textCol))
+          val bumped = graft.extensions.Search.extendBm25Stats(
+              graft.extensions.Search.retractBm25Stats(
+                stats, retractDocs, idCol, textCol),
+              extendDocs, idCol, textCol)
+            .copy(folded = stats.folded ++
+              Seq(acceptDir, upsertDir, retractDir))
+          val durable = saveTo.map(bumped.save).getOrElse(bumped)
+          marks()
+          durable
+        } finally { net.unpersist(false); () }
+    }
+  }
+
+  /** Guarded read of the three maintenance trees: refuses any tree
+    * already stamped with its leg's marker, normalizes each to the
+    * (id, batch, kind, images...) event shape via `shape`, unions the
+    * non-empty ones, and refuses loudly on a cross-leg (id, batch)
+    * collision — CDC emits at most one event per id per trigger, and a
+    * violated precondition here would make min_by/max_by's image picks
+    * nondeterministic. Returns None when every tree is empty/missing;
+    * otherwise the event union plus a thunk stamping each CONTRIBUTING
+    * tree with its own leg marker (empty trees stay unmarked, so their
+    * later real fold still runs). */
+  private def maintenanceEvents(
+      spark: SparkSession, idCol: String,
+      legs: (String, String, DataFrame => DataFrame)*)
+      : Option[(DataFrame, () => Unit)] = {
+    val read = legs.map { case (dir, marker, shape) =>
+      (dir, marker, consumeSinkTree(spark, dir, marker, keepBatch = true)
+        .map(shape))
+    }
+    val present = read.flatMap(_._3)
+    if (present.isEmpty) None
+    else {
+      val events = present.reduce(_ unionByName _)
+      val dup = events.groupBy(col(idCol), col("batch"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+        .limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"maintenance sinks hold ${dup.head.get(2)} events for id " +
+          s"${dup.head.get(0)} in micro-batch ${dup.head.get(1)}: CDC " +
+          "emits at most one event per id per trigger, so a cross-leg " +
+          "collision within one batch means the source feed is not " +
+          "key-compacted — fix the feed; the net-effect ordering is " +
+          "undefined under within-batch ties")
+      Some((events, () => read.foreach { case (dir, marker, t) =>
+        if (t.isDefined) markFolded(spark, dir, marker)
+      }))
+    }
+  }
+
+  /** Shared skeleton of every compaction fold — the sequence the 19
+    * per-family folds were repeating verbatim: stale-handle guard,
+    * guarded sink read ([[consumeSinkTree]]), the family's fold, then
+    * the marker(s). `fold` runs BEFORE any marker lands — the
+    * durable-then-mark ordering every family relies on (a crash inside
+    * `fold`, including a `saveTo` write, leaves the tree unmarked so
+    * the next scheduled compaction re-runs instead of orphaning
+    * consumed batches). `alsoMark` stamps sibling trees (a dedup
+    * ingest's provenance dir) with the same marker at the same
+    * moment. */
+  private def foldSinkTree[A](spark: SparkSession, sinkDir: String,
+                              marker: String, savedDir: Option[String],
+                              version: Long, keepBatch: Boolean = false,
+                              alsoMark: Seq[String] = Nil)
+                             (fold: DataFrame => A): Option[A] = {
+    savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, version, "compaction"))
+    consumeSinkTree(spark, sinkDir, marker, keepBatch).map { tree =>
+      val out = fold(tree)
+      markFolded(spark, sinkDir, marker)
+      alsoMark.foreach(markFolded(spark, _, marker))
+      out
+    }
+  }
+
+  /** [[foldSinkTree]] for the upsert families: keeps the batch column
+    * (image order) and refuses LOUDLY when one micro-batch holds more
+    * than one update for an id — batch order is the only ordering the
+    * sink stores, so a within-batch tie would make the earliest/latest
+    * image pick nondeterministic, and on BM25 silently corrupting.
+    * O(updates-in-window) aggregation, paid before any fold work. */
+  private def foldUpsertTree[A](spark: SparkSession, sinkDir: String,
+                                marker: String, idCol: String,
+                                savedDir: Option[String], version: Long)
+                               (fold: DataFrame => A): Option[A] =
+    foldSinkTree(spark, sinkDir, marker, savedDir, version,
+        keepBatch = true) { tree =>
+      val dup = tree.groupBy(col(idCol), col("batch"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+        .limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"upsert sink $sinkDir holds ${dup.head.get(2)} updates for id " +
+          s"${dup.head.get(0)} in micro-batch ${dup.head.get(1)}: batch " +
+          "order is the only ordering the sink stores, so the " +
+          "earliest/latest image pick would be nondeterministic — " +
+          "pre-compact updates per key per trigger upstream (the " +
+          "standard CDC log-reader contract)")
+      fold(tree)
+    }
 
   /** One row per id from an upsert sink tree: the image from the id's
     * FIRST (`earliest`) or LAST batch in the compaction window — batch
     * order is the only ordering the sink stores
-    * ([[startUpsertIngest]]'s one-update-per-id-per-batch contract).
+    * ([[startUpsertIngest]]'s one-update-per-id-per-batch contract,
+    * enforced by [[foldUpsertTree]]'s guard).
     * One row_number over the skinny O(updates-in-window) tree. */
   private def imagePerId(tree: DataFrame, idCol: String, cols: Seq[String],
                          earliest: Boolean): DataFrame = {

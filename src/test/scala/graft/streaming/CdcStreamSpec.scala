@@ -1241,6 +1241,116 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(idx3.folded === Seq(retractDir, upsertDir, acceptDir))
   }
 
+  test("compactMaintenanceBatches: ids CROSSING op classes across " +
+    "triggers (insert->update, update->delete, insert->delete, " +
+    "delete->reinsert) net-reduce to exactly a rebuild of the final " +
+    "state, for the text-gram index AND the BM25 stats") {
+    import graft.extensions.{Dedup, Search}
+    val d = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus0 = d.filter(col("doc_id") < 150)
+    val off = 100000L
+    // trigger 1 (batch 0): id off+1 inserted (novel), doc 3 updated,
+    // id off+2 inserted (novel), doc 7 deleted, doc 11 updated (plain),
+    // doc 10 deleted (plain)
+    val t1 = spark.createDataFrame(Seq(
+      (off + 1, "a genuinely novel maintenance doc one", null.asInstanceOf[String], "insert"),
+      (3L, "doc three intermediate amendment", "ORIG3", "update"),
+      (off + 2, "a genuinely novel maintenance doc two", null.asInstanceOf[String], "insert"),
+      (7L, "ORIG7", null.asInstanceOf[String], "delete"),
+      (11L, "doc eleven final amendment", "ORIG11", "update"),
+      (10L, "ORIG10", null.asInstanceOf[String], "delete"),
+      (off + 3, "a plain novel insert that stays", null.asInstanceOf[String], "insert")))
+      .toDF("doc_id", "text", "old_text", "op")
+    // trigger 2 (batch 1): off+1 updated (insert->update), doc 3
+    // deleted (update->delete), off+2 deleted (insert->delete), doc 7
+    // re-inserted with CHANGED content (delete->reinsert)
+    val t2 = spark.createDataFrame(Seq(
+      (off + 1, "novel doc one FINAL text after amendment",
+        "a genuinely novel maintenance doc one", "update"),
+      (3L, "doc three intermediate amendment", null.asInstanceOf[String], "delete"),
+      (off + 2, "a genuinely novel maintenance doc two", null.asInstanceOf[String], "delete"),
+      (7L, "entirely new replacement content for doc seven", null.asInstanceOf[String], "insert")))
+      .toDF("doc_id", "text", "old_text", "op")
+    // the real texts of docs 3/7/10/11 stand in for the ORIG markers:
+    // the stream must carry the docs' true old images
+    def withRealOld(df: org.apache.spark.sql.DataFrame) = df
+      .join(corpus0.withColumnRenamed("text", "__t"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("text").startsWith("ORIG"), col("__t"))
+          .otherwise(col("text")).as("text"),
+        when(col("old_text").startsWith("ORIG"), col("__t"))
+          .otherwise(col("old_text")).as("old_text"),
+        col("op"))
+    val src = TestSpark.tmpDir("graft-net-src")
+    withRealOld(t1).coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // file-source orders triggers by mod time
+    withRealOld(t2).coalesce(1).write.mode("append").parquet(src)
+
+    val acceptDir = TestSpark.tmpDir("graft-net-accept")
+    val upsertDir = TestSpark.tmpDir("graft-net-upsert")
+    val retractDir = TestSpark.tmpDir("graft-net-retract")
+    val index0 = Dedup.buildCorpusIndex(corpus0, "doc_id", "text").persist()
+    val stats0 = Search.bm25Fit(corpus0, "doc_id", "text")
+    try {
+      val q = CdcStream.startCdcMaintenanceIngest(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        index0, "doc_id", "text", "old_text", "op",
+        acceptDir, upsertDir, retractDir,
+        TestSpark.tmpDir("graft-net-ckpt"))
+      q.awaitTermination()
+      // two triggers -> two batch subdirs in each sink
+      assert(spark.read.parquet(upsertDir).select("batch").distinct().count() >= 2)
+
+      // the final corpus state the net fold must land on: doc 3 gone
+      // (update->delete), doc 7 replaced (delete->reinsert), doc 10
+      // gone, doc 11 amended, off+1 at its FINAL text (insert->update),
+      // off+2 gone (insert->delete), off+3 present
+      val finalCorpus = corpus0
+        .filter(col("doc_id") =!= 3L && col("doc_id") =!= 7L &&
+          col("doc_id") =!= 10L)
+        .select(col("doc_id"),
+          when(col("doc_id") === 11L, lit("doc eleven final amendment"))
+            .otherwise(col("text")).as("text"))
+        .unionByName(spark.createDataFrame(Seq(
+          (off + 1, "novel doc one FINAL text after amendment"),
+          (off + 3, "a plain novel insert that stays"),
+          (7L, "entirely new replacement content for doc seven")))
+          .toDF("doc_id", "text"))
+
+      val netted = CdcStream.compactMaintenanceBatches(
+        spark, acceptDir, upsertDir, retractDir, index0, "doc_id", "text")
+      val scratch = Dedup.buildCorpusIndex(finalCorpus, "doc_id", "text")
+      def postingSet(ix: Dedup.CorpusIndex) =
+        ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+      assert(postingSet(netted) === postingSet(scratch))
+      assert(netted.folded === Seq(acceptDir, upsertDir, retractDir))
+
+      // every consumed tree wears its LEG's marker: a stray per-leg
+      // fold of an already-net-compacted tree refuses
+      assert(new java.io.File(acceptDir, CdcStream.FoldedMarkerName).exists())
+      assert(new java.io.File(upsertDir, CdcStream.UpsertMarkerName).exists())
+      assert(new java.io.File(retractDir, CdcStream.RetractMarkerName).exists())
+      intercept[IllegalArgumentException] {
+        CdcStream.compactUpsertedBatches(spark, upsertDir, index0, "doc_id", "text")
+      }
+
+      // BM25 net fold == refit on the final corpus (the earliest-old
+      // image rule across legs: doc 3 retracts its ORIGINAL text even
+      // though its delete row carries the intermediate amendment)
+      val nettedStats = CdcStream.compactMaintenanceBm25Batches(
+        spark, acceptDir, upsertDir, retractDir, stats0,
+        "doc_id", "text", "old_text")
+      val refit = Search.bm25Fit(finalCorpus, "doc_id", "text")
+      assert(nettedStats.nDocs === refit.nDocs &&
+        nettedStats.sumDl === refit.sumDl)
+      def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+      assert(dfMap(nettedStats) === dfMap(refit))
+    } finally index0.unpersist()
+  }
+
   test("startCdcMaintenanceIngest: ONE stream routes inserts (novelty " +
     "gate) / updates (both images) / deletes into three sinks; the fold " +
     "battery then versions the index to exactly a rebuild on the final " +
