@@ -344,12 +344,14 @@ object CdcStream {
     * (the novelty gate, [[startEmbeddingDedupIngest]]'s leg) into
     * `acceptDir`; updates land their id + new vector in `upsertDir`
     * (no old image needed: every vector family retracts by id alone);
-    * deletes land their id in `retractDir`. Downstream, the SAME
-    * sinks feed every vector family's folds independently
-    * (per-family markers): `compactAccepted/Upserted/Retracted
-    * {Embedding,Ivf,IvfPq,Lsh,Pq}Batches`. Micro-batch persisted once,
-    * change log read once; the gate probe is the only non-narrow
-    * work. */
+    * deletes land their id in `retractDir`. Downstream,
+    * [[compactVecMaintenanceBatches]] net-reduces all three trees
+    * (cross-class-safe, the [[compactMaintenanceBatches]] argument);
+    * the per-leg `compactAccepted/Upserted/Retracted
+    * {Embedding,Ivf,IvfPq,Lsh,Pq}Batches` folds remain correct when
+    * compaction cadence guarantees class-disjoint windows. Micro-batch
+    * persisted once, change log read once; the gate probe is the only
+    * non-narrow work. */
   def startVecMaintenanceIngest(
       changeStream: DataFrame,
       index: graft.extensions.Dedup.EmbeddingIndex,
@@ -1213,6 +1215,56 @@ object CdcStream {
           marks()
           durable
         } finally { net.unpersist(false); () }
+    }
+  }
+
+  /** The vector net-effect compaction ([[startVecMaintenanceIngest]]'s
+    * fold): same cross-class reduction as [[compactMaintenanceBatches]]
+    * — served (earliest event ≠ accept) ids retire, alive (latest event
+    * ≠ retract) ids fold their LATEST vector in — applied to the
+    * sign-LSH embedding index, the vec ingest's own gate family. No
+    * old-image leg: every vector family retracts by id alone. The
+    * accept tree is stamped with the shared vector accept marker
+    * ([[FoldedMarkerName]] — the accept side's existing design: one
+    * accept tree feeds ONE vector family), the upsert/retract trees
+    * with the embedding legs' own markers. */
+  def compactVecMaintenanceBatches(
+      spark: SparkSession,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      index: graft.extensions.Dedup.EmbeddingIndex,
+      idCol: String, vecCol: String): graft.extensions.Dedup.EmbeddingIndex = {
+    index.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, index.version, "compaction"))
+    val vecType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)
+    val trees = maintenanceEvents(spark, idCol,
+      (acceptDir, FoldedMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("accept").as("kind"),
+          col(vecCol).as("__img"))),
+      (upsertDir, EmbUpsertMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("upsert").as("kind"),
+          col(vecCol).as("__img"))),
+      (retractDir, EmbRetractMarkerName,
+        df => df.select(col(idCol), col("batch"), lit("retract").as("kind"),
+          lit(null).cast(vecType).as("__img"))))
+    trees match {
+      case None => index
+      case Some((events, marks)) =>
+        val net = events.groupBy(col(idCol)).agg(
+          min_by(col("kind"), col("batch")).as("__first_kind"),
+          max_by(col("kind"), col("batch")).as("__last_kind"),
+          max_by(col("__img"), col("batch")).as("__last_img"))
+        val removeIds = net.filter(col("__first_kind") =!= "accept")
+          .select(col(idCol))
+        val addVecs = net.filter(col("__last_kind") =!= "retract")
+          .select(col(idCol), col("__last_img").as(vecCol))
+        val bumped = graft.extensions.Dedup.extendEmbeddingIndex(
+          graft.extensions.Dedup.removeFromEmbeddingIndex(
+            index, removeIds, idCol),
+          addVecs, idCol, vecCol)
+        marks()
+        bumped.copy(folded = bumped.folded ++
+          Seq(acceptDir, upsertDir, retractDir))
     }
   }
 

@@ -1241,6 +1241,72 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(idx3.folded === Seq(retractDir, upsertDir, acceptDir))
   }
 
+  test("compactVecMaintenanceBatches: vector ids crossing op classes " +
+    "across triggers net-reduce to a rebuild of the final vector state") {
+    import graft.extensions.Dedup
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus0 = e.filter(col("vec_id") < 200)
+    val negated = transform(col("embedding"),
+      x => (x * lit(-1.0f)).cast("float"))
+    val off = 100000L
+    // trigger 1: vec off+1 inserted (novel: negate an UNSEEN corpus
+    // vector so the gate passes), vec 3 updated, vec 7 deleted
+    val unseen = e.filter(col("vec_id") === 250)
+      .select(lit(off + 1).as("vec_id"), negated.as("embedding"),
+        lit("insert").as("op"))
+    val t1 = unseen
+      .unionByName(corpus0.filter(col("vec_id") === 3)
+        .select(col("vec_id"), negated.as("embedding"), lit("update").as("op")))
+      .unionByName(corpus0.filter(col("vec_id") === 7)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op")))
+    // trigger 2: off+1 updated (insert->update), vec 3 deleted
+    // (update->delete)
+    val unseen2 = e.filter(col("vec_id") === 251)
+      .select(lit(off + 1).as("vec_id"), negated.as("embedding"),
+        lit("update").as("op"))
+    val t2 = unseen2
+      .unionByName(corpus0.filter(col("vec_id") === 3)
+        .select(col("vec_id"), negated.as("embedding"), lit("delete").as("op")))
+    val src = TestSpark.tmpDir("graft-vnet-src")
+    t1.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    t2.coalesce(1).write.mode("append").parquet(src)
+
+    val acceptDir = TestSpark.tmpDir("graft-vnet-accept")
+    val upsertDir = TestSpark.tmpDir("graft-vnet-upsert")
+    val retractDir = TestSpark.tmpDir("graft-vnet-retract")
+    val index0 = Dedup.buildEmbeddingIndex(corpus0, "vec_id", "embedding",
+      planes = 12, bands = 8)
+    val q = CdcStream.startVecMaintenanceIngest(
+      spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      index0, "vec_id", "embedding", "op",
+      acceptDir, upsertDir, retractDir,
+      TestSpark.tmpDir("graft-vnet-ckpt"))
+    q.awaitTermination()
+
+    // final state: vec 3 gone (update->delete), vec 7 gone, off+1 at
+    // its FINAL vector (insert->update)
+    val finalVecs = corpus0
+      .filter(col("vec_id") =!= 3L && col("vec_id") =!= 7L)
+      .unionByName(e.filter(col("vec_id") === 251)
+        .select(lit(off + 1).as("vec_id"), negated.as("embedding")))
+    val netted = CdcStream.compactVecMaintenanceBatches(
+      spark, acceptDir, upsertDir, retractDir, index0,
+      "vec_id", "embedding")
+    val scratch = Dedup.buildEmbeddingIndex(finalVecs, "vec_id",
+      "embedding", planes = 12, bands = 8)
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toSeq
+        case x => x
+      }).toSet
+    assert(rows3(netted.buckets) === rows3(scratch.buckets))
+    assert(rows3(netted.vectors) === rows3(scratch.vectors))
+    assert(netted.folded === Seq(acceptDir, upsertDir, retractDir))
+  }
+
   test("compactMaintenanceBatches: ids CROSSING op classes across " +
     "triggers (insert->update, update->delete, insert->delete, " +
     "delete->reinsert) net-reduce to exactly a rebuild of the final " +
