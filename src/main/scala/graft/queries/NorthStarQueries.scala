@@ -650,6 +650,37 @@ object NorthStarQueries {
     out
   }
 
+  /** The pre-upsert serving state for `dedup_upsert_fold`, per sf dir:
+    * the skinny amend-image relation (doc_id, new text, partner stale
+    * text) and v_{N-1} — the shared corpusIndex versioned BACKWARD by
+    * the inverse upsert (amended ids retired, planted stale text folded
+    * in), both persisted. A serving deployment LOADS its index rather
+    * than manufacturing it, so the manufacture pays once in the first
+    * toucher's cold rep (the corpusIndex pattern) and warm reps price
+    * the streaming fold itself. Released by [[clearDedupCaches]]. */
+  private val upsertFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Dedup.CorpusIndex)]()
+
+  private def upsertFixture(s: SparkSession,
+                            dir: String): (DataFrame, Dedup.CorpusIndex) =
+    upsertFixtureCache.computeIfAbsent(dir, _ => {
+      val d = docs(s, dir)
+      val partners = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("p_id"), col("text").as("p_text"))
+      val amend = d
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 0)
+        .withColumn("p_id", col("doc_id") - (col("doc_id") % 5))
+        .join(partners, Seq("p_id"))
+        .select(col("doc_id"), col("text"), col("p_text"))
+        .persist()
+      val oldIdx = Dedup.extendCorpusIndex(
+        Dedup.removeFromCorpusIndex(corpusIndex(s, dir),
+          amend.select(col("doc_id")), "doc_id"),
+        amend.select(col("doc_id"), col("p_text").as("text")),
+        "doc_id", "text").persist()
+      (amend, oldIdx)
+    })
+
   /** On-disk copy of [[embIndex]] per sf dir — the embedding analog of
     * [[savedIndexDir]], for the `dedup_embedding_incr_saved` cold-start
     * row; swept by [[clearDedupCaches]]. */
@@ -726,6 +757,9 @@ object NorthStarQueries {
     upsertSinkDirs.forEach(d =>
       graft.util.Util.deleteRecursively(new java.io.File(d)))
     upsertSinkDirs.clear()
+    upsertFixtureCache.values.forEach { case (a, ix) =>
+      a.unpersist(false); ix.unpersist() }
+    upsertFixtureCache.clear()
   }
 
   /** Release the sim_* rows' pinned state (the fitted IVF/PQ/IVF-PQ
@@ -1134,26 +1168,17 @@ object NorthStarQueries {
     // impostor in the corpus for every partner: the partner wrongly
     // drops and the hash mismatches loudly (partial-failure modes are
     // pinned at the postings level in CdcStreamSpec's upsert ≡ rebuild
-    // test). Production pricing: the shared index is the loaded serving
-    // index, so warm reps price TWO incremental version steps (the
-    // backward manufacture + the streaming fold) + the probe — never a
-    // from-scratch fit. The sink is a fresh temp tree per rep (the
-    // fold stamps `_FOLDED_UPSERT` into it; a consumed tree refuses
-    // re-folding by contract), registered for the dedup-cache sweep.
+    // test). Production pricing: v_{N-1} is the shared PERSISTED
+    // pre-upsert index ([[upsertFixture]] — a serving deployment LOADS
+    // its index, it does not manufacture it; the backward manufacture
+    // is fixture scaffolding and pays once in the cold rep), so warm
+    // reps price the streaming fold itself — sink write + remove +
+    // extend + probe, the O(amended) contract. The sink is a fresh
+    // temp tree per rep (the fold stamps `_FOLDED_UPSERT` into it; a
+    // consumed tree refuses re-folding by contract), registered for
+    // the dedup-cache sweep.
     "dedup_upsert_fold" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val partners = d.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("p_id"), col("text").as("p_text"))
-      val amend = d
-        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 0)
-        .withColumn("p_id", col("doc_id") - (col("doc_id") % 5))
-        .join(partners, Seq("p_id"))
-        .select(col("doc_id"), col("text"), col("p_text"))
-      val oldIdx = Dedup.extendCorpusIndex(
-        Dedup.removeFromCorpusIndex(corpusIndex(s, dir),
-          amend.select(col("doc_id")), "doc_id"),
-        amend.select(col("doc_id"), col("p_text").as("text")),
-        "doc_id", "text")
+      val (amend, oldIdx) = upsertFixture(s, dir)
       val sink = newUpsertSink()
       amend.select(col("doc_id"), col("text"),
           col("p_text").as("old_text"))
@@ -1161,7 +1186,8 @@ object NorthStarQueries {
       val folded = graft.streaming.CdcStream.compactUpsertedBatches(
         s, sink, oldIdx, "doc_id", "text")
       Dedup.dedupAgainstCorpus(
-        d.filter(col("doc_id") % 5 === 0), folded, "doc_id", "text")
+        docs(s, dir).filter(col("doc_id") % 5 === 0), folded,
+        "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
