@@ -370,12 +370,20 @@ object CdcStream {
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // reinserts (id already served) bypass the novelty gate and
+          // route to the upsert sink — the delete→reinsert hole the doc
+          // ingest documents; the id split is one broadcast-batch join
+          // against the index's skinny id→vector relation
+          val ins = b.filter(col(opCol) === insertOp).drop(opCol)
+          val known = index.vectors.select(col("doc_id").as(idCol))
           graft.extensions.Dedup.dedupEmbeddingsAgainstCorpus(
-            b.filter(col(opCol) === insertOp).drop(opCol),
+            ins.join(known, Seq(idCol), "left_anti"),
             index, idCol, vecCol, threshold = threshold)
             .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
           b.filter(col(opCol) === updateOp)
             .select(col(idCol), col(vecCol))
+            .unionByName(ins.join(known, Seq(idCol), "left_semi")
+              .select(col(idCol), col(vecCol)))
             .write.mode("overwrite").parquet(s"$upsertDir/batch=$batchId")
           b.filter(col(opCol) === deleteOp)
             .select(col(idCol))
@@ -618,12 +626,29 @@ object CdcStream {
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          val ins = b.filter(col(opCol) === insertOp).drop(opCol, oldTextCol)
+          // RE-INSERTS — inserts whose id the serving index already
+          // holds (a doc deleted earlier in this window coming back, at
+          // the extreme with byte-identical content) — must NOT face
+          // the novelty gate: the gate would match the doc's own
+          // still-frozen entry and silently eat it, permanently losing
+          // the doc from the index (the delete→reinsert hole). Route
+          // them to the UPSERT sink instead (remove-then-add is exactly
+          // reinsert semantics; their old image is the window's earlier
+          // retract event, which the BM25 net fold's earliest-old rule
+          // picks up — a reinsert without a preceding delete is a
+          // malformed feed). The id split is one broadcast-batch
+          // semi/anti join against the index's skinny per-doc relation.
+          val known = index.docStats.select(col("doc_id").as(idCol))
           graft.extensions.Dedup.dedupAgainstCorpus(
-            b.filter(col(opCol) === insertOp).drop(opCol, oldTextCol),
+            ins.join(known, Seq(idCol), "left_anti"),
             index, idCol, textCol, threshold = threshold)
             .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
           b.filter(col(opCol) === updateOp)
             .select(col(idCol), col(textCol), col(oldTextCol))
+            .unionByName(ins.join(known, Seq(idCol), "left_semi")
+              .select(col(idCol), col(textCol),
+                lit(null).cast("string").as(oldTextCol)))
             .write.mode("overwrite").parquet(s"$upsertDir/batch=$batchId")
           // a delete's old row image: some feeds carry it in the row
           // columns (textCol), before/after-image feeds (Debezium
@@ -1071,22 +1096,18 @@ object CdcStream {
       idCol: String, textCol: String, oldTextCol: String,
       saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats =
     foldUpsertTree(spark, sinkDir, Bm25UpsertMarkerName, idCol,
-        stats.savedDir, stats.version) { tree0 =>
-      // the only family that needs BOTH image directions — persist the
-      // skinny tree so the two window passes (and the retract/extend
-      // localCheckpoints both evaluate eagerly below) read the sink
-      // parquet once, not four times
-      val tree = tree0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val first = imagePerId(tree, idCol, Seq(idCol, oldTextCol), earliest = true)
-        val last = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
-        val bumped = graft.extensions.Search.extendBm25Stats(
-            graft.extensions.Search.retractBm25Stats(stats, first, idCol, oldTextCol),
-            last, idCol, textCol)
-          .copy(folded = stats.folded :+ sinkDir)
-        saveTo.map(bumped.save).getOrElse(bumped)
-      } finally { tree.unpersist(false); () }
+        stats.savedDir, stats.version) { tree =>
+      // the only family that needs BOTH image directions; the tree
+      // arrives checkpointed from foldUpsertTree, so the two window
+      // passes (and the retract/extend localCheckpoints that evaluate
+      // eagerly below) read one materialization of the sink
+      val first = imagePerId(tree, idCol, Seq(idCol, oldTextCol), earliest = true)
+      val last = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
+      val bumped = graft.extensions.Search.extendBm25Stats(
+          graft.extensions.Search.retractBm25Stats(stats, first, idCol, oldTextCol),
+          last, idCol, textCol)
+        .copy(folded = stats.folded :+ sinkDir)
+      saveTo.map(bumped.save).getOrElse(bumped)
     }.getOrElse(stats)
 
   // ---- net-effect maintenance compaction ----------------------------
@@ -1132,7 +1153,16 @@ object CdcStream {
       spark: SparkSession,
       acceptDir: String, upsertDir: String, retractDir: String,
       index: graft.extensions.Dedup.CorpusIndex,
-      idCol: String, textCol: String): graft.extensions.Dedup.CorpusIndex = {
+      idCol: String, textCol: String,
+      /** Durable-then-mark (the BM25 folds' crash contract, which a
+        * multi-tree fold needs MORE, not less: a crash after the
+        * markers but before the caller persists the lazy bump would
+        * orphan all three trees' events): when set, the bumped index
+        * is [[graft.extensions.Dedup.saveCorpusIndex]]d BEFORE any
+        * marker lands, so a crash re-runs the fold instead. Without
+        * it the caller owns persisting the returned (lazy) version
+        * promptly. */
+      saveTo: Option[String] = None): graft.extensions.Dedup.CorpusIndex = {
     index.savedDir.foreach(d => graft.extensions.IndexMeta
       .requireCurrent(spark, d, index.version, "compaction"))
     val trees = maintenanceEvents(spark, idCol,
@@ -1147,7 +1177,7 @@ object CdcStream {
           lit(null).cast("string").as("__img"))))
     trees match {
       case None => index
-      case Some((events, marks)) =>
+      case Some((events, contributing, marks)) =>
         val net = events.groupBy(col(idCol)).agg(
           min_by(col("kind"), col("batch")).as("__first_kind"),
           max_by(col("kind"), col("batch")).as("__last_kind"),
@@ -1159,9 +1189,15 @@ object CdcStream {
         val bumped = graft.extensions.Dedup.extendCorpusIndex(
           graft.extensions.Dedup.removeFromCorpusIndex(index, removeIds, idCol),
           addDocs, idCol, textCol)
+          // lineage records the trees that actually contributed events;
+          // an empty tree stays out (and unmarked — its later real fold
+          // still runs)
+          .copy(folded = index.folded ++ contributing)
+        val durable = saveTo
+          .map(d => graft.extensions.Dedup.saveCorpusIndex(bumped, d))
+          .getOrElse(bumped)
         marks()
-        bumped.copy(folded = bumped.folded ++
-          Seq(acceptDir, upsertDir, retractDir))
+        durable
     }
   }
 
@@ -1193,7 +1229,7 @@ object CdcStream {
           lit(null).cast("string").as("__img"), col(textCol).as("__old"))))
     trees match {
       case None => stats
-      case Some((events, marks)) =>
+      case Some((events, contributing, marks)) =>
         val net = events.groupBy(col(idCol)).agg(
           min_by(col("kind"), col("batch")).as("__first_kind"),
           max_by(col("kind"), col("batch")).as("__last_kind"),
@@ -1209,8 +1245,7 @@ object CdcStream {
               graft.extensions.Search.retractBm25Stats(
                 stats, retractDocs, idCol, textCol),
               extendDocs, idCol, textCol)
-            .copy(folded = stats.folded ++
-              Seq(acceptDir, upsertDir, retractDir))
+            .copy(folded = stats.folded ++ contributing)
           val durable = saveTo.map(bumped.save).getOrElse(bumped)
           marks()
           durable
@@ -1232,7 +1267,9 @@ object CdcStream {
       spark: SparkSession,
       acceptDir: String, upsertDir: String, retractDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
-      idCol: String, vecCol: String): graft.extensions.Dedup.EmbeddingIndex = {
+      idCol: String, vecCol: String,
+      /** durable-then-mark, as on [[compactMaintenanceBatches]]. */
+      saveTo: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex = {
     index.savedDir.foreach(d => graft.extensions.IndexMeta
       .requireCurrent(spark, d, index.version, "compaction"))
     val vecType = org.apache.spark.sql.types.ArrayType(
@@ -1249,7 +1286,7 @@ object CdcStream {
           lit(null).cast(vecType).as("__img"))))
     trees match {
       case None => index
-      case Some((events, marks)) =>
+      case Some((events, contributing, marks)) =>
         val net = events.groupBy(col(idCol)).agg(
           min_by(col("kind"), col("batch")).as("__first_kind"),
           max_by(col("kind"), col("batch")).as("__last_kind"),
@@ -1262,9 +1299,12 @@ object CdcStream {
           graft.extensions.Dedup.removeFromEmbeddingIndex(
             index, removeIds, idCol),
           addVecs, idCol, vecCol)
+          .copy(folded = index.folded ++ contributing)
+        val durable = saveTo
+          .map(d => graft.extensions.Dedup.saveEmbeddingIndex(bumped, d))
+          .getOrElse(bumped)
         marks()
-        bumped.copy(folded = bumped.folded ++
-          Seq(acceptDir, upsertDir, retractDir))
+        durable
     }
   }
 
@@ -1281,7 +1321,7 @@ object CdcStream {
   private def maintenanceEvents(
       spark: SparkSession, idCol: String,
       legs: (String, String, DataFrame => DataFrame)*)
-      : Option[(DataFrame, () => Unit)] = {
+      : Option[(DataFrame, Seq[String], () => Unit)] = {
     val read = legs.map { case (dir, marker, shape) =>
       (dir, marker, consumeSinkTree(spark, dir, marker, keepBatch = true)
         .map(shape))
@@ -1289,7 +1329,12 @@ object CdcStream {
     val present = read.flatMap(_._3)
     if (present.isEmpty) None
     else {
-      val events = present.reduce(_ unionByName _)
+      // ONE eager materialization of the skinny event union: the
+      // collision guard below and every downstream reference of the
+      // min_by/max_by aggregation read the checkpoint, not the three
+      // parquet trees over again (removeFrom*'s multi-join plans
+      // reference the net relation several times per evaluation)
+      val events = present.reduce(_ unionByName _).localCheckpoint(true)
       val dup = events.groupBy(col(idCol), col("batch"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
         .limit(1).collect()
@@ -1300,7 +1345,8 @@ object CdcStream {
           "collision within one batch means the source feed is not " +
           "key-compacted — fix the feed; the net-effect ordering is " +
           "undefined under within-batch ties")
-      Some((events, () => read.foreach { case (dir, marker, t) =>
+      val contributing = read.collect { case (dir, _, Some(_)) => dir }
+      Some((events, contributing, () => read.foreach { case (dir, marker, t) =>
         if (t.isDefined) markFolded(spark, dir, marker)
       }))
     }
@@ -1342,7 +1388,11 @@ object CdcStream {
                                 savedDir: Option[String], version: Long)
                                (fold: DataFrame => A): Option[A] =
     foldSinkTree(spark, sinkDir, marker, savedDir, version,
-        keepBatch = true) { tree =>
+        keepBatch = true) { tree0 =>
+      // ONE eager materialization of the skinny O(updates) tree: the
+      // guard's aggregation and every later image pass (two on BM25)
+      // read the checkpoint, not the sink parquet over again
+      val tree = tree0.localCheckpoint(true)
       val dup = tree.groupBy(col(idCol), col("batch"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
         .limit(1).collect()

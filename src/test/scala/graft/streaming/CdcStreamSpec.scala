@@ -1326,17 +1326,23 @@ class CdcStreamSpec extends AnyFunSuite {
       (7L, "ORIG7", null.asInstanceOf[String], "delete"),
       (11L, "doc eleven final amendment", "ORIG11", "update"),
       (10L, "ORIG10", null.asInstanceOf[String], "delete"),
+      (13L, "ORIG13", null.asInstanceOf[String], "delete"),
       (off + 3, "a plain novel insert that stays", null.asInstanceOf[String], "insert")))
       .toDF("doc_id", "text", "old_text", "op")
     // trigger 2 (batch 1): off+1 updated (insert->update), doc 3
     // deleted (update->delete), off+2 deleted (insert->delete), doc 7
-    // re-inserted with CHANGED content (delete->reinsert)
+    // re-inserted with CHANGED content (delete->reinsert), doc 13
+    // re-inserted with IDENTICAL content — the hole the reinsert
+    // routing closes: the novelty gate would match doc 13's own frozen
+    // entry and eat it, permanently losing a doc the final CDC state
+    // contains (doc 13's delete rides trigger 1 below)
     val t2 = spark.createDataFrame(Seq(
       (off + 1, "novel doc one FINAL text after amendment",
         "a genuinely novel maintenance doc one", "update"),
       (3L, "doc three intermediate amendment", null.asInstanceOf[String], "delete"),
       (off + 2, "a genuinely novel maintenance doc two", null.asInstanceOf[String], "delete"),
-      (7L, "entirely new replacement content for doc seven", null.asInstanceOf[String], "insert")))
+      (7L, "entirely new replacement content for doc seven", null.asInstanceOf[String], "insert"),
+      (13L, "ORIG13", null.asInstanceOf[String], "insert")))
       .toDF("doc_id", "text", "old_text", "op")
     // the real texts of docs 3/7/10/11 stand in for the ORIG markers:
     // the stream must carry the docs' true old images
@@ -1371,7 +1377,9 @@ class CdcStreamSpec extends AnyFunSuite {
 
       // the final corpus state the net fold must land on: doc 3 gone
       // (update->delete), doc 7 replaced (delete->reinsert), doc 10
-      // gone, doc 11 amended, off+1 at its FINAL text (insert->update),
+      // gone, doc 11 amended, doc 13 BACK AT ITS ORIGINAL TEXT
+      // (delete->identical-reinsert — survives only because reinserts
+      // bypass the gate), off+1 at its FINAL text (insert->update),
       // off+2 gone (insert->delete), off+3 present
       val finalCorpus = corpus0
         .filter(col("doc_id") =!= 3L && col("doc_id") =!= 7L &&
@@ -1414,6 +1422,27 @@ class CdcStreamSpec extends AnyFunSuite {
       def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
         .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
       assert(dfMap(nettedStats) === dfMap(refit))
+
+      // lineage records only CONTRIBUTING trees: a window with no
+      // inserts folds off two sinks, the (missing) accept tree stays
+      // out of `folded` and unmarked
+      val u2 = TestSpark.tmpDir("graft-net-u2")
+      val r2 = TestSpark.tmpDir("graft-net-r2")
+      val a2 = s"${TestSpark.tmpDir("graft-net-a2")}/never-written"
+      corpus0.filter(col("doc_id") === 20L)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" twenty amended")).as("text"),
+          col("text").as("old_text"))
+        .write.mode("overwrite").parquet(s"$u2/batch=0")
+      corpus0.filter(col("doc_id") === 25L)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$r2/batch=0")
+      val partial = CdcStream.compactMaintenanceBatches(
+        spark, a2, u2, r2, index0, "doc_id", "text")
+      assert(partial.folded === Seq(u2, r2))
+      assert(!new java.io.File(a2, CdcStream.FoldedMarkerName).exists())
+      assert(new java.io.File(u2, CdcStream.UpsertMarkerName).exists())
+      assert(new java.io.File(r2, CdcStream.RetractMarkerName).exists())
     } finally index0.unpersist()
   }
 
