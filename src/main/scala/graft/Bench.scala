@@ -109,21 +109,27 @@ object Bench {
 
   /** Rows that deliberately pay a brute-force TRUTH computation or a
     * full per-call quantizer fit: the recall gates (brute all-pairs /
-    * top-k as ground truth), the brute baseline itself, and the
+    * top-k as ground truth), the brute baseline itself, the
     * one-shot sim rows that refit per call (their steady-state
-    * serving siblings are the *_probe rows). The r16 sf1 attribution
-    * (PLANS.md) proved the warm-total spread concentrates HERE — GC
-    * pauses landing inside ~20k×20k brute joins and KMeans fits — while
-    * steady-state rows hold ±1-3%. So the artifact reports the two
-    * totals separately: `value_steady` is the design-grading headline
-    * a regression hunt should watch; `value_truthgate` carries the
-    * documented GC envelope. Membership is by construction (what the
-    * row computes), not by measured volatility — a steady row turning
-    * volatile must stay visible in the steady total. */
+    * serving siblings are the *_probe rows), and the two
+    * sketch-accuracy gates (`q_approx_sketch` / `q_sketch_accuracy`
+    * pay an EXACT countDistinct + exact percentile recompute beside
+    * every sketch they grade — the deliberate-recompute class by
+    * construction, same as the recall gates' brute legs). The r16 sf1
+    * attribution (PLANS.md) proved the warm-total spread concentrates
+    * HERE — GC pauses landing inside ~20k×20k brute joins, KMeans fits
+    * and full-column percentile buffers — while steady-state rows hold
+    * ±1-3%. So the artifact reports the two totals separately:
+    * `value_steady` is the design-grading headline a regression hunt
+    * should watch; `value_truthgate` carries the documented GC
+    * envelope. Membership is by construction (what the row computes),
+    * not by measured volatility — a steady row turning volatile must
+    * stay visible in the steady total. */
   private[graft] def isTruthGate(n: String): Boolean =
     n.endsWith("_recall") || n == "sim_topk_brute" ||
       Set("sim_topk_ivfpq", "sim_topk_ivfpq_res", "sim_topk_pq",
-        "sim_topk_ivf", "sim_topk_filtered_ivf").contains(n)
+        "sim_topk_ivf", "sim_topk_filtered_ivf",
+        "q_approx_sketch", "q_sketch_accuracy").contains(n)
 
   private def render(xs: Seq[(String, Double)]) =
     xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -137,6 +143,16 @@ object Bench {
     def warmSteady: Double =
       results.filterNot(r => isTruthGate(r._1)).map(r => median(r._3)).sum
     def warmTruthGate: Double = warmTotal - warmSteady
+    /** FLOOR instrument (r17 #8): ambient transients only ever ADD
+      * time, so the per-row MINIMUM warm rep is the pass's most
+      * ambient-resistant estimate — the pickPass argument applied per
+      * row. The per-pass floor totals (steady rows only, so the
+      * truth-gate GC envelope can't pollute the instrument) land in
+      * `pass_totals.floor`; a regression hunt at sf1 gates on THEIR
+      * spread instead of the warm-median totals the ±10-30% box
+      * envelope defeats. */
+    def floorSteady: Double =
+      results.filterNot(r => isTruthGate(r._1)).map(_._3.min).sum
     def coldTotal: Double = results.map(_._2).sum
     def maxLoad: Double = math.max(loadStart, loadEnd)
     // `cpus` rides every history line: A/B passes at non-default core
@@ -263,7 +279,7 @@ object Bench {
     val first = passes.head
     val prov =
       f""""runs":$nRuns,"picked":${picked.idx},"picked_by":"$pickedBy","load_gate":$loadGate%.1f,"gate_waited_s":$gateWaitedS,"volatile":$volatileJson,"pass_totals":${
-        passes.map(p => f"""{"pass":${p.idx},"warm":${p.warmTotal}%.3f,"steady":${p.warmSteady}%.3f,"cold":${p.coldTotal}%.3f,"load_start":${p.loadStart}%.2f,"load_end":${p.loadEnd}%.2f}""").mkString("[", ",", "]")}"""
+        passes.map(p => f"""{"pass":${p.idx},"warm":${p.warmTotal}%.3f,"steady":${p.warmSteady}%.3f,"floor":${p.floorSteady}%.3f,"cold":${p.coldTotal}%.3f,"load_start":${p.loadStart}%.2f,"load_end":${p.loadEnd}%.2f}""").mkString("[", ",", "]")}"""
     val loads = f""""load_start":${picked.loadStart}%.2f,"load_end":${picked.loadEnd}%.2f"""
     val splitTotals =
       f""""value_steady":${picked.warmSteady}%.3f,"value_truthgate":${picked.warmTruthGate}%.3f"""
@@ -275,8 +291,15 @@ object Bench {
     // per-query map happened to sit last (the worst-rep queries_warm_max
     // in r12/r13), sending judges to audit noise. Tail capture must land
     // on the same map BENCH.json's readers use.
+    // Cross-pass per-row floor: the minimum warm rep over EVERY pass's
+    // reps (nine values on a triple) — the ambient-proof per-row
+    // instrument; value_floor sums its steady rows (the number whose
+    // cross-triple spread the sf1 regression hunt gates on).
+    val floorRows = passes.flatMap(_.results.map(r => (r._1, r._3.min)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
+    val valueFloor = floorRows.filterNot(r => isTruthGate(r._1)).map(_._2).sum
     val full =
-      f"""{"metric":"total","value":${picked.warmTotal}%.3f,"unit":"sec",$splitTotals,"value_cold":${first.coldTotal}%.3f,"value_cold_picked":${picked.coldTotal}%.3f,$loads,$prov,"cpus":$cpus,"sf":"$sfDir","queries_cold":${render(first.results.map(r => (r._1, r._2)))},"queries_cold_picked":${render(picked.results.map(r => (r._1, r._2)))},"queries_warm_min":${render(picked.results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(picked.results.map(r => (r._1, r._3.max)))},"queries":${render(picked.results.map(r => (r._1, median(r._3))))}}"""
+      f"""{"metric":"total","value":${picked.warmTotal}%.3f,"unit":"sec",$splitTotals,"value_floor":$valueFloor%.3f,"value_cold":${first.coldTotal}%.3f,"value_cold_picked":${picked.coldTotal}%.3f,$loads,$prov,"cpus":$cpus,"sf":"$sfDir","queries_floor":${render(floorRows)},"queries_cold":${render(first.results.map(r => (r._1, r._2)))},"queries_cold_picked":${render(picked.results.map(r => (r._1, r._2)))},"queries_warm_min":${render(picked.results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(picked.results.map(r => (r._1, r._3.max)))},"queries":${render(picked.results.map(r => (r._1, median(r._3))))}}"""
     // The full artifact (~4 KB with 100+ queries) exceeds the harness's
     // line capture; the short self-contained totals line must be the LAST
     // line printed. The complete artifact also lands in BENCH.json.

@@ -1,0 +1,274 @@
+package graft
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * The MAINTENANCE half of the pure-SQL deployment story (VERDICT r17
+ * #7): the retrieval tier ([[GraftSqlExtensions]]'s `graft_*` scalar
+ * and table functions) lets a SQL user probe every saved index; this
+ * catalog lets an OPERATOR run the index-maintenance entry points —
+ * the net-effect CDC compactions and the refresh→index loop — from
+ * pure SQL via Spark's DSv2 `CALL` statement:
+ *
+ * {{{
+ *   --conf spark.sql.catalog.graft=graft.GraftProcedureCatalog
+ *   CALL graft.compact_maintenance(
+ *     family => 'bm25', accept_dir => '...', upsert_dir => '...',
+ *     retract_dir => '...', index_dir => '/idx/v1', save_to => '/idx/v2',
+ *     id_col => 'doc_id', content_col => 'text', old_col => 'old_text');
+ *   CALL graft.refresh_index('ivf', '/ivf/v1', '/ivf/v2',
+ *     'old_crawl', 'new_crawl', 'vec_id', 'embedding');
+ * }}}
+ *
+ * CALL (not a TVF) is deliberately the surface: a table function
+ * resolves while PLANNING the enclosing query, so index writes hiding
+ * in one would fire from EXPLAIN or a dry-run — maintenance is a
+ * command, and Spark's procedure API gives commands their own
+ * statement with eager, exactly-once invocation semantics. Every
+ * procedure operates on SAVED trees (directory-path arguments — the
+ * SQL user's only handle, same convention as the retrieval TVFs),
+ * delegates verbatim to the Scala entry points (so the full contract
+ * battery carries over: stale-handle version guards,
+ * double-fold-marker refusals, NULL-image refusals, durable-then-mark
+ * crash ordering via `saveTo`), and returns a one-row summary
+ * `(family, index_dir, saved_to, old_version, new_version)` —
+ * `saved_to` NULL when the fold was a no-op (all sink trees
+ * empty/missing: nothing was consumed, nothing written, a later real
+ * fold still runs).
+ *
+ * The reference keeps comparable control-plane entry points behind a
+ * CLI (`/root/reference/main.go`); here the cluster's SQL gateway is
+ * the CLI.
+ */
+class GraftProcedureCatalog extends CatalogPlugin with ProcedureCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedureCatalog.procedures.getOrElse(ident.name().toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown graft procedure ${ident.name()}; available: " +
+          GraftProcedureCatalog.procedures.keys.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftProcedureCatalog.procedures.keys.toSeq.sorted
+        .map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+}
+
+object GraftProcedureCatalog {
+
+  /** One row out of every procedure: what ran, on which tree, where the
+    * bumped version landed, and the version transition — the audit line
+    * an operator's runbook logs. */
+  private val summarySchema = new StructType()
+    .add("family", StringType).add("index_dir", StringType)
+    .add("saved_to", StringType)
+    .add("old_version", LongType).add("new_version", LongType)
+
+  private def summary(family: String, indexDir: String,
+                      savedTo: Option[String],
+                      oldV: Long, newV: Long): util.Iterator[Scan] = {
+    val row = InternalRow(UTF8String.fromString(family),
+      UTF8String.fromString(indexDir),
+      savedTo.map(UTF8String.fromString).orNull, oldV, newV)
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = summarySchema
+    }
+    util.Collections.singletonList(scan).iterator()
+  }
+
+  private def str(input: InternalRow, i: Int): String =
+    input.getUTF8String(i).toString
+  private def strOpt(input: InternalRow, i: Int): Option[String] =
+    if (input.isNullAt(i)) None else Some(str(input, i))
+
+  private def in(name: String, comment: String) =
+    ProcedureParameter.in(name, StringType).comment(comment).build()
+  private def inOpt(name: String, comment: String) =
+    ProcedureParameter.in(name, StringType).comment(comment)
+      .defaultValue("NULL").build()
+
+  /** Shared skeleton: every graft procedure is a non-deterministic
+    * command over string parameters that binds as-is. */
+  private abstract class GraftProcedure(
+      procName: String, procDescription: String,
+      params: Array[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+  }
+
+  private val families =
+    Seq("text", "bm25", "embedding", "ivf", "ivfpq", "lsh", "pq")
+
+  private def badFamily(proc: String, f: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$proc: unknown index family '$f' — one of ${families.mkString(", ")}")
+
+  /** `CALL graft.compact_maintenance(family, accept_dir, upsert_dir,
+    * retract_dir, index_dir, save_to, id_col, content_col[, old_col])`
+    * — the net-effect CDC compaction ([[graft.streaming.CdcStream]]'s
+    * `compactMaintenance*Batches`) for any of the seven index
+    * families, off the three sink trees a maintenance ingest writes.
+    * `old_col` is required by (and only by) the `bm25` family — the
+    * one whose retraction needs the OLD row image. The loaded tree's
+    * version guard, the per-family double-fold markers and the
+    * NULL-image refusal all fire exactly as in the Scala API; the
+    * bumped index is saved to `save_to` BEFORE any marker lands
+    * (durable-then-mark). */
+  private object CompactMaintenance extends GraftProcedure(
+    "compact_maintenance",
+    "Net-effect CDC compaction of the accept/upsert/retract sink trees " +
+      "into a saved index, as one durable version bump",
+    Array(
+      in("family", families.mkString("|")),
+      in("accept_dir", "the maintenance ingest's accept sink tree"),
+      in("upsert_dir", "the maintenance ingest's upsert sink tree"),
+      in("retract_dir", "the maintenance ingest's retract sink tree"),
+      in("index_dir", "saved tree of the index version to fold onto"),
+      in("save_to", "directory for the bumped version"),
+      in("id_col", "document/vector id column"),
+      in("content_col", "text column (text/bm25) or vector column"),
+      inOpt("old_col", "OLD-image column (bm25 only)"))) {
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      import graft.extensions.{Dedup, Search, Similarity}
+      import graft.streaming.CdcStream
+      val family = str(input, 0).toLowerCase
+      val (a, u, r) = (str(input, 1), str(input, 2), str(input, 3))
+      val (indexDir, saveTo) = (str(input, 4), str(input, 5))
+      val (idCol, contentCol) = (str(input, 6), str(input, 7))
+      val oldCol = strOpt(input, 8)
+      // (old version, new version, did the fold run) — a no-op fold
+      // (every tree empty/missing) returns the input handle untouched
+      // and must not claim a saved_to it never wrote
+      val (oldV, newV) = family match {
+        case "text" =>
+          val ix = Dedup.loadCorpusIndex(spark, indexDir)
+          (ix.version, CdcStream.compactMaintenanceBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+        case "bm25" =>
+          val st = Search.loadBm25Stats(spark, indexDir)
+          val old = oldCol.getOrElse(throw new IllegalArgumentException(
+            "compact_maintenance: the bm25 family requires old_col (the " +
+              "OLD-image column its retraction subtracts)"))
+          (st.version, CdcStream.compactMaintenanceBm25Batches(
+            spark, a, u, r, st, idCol, contentCol, old, Some(saveTo)).version)
+        case "embedding" =>
+          val ix = Dedup.loadEmbeddingIndex(spark, indexDir)
+          (ix.version, CdcStream.compactVecMaintenanceBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+        case "ivf" =>
+          val ix = Similarity.loadIvfIndex(spark, indexDir)
+          (ix.version, CdcStream.compactMaintenanceIvfBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+        case "ivfpq" =>
+          val ix = Similarity.loadIvfPqIndex(spark, indexDir)
+          (ix.version, CdcStream.compactMaintenanceIvfPqBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+        case "lsh" =>
+          val ix = Similarity.loadLshIndex(spark, indexDir)
+          (ix.version, CdcStream.compactMaintenanceLshBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+        case "pq" =>
+          val ix = Similarity.loadPqIndex(spark, indexDir)
+          (ix.version, CdcStream.compactMaintenancePqBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+        case f => badFamily("compact_maintenance", f)
+      }
+      summary(family, indexDir,
+        if (newV == oldV) None else Some(saveTo), oldV, newV)
+    }
+  }
+
+  /** `CALL graft.refresh_index(family, index_dir, save_to, old_table,
+    * new_table, id_col, content_col)` — the refresh→index loop
+    * ([[graft.extensions.CorpusOps]]'s `refresh*Index` /
+    * `refreshBm25Stats`) for any of the seven families: diff the two
+    * crawls (corpusDiff for text/bm25, vectorDiff for the vector
+    * families — two skinny (id, hash) projections; content never
+    * shuffles), retire removed∪changed, fold added∪changed under the
+    * FROZEN quantizer, save the bump to `save_to`. Tables resolve
+    * through the session catalog, so views and pushdown compose. */
+  private object RefreshIndex extends GraftProcedure(
+    "refresh_index",
+    "Version a saved index onto a refreshed crawl via the skinny " +
+      "corpus/vector diff: O(changed + removed), frozen quantizers",
+    Array(
+      in("family", families.mkString("|")),
+      in("index_dir", "saved tree of the index fitted on old_table"),
+      in("save_to", "directory for the refreshed version"),
+      in("old_table", "table/view the index currently reflects"),
+      in("new_table", "table/view of the refreshed crawl"),
+      in("id_col", "document/vector id column"),
+      in("content_col", "text column (text/bm25) or vector column"))) {
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      import graft.extensions.{CorpusOps, Dedup, Search, Similarity}
+      val family = str(input, 0).toLowerCase
+      val (indexDir, saveTo) = (str(input, 1), str(input, 2))
+      val oldDf = spark.table(str(input, 3))
+      val newDf = spark.table(str(input, 4))
+      val (idCol, contentCol) = (str(input, 5), str(input, 6))
+      def textDiff = CorpusOps.corpusDiff(oldDf, newDf, idCol, contentCol)
+      def vecDiff = CorpusOps.vectorDiff(oldDf, newDf, idCol, contentCol)
+      val (oldV, newV) = family match {
+        case "text" =>
+          val ix = Dedup.loadCorpusIndex(spark, indexDir)
+          (ix.version, Dedup.saveCorpusIndex(CorpusOps.refreshCorpusIndex(
+            ix, newDf, idCol, contentCol, textDiff), saveTo).version)
+        case "bm25" =>
+          val st = Search.loadBm25Stats(spark, indexDir)
+          (st.version, CorpusOps.refreshBm25Stats(
+            st, oldDf, newDf, idCol, contentCol, textDiff).save(saveTo).version)
+        case "embedding" =>
+          val ix = Dedup.loadEmbeddingIndex(spark, indexDir)
+          (ix.version, Dedup.saveEmbeddingIndex(CorpusOps.refreshEmbeddingIndex(
+            ix, newDf, idCol, contentCol, vecDiff), saveTo).version)
+        case "ivf" =>
+          val ix = Similarity.loadIvfIndex(spark, indexDir)
+          (ix.version, CorpusOps.refreshIvfIndex(
+            ix, newDf, idCol, contentCol, vecDiff).save(saveTo).version)
+        case "ivfpq" =>
+          val ix = Similarity.loadIvfPqIndex(spark, indexDir)
+          (ix.version, CorpusOps.refreshIvfPqIndex(
+            ix, newDf, idCol, contentCol, vecDiff).save(saveTo).version)
+        case "lsh" =>
+          val ix = Similarity.loadLshIndex(spark, indexDir)
+          (ix.version, CorpusOps.refreshLshIndex(
+            ix, newDf, idCol, contentCol, vecDiff).save(saveTo).version)
+        case "pq" =>
+          val ix = Similarity.loadPqIndex(spark, indexDir)
+          (ix.version, CorpusOps.refreshPqIndex(
+            ix, newDf, idCol, contentCol, vecDiff).save(saveTo).version)
+        case f => badFamily("refresh_index", f)
+      }
+      summary(family, indexDir, Some(saveTo), oldV, newV)
+    }
+  }
+
+  private[graft] val procedures: Map[String, UnboundProcedure] = Map(
+    "compact_maintenance" -> CompactMaintenance,
+    "refresh_index" -> RefreshIndex)
+}

@@ -351,7 +351,11 @@ object CdcStream {
     * {Embedding,Ivf,IvfPq,Lsh,Pq}Batches` folds remain correct when
     * compaction cadence guarantees class-disjoint windows. Micro-batch
     * persisted once, change log read once; the gate probe is the only
-    * non-narrow work. */
+    * non-narrow work. Same OPERATING CONTRACT as
+    * [[startCdcMaintenanceIngest]]: the gate and reinsert router key
+    * off the handle frozen at stream start, so restart the ingest on
+    * the new index handle and fresh sink trees after every
+    * compaction. */
   def startVecMaintenanceIngest(
       changeStream: DataFrame,
       index: graft.extensions.Dedup.EmbeddingIndex,
@@ -607,7 +611,25 @@ object CdcStream {
     * compaction reduces every id to one net operation instead. Use the
     * per-leg `compactAccepted*`/`compactUpserted*`/`compactRetracted*`
     * folds only when compaction cadence guarantees class-disjoint
-    * windows. */
+    * windows.
+    *
+    * OPERATING CONTRACT — restart (or re-resolve) after every
+    * compaction: the novelty gate and the reinsert router classify
+    * against the `index` handle FROZEN at stream start. A compaction
+    * that retires ids and swaps in version N+1 makes that membership
+    * stale for a still-running stream: an insert of an id
+    * deleted-and-compacted in a PRIOR window still looks "known" and
+    * is misrouted to the upsert sink with a NULL old image (which the
+    * BM25 folds refuse loudly on, but the refusal fires at the NEXT
+    * compaction, not at the misroute); an id the compaction ADDED
+    * routes through the gate against stale docStats. The compaction
+    * rhythm is therefore: drain/stop the ingest → fold → restart the
+    * ingest on the new index handle and FRESH sink trees — the same
+    * swap-between-triggers rhythm [[compactAcceptedBatches]] documents
+    * for the single-leg ingests. The versioned-fold guards protect the
+    * FOLDS against a stale handle; this paragraph is the contract that
+    * protects the ROUTING. Spec-pinned in CdcStreamSpec ("stale frozen
+    * index"). */
   def startCdcMaintenanceIngest(
       changeStream: DataFrame,
       index: graft.extensions.Dedup.CorpusIndex,
@@ -653,12 +675,20 @@ object CdcStream {
           // a delete's old row image: some feeds carry it in the row
           // columns (textCol), before/after-image feeds (Debezium
           // shape: after = NULL on delete) carry it in oldTextCol —
-          // coalesce accepts both conventions, so the BM25 retraction
-          // never tokenizes a NULL image silently
-          b.filter(col(opCol) === deleteOp)
+          // coalesce accepts both conventions. A delete carrying
+          // NEITHER image refuses loudly here (failing the stream)
+          // instead of writing a NULL-image retract row: BM25
+          // retraction of a NULL image decrements nDocs while
+          // subtracting no terms, and by the time a compaction's own
+          // guard caught it the feed would be many triggers further on.
+          // One skinny limit(1) probe per trigger on the persisted
+          // batch.
+          val dels = b.filter(col(opCol) === deleteOp)
             .select(col(idCol),
               coalesce(col(textCol), col(oldTextCol)).as(textCol))
-            .write.mode("overwrite").parquet(s"$retractDir/batch=$batchId")
+          requireNonNullImages(dels, idCol, textCol,
+            s"maintenance ingest delete route (micro-batch $batchId)")
+          dels.write.mode("overwrite").parquet(s"$retractDir/batch=$batchId")
         } finally { b.unpersist(false); () }
         ()
       }
@@ -1102,6 +1132,13 @@ object CdcStream {
       // passes (and the retract/extend localCheckpoints that evaluate
       // eagerly below) read one materialization of the sink
       val first = imagePerId(tree, idCol, Seq(idCol, oldTextCol), earliest = true)
+      // same refusal as the net fold: a NULL earliest-old (an upsert
+      // sink row whose old image the feed never carried — e.g. a
+      // reinsert routed by a maintenance ingest, which belongs to the
+      // NET compaction, not this per-leg fold) would silently decrement
+      // nDocs while subtracting no terms
+      requireNonNullImages(first, idCol, oldTextCol,
+        s"BM25 upsert fold of $sinkDir")
       val last = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
       val bumped = graft.extensions.Search.extendBm25Stats(
           graft.extensions.Search.retractBm25Stats(stats, first, idCol, oldTextCol),
@@ -1239,6 +1276,17 @@ object CdcStream {
         try {
           val retractDocs = net.filter(col("__first_kind") =!= "accept")
             .select(col(idCol), col("__first_old").as(textCol))
+          // refuse loudly, never drift: a NULL earliest-old reaching
+          // retractBm25Stats would decrement nDocs while subtracting no
+          // terms (bm25PerDoc maps NULL text to dl 0 / zero rows, but
+          // the doc-count leg still counts the row) — silent corruption
+          // of every later score. A NULL here means an upsert-FIRST id
+          // whose old image the feed never carried: most often an
+          // ingest still routing against an index handle frozen BEFORE
+          // an offline compaction (see the restart contract on
+          // [[startCdcMaintenanceIngest]]).
+          requireNonNullImages(retractDocs, idCol, textCol,
+            "BM25 net-effect compaction retract set")
           val extendDocs = net.filter(col("__last_kind") =!= "retract")
             .select(col(idCol), col("__last_img").as(textCol))
           val bumped = graft.extensions.Search.extendBm25Stats(
@@ -1260,33 +1308,158 @@ object CdcStream {
     * sign-LSH embedding index, the vec ingest's own gate family. No
     * old-image leg: every vector family retracts by id alone. The
     * accept tree is stamped with the shared vector accept marker
-    * ([[FoldedMarkerName]] — the accept side's existing design: one
-    * accept tree feeds ONE vector family), the upsert/retract trees
-    * with the embedding legs' own markers. */
+    * ([[FoldedMarkerName]] — the gate family owns the generic accept
+    * marker, and the per-leg [[compactAcceptedEmbeddingBatches]] checks
+    * the same name, so a stray per-leg accept fold of a net-compacted
+    * tree refuses); the upsert/retract trees with the embedding legs'
+    * own markers. The four non-gate families' net compactions
+    * ([[compactMaintenanceIvfBatches]] and siblings) carry per-family
+    * accept markers instead, so all FIVE families can net-fold ONE
+    * shared tree triple in any order. */
   def compactVecMaintenanceBatches(
       spark: SparkSession,
       acceptDir: String, upsertDir: String, retractDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
       idCol: String, vecCol: String,
       /** durable-then-mark, as on [[compactMaintenanceBatches]]. */
-      saveTo: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
+      saveTo: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex =
+    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+        FoldedMarkerName, EmbUpsertMarkerName, EmbRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
+      val bumped = graft.extensions.Dedup.extendEmbeddingIndex(
+        graft.extensions.Dedup.removeFromEmbeddingIndex(
+          index, removeIds, idCol),
+        addVecs, idCol, vecCol)
+        .copy(folded = index.folded ++ contributing)
+      saveTo.map(d => graft.extensions.Dedup.saveEmbeddingIndex(bumped, d))
+        .getOrElse(bumped)
+    }.getOrElse(index)
+
+  /** The IVF net-effect compaction — cross-class-safe maintenance for
+    * the cell-partitioned ANN index off the SAME three trees
+    * [[startVecMaintenanceIngest]] writes: served ids retire via
+    * [[graft.extensions.Similarity.removeFromIvfIndex]] (anti-join on
+    * the assigned relation), alive ids re-assign their LATEST vector to
+    * the FROZEN centroids via [[graft.extensions.Similarity
+    * .extendIvfIndex]] — so an id crossing op classes between triggers
+    * (insert→update, update→delete, delete→reinsert) lands exactly
+    * where a rebuild-under-the-frozen-quantizer on the final vector
+    * state would put it, instead of violating extend's append-only
+    * contract (the per-leg folds' documented class-disjoint
+    * precondition). Markers: the family's own accept marker
+    * ([[IvfFoldedMarkerName]]) plus the existing per-family
+    * upsert/retract markers, so the five vector families consume one
+    * shared triple independently and each refuses only ITS own
+    * double-run. `saveTo` keeps durable-then-mark. */
+  def compactMaintenanceIvfBatches(
+      spark: SparkSession,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      index: graft.extensions.Similarity.IvfIndex,
+      idCol: String, vecCol: String,
+      saveTo: Option[String] = None): graft.extensions.Similarity.IvfIndex =
+    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+        IvfFoldedMarkerName, IvfUpsertMarkerName, IvfRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
+      val bumped = graft.extensions.Similarity.extendIvfIndex(
+        graft.extensions.Similarity.removeFromIvfIndex(index, removeIds, idCol),
+        addVecs, idCol, vecCol)
+        .copy(folded = index.folded ++ contributing)
+      saveTo.map(bumped.save).getOrElse(bumped)
+    }.getOrElse(index)
+
+  /** The IVF-PQ (IVFADC) net-effect compaction: same reduction, applied
+    * to codes AND the rerank-only vectors relation in lockstep (the
+    * split-tree invariant) — alive ids re-encode their LATEST vector
+    * under the FROZEN cells and FROZEN codebooks. Markers:
+    * [[IvfPqFoldedMarkerName]] + the family's upsert/retract pair. */
+  def compactMaintenanceIvfPqBatches(
+      spark: SparkSession,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      index: graft.extensions.Similarity.IvfPqIndex,
+      idCol: String, vecCol: String,
+      saveTo: Option[String] = None): graft.extensions.Similarity.IvfPqIndex =
+    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+        IvfPqFoldedMarkerName, IvfPqUpsertMarkerName, IvfPqRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
+      val bumped = graft.extensions.Similarity.extendIvfPqIndex(
+        graft.extensions.Similarity.removeFromIvfPqIndex(index, removeIds, idCol),
+        addVecs, idCol, vecCol)
+        .copy(folded = index.folded ++ contributing)
+      saveTo.map(bumped.save).getOrElse(bumped)
+    }.getOrElse(index)
+
+  /** The sign-LSH TOP-K net-effect compaction: alive ids re-band their
+    * LATEST vector under the DETERMINISTIC hyperplanes. Markers:
+    * [[LshFoldedMarkerName]] + the family's upsert/retract pair. */
+  def compactMaintenanceLshBatches(
+      spark: SparkSession,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      index: graft.extensions.Similarity.LshIndex,
+      idCol: String, vecCol: String,
+      saveTo: Option[String] = None): graft.extensions.Similarity.LshIndex =
+    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+        LshFoldedMarkerName, LshUpsertMarkerName, LshRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
+      val bumped = graft.extensions.Similarity.extendLshIndex(
+        graft.extensions.Similarity.removeFromLshIndex(index, removeIds, idCol),
+        addVecs, idCol, vecCol)
+        .copy(folded = index.folded ++ contributing)
+      saveTo.map(bumped.save).getOrElse(bumped)
+    }.getOrElse(index)
+
+  /** The PQ net-effect compaction: alive ids re-encode their LATEST
+    * vector under the FROZEN codebooks. Markers: [[PqFoldedMarkerName]]
+    * + the family's upsert/retract pair. */
+  def compactMaintenancePqBatches(
+      spark: SparkSession,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      index: graft.extensions.Similarity.PqIndex,
+      idCol: String, vecCol: String,
+      saveTo: Option[String] = None): graft.extensions.Similarity.PqIndex =
+    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+        PqFoldedMarkerName, PqUpsertMarkerName, PqRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
+      val bumped = graft.extensions.Similarity.extendPqIndex(
+        graft.extensions.Similarity.removeFromPqIndex(index, removeIds, idCol),
+        addVecs, idCol, vecCol)
+        .copy(folded = index.folded ++ contributing)
+      saveTo.map(bumped.save).getOrElse(bumped)
+    }.getOrElse(index)
+
+  /** Shared skeleton of the five VECTOR net-effect compactions — the
+    * stale-handle guard → guarded three-tree read → cross-class net
+    * reduction → family fold → markers sequence, parameterized over the
+    * family's marker triple and its (removeFrom*, extend*) pair the way
+    * [[foldSinkTree]] unified the per-leg folds. The reduction is the
+    * [[compactMaintenanceBatches]] algebra with no old-image leg (every
+    * vector family retracts by id alone): served (earliest event ≠
+    * accept) ids land in `removeIds`; alive (latest event ≠ retract)
+    * ids land in `addVecs` with their LATEST image. `fold` runs BEFORE
+    * any marker (durable-then-mark: a `saveTo` write inside the fold
+    * that crashes leaves all three trees unmarked, so the next
+    * scheduled compaction re-runs instead of orphaning them). */
+  private def netVecCompaction[I](
+      spark: SparkSession,
+      acceptDir: String, upsertDir: String, retractDir: String,
+      idCol: String, vecCol: String,
+      acceptMarker: String, upsertMarker: String, retractMarker: String,
+      savedDir: Option[String], version: Long)(
+      fold: (DataFrame, DataFrame, Seq[String]) => I): Option[I] = {
+    savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, version, "compaction"))
     val vecType = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.FloatType)
-    val trees = maintenanceEvents(spark, idCol,
-      (acceptDir, FoldedMarkerName,
+    maintenanceEvents(spark, idCol,
+      (acceptDir, acceptMarker,
         df => df.select(col(idCol), col("batch"), lit("accept").as("kind"),
           col(vecCol).as("__img"))),
-      (upsertDir, EmbUpsertMarkerName,
+      (upsertDir, upsertMarker,
         df => df.select(col(idCol), col("batch"), lit("upsert").as("kind"),
           col(vecCol).as("__img"))),
-      (retractDir, EmbRetractMarkerName,
+      (retractDir, retractMarker,
         df => df.select(col(idCol), col("batch"), lit("retract").as("kind"),
           lit(null).cast(vecType).as("__img"))))
-    trees match {
-      case None => index
-      case Some((events, contributing, marks)) =>
+      .map { case (events, contributing, marks) =>
         val net = events.groupBy(col(idCol)).agg(
           min_by(col("kind"), col("batch")).as("__first_kind"),
           max_by(col("kind"), col("batch")).as("__last_kind"),
@@ -1295,17 +1468,10 @@ object CdcStream {
           .select(col(idCol))
         val addVecs = net.filter(col("__last_kind") =!= "retract")
           .select(col(idCol), col("__last_img").as(vecCol))
-        val bumped = graft.extensions.Dedup.extendEmbeddingIndex(
-          graft.extensions.Dedup.removeFromEmbeddingIndex(
-            index, removeIds, idCol),
-          addVecs, idCol, vecCol)
-          .copy(folded = index.folded ++ contributing)
-        val durable = saveTo
-          .map(d => graft.extensions.Dedup.saveEmbeddingIndex(bumped, d))
-          .getOrElse(bumped)
+        val out = fold(removeIds, addVecs, contributing)
         marks()
-        durable
-    }
+        out
+      }
   }
 
   /** Guarded read of the three maintenance trees: refuses any tree
@@ -1421,9 +1587,51 @@ object CdcStream {
       .select(cols.map(col): _*)
   }
 
+  /** Refuse loudly when a BM25 retract-side relation carries a NULL
+    * image — [[graft.extensions.Search.retractBm25Stats]] maps NULL
+    * text to dl 0 / no terms yet still decrements nDocs, leaving the
+    * stats permanently one doc low per NULL row: the exact
+    * silent-drift class the fold battery's other guards (within-batch
+    * ties, double-fold markers) refuse on. One skinny limit(1) probe
+    * over an already-materialized relation, paid before any stats
+    * arithmetic. */
+  private def requireNonNullImages(docs: DataFrame,
+                                   idCol: String, imgCol: String,
+                                   what: String): Unit = {
+    val bad = docs.filter(col(imgCol).isNull).limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"$what carries a NULL $imgCol image for id ${bad.head.get(0)}: " +
+        "retracting a NULL image would decrement nDocs while " +
+        "subtracting no term counts — silent BM25 drift on every later " +
+        "score. Either the feed dropped the old row image (fix the " +
+        "feed) or a maintenance ingest kept routing against an index " +
+        "handle frozen BEFORE an offline compaction retired this id — " +
+        "restart the ingest after every compaction (the operating " +
+        "contract on startCdcMaintenanceIngest)")
+  }
+
   /** Marker a successful compaction writes at the root of every tree it
     * consumed; its presence makes a double-fold unrepresentable. */
   val FoldedMarkerName = "_FOLDED"
+
+  /** Per-family ACCEPT markers for the non-gate vector families' NET
+    * compactions ([[compactMaintenanceIvfBatches]] and siblings): one
+    * [[startVecMaintenanceIngest]] accept tree feeds all five vector
+    * families, so each family's net compaction must refuse only ITS own
+    * double-run — the retract/upsert sides' per-family design, extended
+    * to the accept tree. The gate family (embedding) keeps the shared
+    * [[FoldedMarkerName]]: its per-leg accept fold checks that same
+    * name, so the stray-per-leg-fold refusal still holds there. For the
+    * four families below NO per-leg accept fold shares their markers —
+    * mixing per-leg accept folds with a multi-family shared tree is
+    * outside contract either way (the per-leg accept folds all check
+    * the shared marker, so the FIRST per-leg fold would lock out every
+    * sibling family): a deployment on the net cadence must use net
+    * compactions for every family consuming the triple. */
+  val IvfFoldedMarkerName = "_FOLDED_IVF"
+  val IvfPqFoldedMarkerName = "_FOLDED_IVFPQ"
+  val LshFoldedMarkerName = "_FOLDED_LSH"
+  val PqFoldedMarkerName = "_FOLDED_PQ"
 
   /** The retract folds' markers — PER FAMILY, the same design as the
     * accept side's [[FoldedMarkerName]]/[[Bm25FoldedMarkerName]] split:

@@ -28,9 +28,12 @@ class BenchPhaseSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keySet
     // a typo in the truth-gate set would silently misfile a row's total
     val gated = names.filter(Bench.isTruthGate)
+    // the two sketch-accuracy gates pay exact countDistinct/percentile
+    // recomputes beside the sketches they grade — truth-gate by
+    // construction (r17 judge #5), not steady rows
     val explicit = Set("sim_topk_brute", "sim_topk_ivfpq",
       "sim_topk_ivfpq_res", "sim_topk_pq", "sim_topk_ivf",
-      "sim_topk_filtered_ivf")
+      "sim_topk_filtered_ivf", "q_approx_sketch", "q_sketch_accuracy")
     assert(explicit.subsetOf(names),
       s"truth-gate names not in queries: ${explicit -- names}")
     assert(names.filter(_.endsWith("_recall")).forall(Bench.isTruthGate))
@@ -47,6 +50,14 @@ class BenchPhaseSpec extends AnyFunSuite {
         Seq(("q_steady", 1.0, Seq(3.0, 3.0, 3.0))),
       0.0, 0.0)
     assert(math.abs(pass.warmSteady + pass.warmTruthGate - pass.warmTotal) < 1e-9)
+    // the floor instrument takes per-row warm MINIMA over steady rows
+    // only: ambient only adds time, so floor <= steady always, and a
+    // truth-gate row can never leak into the floor
+    val floorPass = Bench.Pass(1, Seq(
+      ("q_steady", 1.0, Seq(3.0, 2.5, 4.0)),
+      (gated.head, 1.0, Seq(9.0, 9.0, 9.0))), 0.0, 0.0)
+    assert(math.abs(floorPass.floorSteady - 2.5) < 1e-9)
+    assert(floorPass.floorSteady <= floorPass.warmSteady + 1e-9)
   }
 
   /** Synthetic-noise sanity check for the archive picker: round 11's

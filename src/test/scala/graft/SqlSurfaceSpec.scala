@@ -259,4 +259,132 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("INT literal"))
   }
+
+  test("CALL graft.compact_maintenance: the net-effect fold runs from " +
+    "pure SQL for text AND bm25 off one shared tree triple, and a no-op " +
+    "window reports saved_to NULL") {
+    import org.apache.spark.sql.functions._
+    import graft.extensions.{Dedup, Search}
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus0 = docs.filter(col("doc_id") < 120)
+    val idxDir = TestSpark.tmpDir("graft-call-idx")
+    val statsDir = TestSpark.tmpDir("graft-call-stats")
+    Dedup.saveCorpusIndex(
+      Dedup.buildCorpusIndex(corpus0, "doc_id", "text"), idxDir)
+    Search.bm25Fit(corpus0, "doc_id", "text").save(statsDir)
+    // one shared maintenance window, written in sink shape: doc 20
+    // amended (upsert, both images), doc 25 retired (retract, old
+    // image), no accepts (missing tree)
+    val u = TestSpark.tmpDir("graft-call-u")
+    val r = TestSpark.tmpDir("graft-call-r")
+    val a = s"${TestSpark.tmpDir("graft-call-a")}/never-written"
+    corpus0.filter(col("doc_id") === 20L)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" amended via CALL")).as("text"),
+        col("text").as("old_text"))
+      .write.mode("overwrite").parquet(s"$u/batch=0")
+    corpus0.filter(col("doc_id") === 25L)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$r/batch=0")
+
+    val textSave = TestSpark.tmpDir("graft-call-idx2")
+    val row = spark.sql(
+      s"""CALL graft.compact_maintenance('text', '$a', '$u', '$r',
+         |  '$idxDir', '$textSave', 'doc_id', 'text')""".stripMargin)
+      .collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("family") === "text" &&
+      row.head.getAs[String]("saved_to") === textSave &&
+      row.head.getAs[Long]("new_version") ===
+        row.head.getAs[Long]("old_version") + 2) // remove, then extend
+
+    // the saved bump == a from-scratch build of the final corpus
+    val finalCorpus = corpus0.filter(col("doc_id") =!= 25L)
+      .select(col("doc_id"),
+        when(col("doc_id") === 20L, concat(col("text"), lit(" amended via CALL")))
+          .otherwise(col("text")).as("text"))
+    def postingSet(ix: Dedup.CorpusIndex) =
+      ix.postings.select("gram", "doc_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(postingSet(Dedup.loadCorpusIndex(spark, textSave)) ===
+      postingSet(Dedup.buildCorpusIndex(finalCorpus, "doc_id", "text")))
+
+    // bm25 off the SAME trees (its own markers), old_col named
+    val bmSave = TestSpark.tmpDir("graft-call-stats2")
+    spark.sql(
+      s"""CALL graft.compact_maintenance('bm25', '$a', '$u', '$r',
+         |  '$statsDir', '$bmSave', 'doc_id', 'text', 'old_text')""".stripMargin)
+      .collect()
+    val folded = Search.loadBm25Stats(spark, bmSave)
+    val refit = Search.bm25Fit(finalCorpus, "doc_id", "text")
+    assert(folded.nDocs === refit.nDocs && folded.sumDl === refit.sumDl)
+    def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+      .map(x => x.getAs[String]("term") -> x.getAs[Long]("df")).toMap
+    assert(dfMap(folded) === dfMap(refit))
+
+    // double-fold refusal carries through the SQL surface
+    val dup = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.compact_maintenance('text', '$a', '$u', '$r',
+           |  '$idxDir', '$textSave', 'doc_id', 'text')""".stripMargin).collect()
+    }
+    assert(dup.getMessage.contains("already compacted"))
+
+    // a window with nothing to fold: saved_to NULL, version unchanged
+    val idle = spark.sql(
+      s"""CALL graft.compact_maintenance('text',
+         |  '${TestSpark.tmpDir("gi-a")}', '${TestSpark.tmpDir("gi-u")}',
+         |  '${TestSpark.tmpDir("gi-r")}',
+         |  '$idxDir', '${TestSpark.tmpDir("gi-s")}', 'doc_id', 'text')"""
+        .stripMargin).collect().head
+    assert(idle.isNullAt(idle.fieldIndex("saved_to")) &&
+      idle.getAs[Long]("new_version") === idle.getAs[Long]("old_version"))
+
+    // guards: bm25 without old_col, unknown family
+    val noOld = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.compact_maintenance('bm25', '$a', '$u', '$r',
+           |  '$statsDir', '$bmSave', 'doc_id', 'text')""".stripMargin).collect()
+    }
+    assert(noOld.getMessage.contains("old_col"))
+    val badFam = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.compact_maintenance('btree', '$a', '$u', '$r',
+           |  '$idxDir', '$textSave', 'doc_id', 'text')""".stripMargin).collect()
+    }
+    assert(badFam.getMessage.contains("unknown index family"))
+  }
+
+  test("CALL graft.refresh_index: the refresh->index loop runs from " +
+    "pure SQL — IVF lands on assignToCells(new, frozen centers)") {
+    import org.apache.spark.sql.functions._
+    import graft.extensions.Similarity
+    val vecs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    val oldCrawl = vecs.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    oldCrawl.createOrReplaceTempView("g_old_crawl")
+    vecs.createOrReplaceTempView("g_new_crawl")
+    val ivfDir = TestSpark.tmpDir("graft-call-ivf")
+    val old = Similarity.ivfFit(oldCrawl, "vec_id", "embedding", nlist = 8)
+      .save(ivfDir)
+    val saveTo = TestSpark.tmpDir("graft-call-ivf2")
+    val row = spark.sql(
+      s"""CALL graft.refresh_index('ivf', '$ivfDir', '$saveTo',
+         |  'g_old_crawl', 'g_new_crawl', 'vec_id', 'embedding')"""
+        .stripMargin).collect().head
+    assert(row.getAs[String]("saved_to") === saveTo)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toSeq
+        case x => x
+      }).toSet
+    val refreshed = Similarity.loadIvfIndex(spark, saveTo)
+    assert(rows(refreshed.assigned) === rows(Similarity.assignToCells(
+      vecs, old.centers, "vec_id", "embedding")))
+    assert(rows(refreshed.centers) === rows(old.centers))
+  }
 }

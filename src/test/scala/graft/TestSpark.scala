@@ -15,6 +15,8 @@ object TestSpark {
       // asserts the graft_* functions arrived through THIS, not a
       // post-hoc registration
       .config("spark.sql.extensions", "graft.GraftSqlExtensions")
+      // the production CALL-procedure path (maintenance from pure SQL)
+      .config("spark.sql.catalog.graft", "graft.GraftProcedureCatalog")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

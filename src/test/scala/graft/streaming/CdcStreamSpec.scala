@@ -1307,6 +1307,243 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(netted.folded === Seq(acceptDir, upsertDir, retractDir))
   }
 
+  test("net-effect compaction covers ALL FIVE vector families off ONE " +
+    "shared tree triple: IVF / IVF-PQ / LSH / PQ / embedding each land " +
+    "on rebuild-under-the-frozen-quantizer of the final vector state, " +
+    "in any order, each refusing only its own double-run") {
+    import graft.extensions.{Dedup, Similarity}
+    val e = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus0 = e.filter(col("vec_id") < 200)
+    val negated = transform(col("embedding"),
+      x => (x * lit(-1.0f)).cast("float"))
+    val off = 100000L
+    def fresh(id: Long, srcId: Long, op: String) =
+      e.filter(col("vec_id") === srcId)
+        .select(lit(id).as("vec_id"), negated.as("embedding"),
+          lit(op).as("op"))
+    // trigger 1: off+1 inserted (novel), off+2 inserted (novel), vec 3
+    // updated, vec 7 deleted, vec 9 deleted
+    val t1 = fresh(off + 1, 250, "insert")
+      .unionByName(fresh(off + 2, 252, "insert"))
+      .unionByName(corpus0.filter(col("vec_id") === 3)
+        .select(col("vec_id"), negated.as("embedding"), lit("update").as("op")))
+      .unionByName(corpus0.filter(col("vec_id") === 7)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op")))
+      .unionByName(corpus0.filter(col("vec_id") === 9)
+        .select(col("vec_id"), col("embedding"), lit("delete").as("op")))
+    // trigger 2: off+1 updated (insert->update), off+2 deleted
+    // (insert->delete), vec 3 deleted (update->delete), vec 9
+    // re-inserted with a CHANGED vector (delete->reinsert — the ingest
+    // routes it to the upsert sink: its id is in the frozen gate index)
+    val t2 = fresh(off + 1, 251, "update")
+      .unionByName(fresh(off + 2, 252, "delete"))
+      .unionByName(corpus0.filter(col("vec_id") === 3)
+        .select(col("vec_id"), negated.as("embedding"), lit("delete").as("op")))
+      .unionByName(fresh(9L, 253, "insert"))
+    val src = TestSpark.tmpDir("graft-vnet5-src")
+    t1.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    t2.coalesce(1).write.mode("append").parquet(src)
+
+    val acceptDir = TestSpark.tmpDir("graft-vnet5-accept")
+    val upsertDir = TestSpark.tmpDir("graft-vnet5-upsert")
+    val retractDir = TestSpark.tmpDir("graft-vnet5-retract")
+    val gate = Dedup.buildEmbeddingIndex(corpus0, "vec_id", "embedding",
+      planes = 12, bands = 8)
+    val q = CdcStream.startVecMaintenanceIngest(
+      spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      gate, "vec_id", "embedding", "op",
+      acceptDir, upsertDir, retractDir,
+      TestSpark.tmpDir("graft-vnet5-ckpt"))
+    q.awaitTermination()
+
+    // final state: vec 3 gone (update->delete), vec 7 gone, vec 9 at
+    // its REINSERTED vector, off+1 at its FINAL vector (insert->
+    // update), off+2 nets to nothing (insert->delete)
+    val finalVecs = corpus0
+      .filter(col("vec_id") =!= 3L && col("vec_id") =!= 7L &&
+        col("vec_id") =!= 9L)
+      .unionByName(e.filter(col("vec_id") === 251)
+        .select(lit(off + 1).as("vec_id"), negated.as("embedding")))
+      .unionByName(e.filter(col("vec_id") === 253)
+        .select(lit(9L).as("vec_id"), negated.as("embedding")))
+    def rows5(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toSeq
+        case x => x
+      }).toSet
+
+    // IVF: net fold == assignToCells(final, FROZEN centers)
+    val ivf0 = Similarity.ivfFit(corpus0, "vec_id", "embedding", nlist = 8)
+    val ivfNet = CdcStream.compactMaintenanceIvfBatches(
+      spark, acceptDir, upsertDir, retractDir, ivf0, "vec_id", "embedding")
+    assert(rows5(ivfNet.assigned) === rows5(Similarity.assignToCells(
+      finalVecs, ivf0.centers, "vec_id", "embedding")))
+    assert(rows5(ivfNet.centers) === rows5(ivf0.centers))
+    assert(ivfNet.folded === Seq(acceptDir, upsertDir, retractDir))
+
+    // PQ: net fold == re-encoding final under the FROZEN codebooks
+    val pq0 = Similarity.pqFit(corpus0, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val pqNet = CdcStream.compactMaintenancePqBatches(
+      spark, acceptDir, upsertDir, retractDir, pq0, "vec_id", "embedding")
+    val pqRebuilt = Similarity.extendPqIndex(
+      pq0.copy(codes = pq0.codes.limit(0)), finalVecs, "vec_id", "embedding")
+    assert(rows5(pqNet.codes) === rows5(pqRebuilt.codes))
+
+    // IVF-PQ (residual): codes AND rerank vectors in lockstep
+    val ipq0 = Similarity.ivfPqFit(corpus0, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16, residual = true)
+    val ipqNet = CdcStream.compactMaintenanceIvfPqBatches(
+      spark, acceptDir, upsertDir, retractDir, ipq0, "vec_id", "embedding")
+    val ipqRebuilt = Similarity.extendIvfPqIndex(
+      ipq0.copy(codes = ipq0.codes.limit(0), vectors = ipq0.vectors.limit(0)),
+      finalVecs, "vec_id", "embedding")
+    assert(rows5(ipqNet.codes) === rows5(ipqRebuilt.codes))
+    assert(rows5(ipqNet.vectors) === rows5(ipqRebuilt.vectors))
+
+    // LSH top-k: deterministic hyperplanes, so == a from-scratch fit
+    val lsh0 = Similarity.lshFit(corpus0, "vec_id", "embedding",
+      planes = 12, bands = 4)
+    val lshNet = CdcStream.compactMaintenanceLshBatches(
+      spark, acceptDir, upsertDir, retractDir, lsh0, "vec_id", "embedding")
+    assert(rows5(lshNet.banded) === rows5(Similarity.lshFit(
+      finalVecs, "vec_id", "embedding", planes = 12, bands = 4).banded))
+
+    // the GATE family folds LAST off the same triple — per-family
+    // markers make the five compactions order-independent
+    val embNet = CdcStream.compactVecMaintenanceBatches(
+      spark, acceptDir, upsertDir, retractDir, gate, "vec_id", "embedding")
+    val embScratch = Dedup.buildEmbeddingIndex(finalVecs, "vec_id",
+      "embedding", planes = 12, bands = 8)
+    assert(rows5(embNet.buckets) === rows5(embScratch.buckets))
+    assert(rows5(embNet.vectors) === rows5(embScratch.vectors))
+
+    // every family stamped its OWN leg markers on all three trees
+    val expect = Seq(
+      (acceptDir, Seq(CdcStream.IvfFoldedMarkerName,
+        CdcStream.IvfPqFoldedMarkerName, CdcStream.LshFoldedMarkerName,
+        CdcStream.PqFoldedMarkerName, CdcStream.FoldedMarkerName)),
+      (upsertDir, Seq(CdcStream.IvfUpsertMarkerName,
+        CdcStream.IvfPqUpsertMarkerName, CdcStream.LshUpsertMarkerName,
+        CdcStream.PqUpsertMarkerName, CdcStream.EmbUpsertMarkerName)),
+      (retractDir, Seq(CdcStream.IvfRetractMarkerName,
+        CdcStream.IvfPqRetractMarkerName, CdcStream.LshRetractMarkerName,
+        CdcStream.PqRetractMarkerName, CdcStream.EmbRetractMarkerName)))
+    for ((d, ms) <- expect; m <- ms)
+      assert(new java.io.File(d, m).exists(), s"$d missing $m")
+    // ...each family refuses only ITS own double-run...
+    val err = intercept[IllegalArgumentException] {
+      CdcStream.compactMaintenanceIvfBatches(
+        spark, acceptDir, upsertDir, retractDir, ivf0, "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("already compacted"))
+    // ...and a stray per-leg fold of a net-compacted tree refuses too
+    intercept[IllegalArgumentException] {
+      CdcStream.compactUpsertedIvfBatches(
+        spark, upsertDir, ivf0, "vec_id", "embedding")
+    }
+  }
+
+  test("BM25 folds REFUSE on a NULL retract image — the stale frozen " +
+    "index misroute (an upsert-first id whose old image the feed never " +
+    "carried) fails loudly instead of silently drifting nDocs") {
+    import graft.extensions.{Dedup, Search}
+    val d = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus0 = d.filter(col("doc_id") < 100)
+    val index0 = Dedup.buildCorpusIndex(corpus0, "doc_id", "text")
+    val stats0 = Search.bm25Fit(corpus0, "doc_id", "text")
+    // the restart-contract violation: doc 5 was deleted AND compacted in
+    // a PRIOR window, but the ingest kept running against the handle
+    // frozen before that compaction — its membership still lists doc 5,
+    // so this window's INSERT of doc 5 is misrouted to the upsert sink
+    // with a NULL old image (no retract event precedes it in THIS
+    // window to supply one)
+    val feed = spark.createDataFrame(Seq(
+      (5L, "doc five reinserted after an offline compaction",
+        null.asInstanceOf[String], "insert")))
+      .toDF("doc_id", "text", "old_text", "op")
+    val src = TestSpark.tmpDir("graft-stale-src")
+    feed.coalesce(1).write.mode("overwrite").parquet(src)
+    val acceptDir = TestSpark.tmpDir("graft-stale-accept")
+    val upsertDir = TestSpark.tmpDir("graft-stale-upsert")
+    val retractDir = TestSpark.tmpDir("graft-stale-retract")
+    val q = CdcStream.startCdcMaintenanceIngest(
+      spark.readStream.schema(feed.schema).parquet(src),
+      index0, "doc_id", "text", "old_text", "op",
+      acceptDir, upsertDir, retractDir,
+      TestSpark.tmpDir("graft-stale-ckpt"))
+    q.awaitTermination()
+    // the misroute, pinned: upsert sink holds the row, old image NULL
+    val up = spark.read.parquet(upsertDir)
+    assert(up.count() === 1L && up.filter(col("old_text").isNull).count() === 1L)
+
+    // the NET fold refuses loudly (retracting a NULL image would
+    // decrement nDocs while subtracting no terms) and leaves the trees
+    // unmarked, so a fixed feed re-runs
+    val err = intercept[IllegalArgumentException] {
+      CdcStream.compactMaintenanceBm25Batches(
+        spark, acceptDir, upsertDir, retractDir, stats0,
+        "doc_id", "text", "old_text")
+    }
+    assert(err.getMessage.contains("NULL") && err.getMessage.contains("id 5"))
+    assert(!new java.io.File(upsertDir, CdcStream.Bm25UpsertMarkerName).exists())
+    assert(!new java.io.File(retractDir, CdcStream.Bm25RetractMarkerName).exists())
+    // the per-leg upsert fold pointed at the same tree refuses the same
+    val err2 = intercept[IllegalArgumentException] {
+      CdcStream.compactUpsertedBm25Batches(
+        spark, upsertDir, stats0, "doc_id", "text", "old_text")
+    }
+    assert(err2.getMessage.contains("NULL"))
+
+    // contrast: the TEXT-GRAM net fold is id-keyed (anti-join remove +
+    // re-extend) — no old image needed — and lands doc 5 at its new text
+    val netted = CdcStream.compactMaintenanceBatches(
+      spark, acceptDir, upsertDir, retractDir, index0, "doc_id", "text")
+    val finalCorpus = corpus0.filter(col("doc_id") =!= 5L)
+      .unionByName(spark.createDataFrame(Seq(
+        (5L, "doc five reinserted after an offline compaction")))
+        .toDF("doc_id", "text"))
+    val scratch = Dedup.buildCorpusIndex(finalCorpus, "doc_id", "text")
+    def postingSet(ix: Dedup.CorpusIndex) =
+      ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+    assert(postingSet(netted) === postingSet(scratch))
+  }
+
+  test("maintenance ingest delete route refuses a delete carrying " +
+    "NEITHER row image instead of writing a NULL-image retract row") {
+    import graft.extensions.Dedup
+    val d = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus0 = d.filter(col("doc_id") < 50)
+    val index0 = Dedup.buildCorpusIndex(corpus0, "doc_id", "text")
+    val feed = spark.createDataFrame(Seq(
+      (7L, null.asInstanceOf[String], null.asInstanceOf[String], "delete")))
+      .toDF("doc_id", "text", "old_text", "op")
+    val src = TestSpark.tmpDir("graft-noimg-src")
+    feed.coalesce(1).write.mode("overwrite").parquet(src)
+    val q = CdcStream.startCdcMaintenanceIngest(
+      spark.readStream.schema(feed.schema).parquet(src),
+      index0, "doc_id", "text", "old_text", "op",
+      TestSpark.tmpDir("graft-noimg-accept"),
+      TestSpark.tmpDir("graft-noimg-upsert"),
+      TestSpark.tmpDir("graft-noimg-retract"),
+      TestSpark.tmpDir("graft-noimg-ckpt"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    var c: Throwable = err
+    var found = false
+    while (c != null) {
+      if (c.getMessage != null && c.getMessage.contains("NULL")) found = true
+      c = c.getCause
+    }
+    assert(found, s"cause chain of $err names the NULL image")
+  }
+
   test("compactMaintenanceBatches: ids CROSSING op classes across " +
     "triggers (insert->update, update->delete, insert->delete, " +
     "delete->reinsert) net-reduce to exactly a rebuild of the final " +
