@@ -164,12 +164,22 @@ object TextFunctions {
     * Gopher "duplicate n-gram fraction" repetition signal. Integer
     * counts divided once in double, so the value is bit-identical
     * across engines. */
-  def dupNgramFrac(toks: Column, n: Int): Column = {
-    val g = if (n == 1) toks else tokenNgrams(toks, n)
+  def dupNgramFrac(toks: Column, n: Int): Column =
+    dupNgramFracOfGrams(if (n == 1) toks else tokenNgrams(toks, n))
+
+  /** [[dupNgramFrac]] over a PRECOMPUTED gram array. The higher-order
+    * kernels are interpreted with no common-subexpression sharing, so
+    * every textual reference to [[tokenNgrams]] is a full per-row gram
+    * REBUILD — a caller computing several same-n signals (the Rep-n
+    * battery pairs the n=2 duplicate fraction with the n=2 top-gram
+    * coverage) should project the gram array once in a separate
+    * Project (multi-use non-cheap aliases survive CollapseProject, the
+    * same sharing the `__toks` projection already rides) and feed both
+    * kernels from it. */
+  def dupNgramFracOfGrams(g: Column): Column =
     when(size(g) === 0, lit(0.0)).otherwise(
       (size(g) - size(array_distinct(g))).cast("double")
         / size(g).cast("double"))
-  }
 
   /** Greatest character coverage any single n-gram achieves:
     * max over distinct grams of occurrences x gram-token-chars, over the
@@ -187,8 +197,13 @@ object TextFunctions {
     * so the best run x gram-chars IS the best distinct-gram product) —
     * O(grams log grams) per row, same bit-identical value, still a
     * zero-shuffle within-row kernel at any corpus size. */
-  def topNgramCharFrac(toks: Column, n: Int): Column = {
-    val g = tokenNgrams(toks, n)
+  def topNgramCharFrac(toks: Column, n: Int): Column =
+    topNgramCharFracOfGrams(tokenNgrams(toks, n), toks, n)
+
+  /** [[topNgramCharFrac]] over a PRECOMPUTED gram array (the
+    * [[dupNgramFracOfGrams]] sharing contract; `n` still names the
+    * per-gram separator overhead subtracted from gram length). */
+  def topNgramCharFracOfGrams(g: Column, toks: Column, n: Int): Column = {
     val totalChars = aggregate(toks, lit(0), (a, t) => a + length(t))
     val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
     val best = aggregate(array_sort(g), zero,
