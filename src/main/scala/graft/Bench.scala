@@ -160,7 +160,7 @@ object Bench {
     // regression passes when reading BENCH_HISTORY.jsonl later
     def fullLine(sfDir: String, cpus: String): String = {
       val loads = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f"""
-      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_steady":$warmSteady%.3f,"value_truthgate":$warmTruthGate%.3f,"value_cold":$coldTotal%.3f,$loads,"pass":$idx,"cpus":$cpus,"sf":"$sfDir","queries_cold":${render(results.map(r => (r._1, r._2)))},"queries_warm_min":${render(results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(results.map(r => (r._1, r._3.max)))},"queries":${render(results.map(r => (r._1, median(r._3))))}}"""
+      f"""{"metric":"total","value":$warmTotal%.3f,"unit":"sec","value_steady":$warmSteady%.3f,"value_truthgate":$warmTruthGate%.3f,"value_floor":$floorSteady%.3f,"value_cold":$coldTotal%.3f,$loads,"pass":$idx,"cpus":$cpus,"sf":"$sfDir","queries_cold":${render(results.map(r => (r._1, r._2)))},"queries_warm_min":${render(results.map(r => (r._1, r._3.min)))},"queries_warm_max":${render(results.map(r => (r._1, r._3.max)))},"queries":${render(results.map(r => (r._1, median(r._3))))}}"""
     }
   }
 
