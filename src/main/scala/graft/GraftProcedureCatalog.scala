@@ -57,17 +57,30 @@ class GraftProcedureCatalog extends CatalogPlugin with ProcedureCatalog {
 
   override def name(): String = catalogName
 
-  override def loadProcedure(ident: Identifier): UnboundProcedure =
+  /** All graft procedures live in the catalog's root namespace — a CALL
+    * against a namespace that does not exist must error, not silently
+    * resolve by name (the procedures are side-effecting: a typo'd
+    * `CALL graft.prod.compact_maintenance(...)` consuming real sink
+    * trees would be unrecoverable). */
+  private def requireRootNamespace(namespace: Array[String]): Unit =
+    if (namespace.nonEmpty) throw new IllegalArgumentException(
+      s"catalog '$catalogName' has no namespace " +
+        s"'${namespace.mkString(".")}': graft procedures live in the " +
+        s"catalog root — CALL $catalogName.<procedure>(...)")
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    requireRootNamespace(ident.namespace())
     GraftProcedureCatalog.procedures.getOrElse(ident.name().toLowerCase,
       throw new IllegalArgumentException(
         s"unknown graft procedure ${ident.name()}; available: " +
           GraftProcedureCatalog.procedures.keys.toSeq.sorted.mkString(", ")))
+  }
 
-  override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty)
-      GraftProcedureCatalog.procedures.keys.toSeq.sorted
-        .map(Identifier.of(namespace, _)).toArray
-    else Array.empty
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    requireRootNamespace(namespace)
+    GraftProcedureCatalog.procedures.keys.toSeq.sorted
+      .map(Identifier.of(namespace, _)).toArray
+  }
 }
 
 object GraftProcedureCatalog {
@@ -93,11 +106,6 @@ object GraftProcedureCatalog {
     util.Collections.singletonList(scan).iterator()
   }
 
-  private def str(input: InternalRow, i: Int): String =
-    input.getUTF8String(i).toString
-  private def strOpt(input: InternalRow, i: Int): Option[String] =
-    if (input.isNullAt(i)) None else Some(str(input, i))
-
   private def in(name: String, comment: String) =
     ProcedureParameter.in(name, StringType).comment(comment).build()
   private def inOpt(name: String, comment: String) =
@@ -115,6 +123,17 @@ object GraftProcedureCatalog {
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] = params
     override def isDeterministic: Boolean = false
+
+    /** Required string argument — an explicit NULL refuses with the
+      * parameter's NAME, not a bare NPE off the public SQL surface. */
+    protected def str(input: InternalRow, i: Int): String = {
+      if (input.isNullAt(i)) throw new IllegalArgumentException(
+        s"$procName: parameter '${params(i).name()}' must not be NULL")
+      input.getUTF8String(i).toString
+    }
+    protected def strOpt(input: InternalRow, i: Int): Option[String] =
+      if (input.isNullAt(i)) None
+      else Some(input.getUTF8String(i).toString)
   }
 
   private val families =

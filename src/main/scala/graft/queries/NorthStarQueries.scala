@@ -172,7 +172,12 @@ object NorthStarQueries {
       val junk = ce.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 40000000L).as("vec_id"), col("embedding"))
       val old = vecOldCrawl(ce, junk)
+      // the diff fans out FIVE ways (fresh, retired, and the three
+      // event classes) — persist it for the manufacture so the
+      // old-vs-new hash diff runs once, not once per consumer, then
+      // release it once every derived relation is materialized below
       val diff = CorpusOps.vectorDiff(old, ce, "vec_id", "embedding")
+        .persist()
       val fresh = diff.filter(col("status").isin("added", "changed"))
         .select("vec_id")
       val retired = diff.filter(col("status").isin("removed", "changed"))
@@ -186,7 +191,14 @@ object NorthStarQueries {
       val upserts = ce.join(diff.filter(col("status") === "changed")
         .select("vec_id"), Seq("vec_id"), "left_semi").persist()
       val retracts = retired.persist()
-      (accepts, upserts, retracts, oldIdx.cache())
+      // eager manufacture (the upsertFixture pattern): everything the
+      // warm reps read is materialized here, in the first toucher's
+      // cold rep, and the diff scaffold is then released
+      val cached = oldIdx.cache()
+      Seq(accepts, upserts, retracts, cached.assigned, cached.centers)
+        .foreach(df => { df.count(); () })
+      diff.unpersist(false)
+      (accepts, upserts, retracts, cached)
     })
 
   /** The planted-fixture index the exact-oracle semantic-dedup rows

@@ -640,6 +640,15 @@ object CdcStream {
       insertOp: String = "insert", updateOp: String = "update",
       deleteOp: String = "delete",
       threshold: Double = 0.5,
+      /** Refuse deletes carrying NEITHER row image (default). A feed
+        * that emits deletes by key only is usable when the retract
+        * sink feeds ONLY id-keyed retraction (the text-gram/vector
+        * anti-joins — the text net fold handles NULL images by
+        * construction): pass false to admit such rows. The BM25 folds
+        * still refuse NULL images at compaction regardless, so the
+        * opt-out cannot reopen the silent-nDocs-drift path — it only
+        * moves the refusal from the trigger to the (BM25) fold. */
+      requireDeleteImages: Boolean = true,
       availableNow: Boolean = true,
       batchPeriodSecs: Long = 10L): StreamingQuery =
     changeStream.writeStream
@@ -686,8 +695,9 @@ object CdcStream {
           val dels = b.filter(col(opCol) === deleteOp)
             .select(col(idCol),
               coalesce(col(textCol), col(oldTextCol)).as(textCol))
-          requireNonNullImages(dels, idCol, textCol,
-            s"maintenance ingest delete route (micro-batch $batchId)")
+          if (requireDeleteImages)
+            requireNonNullImages(dels, idCol, textCol,
+              s"maintenance ingest delete route (micro-batch $batchId)")
           dels.write.mode("overwrite").parquet(s"$retractDir/batch=$batchId")
         } finally { b.unpersist(false); () }
         ()
@@ -976,8 +986,15 @@ object CdcStream {
       saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats =
     foldSinkTree(spark, sinkDir, Bm25RetractMarkerName, stats.savedDir,
         stats.version) { retired =>
+      val docs = retired.dropDuplicates(idCol)
+      // the per-leg twin of the net fold's refusal: this fold is the
+      // most direct consumer of retract images, and a NULL one (an
+      // id-only delete feed pointed at the BM25 leg) would decrement
+      // nDocs while subtracting no terms
+      requireNonNullImages(docs, idCol, textCol,
+        s"BM25 retract fold of $sinkDir")
       val shrunk = graft.extensions.Search.retractBm25Stats(stats,
-          retired.dropDuplicates(idCol), idCol, textCol)
+          docs, idCol, textCol)
         .copy(folded = stats.folded :+ sinkDir)
       saveTo.map(shrunk.save).getOrElse(shrunk)
     }.getOrElse(stats)

@@ -354,6 +354,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
            |  '$idxDir', '$textSave', 'doc_id', 'text')""".stripMargin).collect()
     }
     assert(badFam.getMessage.contains("unknown index family"))
+    // a typo'd NAMESPACE must error, not silently resolve by name and
+    // run a real (side-effecting) compaction
+    val badNs = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.prod.compact_maintenance('text', '$a', '$u', '$r',
+           |  '$idxDir', '$textSave', 'doc_id', 'text')""".stripMargin).collect()
+    }
+    assert(badNs.getMessage.contains("namespace") ||
+      badNs.getMessage.contains("prod"))
+    // an explicit NULL for a required parameter refuses BY NAME, not
+    // with a bare NPE off the SQL surface
+    val nullArg = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.compact_maintenance(NULL, '$a', '$u', '$r',
+           |  '$idxDir', '$textSave', 'doc_id', 'text')""".stripMargin).collect()
+    }
+    assert(nullArg.getMessage.contains("family"))
   }
 
   test("CALL graft.refresh_index: the refresh->index loop runs from " +

@@ -1542,6 +1542,38 @@ class CdcStreamSpec extends AnyFunSuite {
       c = c.getCause
     }
     assert(found, s"cause chain of $err names the NULL image")
+
+    // the documented opt-out for id-keyed-only deployments
+    // (requireDeleteImages = false): the imageless delete is ADMITTED
+    // to the retract sink, the id-keyed TEXT net fold handles it
+    // (doc 7 retires), and the BM25 folds still refuse the NULL image
+    // downstream — the opt-out moves the refusal, it cannot reopen the
+    // silent-drift path
+    val a2 = TestSpark.tmpDir("graft-noimg2-accept")
+    val u2 = TestSpark.tmpDir("graft-noimg2-upsert")
+    val r2 = TestSpark.tmpDir("graft-noimg2-retract")
+    val q2 = CdcStream.startCdcMaintenanceIngest(
+      spark.readStream.schema(feed.schema).parquet(src),
+      index0, "doc_id", "text", "old_text", "op",
+      a2, u2, r2, TestSpark.tmpDir("graft-noimg2-ckpt"),
+      requireDeleteImages = false)
+    q2.awaitTermination()
+    val retired = spark.read.parquet(r2)
+    assert(retired.count() === 1L &&
+      retired.filter(col("text").isNull).count() === 1L)
+    val netted = CdcStream.compactMaintenanceBatches(
+      spark, a2, u2, r2, index0, "doc_id", "text")
+    def posts(ix: graft.extensions.Dedup.CorpusIndex) =
+      ix.postings.select("gram", "doc_id").as[(Long, Long)].collect().toSet
+    assert(posts(netted) === posts(graft.extensions.Dedup.buildCorpusIndex(
+      corpus0.filter(col("doc_id") =!= 7L), "doc_id", "text")))
+    // the per-leg BM25 retract fold refuses the admitted NULL image
+    val stats0 = graft.extensions.Search.bm25Fit(corpus0, "doc_id", "text")
+    val bmErr = intercept[IllegalArgumentException] {
+      CdcStream.compactRetractedBm25Batches(spark, r2, stats0, "doc_id", "text")
+    }
+    assert(bmErr.getMessage.contains("NULL"))
+    assert(!new java.io.File(r2, CdcStream.Bm25RetractMarkerName).exists())
   }
 
   test("compactMaintenanceBatches: ids CROSSING op classes across " +
