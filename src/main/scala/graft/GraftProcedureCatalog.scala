@@ -178,45 +178,54 @@ object GraftProcedureCatalog {
       val (indexDir, saveTo) = (str(input, 4), str(input, 5))
       val (idCol, contentCol) = (str(input, 6), str(input, 7))
       val oldCol = strOpt(input, 8)
-      // (old version, new version, did the fold run) — a no-op fold
-      // (every tree empty/missing) returns the input handle untouched
-      // and must not claim a saved_to it never wrote
-      val (oldV, newV) = family match {
+      // (old version, new version, fold ran) — a no-op fold (every tree
+      // empty/missing) returns the INPUT HANDLE ITSELF, so reference
+      // identity is the no-op signal (ADVICE r18: versions-compare
+      // coupled the audit row to each family's version-bump arithmetic;
+      // `eq` reports what the entry point actually did) and the row
+      // must not claim a saved_to it never wrote
+      val (oldV, newV, ran) = family match {
         case "text" =>
           val ix = Dedup.loadCorpusIndex(spark, indexDir)
-          (ix.version, CdcStream.compactMaintenanceBatches(
-            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+          val out = CdcStream.compactMaintenanceBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo))
+          (ix.version, out.version, !(out eq ix))
         case "bm25" =>
           val st = Search.loadBm25Stats(spark, indexDir)
           val old = oldCol.getOrElse(throw new IllegalArgumentException(
             "compact_maintenance: the bm25 family requires old_col (the " +
               "OLD-image column its retraction subtracts)"))
-          (st.version, CdcStream.compactMaintenanceBm25Batches(
-            spark, a, u, r, st, idCol, contentCol, old, Some(saveTo)).version)
+          val out = CdcStream.compactMaintenanceBm25Batches(
+            spark, a, u, r, st, idCol, contentCol, old, Some(saveTo))
+          (st.version, out.version, !(out eq st))
         case "embedding" =>
           val ix = Dedup.loadEmbeddingIndex(spark, indexDir)
-          (ix.version, CdcStream.compactVecMaintenanceBatches(
-            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+          val out = CdcStream.compactVecMaintenanceBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo))
+          (ix.version, out.version, !(out eq ix))
         case "ivf" =>
           val ix = Similarity.loadIvfIndex(spark, indexDir)
-          (ix.version, CdcStream.compactMaintenanceIvfBatches(
-            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+          val out = CdcStream.compactMaintenanceIvfBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo))
+          (ix.version, out.version, !(out eq ix))
         case "ivfpq" =>
           val ix = Similarity.loadIvfPqIndex(spark, indexDir)
-          (ix.version, CdcStream.compactMaintenanceIvfPqBatches(
-            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+          val out = CdcStream.compactMaintenanceIvfPqBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo))
+          (ix.version, out.version, !(out eq ix))
         case "lsh" =>
           val ix = Similarity.loadLshIndex(spark, indexDir)
-          (ix.version, CdcStream.compactMaintenanceLshBatches(
-            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+          val out = CdcStream.compactMaintenanceLshBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo))
+          (ix.version, out.version, !(out eq ix))
         case "pq" =>
           val ix = Similarity.loadPqIndex(spark, indexDir)
-          (ix.version, CdcStream.compactMaintenancePqBatches(
-            spark, a, u, r, ix, idCol, contentCol, Some(saveTo)).version)
+          val out = CdcStream.compactMaintenancePqBatches(
+            spark, a, u, r, ix, idCol, contentCol, Some(saveTo))
+          (ix.version, out.version, !(out eq ix))
         case f => badFamily("compact_maintenance", f)
       }
-      summary(family, indexDir,
-        if (newV == oldV) None else Some(saveTo), oldV, newV)
+      summary(family, indexDir, if (ran) Some(saveTo) else None, oldV, newV)
     }
   }
 
@@ -287,7 +296,136 @@ object GraftProcedureCatalog {
     }
   }
 
+  /** One row out of `fit_index`: what was fitted, from which table,
+    * where the tree landed, and the version it stamps. */
+  private val fitSchema = new StructType()
+    .add("family", StringType).add("source_table", StringType)
+    .add("saved_to", StringType).add("version", LongType)
+
+  /** `CALL graft.fit_index(family, source_table, save_to, id_col,
+    * content_col[, hyperparameters...])` — the FIT tier of the pure-SQL
+    * lifecycle (VERDICT r18 #4): the TVF tier probes saved trees, the
+    * CALL maintenance tier compacts/refreshes them, and this procedure
+    * creates them in the first place, delegating to the exact Scala fit
+    * entry points (`buildCorpusIndex`/`bm25Fit`/`buildEmbeddingIndex`/
+    * `ivfFit`/`ivfPqFit`/`lshFit`/`pqFit`, all deterministic — fixed
+    * seeds — so CALL-fit ≡ API-fit at the tree level, spec-pinned) and
+    * saving the tree to `save_to` (each family's save guard carries:
+    * clobbering an unrelated stamped tree refuses). Hyperparameters are
+    * per-family and literal-guarded the TVF way: a parameter that does
+    * not apply to the family, or does not parse as its type, refuses
+    * NAMING the parameter — a typo'd `planes` on an `ivf` fit must not
+    * silently fit a default-shaped index. */
+  private object FitIndex extends GraftProcedure(
+    "fit_index",
+    "Fit an index of the named family on a table/view and save the " +
+      "tree — the provisioning step of the pure-SQL lifecycle",
+    Array(
+      in("family", families.mkString("|")),
+      in("source_table", "table/view to fit on (session catalog)"),
+      in("save_to", "directory for the fitted tree"),
+      in("id_col", "document/vector id column"),
+      in("content_col", "text column (text/bm25) or vector column"),
+      inOpt("shingle_k", "text: shingle width (default 3)"),
+      inOpt("max_gram_df", "text: df cut (default 100)"),
+      inOpt("planes", "embedding/lsh: hyperplanes (default 12)"),
+      inOpt("bands", "embedding: bands (default 8); lsh (default 4)"),
+      inOpt("nlist", "ivf/ivfpq: coarse cells (default 16)"),
+      inOpt("m", "pq/ivfpq: subvectors (default 8)"),
+      inOpt("ksub", "pq/ivfpq: codewords per subvector (default 16)"),
+      inOpt("residual", "ivfpq: true|false residual encoding (default false)"))) {
+
+    private val applicable: Map[String, Set[String]] = Map(
+      "text" -> Set("shingle_k", "max_gram_df"),
+      "bm25" -> Set.empty,
+      "embedding" -> Set("planes", "bands"),
+      "ivf" -> Set("nlist"),
+      "ivfpq" -> Set("nlist", "m", "ksub", "residual"),
+      "lsh" -> Set("planes", "bands"),
+      "pq" -> Set("m", "ksub"))
+
+    private def intArg(name: String, v: Option[String], default: Int): Int =
+      v.map { s =>
+        try s.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"fit_index: parameter '$name' must be an integer, got '$s'") }
+      }.getOrElse(default)
+
+    private def boolArg(name: String, v: Option[String],
+                        default: Boolean): Boolean =
+      v.map(_.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case s => throw new IllegalArgumentException(
+          s"fit_index: parameter '$name' must be true or false, got '$s'")
+      }).getOrElse(default)
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      import graft.extensions.{Dedup, Search, Similarity}
+      val family = str(input, 0).toLowerCase
+      val sourceTable = str(input, 1)
+      val saveTo = str(input, 2)
+      val (idCol, contentCol) = (str(input, 3), str(input, 4))
+      val hyper = Seq("shingle_k", "max_gram_df", "planes", "bands",
+        "nlist", "m", "ksub", "residual")
+        .zipWithIndex.map { case (n, i) => n -> strOpt(input, 5 + i) }.toMap
+      val ok = applicable.getOrElse(family, badFamily("fit_index", family))
+      hyper.collect { case (n, Some(_)) if !ok(n) => n }.toSeq.sorted match {
+        case Seq() => ()
+        case bad => throw new IllegalArgumentException(
+          s"fit_index: parameter(s) ${bad.mkString(", ")} do not apply to " +
+            s"family '$family'" + (if (ok.isEmpty) " (it has no " +
+              "hyperparameters)" else s" — it takes ${ok.toSeq.sorted
+              .mkString(", ")}"))
+      }
+      val df = spark.table(sourceTable)
+      val version = family match {
+        case "text" =>
+          Dedup.saveCorpusIndex(Dedup.buildCorpusIndex(df, idCol, contentCol,
+            shingleK = intArg("shingle_k", hyper("shingle_k"), 3),
+            maxGramDf = intArg("max_gram_df", hyper("max_gram_df"), 100)),
+            saveTo).version
+        case "bm25" =>
+          Search.bm25Fit(df, idCol, contentCol).save(saveTo).version
+        case "embedding" =>
+          Dedup.saveEmbeddingIndex(Dedup.buildEmbeddingIndex(df, idCol,
+            contentCol, planes = intArg("planes", hyper("planes"), 12),
+            bands = intArg("bands", hyper("bands"), 8)), saveTo).version
+        case "ivf" =>
+          Similarity.ivfFit(df, idCol, contentCol,
+            nlist = intArg("nlist", hyper("nlist"), 16)).save(saveTo).version
+        case "ivfpq" =>
+          Similarity.ivfPqFit(df, idCol, contentCol,
+            nlist = intArg("nlist", hyper("nlist"), 16),
+            m = intArg("m", hyper("m"), 8),
+            ksub = intArg("ksub", hyper("ksub"), 16),
+            residual = boolArg("residual", hyper("residual"), default = false))
+            .save(saveTo).version
+        case "lsh" =>
+          Similarity.lshFit(df, idCol, contentCol,
+            planes = intArg("planes", hyper("planes"), 12),
+            bands = intArg("bands", hyper("bands"), 4)).save(saveTo).version
+        case "pq" =>
+          Similarity.pqFit(df, idCol, contentCol,
+            m = intArg("m", hyper("m"), 8),
+            ksub = intArg("ksub", hyper("ksub"), 16)).save(saveTo).version
+        case f => badFamily("fit_index", f)
+      }
+      val row = InternalRow(UTF8String.fromString(family),
+        UTF8String.fromString(sourceTable), UTF8String.fromString(saveTo),
+        version)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = fitSchema
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
   private[graft] val procedures: Map[String, UnboundProcedure] = Map(
     "compact_maintenance" -> CompactMaintenance,
-    "refresh_index" -> RefreshIndex)
+    "refresh_index" -> RefreshIndex,
+    "fit_index" -> FitIndex)
 }

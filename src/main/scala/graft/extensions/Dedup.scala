@@ -623,14 +623,47 @@ object Dedup {
     * Returns the index with `savedDir` recorded, so [[CorpusIndex
     * .close]] on the returned value retires the tree too. */
   def saveCorpusIndex(index: CorpusIndex, dir: String): CorpusIndex = {
-    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
-    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
-    index.dfCounts.write.mode("overwrite").parquet(s"$dir/df")
-    index.docStats.write.mode("overwrite").parquet(s"$dir/stats")
     val spark = index.postings.sparkSession
     import spark.implicits._
-    Seq((index.shingleK, index.maxGramDf)).toDF("shingle_k", "max_gram_df")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    // the Bm25Stats.save contract, ported (r19): refuse clobbering an
+    // UNRELATED tree (the stale-handle hazard IndexMeta exists for),
+    // but allow an own re-save and the IN-PLACE UPGRADE — a same-dir
+    // version bump, which the mechanized maintenance loop
+    // (CdcStream.ReresolveOnCompaction) detects by probing THIS dir's
+    // stamp per trigger.
+    IndexMeta.read(spark, dir).foreach { stamp =>
+      val ownResave = stamp.version == index.version &&
+        index.savedDir.contains(dir)
+      val upgrade = stamp.version < index.version &&
+        index.parent.orElse(index.savedDir).contains(dir)
+      require(ownResave || upgrade,
+        s"save refused: $dir already stamps version ${stamp.version} and " +
+          s"this handle (version ${index.version}) does not descend from " +
+          "it — close() the old tree or save to a fresh directory")
+    }
+    // stage-then-swap with ALL stages written before ANY swap: an
+    // in-place upgrade's relations lazily READ this very tree, so the
+    // `__stage` writes keep every read path intact until the heavy
+    // writes complete, and the swap phase is pure renames that never
+    // re-evaluate a plan. (A crash mid-swap leaves a mixed tree, as the
+    // old serial overwrite did — but the window shrinks from the full
+    // rewrite to the renames.)
+    val hconf = spark.sessionState.newHadoopConf()
+    val rels = Seq(
+      "postings" -> index.postings, "shingles" -> index.shingles,
+      "df" -> index.dfCounts, "stats" -> index.docStats,
+      "meta" -> Seq((index.shingleK, index.maxGramDf))
+        .toDF("shingle_k", "max_gram_df"))
+    rels.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/${name}__stage")
+    }
+    rels.foreach { case (name, _) =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/${name}__stage")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+      require(fs.rename(stage, p), s"could not move $stage into place at $p")
+    }
     IndexMeta.write(spark, dir, IndexMeta.Meta(index.version,
       parent = index.parent.orElse(index.savedDir).filterNot(_ == dir),
       folded = index.folded,

@@ -127,6 +127,86 @@ object CdcStream {
     if (availableNow) Trigger.AvailableNow()
     else Trigger.ProcessingTime(s"$batchPeriodSecs seconds")
 
+  // ---- restart-after-compaction mechanization (VERDICT r18 #3) --------
+
+  /** What a maintenance ingest does when it detects — an O(1) stamp read
+    * per trigger — that the SAVED tree its frozen index handle came from
+    * now holds a different version: an offline compaction saved a new
+    * version IN PLACE while the stream ran. Routing against the stale
+    * handle misroutes (a retired id's re-insert looks "known" and lands
+    * in the upsert sink with a NULL old image; an id the compaction
+    * added faces the novelty gate against stale stats), and the sink
+    * trees the compaction consumed are already marked, so
+    * post-compaction batches written there would be orphaned. Handles
+    * with NO saved tree (in-memory fits) cannot be probed — for them
+    * every policy degrades to [[FrozenHandle]] and the documented
+    * restart contract governs. */
+  sealed trait CompactionPolicy
+
+  /** Refuse the trigger with a named `restart required: index version
+    * moved` error — the DEFAULT: the drift the r18 contract documented
+    * becomes a loud, immediate, attributable stream failure at the
+    * trigger boundary, instead of a NULL-image refusal at the NEXT
+    * compaction, many triggers (and many misroutes) later. */
+  case object FailStreamOnCompaction extends CompactionPolicy
+
+  /** Re-resolve and keep running: reload the handle from its saved tree
+    * when the stamp moves, and write every sink as
+    * `<dir>/epoch=<indexVersion>/batch=<id>` so a compaction's consumed
+    * (marked) trees are never written again — the fold side points at
+    * ONE epoch's trees (`<dir>/epoch=N`), saves the bump in place, and
+    * the stream rolls itself to `epoch=N+1` at the next trigger.
+    * Residual window (documented, not closed): a compaction running
+    * CONCURRENTLY with an in-flight trigger can consume an epoch tree
+    * while that trigger's write to it is still in flight — fold between
+    * triggers (the availableNow cadence) or quiesce the stream while
+    * folding to close it. */
+  case object ReresolveOnCompaction extends CompactionPolicy
+
+  /** r18 behavior: no per-trigger probe; the operator owns the
+    * drain → fold → restart-on-the-new-handle rhythm (the documented
+    * operating contract on [[startCdcMaintenanceIngest]]). */
+  case object FrozenHandle extends CompactionPolicy
+
+  /** Per-trigger handle resolution: probe the saved tree's stamp (O(1)
+    * metadata read, no Spark job) and apply the policy. `ref` carries
+    * the current handle across triggers — foreachBatch runs serially on
+    * the driver, so a plain reference cell is race-free. */
+  private def resolveHandle[I](spark: SparkSession,
+                               ref: java.util.concurrent.atomic.AtomicReference[I],
+                               policy: CompactionPolicy,
+                               savedDir: I => Option[String],
+                               version: I => Long,
+                               load: (SparkSession, String) => I): I = {
+    val cur = ref.get()
+    (policy, savedDir(cur)) match {
+      case (FrozenHandle, _) | (_, None) => cur
+      case (_, Some(d)) =>
+        graft.extensions.IndexMeta.read(spark, d).map(_.version) match {
+          case Some(v) if v != version(cur) => policy match {
+            case FailStreamOnCompaction => throw new IllegalStateException(
+              s"restart required: index version moved (${version(cur)} -> $v) " +
+                s"at $d — an offline compaction saved a new version in place " +
+                "while this ingest ran; the frozen handle's membership/stats " +
+                "would misroute from here on. Restart the ingest on the new " +
+                "handle and fresh sink trees (or run with " +
+                "ReresolveOnCompaction to roll automatically)")
+            case ReresolveOnCompaction =>
+              val fresh = load(spark, d); ref.set(fresh); fresh
+            case FrozenHandle => cur
+          }
+          case _ => cur
+        }
+    }
+  }
+
+  /** Epoch subtree suffix for [[ReresolveOnCompaction]] sink paths. */
+  private def epochSuffix(policy: CompactionPolicy, version: Long): String =
+    policy match {
+      case ReresolveOnCompaction => s"/epoch=$version"
+      case _ => ""
+    }
+
   /**
    * The wall-clock capture time of a batch, recorded ONCE per batch id as
    * a side-file in the checkpoint dir: first execution stamps `now`, every
@@ -353,9 +433,12 @@ object CdcStream {
     * persisted once, change log read once; the gate probe is the only
     * non-narrow work. Same OPERATING CONTRACT as
     * [[startCdcMaintenanceIngest]]: the gate and reinsert router key
-    * off the handle frozen at stream start, so restart the ingest on
-    * the new index handle and fresh sink trees after every
-    * compaction. */
+    * off the handle frozen at stream start — and for a SAVED handle the
+    * contract is now mechanized per trigger by `onCompaction`
+    * ([[CompactionPolicy]]): the default refuses the trigger with the
+    * named `restart required` error the moment the saved tree's version
+    * moves; [[ReresolveOnCompaction]] reloads and rolls the sinks to
+    * `epoch=<version>` subtrees instead. */
   def startVecMaintenanceIngest(
       changeStream: DataFrame,
       index: graft.extensions.Dedup.EmbeddingIndex,
@@ -367,10 +450,17 @@ object CdcStream {
       deleteOp: String = "delete",
       threshold: Double = 0.95,
       availableNow: Boolean = true,
-      batchPeriodSecs: Long = 10L): StreamingQuery =
+      batchPeriodSecs: Long = 10L,
+      onCompaction: CompactionPolicy = FailStreamOnCompaction): StreamingQuery = {
+    val handle = new java.util.concurrent.atomic.AtomicReference(index)
     changeStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ix = resolveHandle(batch.sparkSession, handle, onCompaction,
+          (i: graft.extensions.Dedup.EmbeddingIndex) => i.savedDir,
+          (i: graft.extensions.Dedup.EmbeddingIndex) => i.version,
+          graft.extensions.Dedup.loadEmbeddingIndex)
+        val ep = epochSuffix(onCompaction, ix.version)
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -379,24 +469,25 @@ object CdcStream {
           // ingest documents; the id split is one broadcast-batch join
           // against the index's skinny id→vector relation
           val ins = b.filter(col(opCol) === insertOp).drop(opCol)
-          val known = index.vectors.select(col("doc_id").as(idCol))
+          val known = ix.vectors.select(col("doc_id").as(idCol))
           graft.extensions.Dedup.dedupEmbeddingsAgainstCorpus(
             ins.join(known, Seq(idCol), "left_anti"),
-            index, idCol, vecCol, threshold = threshold)
-            .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
+            ix, idCol, vecCol, threshold = threshold)
+            .write.mode("overwrite").parquet(s"$acceptDir$ep/batch=$batchId")
           b.filter(col(opCol) === updateOp)
             .select(col(idCol), col(vecCol))
             .unionByName(ins.join(known, Seq(idCol), "left_semi")
               .select(col(idCol), col(vecCol)))
-            .write.mode("overwrite").parquet(s"$upsertDir/batch=$batchId")
+            .write.mode("overwrite").parquet(s"$upsertDir$ep/batch=$batchId")
           b.filter(col(opCol) === deleteOp)
             .select(col(idCol))
-            .write.mode("overwrite").parquet(s"$retractDir/batch=$batchId")
+            .write.mode("overwrite").parquet(s"$retractDir$ep/batch=$batchId")
         } finally { b.unpersist(false); () }
         ()
       }
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
       .start()
+  }
 
   /** Streaming EMBEDDING dedup ingest — the embedding analog of
     * [[startCorpusDedupIngest]], same contract end to end: each
@@ -627,9 +718,15 @@ object CdcStream {
     * ingest on the new index handle and FRESH sink trees — the same
     * swap-between-triggers rhythm [[compactAcceptedBatches]] documents
     * for the single-leg ingests. The versioned-fold guards protect the
-    * FOLDS against a stale handle; this paragraph is the contract that
-    * protects the ROUTING. Spec-pinned in CdcStreamSpec ("stale frozen
-    * index"). */
+    * FOLDS against a stale handle; for a SAVED handle the ROUTING side
+    * is now mechanized per trigger by `onCompaction`
+    * ([[CompactionPolicy]]): the default probes the saved tree's stamp
+    * (O(1)) each trigger and refuses with the named `restart required`
+    * error the moment the version moves, and
+    * [[ReresolveOnCompaction]] reloads the handle and rolls the sinks
+    * to `epoch=<version>` subtrees so the loop needs no restart at
+    * all. In-memory handles keep the documented contract. Spec-pinned
+    * in CdcStreamSpec ("stale frozen index", "restart required"). */
   def startCdcMaintenanceIngest(
       changeStream: DataFrame,
       index: graft.extensions.Dedup.CorpusIndex,
@@ -640,6 +737,8 @@ object CdcStream {
       insertOp: String = "insert", updateOp: String = "update",
       deleteOp: String = "delete",
       threshold: Double = 0.5,
+      availableNow: Boolean = true,
+      batchPeriodSecs: Long = 10L,
       /** Refuse deletes carrying NEITHER row image (default). A feed
         * that emits deletes by key only is usable when the retract
         * sink feeds ONLY id-keyed retraction (the text-gram/vector
@@ -647,13 +746,21 @@ object CdcStream {
         * construction): pass false to admit such rows. The BM25 folds
         * still refuse NULL images at compaction regardless, so the
         * opt-out cannot reopen the silent-nDocs-drift path — it only
-        * moves the refusal from the trigger to the (BM25) fold. */
+        * moves the refusal from the trigger to the (BM25) fold.
+        * (Moved to the parameter tail, ADVICE r18: new optionals
+        * append, so positional `availableNow`/`batchPeriodSecs`
+        * callers keep their meaning.) */
       requireDeleteImages: Boolean = true,
-      availableNow: Boolean = true,
-      batchPeriodSecs: Long = 10L): StreamingQuery =
+      onCompaction: CompactionPolicy = FailStreamOnCompaction): StreamingQuery = {
+    val handle = new java.util.concurrent.atomic.AtomicReference(index)
     changeStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ix = resolveHandle(batch.sparkSession, handle, onCompaction,
+          (i: graft.extensions.Dedup.CorpusIndex) => i.savedDir,
+          (i: graft.extensions.Dedup.CorpusIndex) => i.version,
+          graft.extensions.Dedup.loadCorpusIndex)
+        val ep = epochSuffix(onCompaction, ix.version)
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -670,17 +777,17 @@ object CdcStream {
           // picks up — a reinsert without a preceding delete is a
           // malformed feed). The id split is one broadcast-batch
           // semi/anti join against the index's skinny per-doc relation.
-          val known = index.docStats.select(col("doc_id").as(idCol))
+          val known = ix.docStats.select(col("doc_id").as(idCol))
           graft.extensions.Dedup.dedupAgainstCorpus(
             ins.join(known, Seq(idCol), "left_anti"),
-            index, idCol, textCol, threshold = threshold)
-            .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
+            ix, idCol, textCol, threshold = threshold)
+            .write.mode("overwrite").parquet(s"$acceptDir$ep/batch=$batchId")
           b.filter(col(opCol) === updateOp)
             .select(col(idCol), col(textCol), col(oldTextCol))
             .unionByName(ins.join(known, Seq(idCol), "left_semi")
               .select(col(idCol), col(textCol),
                 lit(null).cast("string").as(oldTextCol)))
-            .write.mode("overwrite").parquet(s"$upsertDir/batch=$batchId")
+            .write.mode("overwrite").parquet(s"$upsertDir$ep/batch=$batchId")
           // a delete's old row image: some feeds carry it in the row
           // columns (textCol), before/after-image feeds (Debezium
           // shape: after = NULL on delete) carry it in oldTextCol —
@@ -698,12 +805,13 @@ object CdcStream {
           if (requireDeleteImages)
             requireNonNullImages(dels, idCol, textCol,
               s"maintenance ingest delete route (micro-batch $batchId)")
-          dels.write.mode("overwrite").parquet(s"$retractDir/batch=$batchId")
+          dels.write.mode("overwrite").parquet(s"$retractDir$ep/batch=$batchId")
         } finally { b.unpersist(false); () }
         ()
       }
       .trigger(batchTrigger(availableNow, batchPeriodSecs))
       .start()
+  }
 
   /** Close the loop between the streaming ingest and index versioning:
     * read everything the accepted-novel sink
@@ -787,8 +895,16 @@ object CdcStream {
       index: graft.extensions.Similarity.IvfIndex,
       idCol: String, vecCol: String,
       provenanceDir: Option[String] = None): graft.extensions.Similarity.IvfIndex =
+    // refuse AND co-stamp the family's NET accept marker (ADVICE r18):
+    // a per-leg accept fold after compactMaintenanceIvfBatches consumed
+    // the tree — or vice versa — would re-fold the same accepts into
+    // the same IVF index; with both markers checked and both stamped,
+    // the double-fold is unrepresentable in BOTH directions while the
+    // OTHER families' net folds of a shared tree stay unaffected
     foldSinkTree(spark, sinkDir, FoldedMarkerName, index.savedDir,
-        index.version, alsoMark = provenanceDir.toSeq) { accepted =>
+        index.version, alsoMark = provenanceDir.toSeq,
+        alsoRefuse = Seq(IvfFoldedMarkerName),
+        alsoMarkSelf = Seq(IvfFoldedMarkerName)) { accepted =>
       val bumped = graft.extensions.Similarity.extendIvfIndex(index,
         accepted.dropDuplicates(idCol), idCol, vecCol)
       bumped.copy(folded = bumped.folded :+ sinkDir)
@@ -813,8 +929,12 @@ object CdcStream {
       index: graft.extensions.Similarity.IvfPqIndex,
       idCol: String, vecCol: String,
       provenanceDir: Option[String] = None): graft.extensions.Similarity.IvfPqIndex =
+    // same both-directions refusal as [[compactAcceptedSemanticBatches]],
+    // against this family's net marker (ADVICE r18)
     foldSinkTree(spark, sinkDir, FoldedMarkerName, index.savedDir,
-        index.version, alsoMark = provenanceDir.toSeq) { accepted =>
+        index.version, alsoMark = provenanceDir.toSeq,
+        alsoRefuse = Seq(IvfPqFoldedMarkerName),
+        alsoMarkSelf = Seq(IvfPqFoldedMarkerName)) { accepted =>
       val bumped = graft.extensions.Similarity.extendIvfPqIndex(index,
         accepted.dropDuplicates(idCol), idCol, vecCol)
       bumped.copy(folded = bumped.folded :+ sinkDir)
@@ -877,11 +997,15 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.CorpusIndex,
       idCol: String): graft.extensions.Dedup.CorpusIndex =
-    foldSinkTree(spark, sinkDir, RetractMarkerName, index.savedDir,
-        index.version) { retired =>
+    netCompaction(spark, None, None, Some(sinkDir), idCol, "__img",
+        org.apache.spark.sql.types.StringType,
+        FoldedMarkerName, UpsertMarkerName, RetractMarkerName,
+        index.savedDir, index.version) { (removeIds, _, contributing) =>
+      // a retract-only window's add set is empty BY CONSTRUCTION, so
+      // this stays the single remove-step (one version bump)
       val shrunk = graft.extensions.Dedup.removeFromCorpusIndex(index,
-        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+        removeIds, idCol)
+      shrunk.copy(folded = shrunk.folded ++ contributing)
     }.getOrElse(index)
 
   /** Apply a retract sink to a saved/loaded IVF index — the ANN leg of
@@ -893,11 +1017,12 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfIndex,
       idCol: String): graft.extensions.Similarity.IvfIndex =
-    foldSinkTree(spark, sinkDir, IvfRetractMarkerName, index.savedDir,
-        index.version) { retired =>
+    netCompaction(spark, None, None, Some(sinkDir), idCol, "__img", FloatVec,
+        IvfFoldedMarkerName, IvfUpsertMarkerName, IvfRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, _, contributing) =>
       val shrunk = graft.extensions.Similarity.removeFromIvfIndex(index,
-        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+        removeIds, idCol)
+      shrunk.copy(folded = shrunk.folded ++ contributing)
     }.getOrElse(index)
 
   /** The embedding analog of [[compactRetractedBatches]]: retire the
@@ -908,11 +1033,12 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
       idCol: String): graft.extensions.Dedup.EmbeddingIndex =
-    foldSinkTree(spark, sinkDir, EmbRetractMarkerName, index.savedDir,
-        index.version) { retired =>
+    netCompaction(spark, None, None, Some(sinkDir), idCol, "__img", FloatVec,
+        FoldedMarkerName, EmbUpsertMarkerName, EmbRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, _, contributing) =>
       val shrunk = graft.extensions.Dedup.removeFromEmbeddingIndex(index,
-        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+        removeIds, idCol)
+      shrunk.copy(folded = shrunk.folded ++ contributing)
     }.getOrElse(index)
 
   /** The IVF-PQ leg of delete-driven maintenance: retire the sink's ids
@@ -926,11 +1052,12 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfPqIndex,
       idCol: String): graft.extensions.Similarity.IvfPqIndex =
-    foldSinkTree(spark, sinkDir, IvfPqRetractMarkerName, index.savedDir,
-        index.version) { retired =>
+    netCompaction(spark, None, None, Some(sinkDir), idCol, "__img", FloatVec,
+        IvfPqFoldedMarkerName, IvfPqUpsertMarkerName, IvfPqRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, _, contributing) =>
       val shrunk = graft.extensions.Similarity.removeFromIvfPqIndex(index,
-        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+        removeIds, idCol)
+      shrunk.copy(folded = shrunk.folded ++ contributing)
     }.getOrElse(index)
 
   /** The sign-LSH TOP-K leg of delete-driven maintenance
@@ -944,11 +1071,12 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.LshIndex,
       idCol: String): graft.extensions.Similarity.LshIndex =
-    foldSinkTree(spark, sinkDir, LshRetractMarkerName, index.savedDir,
-        index.version) { retired =>
+    netCompaction(spark, None, None, Some(sinkDir), idCol, "__img", FloatVec,
+        LshFoldedMarkerName, LshUpsertMarkerName, LshRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, _, contributing) =>
       val shrunk = graft.extensions.Similarity.removeFromLshIndex(index,
-        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+        removeIds, idCol)
+      shrunk.copy(folded = shrunk.folded ++ contributing)
     }.getOrElse(index)
 
   /** The PQ leg of delete-driven maintenance: one streaming anti-join
@@ -958,11 +1086,12 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.PqIndex,
       idCol: String): graft.extensions.Similarity.PqIndex =
-    foldSinkTree(spark, sinkDir, PqRetractMarkerName, index.savedDir,
-        index.version) { retired =>
+    netCompaction(spark, None, None, Some(sinkDir), idCol, "__img", FloatVec,
+        PqFoldedMarkerName, PqUpsertMarkerName, PqRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, _, contributing) =>
       val shrunk = graft.extensions.Similarity.removeFromPqIndex(index,
-        retired.dropDuplicates(idCol).select(col(idCol)), idCol)
-      shrunk.copy(folded = shrunk.folded :+ sinkDir)
+        removeIds, idCol)
+      shrunk.copy(folded = shrunk.folded ++ contributing)
     }.getOrElse(index)
 
   /** The BM25 retraction fold: subtract the retired docs' contributions
@@ -984,20 +1113,19 @@ object CdcStream {
       stats: graft.extensions.Search.Bm25Stats,
       idCol: String, textCol: String,
       saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats =
-    foldSinkTree(spark, sinkDir, Bm25RetractMarkerName, stats.savedDir,
-        stats.version) { retired =>
-      val docs = retired.dropDuplicates(idCol)
-      // the per-leg twin of the net fold's refusal: this fold is the
-      // most direct consumer of retract images, and a NULL one (an
-      // id-only delete feed pointed at the BM25 leg) would decrement
-      // nDocs while subtracting no terms
-      requireNonNullImages(docs, idCol, textCol,
-        s"BM25 retract fold of $sinkDir")
+    // the NULL-image refusal (the per-leg twin of the net fold's: this
+    // fold is the most direct consumer of retract images, and a NULL
+    // one — an id-only delete feed pointed at the BM25 leg — would
+    // decrement nDocs while subtracting no terms) fires inside the
+    // skeleton, on the netted retract set, before any stats arithmetic
+    netBm25Compaction(spark, None, None, Some(sinkDir), stats,
+        idCol, textCol, oldTextCol = textCol,
+        s"BM25 retract fold of $sinkDir") { (retractDocs, _, contributing) =>
       val shrunk = graft.extensions.Search.retractBm25Stats(stats,
-          docs, idCol, textCol)
-        .copy(folded = stats.folded :+ sinkDir)
+          retractDocs, idCol, textCol)
+        .copy(folded = stats.folded ++ contributing)
       saveTo.map(shrunk.save).getOrElse(shrunk)
-    }.getOrElse(stats)
+    }
 
   /** Apply an upsert sink ([[startUpsertIngest]]) to the corpus index:
     * remove-then-extend as one compaction — retire every amended id
@@ -1021,14 +1149,16 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.CorpusIndex,
       idCol: String, textCol: String): graft.extensions.Dedup.CorpusIndex =
-    foldUpsertTree(spark, sinkDir, UpsertMarkerName, idCol,
-        index.savedDir, index.version) { tree =>
-      val latest = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
+    netCompaction(spark, None, Some(sinkDir), None, idCol, textCol,
+        org.apache.spark.sql.types.StringType,
+        FoldedMarkerName, UpsertMarkerName, RetractMarkerName,
+        index.savedDir, index.version) { (removeIds, latest, contributing) =>
+      // an upsert-only window nets to remove-every-amended-id +
+      // fold-LATEST-image — the remove-then-extend this fold always was
       val bumped = graft.extensions.Dedup.extendCorpusIndex(
-        graft.extensions.Dedup.removeFromCorpusIndex(index,
-          latest.select(col(idCol)), idCol),
+        graft.extensions.Dedup.removeFromCorpusIndex(index, removeIds, idCol),
         latest, idCol, textCol)
-      bumped.copy(folded = bumped.folded :+ sinkDir)
+      bumped.copy(folded = bumped.folded ++ contributing)
     }.getOrElse(index)
 
   /** The sign-LSH embedding analog of [[compactUpsertedBatches]]:
@@ -1039,14 +1169,14 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Dedup.EmbeddingIndex,
       idCol: String, vecCol: String): graft.extensions.Dedup.EmbeddingIndex =
-    foldUpsertTree(spark, sinkDir, EmbUpsertMarkerName, idCol,
-        index.savedDir, index.version) { tree =>
-      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+    netCompaction(spark, None, Some(sinkDir), None, idCol, vecCol, FloatVec,
+        FoldedMarkerName, EmbUpsertMarkerName, EmbRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, latest, contributing) =>
       val bumped = graft.extensions.Dedup.extendEmbeddingIndex(
         graft.extensions.Dedup.removeFromEmbeddingIndex(index,
-          latest.select(col(idCol)), idCol),
+          removeIds, idCol),
         latest, idCol, vecCol)
-      bumped.copy(folded = bumped.folded :+ sinkDir)
+      bumped.copy(folded = bumped.folded ++ contributing)
     }.getOrElse(index)
 
   /** The IVF analog: amended vectors re-assign to the FROZEN centroids,
@@ -1059,14 +1189,14 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfIndex,
       idCol: String, vecCol: String): graft.extensions.Similarity.IvfIndex =
-    foldUpsertTree(spark, sinkDir, IvfUpsertMarkerName, idCol,
-        index.savedDir, index.version) { tree =>
-      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+    netCompaction(spark, None, Some(sinkDir), None, idCol, vecCol, FloatVec,
+        IvfFoldedMarkerName, IvfUpsertMarkerName, IvfRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, latest, contributing) =>
       val bumped = graft.extensions.Similarity.extendIvfIndex(
         graft.extensions.Similarity.removeFromIvfIndex(index,
-          latest.select(col(idCol)), idCol),
+          removeIds, idCol),
         latest, idCol, vecCol)
-      bumped.copy(folded = bumped.folded :+ sinkDir)
+      bumped.copy(folded = bumped.folded ++ contributing)
     }.getOrElse(index)
 
   /** The IVF-PQ (IVFADC) analog: amended vectors re-encode under the
@@ -1077,14 +1207,14 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.IvfPqIndex,
       idCol: String, vecCol: String): graft.extensions.Similarity.IvfPqIndex =
-    foldUpsertTree(spark, sinkDir, IvfPqUpsertMarkerName, idCol,
-        index.savedDir, index.version) { tree =>
-      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+    netCompaction(spark, None, Some(sinkDir), None, idCol, vecCol, FloatVec,
+        IvfPqFoldedMarkerName, IvfPqUpsertMarkerName, IvfPqRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, latest, contributing) =>
       val bumped = graft.extensions.Similarity.extendIvfPqIndex(
         graft.extensions.Similarity.removeFromIvfPqIndex(index,
-          latest.select(col(idCol)), idCol),
+          removeIds, idCol),
         latest, idCol, vecCol)
-      bumped.copy(folded = bumped.folded :+ sinkDir)
+      bumped.copy(folded = bumped.folded ++ contributing)
     }.getOrElse(index)
 
   /** The sign-LSH TOP-K analog of the upsert folds: amended vectors
@@ -1094,14 +1224,14 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.LshIndex,
       idCol: String, vecCol: String): graft.extensions.Similarity.LshIndex =
-    foldUpsertTree(spark, sinkDir, LshUpsertMarkerName, idCol,
-        index.savedDir, index.version) { tree =>
-      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+    netCompaction(spark, None, Some(sinkDir), None, idCol, vecCol, FloatVec,
+        LshFoldedMarkerName, LshUpsertMarkerName, LshRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, latest, contributing) =>
       val bumped = graft.extensions.Similarity.extendLshIndex(
         graft.extensions.Similarity.removeFromLshIndex(index,
-          latest.select(col(idCol)), idCol),
+          removeIds, idCol),
         latest, idCol, vecCol)
-      bumped.copy(folded = bumped.folded :+ sinkDir)
+      bumped.copy(folded = bumped.folded ++ contributing)
     }.getOrElse(index)
 
   /** The PQ analog of the upsert folds: amended vectors re-encode under
@@ -1110,14 +1240,14 @@ object CdcStream {
       spark: SparkSession, sinkDir: String,
       index: graft.extensions.Similarity.PqIndex,
       idCol: String, vecCol: String): graft.extensions.Similarity.PqIndex =
-    foldUpsertTree(spark, sinkDir, PqUpsertMarkerName, idCol,
-        index.savedDir, index.version) { tree =>
-      val latest = imagePerId(tree, idCol, Seq(idCol, vecCol), earliest = false)
+    netCompaction(spark, None, Some(sinkDir), None, idCol, vecCol, FloatVec,
+        PqFoldedMarkerName, PqUpsertMarkerName, PqRetractMarkerName,
+        index.savedDir, index.version) { (removeIds, latest, contributing) =>
       val bumped = graft.extensions.Similarity.extendPqIndex(
         graft.extensions.Similarity.removeFromPqIndex(index,
-          latest.select(col(idCol)), idCol),
+          removeIds, idCol),
         latest, idCol, vecCol)
-      bumped.copy(folded = bumped.folded :+ sinkDir)
+      bumped.copy(folded = bumped.folded ++ contributing)
     }.getOrElse(index)
 
   /** The BM25 upsert fold — the family where image ORDER is
@@ -1142,27 +1272,21 @@ object CdcStream {
       stats: graft.extensions.Search.Bm25Stats,
       idCol: String, textCol: String, oldTextCol: String,
       saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats =
-    foldUpsertTree(spark, sinkDir, Bm25UpsertMarkerName, idCol,
-        stats.savedDir, stats.version) { tree =>
-      // the only family that needs BOTH image directions; the tree
-      // arrives checkpointed from foldUpsertTree, so the two window
-      // passes (and the retract/extend localCheckpoints that evaluate
-      // eagerly below) read one materialization of the sink
-      val first = imagePerId(tree, idCol, Seq(idCol, oldTextCol), earliest = true)
-      // same refusal as the net fold: a NULL earliest-old (an upsert
-      // sink row whose old image the feed never carried — e.g. a
-      // reinsert routed by a maintenance ingest, which belongs to the
-      // NET compaction, not this per-leg fold) would silently decrement
-      // nDocs while subtracting no terms
-      requireNonNullImages(first, idCol, oldTextCol,
-        s"BM25 upsert fold of $sinkDir")
-      val last = imagePerId(tree, idCol, Seq(idCol, textCol), earliest = false)
+    // an upsert-only window nets to retract-EARLIEST-old +
+    // extend-LATEST-new per id — exactly this fold's image-order
+    // contract; the NULL-earliest-old refusal (an upsert sink row whose
+    // old image the feed never carried — e.g. a reinsert routed by a
+    // maintenance ingest, which belongs to the NET compaction, not this
+    // per-leg fold) fires inside the skeleton before any arithmetic
+    netBm25Compaction(spark, None, Some(sinkDir), None, stats,
+        idCol, textCol, oldTextCol,
+        s"BM25 upsert fold of $sinkDir") { (first, last, contributing) =>
       val bumped = graft.extensions.Search.extendBm25Stats(
-          graft.extensions.Search.retractBm25Stats(stats, first, idCol, oldTextCol),
+          graft.extensions.Search.retractBm25Stats(stats, first, idCol, textCol),
           last, idCol, textCol)
-        .copy(folded = stats.folded :+ sinkDir)
+        .copy(folded = stats.folded ++ contributing)
       saveTo.map(bumped.save).getOrElse(bumped)
-    }.getOrElse(stats)
+    }
 
   // ---- net-effect maintenance compaction ----------------------------
   //
@@ -1216,44 +1340,21 @@ object CdcStream {
         * marker lands, so a crash re-runs the fold instead. Without
         * it the caller owns persisting the returned (lazy) version
         * promptly. */
-      saveTo: Option[String] = None): graft.extensions.Dedup.CorpusIndex = {
-    index.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, index.version, "compaction"))
-    val trees = maintenanceEvents(spark, idCol,
-      (acceptDir, FoldedMarkerName,
-        df => df.select(col(idCol), col("batch"), lit("accept").as("kind"),
-          col(textCol).as("__img"))),
-      (upsertDir, UpsertMarkerName,
-        df => df.select(col(idCol), col("batch"), lit("upsert").as("kind"),
-          col(textCol).as("__img"))),
-      (retractDir, RetractMarkerName,
-        df => df.select(col(idCol), col("batch"), lit("retract").as("kind"),
-          lit(null).cast("string").as("__img"))))
-    trees match {
-      case None => index
-      case Some((events, contributing, marks)) =>
-        val net = events.groupBy(col(idCol)).agg(
-          min_by(col("kind"), col("batch")).as("__first_kind"),
-          max_by(col("kind"), col("batch")).as("__last_kind"),
-          max_by(col("__img"), col("batch")).as("__last_img"))
-        val removeIds = net.filter(col("__first_kind") =!= "accept")
-          .select(col(idCol))
-        val addDocs = net.filter(col("__last_kind") =!= "retract")
-          .select(col(idCol), col("__last_img").as(textCol))
-        val bumped = graft.extensions.Dedup.extendCorpusIndex(
-          graft.extensions.Dedup.removeFromCorpusIndex(index, removeIds, idCol),
-          addDocs, idCol, textCol)
-          // lineage records the trees that actually contributed events;
-          // an empty tree stays out (and unmarked — its later real fold
-          // still runs)
-          .copy(folded = index.folded ++ contributing)
-        val durable = saveTo
-          .map(d => graft.extensions.Dedup.saveCorpusIndex(bumped, d))
-          .getOrElse(bumped)
-        marks()
-        durable
-    }
-  }
+      saveTo: Option[String] = None): graft.extensions.Dedup.CorpusIndex =
+    netCompaction(spark, Some(acceptDir), Some(upsertDir), Some(retractDir),
+        idCol, textCol, org.apache.spark.sql.types.StringType,
+        FoldedMarkerName, UpsertMarkerName, RetractMarkerName,
+        index.savedDir, index.version) { (removeIds, addDocs, contributing) =>
+      val bumped = graft.extensions.Dedup.extendCorpusIndex(
+        graft.extensions.Dedup.removeFromCorpusIndex(index, removeIds, idCol),
+        addDocs, idCol, textCol)
+        // lineage records the trees that actually contributed events;
+        // an empty tree stays out (and unmarked — its later real fold
+        // still runs)
+        .copy(folded = index.folded ++ contributing)
+      saveTo.map(d => graft.extensions.Dedup.saveCorpusIndex(bumped, d))
+        .getOrElse(bumped)
+    }.getOrElse(index)
 
   /** The BM25 net-effect compaction — the family where the EARLIEST old
     * image matters: retraction must subtract what the stats actually
@@ -1268,55 +1369,18 @@ object CdcStream {
       acceptDir: String, upsertDir: String, retractDir: String,
       stats: graft.extensions.Search.Bm25Stats,
       idCol: String, textCol: String, oldTextCol: String,
-      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats = {
-    stats.savedDir.foreach(d => graft.extensions.IndexMeta
-      .requireCurrent(spark, d, stats.version, "compaction"))
-    val trees = maintenanceEvents(spark, idCol,
-      (acceptDir, Bm25FoldedMarkerName,
-        df => df.select(col(idCol), col("batch"), lit("accept").as("kind"),
-          col(textCol).as("__img"), lit(null).cast("string").as("__old"))),
-      (upsertDir, Bm25UpsertMarkerName,
-        df => df.select(col(idCol), col("batch"), lit("upsert").as("kind"),
-          col(textCol).as("__img"), col(oldTextCol).as("__old"))),
-      (retractDir, Bm25RetractMarkerName,
-        df => df.select(col(idCol), col("batch"), lit("retract").as("kind"),
-          lit(null).cast("string").as("__img"), col(textCol).as("__old"))))
-    trees match {
-      case None => stats
-      case Some((events, contributing, marks)) =>
-        val net = events.groupBy(col(idCol)).agg(
-          min_by(col("kind"), col("batch")).as("__first_kind"),
-          max_by(col("kind"), col("batch")).as("__last_kind"),
-          min_by(col("__old"), col("batch")).as("__first_old"),
-          max_by(col("__img"), col("batch")).as("__last_img"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val retractDocs = net.filter(col("__first_kind") =!= "accept")
-            .select(col(idCol), col("__first_old").as(textCol))
-          // refuse loudly, never drift: a NULL earliest-old reaching
-          // retractBm25Stats would decrement nDocs while subtracting no
-          // terms (bm25PerDoc maps NULL text to dl 0 / zero rows, but
-          // the doc-count leg still counts the row) — silent corruption
-          // of every later score. A NULL here means an upsert-FIRST id
-          // whose old image the feed never carried: most often an
-          // ingest still routing against an index handle frozen BEFORE
-          // an offline compaction (see the restart contract on
-          // [[startCdcMaintenanceIngest]]).
-          requireNonNullImages(retractDocs, idCol, textCol,
-            "BM25 net-effect compaction retract set")
-          val extendDocs = net.filter(col("__last_kind") =!= "retract")
-            .select(col(idCol), col("__last_img").as(textCol))
-          val bumped = graft.extensions.Search.extendBm25Stats(
-              graft.extensions.Search.retractBm25Stats(
-                stats, retractDocs, idCol, textCol),
-              extendDocs, idCol, textCol)
-            .copy(folded = stats.folded ++ contributing)
-          val durable = saveTo.map(bumped.save).getOrElse(bumped)
-          marks()
-          durable
-        } finally { net.unpersist(false); () }
+      saveTo: Option[String] = None): graft.extensions.Search.Bm25Stats =
+    netBm25Compaction(spark, Some(acceptDir), Some(upsertDir), Some(retractDir),
+        stats, idCol, textCol, oldTextCol,
+        "BM25 net-effect compaction retract set") {
+      (retractDocs, extendDocs, contributing) =>
+        val bumped = graft.extensions.Search.extendBm25Stats(
+            graft.extensions.Search.retractBm25Stats(
+              stats, retractDocs, idCol, textCol),
+            extendDocs, idCol, textCol)
+          .copy(folded = stats.folded ++ contributing)
+        saveTo.map(bumped.save).getOrElse(bumped)
     }
-  }
 
   /** The vector net-effect compaction ([[startVecMaintenanceIngest]]'s
     * fold): same cross-class reduction as [[compactMaintenanceBatches]]
@@ -1340,7 +1404,8 @@ object CdcStream {
       idCol: String, vecCol: String,
       /** durable-then-mark, as on [[compactMaintenanceBatches]]. */
       saveTo: Option[String] = None): graft.extensions.Dedup.EmbeddingIndex =
-    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+    netCompaction(spark, Some(acceptDir), Some(upsertDir), Some(retractDir),
+        idCol, vecCol, FloatVec,
         FoldedMarkerName, EmbUpsertMarkerName, EmbRetractMarkerName,
         index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
       val bumped = graft.extensions.Dedup.extendEmbeddingIndex(
@@ -1374,7 +1439,8 @@ object CdcStream {
       index: graft.extensions.Similarity.IvfIndex,
       idCol: String, vecCol: String,
       saveTo: Option[String] = None): graft.extensions.Similarity.IvfIndex =
-    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+    netCompaction(spark, Some(acceptDir), Some(upsertDir), Some(retractDir),
+        idCol, vecCol, FloatVec,
         IvfFoldedMarkerName, IvfUpsertMarkerName, IvfRetractMarkerName,
         index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
       val bumped = graft.extensions.Similarity.extendIvfIndex(
@@ -1395,7 +1461,8 @@ object CdcStream {
       index: graft.extensions.Similarity.IvfPqIndex,
       idCol: String, vecCol: String,
       saveTo: Option[String] = None): graft.extensions.Similarity.IvfPqIndex =
-    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+    netCompaction(spark, Some(acceptDir), Some(upsertDir), Some(retractDir),
+        idCol, vecCol, FloatVec,
         IvfPqFoldedMarkerName, IvfPqUpsertMarkerName, IvfPqRetractMarkerName,
         index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
       val bumped = graft.extensions.Similarity.extendIvfPqIndex(
@@ -1414,7 +1481,8 @@ object CdcStream {
       index: graft.extensions.Similarity.LshIndex,
       idCol: String, vecCol: String,
       saveTo: Option[String] = None): graft.extensions.Similarity.LshIndex =
-    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+    netCompaction(spark, Some(acceptDir), Some(upsertDir), Some(retractDir),
+        idCol, vecCol, FloatVec,
         LshFoldedMarkerName, LshUpsertMarkerName, LshRetractMarkerName,
         index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
       val bumped = graft.extensions.Similarity.extendLshIndex(
@@ -1433,7 +1501,8 @@ object CdcStream {
       index: graft.extensions.Similarity.PqIndex,
       idCol: String, vecCol: String,
       saveTo: Option[String] = None): graft.extensions.Similarity.PqIndex =
-    netVecCompaction(spark, acceptDir, upsertDir, retractDir, idCol, vecCol,
+    netCompaction(spark, Some(acceptDir), Some(upsertDir), Some(retractDir),
+        idCol, vecCol, FloatVec,
         PqFoldedMarkerName, PqUpsertMarkerName, PqRetractMarkerName,
         index.savedDir, index.version) { (removeIds, addVecs, contributing) =>
       val bumped = graft.extensions.Similarity.extendPqIndex(
@@ -1443,165 +1512,235 @@ object CdcStream {
       saveTo.map(bumped.save).getOrElse(bumped)
     }.getOrElse(index)
 
-  /** Shared skeleton of the five VECTOR net-effect compactions — the
-    * stale-handle guard → guarded three-tree read → cross-class net
+  /** Shared skeleton of EVERY net-effect compaction except BM25 (whose
+    * two-image algebra lives in [[netBm25Compaction]]) — the
+    * stale-handle guard → leased three-tree read → cross-class net
     * reduction → family fold → markers sequence, parameterized over the
-    * family's marker triple and its (removeFrom*, extend*) pair the way
-    * [[foldSinkTree]] unified the per-leg folds. The reduction is the
-    * [[compactMaintenanceBatches]] algebra with no old-image leg (every
-    * vector family retracts by id alone): served (earliest event ≠
-    * accept) ids land in `removeIds`; alive (latest event ≠ retract)
-    * ids land in `addVecs` with their LATEST image. `fold` runs BEFORE
-    * any marker (durable-then-mark: a `saveTo` write inside the fold
-    * that crashes leaves all three trees unmarked, so the next
-    * scheduled compaction re-runs instead of orphaning them). */
-  private def netVecCompaction[I](
+    * family's marker triple, its image column/type, and its
+    * (removeFrom*, extend*) pair. The per-leg upsert/retract folds are
+    * the SAME skeleton with the other two legs absent (`None` dirs):
+    * an upsert-only window net-reduces to remove-every-amended-id +
+    * fold-latest-image, and a retract-only window to remove-only (the
+    * add set is empty BY CONSTRUCTION — every event's latest kind is
+    * retract — so the shrink closures keep their single-step version
+    * bump). The reduction: served (earliest event ≠ accept) ids land in
+    * `removeIds`; alive (latest event ≠ retract) ids land in `addImgs`
+    * with their LATEST image. `fold` runs BEFORE any marker
+    * (durable-then-mark: a `saveTo` write inside the fold that crashes
+    * leaves all trees unmarked AND their leases held, so the next
+    * attempt refuses until the operator confirms the crash and breaks
+    * the lease — see [[acquireFoldLease]]); a fold that THROWS (a
+    * contract refusal: NULL image, within-batch tie) releases its
+    * leases on the way out, so a fixed feed re-runs with no manual
+    * step. */
+  private def netCompaction[I](
       spark: SparkSession,
-      acceptDir: String, upsertDir: String, retractDir: String,
-      idCol: String, vecCol: String,
+      acceptDir: Option[String], upsertDir: Option[String],
+      retractDir: Option[String],
+      idCol: String, imgCol: String,
+      imgType: org.apache.spark.sql.types.DataType,
       acceptMarker: String, upsertMarker: String, retractMarker: String,
       savedDir: Option[String], version: Long)(
       fold: (DataFrame, DataFrame, Seq[String]) => I): Option[I] = {
     savedDir.foreach(d => graft.extensions.IndexMeta
       .requireCurrent(spark, d, version, "compaction"))
-    val vecType = org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.FloatType)
     maintenanceEvents(spark, idCol,
       (acceptDir, acceptMarker,
-        df => df.select(col(idCol), col("batch"), lit("accept").as("kind"),
-          col(vecCol).as("__img"))),
+        (df: DataFrame) => df.select(col(idCol), col("batch"),
+          lit("accept").as("kind"), col(imgCol).as("__img"))),
       (upsertDir, upsertMarker,
-        df => df.select(col(idCol), col("batch"), lit("upsert").as("kind"),
-          col(vecCol).as("__img"))),
+        (df: DataFrame) => df.select(col(idCol), col("batch"),
+          lit("upsert").as("kind"), col(imgCol).as("__img"))),
       (retractDir, retractMarker,
-        df => df.select(col(idCol), col("batch"), lit("retract").as("kind"),
-          lit(null).cast(vecType).as("__img"))))
-      .map { case (events, contributing, marks) =>
-        val net = events.groupBy(col(idCol)).agg(
-          min_by(col("kind"), col("batch")).as("__first_kind"),
-          max_by(col("kind"), col("batch")).as("__last_kind"),
-          max_by(col("__img"), col("batch")).as("__last_img"))
-        val removeIds = net.filter(col("__first_kind") =!= "accept")
-          .select(col(idCol))
-        val addVecs = net.filter(col("__last_kind") =!= "retract")
-          .select(col(idCol), col("__last_img").as(vecCol))
-        val out = fold(removeIds, addVecs, contributing)
-        marks()
-        out
+        (df: DataFrame) => df.select(col(idCol), col("batch"),
+          lit("retract").as("kind"), lit(null).cast(imgType).as("__img"))))
+      .map { w =>
+        try {
+          val net = w.events.groupBy(col(idCol)).agg(
+            min_by(col("kind"), col("batch")).as("__first_kind"),
+            max_by(col("kind"), col("batch")).as("__last_kind"),
+            max_by(col("__img"), col("batch")).as("__last_img"))
+          val removeIds = net.filter(col("__first_kind") =!= "accept")
+            .select(col(idCol))
+          val addImgs = net.filter(col("__last_kind") =!= "retract")
+            .select(col(idCol), col("__last_img").as(imgCol))
+          val out = fold(removeIds, addImgs, w.contributing)
+          w.commit()
+          out
+        } catch { case e: Throwable => w.abort(); throw e }
       }
   }
 
-  /** Guarded read of the three maintenance trees: refuses any tree
-    * already stamped with its leg's marker, normalizes each to the
-    * (id, batch, kind, images...) event shape via `shape`, unions the
-    * non-empty ones, and refuses loudly on a cross-leg (id, batch)
-    * collision — CDC emits at most one event per id per trigger, and a
-    * violated precondition here would make min_by/max_by's image picks
-    * nondeterministic. Returns None when every tree is empty/missing;
-    * otherwise the event union plus a thunk stamping each CONTRIBUTING
-    * tree with its own leg marker (empty trees stay unmarked, so their
-    * later real fold still runs). */
-  private def maintenanceEvents(
-      spark: SparkSession, idCol: String,
-      legs: (String, String, DataFrame => DataFrame)*)
-      : Option[(DataFrame, Seq[String], () => Unit)] = {
-    val read = legs.map { case (dir, marker, shape) =>
-      (dir, marker, consumeSinkTree(spark, dir, marker, keepBatch = true)
-        .map(shape))
-    }
-    val present = read.flatMap(_._3)
-    if (present.isEmpty) None
-    else {
-      // ONE eager materialization of the skinny event union: the
-      // collision guard below and every downstream reference of the
-      // min_by/max_by aggregation read the checkpoint, not the three
-      // parquet trees over again (removeFrom*'s multi-join plans
-      // reference the net relation several times per evaluation)
-      val events = present.reduce(_ unionByName _).localCheckpoint(true)
-      val dup = events.groupBy(col(idCol), col("batch"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
-        .limit(1).collect()
-      if (dup.nonEmpty) throw new IllegalArgumentException(
-        s"maintenance sinks hold ${dup.head.get(2)} events for id " +
-          s"${dup.head.get(0)} in micro-batch ${dup.head.get(1)}: CDC " +
-          "emits at most one event per id per trigger, so a cross-leg " +
-          "collision within one batch means the source feed is not " +
-          "key-compacted — fix the feed; the net-effect ordering is " +
-          "undefined under within-batch ties")
-      val contributing = read.collect { case (dir, _, Some(_)) => dir }
-      Some((events, contributing, () => read.foreach { case (dir, marker, t) =>
-        if (t.isDefined) markFolded(spark, dir, marker)
-      }))
+  /** The element type of every vector family's image column. */
+  private val FloatVec = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.FloatType)
+
+  /** The BM25 net skeleton — the family whose retraction needs the OLD
+    * row image (earliest `__old` per id: what the stats actually hold)
+    * and whose integer arithmetic makes the NULL-image guard and the
+    * marker/lease discipline correctness, not audit. Shapes: accept
+    * rows carry `textCol` as the new image; upsert rows both images;
+    * retract rows their old image in `textCol` (the CDC delete's row
+    * image — [[startRetractIngest]]'s convention). The guard fires on
+    * the netted retract set BEFORE any stats arithmetic, naming `what`
+    * so per-leg and net callers keep their distinct refusal texts. */
+  private def netBm25Compaction(
+      spark: SparkSession,
+      acceptDir: Option[String], upsertDir: Option[String],
+      retractDir: Option[String],
+      stats: graft.extensions.Search.Bm25Stats,
+      idCol: String, textCol: String, oldTextCol: String, what: String)(
+      fold: (DataFrame, DataFrame, Seq[String]) =>
+        graft.extensions.Search.Bm25Stats): graft.extensions.Search.Bm25Stats = {
+    stats.savedDir.foreach(d => graft.extensions.IndexMeta
+      .requireCurrent(spark, d, stats.version, "compaction"))
+    maintenanceEvents(spark, idCol,
+      (acceptDir, Bm25FoldedMarkerName,
+        (df: DataFrame) => df.select(col(idCol), col("batch"),
+          lit("accept").as("kind"), col(textCol).as("__img"),
+          lit(null).cast("string").as("__old"))),
+      (upsertDir, Bm25UpsertMarkerName,
+        (df: DataFrame) => df.select(col(idCol), col("batch"),
+          lit("upsert").as("kind"), col(textCol).as("__img"),
+          col(oldTextCol).as("__old"))),
+      (retractDir, Bm25RetractMarkerName,
+        (df: DataFrame) => df.select(col(idCol), col("batch"),
+          lit("retract").as("kind"), lit(null).cast("string").as("__img"),
+          col(textCol).as("__old")))) match {
+      case None => stats
+      case Some(w) =>
+        try {
+          val net = w.events.groupBy(col(idCol)).agg(
+            min_by(col("kind"), col("batch")).as("__first_kind"),
+            max_by(col("kind"), col("batch")).as("__last_kind"),
+            min_by(col("__old"), col("batch")).as("__first_old"),
+            max_by(col("__img"), col("batch")).as("__last_img"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val retractDocs = net.filter(col("__first_kind") =!= "accept")
+              .select(col(idCol), col("__first_old").as(textCol))
+            // refuse loudly, never drift: a NULL earliest-old reaching
+            // retractBm25Stats would decrement nDocs while subtracting
+            // no terms — silent corruption of every later score. A NULL
+            // here means a retract-side id whose old image the feed
+            // never carried: most often an ingest still routing against
+            // an index handle frozen BEFORE an offline compaction (see
+            // the contract on [[startCdcMaintenanceIngest]]).
+            requireNonNullImages(retractDocs, idCol, textCol, what)
+            val extendDocs = net.filter(col("__last_kind") =!= "retract")
+              .select(col(idCol), col("__last_img").as(textCol))
+            val out = fold(retractDocs, extendDocs, w.contributing)
+            w.commit()
+            out
+          } finally { net.unpersist(false); () }
+        } catch { case e: Throwable => w.abort(); throw e }
     }
   }
 
-  /** Shared skeleton of every compaction fold — the sequence the 19
-    * per-family folds were repeating verbatim: stale-handle guard,
-    * guarded sink read ([[consumeSinkTree]]), the family's fold, then
-    * the marker(s). `fold` runs BEFORE any marker lands — the
-    * durable-then-mark ordering every family relies on (a crash inside
-    * `fold`, including a `saveTo` write, leaves the tree unmarked so
-    * the next scheduled compaction re-runs instead of orphaning
-    * consumed batches). `alsoMark` stamps sibling trees (a dedup
-    * ingest's provenance dir) with the same marker at the same
-    * moment. */
+  /** A leased maintenance window: the checkpointed event union of the
+    * present legs, the contributing tree dirs, and the two terminal
+    * moves — `commit` stamps each contributing tree with its leg marker
+    * (exclusively) then releases the leases; `abort` only releases, so
+    * a refused fold is re-runnable without a manual lease break. Both
+    * are idempotent in the release step. */
+  private final case class MaintWindow(
+      events: DataFrame, contributing: Seq[String],
+      commit: () => Unit, abort: () => Unit)
+
+  /** Guarded, LEASED read of the maintenance trees: refuses any present
+    * tree already stamped with its leg's marker, takes each present
+    * tree's exclusive fold lease ([[acquireFoldLease]] — two concurrent
+    * compactions of one tree must not both fold it), normalizes each to
+    * the (id, batch, kind, images...) event shape via `shape`, unions
+    * the non-empty ones, and refuses loudly on a cross-leg (id, batch)
+    * collision — CDC emits at most one event per id per trigger, and a
+    * violated precondition here would make min_by/max_by's image picks
+    * nondeterministic. Absent (`None` dir) and empty/missing trees
+    * contribute nothing, take no lease and stay unmarked, so a later
+    * real fold still runs. Returns None when every leg is absent or
+    * empty; every refusal path releases whatever leases were already
+    * acquired. */
+  private def maintenanceEvents(
+      spark: SparkSession, idCol: String,
+      legs: (Option[String], String, DataFrame => DataFrame)*)
+      : Option[MaintWindow] = {
+    val acquired = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def releaseAll(): Unit =
+      acquired.foreach { case (d, m) => releaseFoldLease(spark, d, m) }
+    try {
+      val read = legs.flatMap { case (dirOpt, marker, shape) =>
+        dirOpt.map { dir =>
+          val t = consumeSinkTree(spark, dir, marker, keepBatch = true)
+          if (t.isDefined) acquired += ((dir, marker))
+          (dir, marker, t.map(shape))
+        }
+      }
+      val present = read.flatMap(_._3)
+      if (present.isEmpty) None
+      else {
+        // ONE eager materialization of the skinny event union: the
+        // collision guard below and every downstream reference of the
+        // min_by/max_by aggregation read the checkpoint, not the sink
+        // parquet trees over again (removeFrom*'s multi-join plans
+        // reference the net relation several times per evaluation)
+        val events = present.reduce(_ unionByName _).localCheckpoint(true)
+        val dup = events.groupBy(col(idCol), col("batch"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"maintenance sinks hold ${dup.head.get(2)} events for id " +
+            s"${dup.head.get(0)} in micro-batch ${dup.head.get(1)}: CDC " +
+            "emits at most one event per id per trigger (the standard " +
+            "log-reader contract — pre-compact per key per trigger " +
+            "upstream), so a within-batch collision means the feed is " +
+            "not key-compacted and the earliest/latest image picks " +
+            "would be nondeterministic — fix the feed")
+        Some(MaintWindow(events,
+          read.collect { case (dir, _, Some(_)) => dir },
+          commit = () => {
+            read.foreach { case (dir, marker, t) =>
+              if (t.isDefined) markFolded(spark, dir, marker) }
+            releaseAll()
+          },
+          abort = () => releaseAll()))
+      }
+    } catch { case e: Throwable => releaseAll(); throw e }
+  }
+
+  /** Shared skeleton of the ACCEPT compaction folds: stale-handle
+    * guard, guarded LEASED sink read ([[consumeSinkTree]]), the
+    * family's fold, then the marker(s), then the lease release. `fold`
+    * runs BEFORE any marker lands — the durable-then-mark ordering
+    * every family relies on (a crash inside `fold`, including a
+    * `saveTo` write, leaves the tree unmarked so the next scheduled
+    * compaction re-runs — after the operator breaks the crashed
+    * attempt's lease, [[acquireFoldLease]]); a fold that THROWS (a
+    * contract refusal) releases the lease itself, so a fixed input
+    * re-runs with no manual step. `alsoMark` stamps sibling trees (a
+    * dedup ingest's provenance dir) with the same marker at the same
+    * moment; `alsoRefuse`/`alsoMarkSelf` carry a family's NET accept
+    * marker so per-leg and net accept folds of one tree refuse each
+    * other in BOTH directions (ADVICE r18). */
   private def foldSinkTree[A](spark: SparkSession, sinkDir: String,
                               marker: String, savedDir: Option[String],
                               version: Long, keepBatch: Boolean = false,
-                              alsoMark: Seq[String] = Nil)
+                              alsoMark: Seq[String] = Nil,
+                              alsoRefuse: Seq[String] = Nil,
+                              alsoMarkSelf: Seq[String] = Nil)
                              (fold: DataFrame => A): Option[A] = {
     savedDir.foreach(d => graft.extensions.IndexMeta
       .requireCurrent(spark, d, version, "compaction"))
-    consumeSinkTree(spark, sinkDir, marker, keepBatch).map { tree =>
-      val out = fold(tree)
+    consumeSinkTree(spark, sinkDir, marker, keepBatch, alsoRefuse).map { tree =>
+      val out =
+        try fold(tree)
+        catch { case e: Throwable =>
+          releaseFoldLease(spark, sinkDir, marker); throw e }
       markFolded(spark, sinkDir, marker)
+      alsoMarkSelf.foreach(markFolded(spark, sinkDir, _))
       alsoMark.foreach(markFolded(spark, _, marker))
+      releaseFoldLease(spark, sinkDir, marker)
       out
     }
-  }
-
-  /** [[foldSinkTree]] for the upsert families: keeps the batch column
-    * (image order) and refuses LOUDLY when one micro-batch holds more
-    * than one update for an id — batch order is the only ordering the
-    * sink stores, so a within-batch tie would make the earliest/latest
-    * image pick nondeterministic, and on BM25 silently corrupting.
-    * O(updates-in-window) aggregation, paid before any fold work. */
-  private def foldUpsertTree[A](spark: SparkSession, sinkDir: String,
-                                marker: String, idCol: String,
-                                savedDir: Option[String], version: Long)
-                               (fold: DataFrame => A): Option[A] =
-    foldSinkTree(spark, sinkDir, marker, savedDir, version,
-        keepBatch = true) { tree0 =>
-      // ONE eager materialization of the skinny O(updates) tree: the
-      // guard's aggregation and every later image pass (two on BM25)
-      // read the checkpoint, not the sink parquet over again
-      val tree = tree0.localCheckpoint(true)
-      val dup = tree.groupBy(col(idCol), col("batch"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
-        .limit(1).collect()
-      if (dup.nonEmpty) throw new IllegalArgumentException(
-        s"upsert sink $sinkDir holds ${dup.head.get(2)} updates for id " +
-          s"${dup.head.get(0)} in micro-batch ${dup.head.get(1)}: batch " +
-          "order is the only ordering the sink stores, so the " +
-          "earliest/latest image pick would be nondeterministic — " +
-          "pre-compact updates per key per trigger upstream (the " +
-          "standard CDC log-reader contract)")
-      fold(tree)
-    }
-
-  /** One row per id from an upsert sink tree: the image from the id's
-    * FIRST (`earliest`) or LAST batch in the compaction window — batch
-    * order is the only ordering the sink stores
-    * ([[startUpsertIngest]]'s one-update-per-id-per-batch contract,
-    * enforced by [[foldUpsertTree]]'s guard).
-    * One row_number over the skinny O(updates-in-window) tree. */
-  private def imagePerId(tree: DataFrame, idCol: String, cols: Seq[String],
-                         earliest: Boolean): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-      .orderBy(if (earliest) col("batch").asc else col("batch").desc)
-    tree.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(cols.map(col): _*)
   }
 
   /** Refuse loudly when a BM25 retract-side relation carries a NULL
@@ -1638,13 +1777,14 @@ object CdcStream {
     * double-run — the retract/upsert sides' per-family design, extended
     * to the accept tree. The gate family (embedding) keeps the shared
     * [[FoldedMarkerName]]: its per-leg accept fold checks that same
-    * name, so the stray-per-leg-fold refusal still holds there. For the
-    * four families below NO per-leg accept fold shares their markers —
-    * mixing per-leg accept folds with a multi-family shared tree is
-    * outside contract either way (the per-leg accept folds all check
-    * the shared marker, so the FIRST per-leg fold would lock out every
-    * sibling family): a deployment on the net cadence must use net
-    * compactions for every family consuming the triple. */
+    * name, so the stray-per-leg-fold refusal still holds there. The
+    * IVF and IVF-PQ families' per-leg accept folds refuse AND co-stamp
+    * their family marker (`alsoRefuse`/`alsoMarkSelf`, ADVICE r18), so
+    * per-leg-after-net and net-after-per-leg both refuse — while the
+    * per-leg folds still lock out sibling families via the shared
+    * marker: mixing per-leg accept folds with a multi-family shared
+    * tree remains outside contract (use net compactions for every
+    * family consuming a shared triple). */
   val IvfFoldedMarkerName = "_FOLDED_IVF"
   val IvfPqFoldedMarkerName = "_FOLDED_IVFPQ"
   val LshFoldedMarkerName = "_FOLDED_LSH"
@@ -1683,40 +1823,137 @@ object CdcStream {
     * compaction can consume ONE accepted-docs tree independently. */
   val Bm25FoldedMarkerName = "_FOLDED_BM25"
 
-  /** Guarded read of an accepted-batch sink tree for compaction:
-    * refuses (loudly) a tree already stamped [[FoldedMarkerName]] —
-    * re-folding consumed batches would double-count gram dfs and break
-    * extend's append-only id contract — and returns None for a tree
-    * with no committed batch rows, turning a compaction that races an
-    * idle ingest into a no-op instead of a schema-inference error. */
+  /** Guarded, LEASED read of a sink tree for compaction: refuses
+    * (loudly) a tree already stamped with `marker` (or any `alsoRefuse`
+    * sibling marker) — re-folding consumed batches would double-count
+    * gram dfs and break extend's append-only id contract — returns None
+    * for a tree with no committed batch rows (a compaction racing an
+    * idle ingest is a no-op, no lease taken), and otherwise ACQUIRES
+    * the tree's exclusive fold lease before handing the rows out, with
+    * the marker re-checked UNDER the lease: without the re-check, a
+    * fold that committed between this function's first marker probe and
+    * the lease acquisition would be invisible — exactly the
+    * check-then-act window (VERDICT r18 #1) the lease closes. Callers
+    * own releasing the lease on every path ([[foldSinkTree]] /
+    * [[maintenanceEvents]]). */
   private def consumeSinkTree(spark: SparkSession, sinkDir: String,
                               marker: String = FoldedMarkerName,
                               /** the upsert folds order images by the
                                 * batch partition column; everyone else
                                 * drops it */
-                              keepBatch: Boolean = false): Option[DataFrame] = {
+                              keepBatch: Boolean = false,
+                              alsoRefuse: Seq[String] = Nil): Option[DataFrame] = {
     val root = new HPath(sinkDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(new HPath(root, marker)),
-      s"sink tree $sinkDir was already compacted ($marker " +
-        "present): re-folding consumed batches would double-count them " +
-        "in the extended index — point the ingest at a fresh sink tree " +
-        "for the next version")
+    def refuseMarked(): Unit = {
+      require(!fs.exists(new HPath(root, marker)),
+        s"sink tree $sinkDir was already compacted ($marker " +
+          "present): re-folding consumed batches would double-count them " +
+          "in the extended index — point the ingest at a fresh sink tree " +
+          "for the next version")
+      alsoRefuse.foreach { m =>
+        require(!fs.exists(new HPath(root, m)),
+          s"sink tree $sinkDir was already consumed by this family's NET " +
+            s"compaction ($m present): a per-leg accept fold would re-fold " +
+            "the same accepted batches into the same index (duplicate ids " +
+            "through extend's append-only contract) — point the ingest at " +
+            "a fresh sink tree for the next version")
+      }
+    }
+    refuseMarked()
     val hasRows = fs.exists(root) &&
       Option(fs.globStatus(new HPath(root, "batch=*/part-*")))
         .exists(_.nonEmpty)
     if (!hasRows) None
     else {
+      acquireFoldLease(fs, root, marker)
+      try refuseMarked()
+      catch { case e: Throwable =>
+        fs.delete(leasePath(root, marker), false); throw e }
       val df = spark.read.parquet(sinkDir)
       Some(if (keepBatch) df else df.drop("batch"))
     }
   }
 
+  private def leasePath(root: HPath, marker: String): HPath =
+    new HPath(root, marker + ".lock")
+
+  /** Take the EXCLUSIVE fold lease of (tree, leg): an `overwrite=false`
+    * create of `<marker>.lock` plus a token read-back. Two concurrent
+    * compactions of one tree — an orchestrator retry, a cron overlap,
+    * two operators — must not both fold it: for the idempotent
+    * text/vector folds that is wasted work, but BM25's integer
+    * retraction is NOT idempotent, and before the lease both racers
+    * passed the marker check (check-then-act) and double-subtracted.
+    * The create is atomic on HDFS-like stores; on a local FS that
+    * checks-then-creates, two racers can both pass — then the LAST
+    * writer's token is on disk and exactly one read-back matches, so
+    * exactly one caller wins either way. A crashed fold leaves its
+    * lease behind DELIBERATELY: the next attempt refuses with the lock
+    * path, and the operator breaks the lease (delete the file) only
+    * after confirming no compaction is live — the crash-then-rerun
+    * story stays available, but never silently concurrent. */
+  private def acquireFoldLease(fs: org.apache.hadoop.fs.FileSystem,
+                               root: HPath, marker: String): Unit = {
+    val p = leasePath(root, marker)
+    val token = java.util.UUID.randomUUID().toString
+    def refuse(): Nothing = throw new IllegalStateException(
+      s"a compaction of $root ($marker) is already IN FLIGHT: fold lease " +
+        s"$p is held. Two concurrent folds of one tree would both consume " +
+        "it — for BM25, double-subtracting the non-idempotent stats. If " +
+        "the holder crashed (no compaction is actually running), break " +
+        "the stale lease by deleting the lock file and re-run")
+    try {
+      val out = fs.create(p, false)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => refuse()
+      case _: java.nio.file.FileAlreadyExistsException => refuse()
+    }
+    val in = fs.open(p)
+    val held =
+      try {
+        val buf = new Array[Byte](80)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    if (held != token) refuse()
+  }
+
+  /** Idempotent lease release — delete-if-present, so abort paths may
+    * run it after a commit already released. */
+  private def releaseFoldLease(spark: SparkSession, dir: String,
+                               marker: String): Unit = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = leasePath(root, marker)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** Stamp a consumed tree — EXCLUSIVELY (`overwrite=false`): under the
+    * fold lease a marker collision is unrepresentable, so one firing
+    * means a fold ran WITHOUT the lease discipline (or an operator
+    * stamped by hand) and this fold's result must be treated as a
+    * duplicate — refuse loudly rather than quietly restamp. */
   private def markFolded(spark: SparkSession, dir: String,
                          marker: String = FoldedMarkerName): Unit = {
-    val p = new HPath(new HPath(dir), marker)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new HPath(dir))) fs.create(p, true).close()
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) {
+      try fs.create(new HPath(root, marker), false).close()
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"$marker already present at $dir: a concurrent compaction " +
+              "consumed this tree while this fold ran — the fold lease " +
+              "makes this unrepresentable for lease-disciplined callers, " +
+              "so a collision here means a fold bypassed the lease; " +
+              "DISCARD this fold's result (the winner's fold stands)")
+      }
+    }
   }
 
   /** Tumbling/sliding-window aggregation over the change stream with

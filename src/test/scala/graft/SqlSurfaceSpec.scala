@@ -373,6 +373,95 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(nullArg.getMessage.contains("family"))
   }
 
+  test("CALL graft.fit_index completes the pure-SQL lifecycle: CALL-fit " +
+    "== API-fit tree-for-tree (deterministic seeds), hyperparameters " +
+    "literal-guarded per family") {
+    import org.apache.spark.sql.functions._
+    import graft.extensions.{Dedup, Similarity}
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    docs.createOrReplaceTempView("g_fit_docs")
+    val vecs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    vecs.createOrReplaceTempView("g_fit_vecs")
+
+    // text: the CALL-fitted tree == the API-fitted index, posting for
+    // posting, and the audit row names what happened
+    val tDir = TestSpark.tmpDir("graft-fit-text")
+    val apiText = Dedup.buildCorpusIndex(docs, "doc_id", "text")
+    val trow = spark.sql(
+      s"""CALL graft.fit_index('text', 'g_fit_docs', '$tDir',
+         |  'doc_id', 'text')""".stripMargin).collect().head
+    assert(trow.getAs[String]("family") === "text" &&
+      trow.getAs[String]("saved_to") === tDir &&
+      trow.getAs[Long]("version") === apiText.version)
+    def postingSet(ix: Dedup.CorpusIndex) =
+      ix.postings.select("gram", "doc_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(postingSet(Dedup.loadCorpusIndex(spark, tDir)) ===
+      postingSet(apiText))
+
+    // ivf with a NAMED hyperparameter: the tree equals the API fit at
+    // the same nlist — the fixed KMeans seed makes CALL-fit ≡ API-fit
+    // bitwise at the centers/assigned level
+    val iDir = TestSpark.tmpDir("graft-fit-ivf")
+    spark.sql(
+      s"""CALL graft.fit_index('ivf', 'g_fit_vecs', '$iDir',
+         |  'vec_id', 'embedding', nlist => '8')""".stripMargin).collect()
+    val apiIvf = Similarity.ivfFit(vecs, "vec_id", "embedding", nlist = 8)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toSeq
+        case x => x
+      }).toSet
+    val loadedIvf = Similarity.loadIvfIndex(spark, iDir)
+    assert(rowSet(loadedIvf.centers) === rowSet(apiIvf.centers))
+    assert(rowSet(loadedIvf.assigned) === rowSet(apiIvf.assigned))
+
+    // literal guards, the TVF tier's discipline: a hyperparameter that
+    // does not apply to the family refuses NAMING it...
+    val wrongFam = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.fit_index('ivf', 'g_fit_vecs',
+           |  '${TestSpark.tmpDir("gf-x1")}', 'vec_id', 'embedding',
+           |  planes => '9')""".stripMargin).collect()
+    }
+    assert(wrongFam.getMessage.contains("planes") &&
+      wrongFam.getMessage.contains("ivf"))
+    // ...a family with NO hyperparameters refuses any...
+    val bmHyper = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.fit_index('bm25', 'g_fit_docs',
+           |  '${TestSpark.tmpDir("gf-x2")}', 'doc_id', 'text',
+           |  m => '4')""".stripMargin).collect()
+    }
+    assert(bmHyper.getMessage.contains("no hyperparameters"))
+    // ...a non-integer literal refuses naming the parameter...
+    val badInt = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.fit_index('ivf', 'g_fit_vecs',
+           |  '${TestSpark.tmpDir("gf-x3")}', 'vec_id', 'embedding',
+           |  nlist => 'many')""".stripMargin).collect()
+    }
+    assert(badInt.getMessage.contains("integer") &&
+      badInt.getMessage.contains("nlist"))
+    // ...an explicit NULL for a required parameter refuses by name, and
+    // an unknown family lists the real ones
+    val nullReq = intercept[Exception] {
+      spark.sql(
+        """CALL graft.fit_index('pq', 'g_fit_vecs', NULL,
+          |  'vec_id', 'embedding')""".stripMargin).collect()
+    }
+    assert(nullReq.getMessage.contains("save_to"))
+    val badFam = intercept[Exception] {
+      spark.sql(
+        s"""CALL graft.fit_index('kdtree', 'g_fit_vecs',
+           |  '${TestSpark.tmpDir("gf-x4")}', 'vec_id', 'embedding')"""
+          .stripMargin).collect()
+    }
+    assert(badFam.getMessage.contains("unknown index family"))
+  }
+
   test("CALL graft.refresh_index: the refresh->index loop runs from " +
     "pure SQL — IVF lands on assignToCells(new, frozen centers)") {
     import org.apache.spark.sql.functions._

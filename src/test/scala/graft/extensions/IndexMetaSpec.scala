@@ -94,11 +94,16 @@ class IndexMetaSpec extends AnyFunSuite {
     // and the new version is computed from its own inputs.
     val ext = Dedup.extendCorpusIndex(v1,
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), "doc_id", "text")
+    // carry LINEAGE through the materialization: the in-place-upgrade
+    // save guard (r19, the Bm25Stats.save contract ported) admits a
+    // same-dir version bump only from a handle that DESCENDS from the
+    // tree — dropping `parent` here would make this v2 look like an
+    // unrelated handle clobbering a v1 tree, which the guard refuses
     val mat = Dedup.CorpusIndex(
       ext.postings.localCheckpoint(true), ext.shingles.localCheckpoint(true),
       ext.dfCounts.localCheckpoint(true), ext.docStats.localCheckpoint(true),
       ext.shingleK, ext.maxGramDf,
-      version = ext.version)
+      version = ext.version, parent = ext.parent)
     val v2 = Dedup.saveCorpusIndex(mat, dir)
     assert(IndexMeta.read(spark, dir).get.version == 2L)
 

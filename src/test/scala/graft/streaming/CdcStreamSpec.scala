@@ -1791,6 +1791,255 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally index0.unpersist()
   }
 
+  test("fold lease: two CONCURRENT compactions of one tree — exactly one " +
+    "folds (BM25 would double-subtract), the loser refuses loudly; a stale " +
+    "lease names its break path; a refused fold releases its lease") {
+    import graft.extensions.Search
+    val docs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val stats = Search.bm25Fit(docs, "doc_id", "text")
+    val t9 = docs.filter(col("doc_id") === 9L).select("text").as[String].head()
+    val t14 = docs.filter(col("doc_id") === 14L).select("text").as[String].head()
+    val a = s"${TestSpark.tmpDir("graft-lease-a")}/never-written"
+    val u = TestSpark.tmpDir("graft-lease-u")
+    val r = TestSpark.tmpDir("graft-lease-r")
+    Seq((14L, "doc fourteen amended under race", t14))
+      .toDF("doc_id", "text", "old_text")
+      .write.mode("overwrite").parquet(s"$u/batch=0")
+    Seq((9L, t9)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$r/batch=0")
+
+    // two threads race the SAME net BM25 fold of one tree triple; the
+    // exclusive lease (acquired before any fold work) must let exactly
+    // one through — the loser refuses at the lease (IN FLIGHT) or, if
+    // it arrived after the winner committed, at the marker
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outs = new java.util.concurrent.ConcurrentLinkedQueue[
+      Either[Throwable, Search.Bm25Stats]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try outs.add(Right(CdcStream.compactMaintenanceBm25Batches(
+          spark, a, u, r, stats, "doc_id", "text", "old_text")))
+        catch { case e: Throwable => outs.add(Left(e)) }
+        ()
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = outs.asScala.toSeq.partition(_.isLeft)
+    assert(winners.size === 1 && losers.size === 1)
+    val loserErr = losers.head.left.toOption.get
+    assert(loserErr.getMessage.contains("IN FLIGHT") ||
+      loserErr.getMessage.contains("already compacted"),
+      s"loser refusal names the lease or the marker: $loserErr")
+    // the winner's result carries EXACTLY ONE fold: == refit on the
+    // final corpus (9 retired, 14 amended) — a double-subtraction
+    // would show up in nDocs/df immediately
+    val finalCorpus = docs.filter(col("doc_id") =!= 9L)
+      .select(col("doc_id"),
+        when(col("doc_id") === 14L, lit("doc fourteen amended under race"))
+          .otherwise(col("text")).as("text"))
+    val refit = Search.bm25Fit(finalCorpus, "doc_id", "text")
+    val won = winners.head.toOption.get
+    assert(won.nDocs === refit.nDocs && won.sumDl === refit.sumDl)
+    def dfMap(s: Search.Bm25Stats) = s.docFreq.collect()
+      .map(x => x.getAs[String]("term") -> x.getAs[Long]("df")).toMap
+    assert(dfMap(won) === dfMap(refit))
+    // no lease survives the commit; a third attempt refuses on markers
+    assert(!new java.io.File(u,
+      CdcStream.Bm25UpsertMarkerName + ".lock").exists())
+    val again = intercept[IllegalArgumentException] {
+      CdcStream.compactMaintenanceBm25Batches(
+        spark, a, u, r, stats, "doc_id", "text", "old_text")
+    }
+    assert(again.getMessage.contains("already compacted"))
+
+    // a STALE lease (crashed fold) refuses with the break path — and
+    // breaking it lets the re-run through
+    val r2 = TestSpark.tmpDir("graft-lease-r2")
+    Seq((21L, docs.filter(col("doc_id") === 21L).select("text").as[String].head()))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$r2/batch=0")
+    val lock = new java.io.File(r2, CdcStream.Bm25RetractMarkerName + ".lock")
+    assert(lock.createNewFile())
+    val stale = intercept[IllegalStateException] {
+      CdcStream.compactRetractedBm25Batches(spark, r2, stats, "doc_id", "text")
+    }
+    assert(stale.getMessage.contains("break the stale lease"))
+    assert(lock.delete())
+    val shrunk = CdcStream.compactRetractedBm25Batches(
+      spark, r2, stats, "doc_id", "text")
+    assert(shrunk.nDocs === stats.nDocs - 1)
+
+    // a REFUSED fold (contract refusal, not a crash) releases its lease
+    // itself: the NULL-image retract refusal leaves no lock behind, so
+    // fixing the feed needs no manual break
+    val r3 = TestSpark.tmpDir("graft-lease-r3")
+    Seq((31L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$r3/batch=0")
+    val nullErr = intercept[IllegalArgumentException] {
+      CdcStream.compactRetractedBm25Batches(spark, r3, stats, "doc_id", "text")
+    }
+    assert(nullErr.getMessage.contains("NULL"))
+    assert(!new java.io.File(r3,
+      CdcStream.Bm25RetractMarkerName + ".lock").exists())
+    assert(!new java.io.File(r3, CdcStream.Bm25RetractMarkerName).exists())
+  }
+
+  test("per-leg and NET accept folds of one tree refuse each other in BOTH " +
+    "directions (family markers co-stamped), while sibling families' net " +
+    "folds of the shared tree stay independent") {
+    import graft.extensions.Similarity
+    val vecs = graft.sources.Tables.load(spark, TestSpark.Sf0001, "embeddings")
+      .filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    val novel = vecs.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val ivfIdx = Similarity.ivfFit(vecs, "vec_id", "embedding", nlist = 8)
+    val u = s"${TestSpark.tmpDir("graft-apx-u")}/never-written"
+    val r = s"${TestSpark.tmpDir("graft-apx-r")}/never-written"
+
+    // direction 1: the IVF NET compaction consumes the accept tree
+    // (its per-family marker) — a stray per-leg IVF accept fold of the
+    // SAME tree must then refuse, naming the net marker, instead of
+    // re-folding the accepts into the same index (ADVICE r18)
+    val a1 = TestSpark.tmpDir("graft-apx-a1")
+    novel.write.mode("overwrite").parquet(s"$a1/batch=0")
+    val netted = CdcStream.compactMaintenanceIvfBatches(
+      spark, a1, u, r, ivfIdx, "vec_id", "embedding")
+    assert(netted.version === ivfIdx.version + 2)
+    assert(new java.io.File(a1, CdcStream.IvfFoldedMarkerName).exists())
+    val e1 = intercept[IllegalArgumentException] {
+      CdcStream.compactAcceptedSemanticBatches(
+        spark, a1, ivfIdx, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("NET"))
+    // ...while the LSH family's net fold of the SAME shared tree still
+    // runs — per-family independence intact
+    val lshIdx = Similarity.lshFit(vecs, "vec_id", "embedding",
+      planes = 12, bands = 4)
+    val lshNetted = CdcStream.compactMaintenanceLshBatches(
+      spark, a1, u, r, lshIdx, "vec_id", "embedding")
+    assert(lshNetted.version === lshIdx.version + 2)
+
+    // direction 2: the per-leg IVF-PQ accept fold runs first and
+    // co-stamps its family's net marker — the IVF-PQ net compaction of
+    // the same tree must then refuse at its accept leg
+    val a2 = TestSpark.tmpDir("graft-apx-a2")
+    novel.write.mode("overwrite").parquet(s"$a2/batch=0")
+    val pqIdx = Similarity.ivfPqFit(vecs, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16)
+    CdcStream.compactAcceptedIvfPqBatches(
+      spark, a2, pqIdx, "vec_id", "embedding")
+    assert(new java.io.File(a2, CdcStream.FoldedMarkerName).exists())
+    assert(new java.io.File(a2, CdcStream.IvfPqFoldedMarkerName).exists())
+    val e2 = intercept[IllegalArgumentException] {
+      CdcStream.compactMaintenanceIvfPqBatches(
+        spark, a2, u, r, pqIdx, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("already compacted"))
+  }
+
+  test("onCompaction mechanizes restart-after-compaction: the default " +
+    "refuses the next trigger with the NAMED error when the saved tree's " +
+    "version moves; ReresolveOnCompaction reloads the handle and rolls " +
+    "epoch sinks so routing reflects the new version") {
+    import graft.extensions.Dedup
+    val d0 = graft.sources.Tables.load(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+
+    // ---- default (FailStreamOnCompaction) -----------------------------
+    val idxDir = TestSpark.tmpDir("graft-mech-idx")
+    Dedup.saveCorpusIndex(Dedup.buildCorpusIndex(d0, "doc_id", "text"), idxDir)
+    val loaded = Dedup.loadCorpusIndex(spark, idxDir)
+    val src = TestSpark.tmpDir("graft-mech-src")
+    val (a, u, r) = (TestSpark.tmpDir("graft-mech-a"),
+      TestSpark.tmpDir("graft-mech-u"), TestSpark.tmpDir("graft-mech-r"))
+    def feed(rows: (Long, String, String, String)*): Unit =
+      rows.toDF("doc_id", "text", "old_text", "op")
+        .coalesce(1).write.mode("append").parquet(src)
+    feed((900L, "a novel mechanization doc", null, "insert"))
+    val q = CdcStream.startCdcMaintenanceIngest(
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+      loaded, "doc_id", "text", "old_text", "op",
+      a, u, r, TestSpark.tmpDir("graft-mech-ckpt"),
+      availableNow = false, batchPeriodSecs = 1L)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(a).filter(col("doc_id") === 900L).count() === 1L)
+      // an offline compaction bumps the SAVED tree IN PLACE (the
+      // in-place-upgrade save path) while the stream keeps running...
+      val folded = CdcStream.compactMaintenanceBatches(
+        spark, a, u, r, loaded, "doc_id", "text", saveTo = Some(idxDir))
+      assert(folded.version === loaded.version + 2)
+      // ...and the NEXT trigger refuses with the named error instead of
+      // misrouting against the stale membership for many more triggers
+      Thread.sleep(1100)
+      feed((901L, "another novel doc", null, "insert"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      var c: Throwable = err
+      var found = false
+      while (c != null) {
+        if (c.getMessage != null &&
+          c.getMessage.contains("restart required: index version moved"))
+          found = true
+        c = c.getCause
+      }
+      assert(found, s"cause chain of $err names the restart contract")
+    } finally { if (q.isActive) q.stop() }
+
+    // ---- ReresolveOnCompaction ----------------------------------------
+    val idxDir2 = TestSpark.tmpDir("graft-mech2-idx")
+    Dedup.saveCorpusIndex(Dedup.buildCorpusIndex(d0, "doc_id", "text"), idxDir2)
+    val loaded2 = Dedup.loadCorpusIndex(spark, idxDir2)
+    val v1 = loaded2.version
+    val t7 = d0.filter(col("doc_id") === 7L).select("text").as[String].head()
+    val src2 = TestSpark.tmpDir("graft-mech2-src")
+    val (a2, u2, r2) = (TestSpark.tmpDir("graft-mech2-a"),
+      TestSpark.tmpDir("graft-mech2-u"), TestSpark.tmpDir("graft-mech2-r"))
+    def feed2(rows: (Long, String, String, String)*): Unit =
+      rows.toDF("doc_id", "text", "old_text", "op")
+        .coalesce(1).write.mode("append").parquet(src2)
+    // window 1: doc 7 leaves (delete, image in the row), 910 arrives
+    feed2((7L, t7, null, "delete"),
+      (910L, "novel doc nine ten", null, "insert"))
+    val q2 = CdcStream.startCdcMaintenanceIngest(
+      spark.readStream.schema(spark.read.parquet(src2).schema).parquet(src2),
+      loaded2, "doc_id", "text", "old_text", "op",
+      a2, u2, r2, TestSpark.tmpDir("graft-mech2-ckpt"),
+      availableNow = false, batchPeriodSecs = 1L,
+      onCompaction = CdcStream.ReresolveOnCompaction)
+    try {
+      q2.processAllAvailable()
+      // epoch-suffixed sinks from the first trigger on
+      assert(spark.read.parquet(s"$a2/epoch=$v1")
+        .filter(col("doc_id") === 910L).count() === 1L)
+      assert(spark.read.parquet(s"$r2/epoch=$v1")
+        .filter(col("doc_id") === 7L).count() === 1L)
+      // offline: fold THIS epoch's trees, save the bump in place
+      val folded2 = CdcStream.compactMaintenanceBatches(
+        spark, s"$a2/epoch=$v1", s"$u2/epoch=$v1", s"$r2/epoch=$v1",
+        loaded2, "doc_id", "text", saveTo = Some(idxDir2))
+      val v3 = folded2.version
+      // window 2: doc 7 comes BACK with fresh content (truly novel to
+      // the compacted index), and 910 — now a SERVED id — re-arrives
+      Thread.sleep(1100)
+      feed2((7L, "doc seven comes back with fresh content", null, "insert"),
+        (910L, "novel doc nine ten", null, "insert"))
+      q2.processAllAvailable()
+      // the stream re-resolved and rolled: doc 7 went through the GATE
+      // (the stale handle would have misrouted it to the upsert sink
+      // with a NULL old image), 910 routed as a reinsert — both under
+      // the NEW epoch
+      val acc2 = spark.read.parquet(s"$a2/epoch=$v3")
+      assert(acc2.filter(col("doc_id") === 7L).count() === 1L)
+      val ups2 = spark.read.parquet(s"$u2/epoch=$v3")
+      assert(ups2.filter(col("doc_id") === 910L).count() === 1L)
+      assert(ups2.filter(col("doc_id") === 7L).count() === 0L)
+    } finally { if (q2.isActive) q2.stop() }
+  }
+
   test("mapGroupsWithState user sessions accumulate per key") {
     val events = graft.sources.Tables.load(spark, TestSpark.Sf0001, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
