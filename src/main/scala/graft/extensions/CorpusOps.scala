@@ -1020,6 +1020,14 @@ object CorpusOps {
     * index family can express. */
   private def refreshIdSplit(diff: DataFrame,
                              idCol: String): (DataFrame, DataFrame) = (
+    // NOT checkpointed (r19 A/B): the diff's full-outer join sits on an
+    // Exchange, so its many downstream references already share ONE
+    // execution via exchange reuse — an eager localCheckpoint here
+    // re-ran the join as a standalone barrier job per call and measured
+    // no better (within ambient noise) on every refresh row at sf0.1,
+    // unlike the exchange-free newSh kernel in extendCorpusIndex where
+    // the same pattern wins 2.2x. Barrier jobs that buy nothing are a
+    // straggler surface at scale; keep the lazy form.
     diff.filter(col("status").isin("removed", "changed")).select(col(idCol)),
     diff.filter(col("status").isin("added", "changed")).select(col(idCol)))
 
