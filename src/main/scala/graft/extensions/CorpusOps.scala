@@ -306,14 +306,23 @@ object CorpusOps {
     * (re-tokenizes) the kernels once per metric reference. */
   def curationMetrics(df: DataFrame, idCol: Column,
                       textCol: Column): DataFrame =
+    // `__g2` staged beside `__toks` (r19; the text_rep_ngrams `__g2`
+    // lesson applied to the curation battery): dupNgramFrac +
+    // topNgramCharFrac referencing the tokenNgrams EXPRESSION rebuilt
+    // the 2-gram array ~5x per row (interpreted higher-order kernels
+    // share no subexpressions); the staged column is built once and
+    // both kernels read the attribute. pipeline_curate 2.7 -> 1.6 s,
+    // pipeline_funnel 2.5 -> 1.2 s min-warm at sf0.1, bit-identical.
     df.withColumn("__toks", TextFunctions.tokens(textCol))
+      .withColumn("__g2", TextFunctions.tokenNgrams(col("__toks"), 2))
       .select(idCol.as("doc_id"),
         TextFunctions.langIdFromTokens(col("__toks")).as("lang_pred"),
         TextFunctions.qualityScoreFromTokens(textCol, col("__toks"))
           .as("quality"),
         TextFunctions.tokenCountBpe(textCol).as("n_tokens_bpe"),
-        TextFunctions.dupNgramFrac(col("__toks"), 2).as("__dup2"),
-        TextFunctions.topNgramCharFrac(col("__toks"), 2).as("__top2"),
+        TextFunctions.dupNgramFracOfGrams(col("__g2")).as("__dup2"),
+        TextFunctions.topNgramCharFracOfGrams(col("__g2"), col("__toks"), 2)
+          .as("__top2"),
         TextFunctions.fingerprintMd5(textCol).as("fingerprint"),
         rand(42).as("__barrier"))
 
