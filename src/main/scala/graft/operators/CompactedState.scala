@@ -138,50 +138,61 @@ object CompactedState {
     }
   }
 
-  /** MERGE one batch into the compacted state. Idempotent per batch. */
+  /** MERGE one batch into the compacted state. Idempotent per batch.
+    *
+    * The batch is PERSISTED for the call's duration (r19): the upsert
+    * reads it twice — the touched-bucket probe, then the merge — and
+    * the batch is commonly a computed relation (a filtered capture
+    * window, a transformed stream), so an unpersisted plan re-ran its
+    * full derivation for the second read. MEMORY_AND_DISK, released in
+    * a finally-block, so a failed write cannot leak executor storage. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame, conf: Config): Unit = {
     val withB = batch.withColumn("__b", bucketExpr(conf))
-    val touched = withB.select(col("__b")).distinct()
-      .collect().map(_.getLong(0)).toSet // <= numBuckets rows by construction
-    if (touched.isEmpty) return
-    checkOrWriteMeta(fs(spark, dir), dir, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = withB.select(col("__b")).distinct()
+        .collect().map(_.getLong(0)).toSet // <= numBuckets rows by construction
+      if (touched.isEmpty) return
+      checkOrWriteMeta(fs(spark, dir), dir, conf)
 
-    val current = latestVersions(spark, dir)
-    val existingPaths = current.filter { case (b, _) => touched(b) }.values.map(_._2).toSeq
-    // additive schema evolution (O6): per-file schemas reconcile on read and
-    // the union null-fills columns either side predates — a batch carrying a
-    // new column must not wedge the capture loop
-    val merged0 =
-      if (existingPaths.isEmpty) batch
-      else batch.unionByName(
-        spark.read.option("mergeSchema", "true").parquet(existingPaths: _*),
-        allowMissingColumns = true)
-    val merged = CurrentState
-      .latestByKeyAgg(merged0, conf.keyCols, conf.orderCol, conf.tiebreakCols)
-      .withColumn("__b", bucketExpr(conf))
+      val current = latestVersions(spark, dir)
+      val existingPaths = current.filter { case (b, _) => touched(b) }.values.map(_._2).toSeq
+      // additive schema evolution (O6): per-file schemas reconcile on read and
+      // the union null-fills columns either side predates — a batch carrying a
+      // new column must not wedge the capture loop
+      val cachedBatch = withB.drop("__b")
+      val merged0 =
+        if (existingPaths.isEmpty) cachedBatch
+        else cachedBatch.unionByName(
+          spark.read.option("mergeSchema", "true").parquet(existingPaths: _*),
+          allowMissingColumns = true)
+      val merged = CurrentState
+        .latestByKeyAgg(merged0, conf.keyCols, conf.orderCol, conf.tiebreakCols)
+        .withColumn("__b", bucketExpr(conf))
 
-    val newV = (current.values.map(_._1) ++ Seq(0L)).max + 1
-    val f = fs(spark, dir)
-    val stage = new Path(s"$dir/_stage_v$newV")
-    // cluster output by bucket before the partitioned write: one file per
-    // touched bucket instead of (shuffle partitions x buckets) shards —
-    // state file count stays O(numBuckets), not O(batches x partitions).
-    merged.repartition(math.max(1, touched.size), col("__b"))
-      .write.mode("overwrite").partitionBy("__b").parquet(stage.toString)
+      val newV = (current.values.map(_._1) ++ Seq(0L)).max + 1
+      val f = fs(spark, dir)
+      val stage = new Path(s"$dir/_stage_v$newV")
+      // cluster output by bucket before the partitioned write: one file per
+      // touched bucket instead of (shuffle partitions x buckets) shards —
+      // state file count stays O(numBuckets), not O(batches x partitions).
+      merged.repartition(math.max(1, touched.size), col("__b"))
+        .write.mode("overwrite").partitionBy("__b").parquet(stage.toString)
 
-    // publish: move each staged bucket dir to bucket=<b>/v=<newV>
-    f.listStatus(stage).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__b="))
-      .foreach { s =>
-        val b = s.getPath.getName.stripPrefix("__b=")
-        val target = new Path(s"$dir/bucket=$b/v=$newV")
-        f.mkdirs(target.getParent)
-        // Hadoop rename reports most failures as `false`, not an exception;
-        // a silently dropped bucket would lose the batch's updates forever
-        // (the watermark commits after this returns)
-        require(f.rename(s.getPath, target), s"failed to publish $target")
-      }
-    f.delete(stage, true)
+      // publish: move each staged bucket dir to bucket=<b>/v=<newV>
+      f.listStatus(stage).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__b="))
+        .foreach { s =>
+          val b = s.getPath.getName.stripPrefix("__b=")
+          val target = new Path(s"$dir/bucket=$b/v=$newV")
+          f.mkdirs(target.getParent)
+          // Hadoop rename reports most failures as `false`, not an exception;
+          // a silently dropped bucket would lose the batch's updates forever
+          // (the watermark commits after this returns)
+          require(f.rename(s.getPath, target), s"failed to publish $target")
+        }
+      f.delete(stage, true)
+    } finally { withB.unpersist(false); () }
   }
 
   /** Point lookup: the current state of ONE key, reading ONLY the bucket
