@@ -607,10 +607,19 @@ object Dedup {
       .filter(col("df") - col("__dec") <= cut)
       .select(col("gram"))
     val survivorSh = index.shingles.join(rm, Seq("doc_id"), "left_anti")
+    // materialized eagerly (r19): the re-admission leg is a pure narrow
+    // pipeline (survivor-shingle explode against the broadcast
+    // crossing-back set — no exchange, so nothing shares it), and it is
+    // referenced from BOTH the postings union and the doc-stats
+    // adjustment — lazily it ran the corpus-wide explode twice per
+    // probe plan. The checkpointed result is bounded by the removed
+    // docs' own distinct grams (near-empty in practice), the
+    // extendCorpusIndex newSh pattern run backward.
     val readmitted = survivorSh
       .select(col("doc_id"), explode(col("sh")).as("gram"))
       .join(broadcast(crossingBack), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("gram"))
+      .localCheckpoint(true)
     val newPostings = index.postings.join(rm, Seq("doc_id"), "left_anti")
       .union(readmitted)
     // doc stats in lockstep: survivors GAIN exactly their re-admitted
