@@ -1165,12 +1165,22 @@ object Dedup {
     wins
   }
 
-  /** Exploded (doc, win_start, win_hash) rows for the corpus. */
+  /** Exploded (doc, win_start, win_hash) rows for the corpus.
+    *
+    * `__toks` is staged as its OWN projection below the Generate: the
+    * [[windowHashes]] lambdas (the bound filter and the slice+md5
+    * transform) reference their `toks` argument once PER WINDOW ELEMENT,
+    * and higher-order lambdas are interpreted with no common-
+    * subexpression elimination — inlining the `tokens(text)` expression
+    * re-ran the full regex tokenize O(windows) times per document
+    * (O(tokens^2) per doc — the same class as the bm25 batch kernel's
+    * `dl`-above-the-Generate bug, r19 opt 1). Against the staged
+    * ATTRIBUTE each per-element reference is an array read. */
   private def windowRows(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame =
     df.select(col(idCol),
-        explode(windowHashes(
-          graft.functions.TextFunctions.tokens(col(textCol)), n)).as("w"))
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(windowHashes(col("__toks"), n)).as("w"))
       .select(col(idCol), col("w.win_start").as("win_start"),
         col("w.win_hash").as("win_hash"))
 

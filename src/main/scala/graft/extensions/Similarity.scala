@@ -687,31 +687,67 @@ object Similarity {
                  else base.sample(trainFraction, seed))
       .select(col("__vhat")).cache()
     train.count()
+    val spark = train.sparkSession
+    // every fit's jobs run under one cancellable group, the pool threads
+    // are named for thread dumps, and the await is BOUNDED
+    // (spark.graft.pq.fitTimeoutSec, default 1800 s — generous next to
+    // the seconds-scale fits, tight next to Duration.Inf): one hung or
+    // failed subspace fit must fail the whole train fast and INTERRUPT
+    // its siblings instead of hanging the operator with a live pool
+    // (VERDICT r19 #5 — pool.shutdown() alone never interrupts running
+    // fits).
+    val timeoutSec = spark.conf.get("spark.graft.pq.fitTimeoutSec", "1800").toLong
+    val groupId = s"graft-pq-fit-${java.util.UUID.randomUUID()}"
+    val threadNo = new java.util.concurrent.atomic.AtomicInteger(0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(m, 8))
+      math.min(m, 8),
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-pq-fit-${threadNo.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      })
     val codebooks: Seq[Seq[Seq[Float]]] =
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         val fits = (0 until m).map { sub =>
           scala.concurrent.Future {
-            // per-sub seed: identical-subspace data must not yield
-            // identical codebooks by construction; few iterations +
-            // random init as in ivfFit (cells need to be rough, recall
-            // comes from rerank)
-            new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(10)
-              .setInitMode("random")
-              .setFeaturesCol("features").setPredictionCol("cell")
-              .fit(train.select(array_to_vector(
-                slice(col("__vhat"), sub * dsub + 1, dsub)).as("features")))
-              .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+            // job groups are thread-local: stamp the shared group in
+            // each pool thread so cancelJobGroup reaches every fit
+            spark.sparkContext.setJobGroup(groupId,
+              s"pq codebook fit sub=$sub", interruptOnCancel = true)
+            try {
+              // per-sub seed: identical-subspace data must not yield
+              // identical codebooks by construction; few iterations +
+              // random init as in ivfFit (cells need to be rough, recall
+              // comes from rerank)
+              new KMeans().setK(ksub).setSeed(seed + sub).setMaxIter(10)
+                .setInitMode("random")
+                .setFeaturesCol("features").setPredictionCol("cell")
+                .fit(train.select(array_to_vector(
+                  slice(col("__vhat"), sub * dsub + 1, dsub)).as("features")))
+                .clusterCenters.toSeq.map(_.toArray.toSeq.map(_.toFloat))
+            } finally spark.sparkContext.clearJobGroup()
           }
         }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(fits),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
-    train.unpersist()
+        try
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(fits),
+            scala.concurrent.duration.Duration(timeoutSec,
+              java.util.concurrent.TimeUnit.SECONDS))
+        catch {
+          case e: Throwable =>
+            // first failure (or timeout) kills the group's running jobs
+            // and interrupts the pool — siblings fail fast, nothing
+            // keeps computing toward a result nobody will read
+            spark.sparkContext.cancelJobGroup(groupId)
+            pool.shutdownNow()
+            throw e
+        }
+      } finally {
+        pool.shutdown()
+        train.unpersist()
+      }
     codebooks
   }
 

@@ -281,6 +281,45 @@ object NorthStarQueries {
       Similarity.ivfPqFit(pe, "vec_id", "embedding", m = 8, ksub = 16,
         centers = Some(semCenters(s)), residual = true).cache())
 
+  /** The exact brute-force ground truth SHARED by the six ANN recall
+    * gates (`sim_{ivf,ivf_extend,ivfpq,ivfpq_res,pq,lsh}_recall`): the
+    * top-10 cosine neighbors of the 1-in-20 probe set over the raw
+    * embeddings — every gate joined this IDENTICAL relation against its
+    * own ANN leg, and each gate recomputed the all-pairs scan per
+    * execution (6 gates × cold+3 warm = 24 brute scans per bench pass
+    * over one relation). Persisted per sf dir so the truth is computed
+    * ONCE — by the first gate's cold rep, the `exactPairs` /
+    * `windowCensus` fit-probe pattern — and every gate measures the ANN
+    * path under test plus one cached-truth join (VERDICT r19 #3).
+    * `sim_topk_brute` — the row whose CONTRACT is the brute scan's price
+    * — deliberately does NOT read this fixture. Released by
+    * [[clearSimCaches]]. */
+  private val bruteTruthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def bruteTruth10(s: SparkSession, dir: String): DataFrame =
+    bruteTruthCache.computeIfAbsent(dir, _ => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The filtered sibling (same cache map / release path): the exact
+    * top-5 truth over the `label % 3 = 0` slice, shared by BOTH filtered
+    * ANN gates (`sim_topk_filtered_ivf`, `sim_topk_filtered_lsh`).
+    * `sim_topk_filtered` — the row whose contract IS the exact filtered
+    * scan — keeps computing it. */
+  private def bruteTruthFiltered5(s: SparkSession, dir: String): DataFrame =
+    bruteTruthCache.computeIfAbsent(dir + "#filtered5", _ => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
+        e.filter(col("vec_id") % 20 === 0), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** The exact n-gram-Jaccard pair set, shared by BOTH dedup recall gates
     * (`dedup_minhash_sound`, `dedup_simhash_recall`): persisted per sf dir
     * so the exact pipeline is paid ONCE — by the dedicated
@@ -849,6 +888,8 @@ object NorthStarQueries {
       a.unpersist(false); u.unpersist(false); r.unpersist(false)
       ix.unpersist(); () }
     ivfNetFixtureCache.clear()
+    bruteTruthCache.values.forEach(df => { df.unpersist(false); () })
+    bruteTruthCache.clear()
     vecSinkDirs.forEach(d =>
       graft.util.Util.deleteRecursively(new java.io.File(d)))
     vecSinkDirs.clear()
@@ -1662,9 +1703,7 @@ object NorthStarQueries {
     "sim_topk_filtered_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") % 20 === 0)
-      val brute = Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
-        q, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTruthFiltered5(s, dir)
       val idx = Similarity.ivfFit(e, "vec_id", "embedding", nlist = 16,
         metaCols = Seq("label"))
       val ivf = Similarity.ivfProbe(idx.filtered(col("label") % 3 === 0), q,
@@ -1690,9 +1729,7 @@ object NorthStarQueries {
     "sim_topk_filtered_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") % 20 === 0)
-      val brute = Similarity.bruteForceTopK(e.filter(col("label") % 3 === 0),
-        q, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTruthFiltered5(s, dir)
       val idx = Similarity.lshFit(e, "vec_id", "embedding",
         planes = 2, bands = 16, metaCols = Seq("label"))
       val lsh = Similarity.lshProbe(idx.filtered(col("label") % 3 === 0), q,
@@ -1905,8 +1942,7 @@ object NorthStarQueries {
     "sim_ivfpq_recall" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") % 20 === 0)
-      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTruth10(s, dir)
       val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 10,
         nlist = 16, m = 8, ksub = 64, nprobe = 8, rerank = 200)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
@@ -1929,8 +1965,7 @@ object NorthStarQueries {
     "sim_ivfpq_res_recall" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") % 20 === 0)
-      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTruth10(s, dir)
       val res = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 10,
         nlist = 16, m = 8, ksub = 64, nprobe = 8, rerank = 200,
         residual = true)
@@ -1953,8 +1988,7 @@ object NorthStarQueries {
     "sim_pq_recall" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") % 20 === 0)
-      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTruth10(s, dir)
       val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 10,
         m = 8, ksub = 64, rerank = 200)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
@@ -1972,8 +2006,7 @@ object NorthStarQueries {
     "sim_lsh_recall" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") % 20 === 0)
-      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTruth10(s, dir)
       val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10,
         planes = 2, bands = 16)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
@@ -1995,8 +2028,7 @@ object NorthStarQueries {
     "sim_ivf_recall" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") % 20 === 0)
-      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTruth10(s, dir)
       val ivf = Similarity.ivfProbe(ivfIndex(dir, e), q,
         "vec_id", "embedding", k = 10, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
@@ -2026,8 +2058,7 @@ object NorthStarQueries {
         Similarity.ivfFit(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", nlist = 16),
         e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
-      val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTruth10(s, dir)
       val ivf = Similarity.ivfProbe(ext, q, "vec_id", "embedding",
         k = 10, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))

@@ -153,4 +153,29 @@ class WindowDedupSpec extends AnyFunSuite {
       .head()
     assert(s.getAs[Long]("n_kept") === s.getAs[Long]("n_tokens"))
   }
+
+  test("window explode stages __toks below the Generate (no per-element re-tokenize)") {
+    // The windowHashes lambdas reference their toks argument once PER
+    // WINDOW; against an inlined tokens(text) expression that re-ran the
+    // full regex tokenize O(windows) per doc (the bm25 dl-above-Generate
+    // class, r20 fix). Pin the staged shape: the Generate's generator
+    // must reference the __toks ATTRIBUTE, computed by a Project beneath
+    // it — i.e. exactly ONE split(...) in the whole optimized plan, below
+    // the Generate.
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.windowRelation(corpus, "doc_id", "text", n = 8)
+      .queryExecution.optimizedPlan
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.nonEmpty, "window explode must plan as a Generate")
+    val gen = generates.head
+    // the generator sees only attributes named __toks, never a split()
+    val genStr = gen.generator.sql
+    assert(!genStr.contains("split("),
+      s"tokenize inlined into the generator (re-runs per window): $genStr")
+    assert(genStr.contains("__toks"),
+      s"generator must read the staged __toks attribute: $genStr")
+  }
 }
